@@ -1,38 +1,281 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k over the sf0.001 corpus.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL generated from the same
+tokenizer/BM25 constants as the engine (katta_spark.oracle_sql).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from katta_spark.fulltext import query as Q
+from katta_spark.fulltext.analysis import LogicalIndex
+from katta_spark import oracle_ops as OO
+from katta_spark import oracle_sql as O
+from katta_spark.ops import dedup, similarity, text
+
+_INDEX_CACHE: dict[str, LogicalIndex] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str) -> LogicalIndex:
+    idx = _INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = LogicalIndex.build(_docs(spark, sf_dir), text_col="text").cache()
+        _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _round_score(df: DataFrame, col: str = "score", nd: int = 6) -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), nd))
+
+
+# ------------------------------------------------------------------ entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for (table OR spark) over sf0.001 docs,
+    hits joined back to stored fields."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    hits = Q.topk(idx, ["table", "spark"], k=10, mode="or")
+    return _round_score(Q.fetch_details(hits, idx.corpus, ["lang", "source"]))
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_topk(terms, k=10, mode="or", filters=None, offset=0):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _round_score(
+            Q.topk(_index(spark, sf_dir), terms, k=k, mode=mode, filters=filters, offset=offset)
+        )
+
+    return run
+
+
+def q_ft_count(spark, sf_dir):
+    return Q.count_query(_index(spark, sf_dir), ["dup", "key"], mode="or")
+
+
+def q_ft_group_langs(spark, sf_dir):
+    return Q.group_values(_index(spark, sf_dir), ["dup"], "lang")
+
+
+def q_ft_facet_lang(spark, sf_dir):
+    return Q.facet(_index(spark, sf_dir), ["table"], "lang", n=5)
+
+
+def q_ft_range_facet(spark, sf_dir):
+    return Q.range_facet(
+        _index(spark, sf_dir), ["scan"], "n_chars", start=0.0, end=500.0, gap=50.0, min_count=1
+    )
+
+
+def q_ft_sorted(spark, sf_dir):
+    return Q.sorted_query(
+        _index(spark, sf_dir),
+        ["merge"],
+        sort_cols=[("source", "asc"), ("n_chars", "desc")],
+        fields=["doc_id", "source", "n_chars"],
+        limit=20,
+    )
+
+
+def q_ft_fetch(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    hits = Q.topk(idx, ["dup"], k=5)
+    return _round_score(Q.fetch_details(hits, idx.corpus, ["lang", "source"]))
+
+
+def q_ft_term_catalog(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return idx.terms.orderBy(F.desc("df"), F.asc("term")).limit(100)
+
+
+def q_ft_stats(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return idx.stats.select("n_docs", F.round("avgdl", 6).alias("avgdl"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dup_groups(_docs(spark, sf_dir), text_col="text")
+
+
+def q_text_token_stats(spark, sf_dir):
+    return _round_score(
+        text.token_stats(_docs(spark, sf_dir), text_col="text"),
+        col="avg_token_len",
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    df = text.quality_score(_docs(spark, sf_dir), text_col="text")
+    for c in ("alpha_ratio", "stop_ratio", "quality"):
+        df = _round_score(df, col=c)
+    return df
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir), text_col="text")
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.cosine_join_topk(
+        emb.filter(F.col("vec_id") != 0), queries_df, k=10
+    )
+    return _round_score(out.select("vec_id", "cos"), col="cos")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir).withColumnRenamed("text", "content"),
+        num_hashes=16,
+        bands=4,
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash64(_docs(spark, sf_dir), text_col="text")
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    fp = text.fingerprint(_docs(spark, sf_dir), text_col="text")
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    return text.langid(_docs(spark, sf_dir), text_col="text")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return _round_score(
+        dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3, text_col="text"),
+        col="jaccard",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- fulltext query engine (Katta parity; SURVEY.md §2) ---
+        "ft_topk_common": _q_topk(["table"]),
+        "ft_topk_rare": _q_topk(["dup"]),
+        "ft_and": _q_topk(["spark", "vector"], mode="and"),
+        "ft_or": _q_topk(["dup", "key"], mode="or"),
+        "ft_filter": _q_topk(["query"], filters={"lang": "en"}),
+        "ft_paginate": _q_topk(["batch"], k=20, offset=60),
+        "ft_count": q_ft_count,
+        "ft_group_langs": q_ft_group_langs,
+        "ft_facet_lang": q_ft_facet_lang,
+        "ft_range_facet": q_ft_range_facet,
+        "ft_sorted": q_ft_sorted,
+        "ft_fetch": q_ft_fetch,
+        "ft_term_catalog": q_ft_term_catalog,
+        "ft_stats": q_ft_stats,
+        # --- training-data pipeline ops ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_langid": q_text_langid,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_cosine_topk": q_sim_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ----------------------------------------------------------------- oracle
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ctes = O.index_ctes()
+    out: dict[str, str] = {
+        "ft_topk_common": O.topk_sql(["table"]),
+        "ft_topk_rare": O.topk_sql(["dup"]),
+        "ft_and": O.topk_sql(["spark", "vector"], mode="and"),
+        "ft_or": O.topk_sql(["dup", "key"], mode="or"),
+        "ft_filter": O.topk_sql(["query"], filter_sql="lang = 'en'"),
+        "ft_paginate": O.topk_sql(["batch"], k=20, offset=60),
+        "ft_count": f"""{ctes}{O.matched_sql(["dup", "key"])}
+SELECT count(*) AS n_hits FROM matched""",
+        "ft_group_langs": f"""{ctes}{O.matched_sql(["dup"])}
+SELECT DISTINCT d.lang FROM documents d JOIN matched m ON d.doc_id = m.doc_id""",
+        "ft_facet_lang": f"""{ctes}{O.matched_sql(["table"])}
+SELECT lang, count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
+        "ft_range_facet": f"""{ctes}{O.matched_sql(["scan"])}
+SELECT 0.0 + floor((CAST(n_chars AS DOUBLE) - 0.0) / 50.0) * 50.0 AS bucket_start,
+       count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+WHERE CAST(n_chars AS DOUBLE) >= 0.0 AND CAST(n_chars AS DOUBLE) < 500.0
+GROUP BY bucket_start HAVING count(*) >= 1 ORDER BY bucket_start""",
+        "ft_sorted": f"""{ctes}{O.matched_sql(["merge"])}
+SELECT doc_id, source, n_chars FROM (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+  ORDER BY d.source ASC, d.n_chars DESC, d.doc_id ASC LIMIT 20
+)""",
+        "ft_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
+        "ft_term_catalog": f"""{ctes}
+SELECT term, df, cf FROM dfv ORDER BY df DESC, term ASC LIMIT 100""",
+        "ft_stats": f"""{ctes}
+SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats""",
+        # --- ops ---
+        "dedup_exact": """
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "dedup_fingerprint": OO.fingerprint_dup_sql(),
+        "dedup_ngram_jaccard": OO.ngram_jaccard_sql(threshold=0.5, n=3),
+        "dedup_minhash_lsh": OO.minhash_lsh_sql(num_hashes=16, bands=4, n=3),
+        "dedup_simhash": OO.simhash_sql(),
+        "text_langid": OO.langid_sql(),
+        "text_quality": OO.quality_sql(),
+        "text_token_stats": f"""{ctes}
+SELECT d.doc_id,
+       CAST(count(t.term) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t.term) AS BIGINT) AS n_distinct,
+       round(CAST(coalesce(sum(length(t.term)), 0) AS DOUBLE)
+             / greatest(count(t.term), 1), 6) AS avg_token_len
+FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id""",
+        "text_fingerprint": f"""{ctes}
+SELECT d.doc_id,
+       md5(coalesce(array_to_string(list_sort(array_agg(DISTINCT t.term)), ' '), '')) AS fingerprint
+FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id""",
+        "sim_cosine_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+)
+SELECT vec_id, round(cos, 6) AS cos
+FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
+    }
+    return out

@@ -1,0 +1,185 @@
+"""Deduplication operators for web-scale corpus curation.
+
+All hashing is built on ``md5`` (available and bit-identical in both
+Spark and DuckDB) so every operator is oracle-checkable; at cluster
+scale md5 stays JVM-side (no Python in the hot path).
+
+- exact:       hash-groupBy on content digest.
+- ngram_jaccard: token n-gram shingles -> shingle-join -> Jaccard;
+  exact near-dup, quadratic in cluster size — the verification path.
+- minhash_lsh: MinHash signatures (md5-derived 32-bit shingle hashes
+  through a (a*x+b) mod p family) banded into LSH buckets; candidate
+  pairs come from bucket joins — the 100 TB path (shuffle is
+  O(docs x bands), never O(docs^2)).
+- simhash:     64->32-bit sign-aggregated token fingerprint; hamming
+  candidates via band equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from katta_spark.tokenizer import tokens_array
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dup_groups(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(content_md5, keep_id, n_dups) for every duplicated content.
+
+    ``keep_id`` = min doc_id of the group (the canonical survivor).
+    One hash-shuffle; at 100 TB bucket the corpus by the digest.
+    """
+    return (
+        corpus.select(F.md5(F.col(text_col)).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """Corpus with exact duplicates removed (keep min doc_id)."""
+    ranked = corpus.withColumn("_h", F.md5(F.col(text_col)))
+    keep = ranked.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    return ranked.join(keep, ["_h", "doc_id"], "left_semi").drop("_h")
+
+
+def _shingles(corpus: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) — distinct token n-grams per doc."""
+    toks = corpus.select("doc_id", tokens_array(text_col).alias("t"))
+    idxs = F.when(
+        F.size("t") >= n, F.sequence(F.lit(0), F.size("t") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)))
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "content"
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard >= t,
+    doc_a < doc_b.  Shingle-join keeps it O(pairs sharing a shingle);
+    quadratic only inside near-dup clusters — use minhash_lsh first
+    at scale and this as the verifier on candidates."""
+    sh = _shingles(corpus, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _shingle_hash32() -> F.Column:
+    """Deterministic 32-bit integer from a shingle string: the first 8
+    hex digits of md5 — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "content",
+) -> DataFrame:
+    """(doc_id, h_idx, minhash) — num_hashes MinHash values per doc.
+
+    Hash family: h_i(x) = ((a_i*x + b_i) mod p) with p = 2^61-1 and
+    deterministic odd coefficients a_i = 2i+1, b_i = i^2+1 (seedless,
+    reproducible anywhere, including a SQL oracle)."""
+    sh = _shingles(corpus, text_col, n).withColumn("x", _shingle_hash32())
+    fam = [(i, 2 * i + 1, i * i + 1) for i in range(num_hashes)]
+    fam_df = sh.sparkSession.createDataFrame(fam, "h_idx int, a long, b long")
+    return (
+        sh.crossJoin(F.broadcast(fam_df))
+        .select(
+            "doc_id",
+            "h_idx",
+            ((F.col("a") * F.col("x") + F.col("b")) % F.lit(MERSENNE_P)).alias("hv"),
+        )
+        .groupBy("doc_id", "h_idx")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "content",
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b, n_bands) that collide
+    in >=1 LSH band.  rows-per-band bucket join: the scalable path —
+    shuffle volume is docs x bands, never docs^2."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(corpus, num_hashes, n, text_col)
+    banded = (
+        sig.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.concat_ws(":", "h_idx", "minhash")))
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash64(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, simhash) — 32-bit sign-aggregated token fingerprint.
+
+    bit_j(doc) = 1 iff sum over token occurrences of
+    (+1 if bit_j(h32(token)) else -1) > 0, h32 = md5-derived.
+
+    Computed entirely as per-row array algebra (transform/aggregate
+    over the token array): NARROW — zero shuffle, scales linearly at
+    any corpus size; near-dup candidates then come from grouping on
+    simhash bands."""
+    t = tokens_array(text_col)
+    hashes = F.transform(
+        t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    )
+    def _bit_sum(mask: int):
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("long")
+    for j in range(32):
+        s = F.aggregate(hashes, F.lit(0).cast("long"), _bit_sum(1 << j))
+        sig = sig + F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return corpus.select("doc_id", sig.alias("simhash"))

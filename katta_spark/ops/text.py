@@ -1,0 +1,99 @@
+"""Text-analysis operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything is built-in-function column algebra (JVM-side, codegen);
+the only state is small literal keyword lists (broadcast-free —
+compiled into the plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from katta_spark.tokenizer import tokens_array
+
+# tiny per-language stopword profiles for the n-gram/keyword heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "es"],
+    "zh": ["de", "shi", "le", "zai", "you"],
+}
+
+
+def token_stats(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, avg_token_len) per doc — narrow
+    (no shuffle): pure array algebra on the tokenizer output."""
+    t = tokens_array(text_col)
+    return corpus.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        (
+            F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size(t), F.lit(1))
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, len_chars, alpha_ratio, stop_ratio, quality) —
+    heuristic curation score in [0,1]:
+      - alpha_ratio: fraction of chars that are alphanumeric/space;
+      - stop_ratio: fraction of tokens in the english stopword list;
+      - quality = alpha_ratio * (1 - |stop_ratio - 0.4|) clamped.
+    """
+    txt = F.col(text_col)
+    n = F.length(txt)
+    alnum = F.length(F.regexp_replace(txt, r"[^A-Za-z0-9 ]", ""))
+    t = tokens_array(text_col)
+    stops = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stops, x)))
+    stop_ratio = n_stop.cast("double") / F.greatest(F.size(t), F.lit(1))
+    alpha_ratio = alnum.cast("double") / F.greatest(n, F.lit(1))
+    quality = F.greatest(
+        F.least(alpha_ratio * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))), F.lit(1.0)),
+        F.lit(0.0),
+    )
+    return corpus.select(
+        "doc_id",
+        n.cast("long").alias("len_chars"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def langid(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — argmax of per-language keyword
+    hits; deterministic tie-break by language code asc."""
+    t = tokens_array(text_col)
+    # sort by (-hits, code) asc: max hits first, ties -> smallest code
+    def _hits(kws: list[str]):
+        arr = F.array(*[F.lit(k) for k in kws])
+        return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+
+    scores = F.array(
+        *[
+            F.struct((-_hits(kws)).alias("neg_hits"), F.lit(code).alias("code"))
+            for code, kws in sorted(LANG_PROFILES.items())
+        ]
+    )
+    top = F.array_sort(scores)[0]
+    return corpus.select(
+        "doc_id",
+        top["code"].alias("lang_pred"),
+        (-top["neg_hits"]).cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, fingerprint) — md5 of the sorted distinct token set:
+    canonical content fingerprint robust to token order (the classic
+    'fingerprint' key for clustering near-identical docs)."""
+    t = tokens_array(text_col)
+    return corpus.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " ")).alias("fingerprint"),
+    )

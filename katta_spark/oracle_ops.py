@@ -1,0 +1,131 @@
+"""DuckDB oracle SQL for the training-data pipeline operators
+(dedup / text analysis / similarity), generated from the same
+constants as the Spark implementations in katta_spark.ops."""
+
+from __future__ import annotations
+
+from katta_spark.ops.dedup import MERSENNE_P
+from katta_spark.ops.text import LANG_PROFILES
+from katta_spark.tokenizer import duckdb_tokens_list_sql, duckdb_tokens_sql
+
+DOCS = "documents"
+
+_H32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _shingle_ctes(n: int = 3) -> str:
+    """CTEs: tokl(doc_id, toks) and sh(doc_id, shingle) distinct."""
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    grams = ", ".join(f"toks[i+{d}]" for d in range(n))
+    return f"""WITH tokl AS ({tokl}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) >= {n}
+         THEN list_transform(generate_series(1, len(toks) - {n - 1}),
+                             i -> concat_ws(' ', {grams}))
+         ELSE [] END) AS shingle
+  FROM tokl
+)"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.5, n: int = 3) -> str:
+    return f"""{_shingle_ctes(n)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE jaccard >= {threshold!r}"""
+
+
+def minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    rpb = num_hashes // bands
+    fam = ", ".join(f"({i}, {2 * i + 1}, {i * i + 1})" for i in range(num_hashes))
+    return f"""{_shingle_ctes(n)},
+fam(h_idx, a, b) AS (VALUES {fam}),
+shx AS (SELECT doc_id, {_H32.format(x='shingle')} AS x FROM sh),
+mh AS (
+  SELECT doc_id, h_idx, min((a * x + b) % {MERSENNE_P}) AS minhash
+  FROM shx CROSS JOIN fam GROUP BY doc_id, h_idx
+),
+banded AS (
+  SELECT doc_id, CAST(h_idx // {rpb} AS INT) AS band,
+         md5(array_to_string(list_sort(array_agg(concat(h_idx, ':', minhash))), ',')) AS bucket
+  FROM mh GROUP BY doc_id, band
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b"""
+
+
+def simhash_sql() -> str:
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    bits = " + ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform(hs, h -> ((h >> {j}) % 2) * 2 - 1)), 0) > 0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(32)
+    )
+    return f"""WITH tokl AS ({tokl}),
+hx AS (SELECT doc_id, list_transform(toks, x -> {_H32.format(x='x')}) AS hs FROM tokl)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hx"""
+
+
+def fingerprint_dup_sql() -> str:
+    tok = duckdb_tokens_sql(DOCS, "doc_id", "text")
+    return f"""WITH tok AS ({tok}),
+fp AS (
+  SELECT d.doc_id,
+         md5(coalesce(array_to_string(list_sort(array_agg(DISTINCT t.term)), ' '), '')) AS fingerprint
+  FROM {DOCS} d LEFT JOIN tok t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+)
+SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM fp GROUP BY fingerprint HAVING count(*) > 1"""
+
+
+def quality_sql() -> str:
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    stops = ", ".join(f"'{s}'" for s in LANG_PROFILES["en"])
+    return f"""WITH tokl AS ({tokl}),
+q AS (
+  SELECT d.doc_id,
+         length(d.text) AS len_chars,
+         CAST(length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+           / greatest(length(d.text), 1) AS alpha_ratio,
+         CAST(len(list_filter(toks, x -> list_contains([{stops}], x))) AS DOUBLE)
+           / greatest(len(toks), 1) AS stop_ratio
+  FROM {DOCS} d JOIN tokl t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, CAST(len_chars AS BIGINT) AS len_chars,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(greatest(least(alpha_ratio * (1.0 - abs(stop_ratio - 0.4)), 1.0), 0.0), 6) AS quality
+FROM q"""
+
+
+def langid_sql() -> str:
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    hit_cols = []
+    for code, kws in sorted(LANG_PROFILES.items()):
+        arr = ", ".join(f"'{k}'" for k in kws)
+        hit_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{arr}], x))) AS h_{code}"
+        )
+    codes = sorted(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN h_{c} = best THEN '{c}'" for c in codes
+    ) + " END"
+    return f"""WITH tokl AS ({tokl}),
+hits AS (SELECT doc_id, {", ".join(hit_cols)} FROM tokl),
+top AS (SELECT doc_id, {best} AS best, * FROM hits)
+SELECT doc_id, {case} AS lang_pred, CAST(best AS BIGINT) AS lang_hits FROM top"""

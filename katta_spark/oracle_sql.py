@@ -1,0 +1,107 @@
+"""DuckDB oracle-SQL builders for the driver's correctness gate.
+
+Every fragment is generated from the SAME constants as the engine
+(tokenizer regexes, BM25 k1/b) so the Spark implementation and the
+SQL oracle cannot drift.  The driver pre-registers the testdata
+parquet files as views named ``documents``, ``embeddings``, etc.
+"""
+
+from __future__ import annotations
+
+from katta_spark.fulltext.analysis import B, K1
+from katta_spark.tokenizer import duckdb_tokens_sql
+
+DOCS = "documents"
+
+
+def index_ctes() -> str:
+    """Shared CTE prefix: tok / tf / dl / stats / dfv over documents —
+    the SQL mirror of :class:`katta_spark.fulltext.analysis.LogicalIndex`."""
+    tok = duckdb_tokens_sql(DOCS, "doc_id", "text")
+    return f"""WITH tok AS ({tok}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM {DOCS} d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST((SELECT count(*) FROM tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM {DOCS}),
+dfv AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term)"""
+
+
+def score_sql() -> str:
+    """Per-posting BM25 score — parenthesized exactly like the Spark
+    expression tree in analysis.idf_expr/tfnorm_expr."""
+    idf = (
+        "ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfv.df AS DOUBLE) + 0.5)"
+        " / (CAST(dfv.df AS DOUBLE) + 0.5))"
+    )
+    tfn = (
+        f"(CAST(tf.tf AS DOUBLE) * {K1 + 1.0!r}) / (CAST(tf.tf AS DOUBLE)"
+        f" + {K1!r} * ({1.0 - B!r} + {B!r} * CAST(dl.dl AS DOUBLE) / stats.avgdl))"
+    )
+    return f"{idf} * {tfn}"
+
+
+def _term_list(terms: list[str]) -> str:
+    inner = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"({inner})"
+
+
+def _scored_ctes(
+    terms: list[str],
+    k: int,
+    mode: str = "or",
+    filter_sql: str | None = None,
+    offset: int = 0,
+) -> str:
+    """CTE suffix producing ``top(doc_id, score)`` — the k-slice of the
+    BM25-scored matching docs, tie-break score desc / doc_id asc."""
+    n_terms = len(set(terms))
+    having = f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    flt = (
+        f"AND tf.doc_id IN (SELECT doc_id FROM {DOCS} WHERE {filter_sql})"
+        if filter_sql
+        else ""
+    )
+    off = f"OFFSET {offset}" if offset else ""
+    return f""",
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf
+  JOIN dfv ON tf.term = dfv.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)} {flt}
+  GROUP BY tf.doc_id {having}
+),
+top AS (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k} {off})"""
+
+
+def topk_sql(
+    terms: list[str],
+    k: int = 10,
+    mode: str = "or",
+    filter_sql: str | None = None,
+    offset: int = 0,
+) -> str:
+    return f"""{index_ctes()}{_scored_ctes(terms, k, mode, filter_sql, offset)}
+SELECT doc_id, round(score, 6) AS score FROM top"""
+
+
+def topk_fetch_sql(terms: list[str], k: int, fields: list[str]) -> str:
+    cols = ", ".join(f"d.{f}" for f in fields)
+    return f"""{index_ctes()}{_scored_ctes(terms, k)}
+SELECT t.doc_id, round(t.score, 6) AS score, {cols}
+FROM top t JOIN {DOCS} d ON t.doc_id = d.doc_id"""
+
+
+def matched_sql(terms: list[str], mode: str = "or", filter_sql: str | None = None) -> str:
+    """CTE-suffix producing ``matched(doc_id)``."""
+    n_terms = len(set(terms))
+    having = f"HAVING count(DISTINCT term) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    flt = f"AND doc_id IN (SELECT doc_id FROM {DOCS} WHERE {filter_sql})" if filter_sql else ""
+    return f""",
+matched AS (
+  SELECT doc_id FROM tf WHERE term IN {_term_list(terms)} {flt}
+  GROUP BY doc_id {having}
+)"""

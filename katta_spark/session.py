@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Settings chosen for a multi-executor cluster reading very large
+inputs, applied identically in local mode so test plans match
+cluster plans:
+
+- AQE on (runtime coalescing + skew-join splitting is the backstop
+  behind our explicit salting);
+- Arrow transfer on (every Python kernel is a vectorized pandas UDF);
+- UTC session timezone (oracle comparisons against DuckDB);
+- shuffle partitions sized to cores locally (overridden per-job at
+  scale via spark.sql.shuffle.partitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "katta_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = cores if inner == "*" else max(int(inner), 1)
+        else:
+            shuffle_partitions = 2 * cores
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
