@@ -1,0 +1,323 @@
+"""Distributed index build: corpus -> docs / postings / terms / stats
++ manifest, checkpoint-resumable with per-group lineage and metrics.
+
+Reference parity:
+- the build as a whole replaces Katta's MapReduce index build
+  (katta-hadoop/.../hadoop/LuceneDocumentOutputFormat.java:51-86,
+  LuceneOutputWriter.java:136-305): partition -> analyze -> write
+  shard -> done-marker.  Our done-marker is the per-group manifest
+  JSON (atomic single-file write), the analogue of ``index.done``
+  (LuceneOutputWriter.java:298-303) and of the blck commit rename
+  ``data/`` -> ``commit-<id>/`` (lib/writer/DefaultDataWriter.java:314-389).
+- incremental commits (``commit=...``) mirror the blck ingest ->
+  comm/fsh -> merge loop (protocol/MasterStorageProtocol.java:160-214,
+  operation/node/NodeIndexMergeOperation.java:92-165): each commit
+  appends new doc_ids and new posting groups; the global term catalog
+  is re-aggregated (cheap scan of block rows, no decode).
+- doc routing by hash (build groups) mirrors Katta's
+  murmur3(rowId) % numPartitions routing
+  (lib/writer/DefaultDataWriter.java:171-184).
+
+Skew handling (north_rule): postings are grouped by
+(term, block_id = doc_id // BLOCK_RANGE) and the shuffle is
+``repartitionByRange("term", "block_id")`` — term-range partitioning
+with the doc-range block as the explicit salt, so a term occurring in
+every document ("import") is split across ~N/BLOCK_RANGE groups
+instead of landing on one reducer.
+
+Scale notes: one pass over the corpus per resume-group, filter pushed
+down to the docs parquet; encoding is numpy inside an Arrow-batched
+pandas UDF (one call per *block*, vectorized over its postings — no
+per-posting Python); the term catalog is an aggregate over block
+rows only (never decodes postings).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from katta_spark.corpus import with_ingest_columns
+from katta_spark.fulltext.analysis import B, K1
+from katta_spark.index import codec
+from katta_spark.tokenizer import tokens_array
+
+ENC_SCHEMA = BinaryType()
+
+
+@F.pandas_udf(ENC_SCHEMA)
+def _enc_gaps(doc_ids: pd.Series, block_bases: pd.Series) -> pd.Series:
+    out = []
+    for ids, base in zip(doc_ids, block_bases):
+        d = np.asarray(ids, dtype=np.int64)
+        gaps = np.diff(d, prepend=np.int64(base))
+        out.append(codec.encode_varint(gaps))
+    return pd.Series(out)
+
+
+@F.pandas_udf(ENC_SCHEMA)
+def _enc_varint(vals: pd.Series) -> pd.Series:
+    return pd.Series(
+        [codec.encode_varint(np.asarray(v, dtype=np.int64)) for v in vals]
+    )
+
+
+def _group_expr(n_groups: int, block_range: int):
+    """Lineage-group of a doc: block-aligned so every posting block is
+    built entirely inside one group (resume unit = whole blocks)."""
+    return F.pmod(
+        (F.col("doc_id") / F.lit(block_range)).cast("long"), F.lit(n_groups)
+    )
+
+
+def _manifest_dir(index_dir: str) -> Path:
+    return Path(index_dir) / "manifest"
+
+
+def load_manifest(index_dir: str) -> list[dict]:
+    d = _manifest_dir(index_dir)
+    if not d.exists():
+        return []
+    return sorted(
+        (json.loads(p.read_text()) for p in d.glob("*.json")),
+        key=lambda m: (m["commit"], m["group"]),
+    )
+
+
+def _dir_bytes(path: Path) -> int:
+    return sum(p.stat().st_size for p in path.rglob("*") if p.is_file())
+
+
+def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
+                         block_range: int = codec.BLOCK_RANGE,
+                         shuffle_partitions: int | None = None) -> DataFrame:
+    """(doc_id, dl, term, tf) -> one row per (term, block):
+    compressed block columns + block-max metadata.
+
+    max_tf / min_dl (not a precomputed score) are stored so the WAND
+    upper bound idf*tfnorm(max_tf, min_dl, avgdl_now) stays valid when
+    later commits shift the global avgdl.
+    """
+    blocks = (
+        tokens_tf.withColumn(
+            "block_id",
+            (F.col("doc_id") / F.lit(block_range)).cast("long"),
+        )
+        .groupBy("term", "block_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "dl"))
+            ).alias("ps"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        .select(
+            "term",
+            "block_id",
+            "n",
+            "cf",
+            "max_tf",
+            "min_dl",
+            F.transform(F.col("ps"), lambda x: x["doc_id"]).alias("_ids"),
+            F.transform(F.col("ps"), lambda x: x["tf"]).alias("_tfs"),
+            F.transform(F.col("ps"), lambda x: x["dl"]).alias("_dls"),
+        )
+    )
+    enc = blocks.select(
+        "term",
+        "block_id",
+        "n",
+        "cf",
+        "max_tf",
+        "min_dl",
+        _enc_gaps("_ids", (F.col("block_id") * F.lit(block_range))).alias("doc_gaps"),
+        _enc_varint("_tfs").alias("tfs"),
+        _enc_varint("_dls").alias("dls"),
+    )
+    # term-range layout with the doc-range block as the skew salt;
+    # sorted files => parquet min/max footer stats on term => scans
+    # for a query term touch only the files/row-groups holding it.
+    nparts = shuffle_partitions or enc.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    return enc.repartitionByRange(int(nparts), "term", "block_id").sortWithinPartitions(
+        "term", "block_id"
+    )
+
+
+def tokens_with_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, dl, term, tf) in ONE pass: dl rides along with each
+    exploded token so no separate doc-length join/shuffle is needed
+    (reuses a stored ``dl`` column when present to avoid tokenizing
+    twice)."""
+    dl = (
+        F.col("dl") if "dl" in docs.columns
+        else F.size(tokens_array(text_col)).cast("long")
+    )
+    toks = docs.select(
+        "doc_id",
+        dl.alias("dl"),
+        F.explode(tokens_array(text_col)).alias("term"),
+    )
+    return toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    text_col: str = "content",
+    n_groups: int = 4,
+    commit: str = "c0",
+    doc_id_method: str = "rank",
+    block_range: int = codec.BLOCK_RANGE,
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Build (or resume, or incrementally extend) the physical index.
+
+    Resume: groups already recorded in the manifest for ``commit`` are
+    skipped; a re-run after a mid-build crash completes exactly the
+    missing groups (idempotent — group output dirs are overwritten
+    whole).  ``fail_after_groups`` injects a crash for the resume test.
+
+    Returns the build report (groups built/skipped, totals).
+    """
+    root = Path(index_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    stats_path = root / "stats.json"
+    if stats_path.exists():
+        # block geometry is an index-wide invariant (decode + group
+        # lineage depend on it) — later commits inherit the original
+        block_range = json.loads(stats_path.read_text())["block_range"]
+    mdir = _manifest_dir(index_dir)
+    mdir.mkdir(exist_ok=True)
+    manifest = load_manifest(index_dir)
+    done = {(m["commit"], m["group"]) for m in manifest if m["status"] == "done"}
+
+    docs_dir = root / "docs" / f"commit={commit}"
+    t0 = time.monotonic()
+    if not (docs_dir / "_SUCCESS").exists():
+        prev_n = 0
+        if any(m["commit"] != commit for m in manifest):
+            prev_n = sum(
+                m["n_docs_group"] for m in manifest
+                if m["commit"] != commit and m["status"] == "done"
+            )
+        had_doc_id = "doc_id" in corpus.columns
+        docs = with_ingest_columns(
+            corpus.withColumn("content", F.col(text_col)) if text_col != "content"
+            else corpus,
+            doc_id_method=doc_id_method,
+        )
+        # engine-assigned ids for an incremental commit continue after
+        # the existing docs (caller-assigned ids are taken verbatim)
+        if prev_n and not had_doc_id:
+            docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(prev_n))
+        docs = docs.withColumn(
+            "dl", F.size(tokens_array("content")).cast("long")
+        )
+        docs.write.mode("overwrite").parquet(str(docs_dir))
+
+    docs_all = spark.read.option("basePath", str(root / "docs")).parquet(
+        str(root / "docs" / "commit=*")
+    )
+    n_docs, avgdl = docs_all.agg(
+        F.count(F.lit(1)), (F.sum("dl") / F.count(F.lit(1))).cast("double")
+    ).first()
+    avgdl = float(avgdl or 0.0)
+
+    docs_commit = spark.read.parquet(str(docs_dir))
+    group_docs = {
+        int(r["g"]): int(r["n"])
+        for r in docs_commit.groupBy(
+            _group_expr(n_groups, block_range).alias("g")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    built, skipped = [], []
+    for g in range(n_groups):
+        if (commit, g) in done:
+            skipped.append(g)
+            continue
+        if fail_after_groups is not None and len(built) >= fail_after_groups:
+            raise RuntimeError(f"injected failure after {fail_after_groups} groups")
+        g0 = time.monotonic()
+        part = docs_commit.filter(_group_expr(n_groups, block_range) == g)
+        tf = tokens_with_tf(part, "content")
+        blocks = build_posting_blocks(tf, avgdl, block_range)
+        gdir = root / "postings" / f"commit={commit}" / f"group={g}"
+        blocks.write.mode("overwrite").parquet(str(gdir))
+        stat = (
+            spark.read.parquet(str(gdir))
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n_postings"),
+            )
+            .first()
+        )
+        n_docs_group = group_docs.get(g, 0)
+        entry = {
+            "commit": commit,
+            "group": g,
+            "status": "done",
+            "n_blocks": int(stat["n_blocks"]),
+            "n_postings": int(stat["n_postings"]),
+            "bytes": _dir_bytes(gdir),
+            "n_docs_group": int(n_docs_group),
+            "wall_s": round(time.monotonic() - g0, 3),
+            "lineage": {
+                "input": f"docs/commit={commit}",
+                "group_expr": f"(doc_id div {block_range}) % {n_groups} == {g}",
+                "avgdl_at_build": avgdl,
+            },
+        }
+        # atomic done-marker: write tmp then rename (the index.done analogue)
+        tmp = mdir / f".{commit}_g{g}.json.tmp"
+        tmp.write_text(json.dumps(entry, indent=1))
+        tmp.rename(mdir / f"{commit}_g{g}.json")
+        built.append(g)
+
+    # global term catalog — merged shard dictionaries (north_star);
+    # restores the deprecated DocumentFrequencyWritable contract
+    # (LuceneServer.java:76-82): exact global df/cf for uniform BM25.
+    postings_all = spark.read.option("basePath", str(root / "postings")).parquet(
+        str(root / "postings" / "commit=*" / "group=*")
+    )
+    terms = postings_all.groupBy("term").agg(
+        F.sum("n").alias("df"), F.sum("cf").alias("cf")
+    )
+    terms.repartitionByRange(
+        max(int(spark.conf.get("spark.sql.shuffle.partitions")) // 4, 1), "term"
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+        str(root / "terms")
+    )
+
+    stats = {
+        "n_docs": int(n_docs),
+        "avgdl": avgdl,
+        "k1": K1,
+        "b": B,
+        "block_range": block_range,
+        "commits": sorted({m["commit"] for m in load_manifest(index_dir)}),
+        "built_at_commit": commit,
+    }
+    (root / "stats.json").write_text(json.dumps(stats, indent=1))
+    report = {
+        "commit": commit,
+        "groups_built": built,
+        "groups_skipped": skipped,
+        "n_docs": int(n_docs),
+        "avgdl": avgdl,
+        "wall_s": round(time.monotonic() - t0, 3),
+        "manifest": load_manifest(index_dir),
+    }
+    return report

@@ -1,0 +1,115 @@
+"""Posting-block codec: doc-gap + varint compression, fully
+vectorized in numpy (no per-value Python loops — loop count is
+bounded by the byte width, <= 10 iterations regardless of array
+size).
+
+This is the storage analogue of Lucene's postings format that the
+reference serves via shards (doc-id delta + VInt in Lucene's .doc
+files); block-max metadata rides alongside for WAND, per
+BASELINE.json.north_star ("docID-gap + varint/PForDelta compression,
+per-block max-score metadata").
+
+A block covers a fixed doc_id RANGE (``BLOCK_RANGE``), not a fixed
+posting count: block_id = doc_id // BLOCK_RANGE.  Doc-range-aligned
+blocks make block_id a co-partitioning key — at query time every
+query term's postings for the same doc range share a block_id, so a
+single shuffle on block_id aligns all terms for exact per-doc
+scoring, and a hot term ("import") is automatically split across as
+many blocks as there are doc ranges (this is the explicit salt for
+skewed terms required by north_rule: the build groups by
+(term, block_id), never by term alone, so no reducer ever sees more
+than BLOCK_RANGE postings of one term).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_RANGE = 4096  # docs per block range
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array. Vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    pos = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=pos[1:])
+    shifted = v.copy()
+    j = 0
+    alive = np.arange(v.size)
+    while alive.size:
+        idx = pos[alive] + j
+        byte = (shifted[alive] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[alive] > j + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        shifted[alive] >>= np.uint64(7)
+        j += 1
+        alive = alive[nbytes[alive] > j]
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_varint`. Vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.nonzero(b < 128)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    values = np.zeros(ends.size, dtype=np.uint64)
+    width = ends - starts + 1
+    j = 0
+    alive = np.arange(ends.size)
+    while alive.size:
+        idx = starts[alive] + j
+        values[alive] |= (b[idx] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+        j += 1
+        alive = alive[width[alive] > j]
+    return values.astype(np.int64)
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                 block_id: int, block_range: int = BLOCK_RANGE
+                 ) -> tuple[bytes, bytes, bytes]:
+    """Encode one (term, block) posting run. ``doc_ids`` must be
+    sorted ascending and lie in [block_id*block_range, (block_id+1)*
+    block_range). Returns (doc_gaps, tfs, dls) varint buffers; the
+    first gap is relative to the block base so every value is small."""
+    base = block_id * block_range
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.diff(d, prepend=base)
+    return encode_varint(gaps), encode_varint(tfs), encode_varint(dls)
+
+
+def decode_block(doc_gaps: bytes, tfs: bytes, dls: bytes,
+                 block_id: int, block_range: int = BLOCK_RANGE
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_block`."""
+    base = block_id * block_range
+    gaps = decode_varint(doc_gaps)
+    doc_ids = np.cumsum(gaps) + base
+    return doc_ids, decode_varint(tfs), decode_varint(dls)
+
+
+def bm25_tfnorm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+                k1: float, b: float) -> np.ndarray:
+    """tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) in float64 — identical
+    formula to the Column expression in fulltext.analysis and to the
+    DuckDB oracle, so all three paths agree bit-for-bit-ish (<1e-12)."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def bm25_idf(df: float, n_docs: float) -> float:
+    """ln(1 + (N - df + 0.5)/(df + 0.5)) — Lucene BM25Similarity."""
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))

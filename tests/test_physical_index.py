@@ -1,0 +1,269 @@
+"""End-to-end tests of the physical index: build metrics/lineage,
+rank-identity vs the pure-Python BM25 oracle (the Lucene-style
+reference), WAND == exhaustive, resume-from-checkpoint, incremental
+commits, skew bounds, parallelism invariance.
+
+Reference query set: FIXTURES.md §2."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+from katta_spark.fulltext import query as Q
+from katta_spark.fulltext.analysis import LogicalIndex
+from katta_spark.index import PhysicalIndex, build_index, load_manifest
+
+from tests.conftest import BLOCK_RANGE, N_DOCS, N_GROUPS
+from tests.oracle import PyBM25
+
+QUERY_SET = [
+    (["import"], "or"),               # hot term (>50% of docs)
+    (["xylophonequarknebula3"], "or"),  # rare needle
+    (["user"], "or"),                 # camelCase sub-token
+    (["getusername"], "or"),          # unsplit compound
+    (["chunk"], "or"),                # snake_case sub-token
+    (["parse", "request"], "and"),    # boolean AND
+    (["nebula", "quark"], "or"),      # boolean OR
+    (["block", "max", "score"], "or"),
+    (["missingtermzzz"], "or"),       # no hits
+    (["import", "missingtermzzz"], "and"),  # AND with a dead term
+]
+
+
+@pytest.fixture(scope="module")
+def py_oracle(pandas_docs):
+    return PyBM25(
+        [(int(r.doc_id), r.content) for r in pandas_docs.itertuples(index=False)]
+    )
+
+
+@pytest.fixture(scope="module")
+def lindex(docs):
+    return LogicalIndex.build(docs, text_col="content").cache()
+
+
+# --------------------------------------------------------------- build
+
+
+def test_manifest_lineage_and_metrics(index_dir):
+    m = load_manifest(index_dir)
+    assert len(m) == N_GROUPS
+    for e in m:
+        assert e["status"] == "done"
+        assert e["bytes"] > 0
+        assert "lineage" in e and "group_expr" in e["lineage"]
+    assert sum(e["n_docs_group"] for e in m) == N_DOCS
+    assert sum(e["n_postings"] for e in m) > N_DOCS  # > 1 posting/doc
+
+
+def test_stats(pindex, py_oracle):
+    assert pindex.stats["n_docs"] == py_oracle.n
+    assert pindex.stats["avgdl"] == pytest.approx(py_oracle.avgdl, abs=1e-9)
+
+
+def test_term_catalog_matches_oracle(pindex, py_oracle):
+    rows = {r["term"]: int(r["df"]) for r in pindex.terms.collect()}
+    assert rows == dict(py_oracle.df)
+
+
+# -------------------------------------------------------- rank identity
+
+
+@pytest.mark.parametrize("qterms,mode", QUERY_SET)
+def test_topk_rank_identical_to_oracle(pindex, py_oracle, qterms, mode):
+    got = pindex.topk(qterms, k=10, mode=mode).collect()
+    want = py_oracle.topk(qterms, k=10, mode=mode)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+@pytest.mark.parametrize("qterms,mode", QUERY_SET)
+def test_wand_equals_exhaustive(pindex, qterms, mode):
+    w = pindex.topk(qterms, k=10, mode=mode).collect()
+    e = pindex.topk(qterms, k=10, mode=mode, use_wand=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in w] == [
+        (r["doc_id"], r["score"]) for r in e
+    ]
+
+
+def test_physical_equals_logical(pindex, lindex):
+    for qterms, mode in QUERY_SET[:6]:
+        p = pindex.topk(qterms, k=10, mode=mode).collect()
+        l = Q.topk(lindex, qterms, k=10, mode=mode).collect()
+        assert [r["doc_id"] for r in p] == [r["doc_id"] for r in l]
+        for a, b in zip(p, l):
+            assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_offset_pagination(pindex, py_oracle):
+    got = pindex.topk(["import"], k=20, offset=60).collect()
+    want = py_oracle.topk(["import"], k=20, offset=60)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    # page boundaries consistent: page2 directly follows page1
+    p1 = pindex.topk(["import"], k=60).collect()
+    assert len(p1) == 60 and p1[-1]["score"] >= got[0]["score"]
+
+
+def test_field_filter(pindex, py_oracle, pandas_docs):
+    got = pindex.topk(["class"], k=10, filters={"lang": "python"}).collect()
+    langs = dict(zip(pandas_docs.doc_id, pandas_docs.lang))
+    want = [
+        (d, s)
+        for d, s in py_oracle.topk(["class"], k=10**9)
+        if langs[d] == "python"
+    ][:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+
+
+# ----------------------------------------------------- aggregate surface
+
+
+def test_count(pindex, py_oracle):
+    assert (
+        pindex.count(["import"]).first()["n_hits"]
+        == len(py_oracle.matches(["import"]))
+    )
+    assert (
+        pindex.count(["parse", "request"], mode="and").first()["n_hits"]
+        == len(py_oracle.matches(["parse", "request"], mode="and"))
+    )
+
+
+def test_group_facet(pindex, py_oracle, pandas_docs):
+    langs = dict(zip(pandas_docs.doc_id, pandas_docs.lang))
+    matched = py_oracle.matches(["return"])
+    want_groups = sorted({langs[d] for d in matched})
+    got_groups = sorted(
+        r["lang"] for r in pindex.group_values(["return"], "lang").collect()
+    )
+    assert got_groups == want_groups
+
+    from collections import Counter
+
+    cnt = Counter(langs[d] for d in matched)
+    want_facet = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:3]
+    got_facet = [
+        (r["lang"], r["cnt"])
+        for r in pindex.facet(["return"], "lang", n=3).collect()
+    ]
+    assert got_facet == want_facet
+
+
+def test_range_facet(pindex, py_oracle):
+    got = {
+        r["bucket_start"]: r["cnt"]
+        for r in pindex.range_facet(["def"], "dl", 0.0, 100.0, 10.0).collect()
+    }
+    from collections import Counter
+
+    dls = {d: py_oracle.dl[d] for d in py_oracle.matches(["def"])}
+    want = Counter(
+        (dl // 10) * 10.0 for dl in dls.values() if 0 <= dl < 100
+    )
+    assert got == dict(want)
+
+
+def test_sorted_query(pindex, pandas_docs, py_oracle):
+    got = pindex.sorted_query(
+        ["import"], [("repo", "asc")], ["doc_id", "repo"], limit=20
+    ).collect()
+    repos = dict(zip(pandas_docs.doc_id, pandas_docs.repo))
+    want = sorted(
+        ((repos[d], d) for d in py_oracle.matches(["import"])),
+    )[:20]
+    assert [(r["repo"], r["doc_id"]) for r in got] == want
+
+
+def test_fetch_details(pindex):
+    hits = pindex.topk(["import"], k=5)
+    out = pindex.fetch_details(hits, ["repo", "lang", "content_sha256"]).collect()
+    assert len(out) == 5
+    assert set(out[0].asDict()) == {"doc_id", "score", "repo", "lang",
+                                    "content_sha256"}
+
+
+# ------------------------------------------------------- resume / commit
+
+
+def test_checkpoint_resume(spark, corpus, pindex, tmp_path):
+    d = str(tmp_path / "idx_resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, corpus, d, n_groups=N_GROUPS,
+                    block_range=BLOCK_RANGE, fail_after_groups=1)
+    m1 = load_manifest(d)
+    assert len(m1) == 1  # one group committed before the crash
+
+    rep = build_index(spark, corpus, d, n_groups=N_GROUPS,
+                      block_range=BLOCK_RANGE)
+    assert rep["groups_skipped"] == [m1[0]["group"]]
+    assert len(load_manifest(d)) == N_GROUPS
+
+    resumed = PhysicalIndex(spark, d)
+    for qterms, mode in QUERY_SET[:4]:
+        a = resumed.topk(qterms, k=10, mode=mode).collect()
+        b = pindex.topk(qterms, k=10, mode=mode).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+
+def test_incremental_commit_matches_full_build(spark, tmp_path):
+    """Two commits (the blck ingest comm/fsh analogue) must produce an
+    index identical in results to one full build over the union."""
+    full = with_ingest_columns(synthetic_corpus(spark, 600))
+    first = full.filter(F.col("doc_id") < 300)
+    second = full.filter(F.col("doc_id") >= 300)
+
+    d_full = str(tmp_path / "full")
+    d_inc = str(tmp_path / "inc")
+    build_index(spark, full, d_full, n_groups=2, block_range=64)
+    build_index(spark, first, d_inc, n_groups=2, block_range=64, commit="c0")
+    build_index(spark, second, d_inc, n_groups=2, block_range=64, commit="c1")
+
+    a = PhysicalIndex(spark, d_full)
+    b = PhysicalIndex(spark, d_inc)
+    assert a.stats["n_docs"] == b.stats["n_docs"] == 600
+    assert a.stats["avgdl"] == pytest.approx(b.stats["avgdl"], abs=1e-12)
+    assert (
+        a.terms.exceptAll(b.terms).count() == 0
+        and b.terms.exceptAll(a.terms).count() == 0
+    )
+    for qterms, mode in QUERY_SET[:6]:
+        ra = a.topk(qterms, k=10, mode=mode).collect()
+        rb = b.topk(qterms, k=10, mode=mode).collect()
+        assert [(r["doc_id"], r["score"]) for r in ra] == [
+            (r["doc_id"], r["score"]) for r in rb
+        ]
+
+
+# ---------------------------------------------------------- scale props
+
+
+def test_skew_blocks_bounded(pindex):
+    """Hot terms are split across doc-range blocks: no (term, block)
+    group ever exceeds block_range postings — the explicit salting
+    guarantee of the build shuffle."""
+    mx = pindex.postings.agg(F.max("n")).first()[0]
+    assert mx <= BLOCK_RANGE
+    hot_blocks = pindex.postings.filter(F.col("term") == "import").count()
+    assert hot_blocks == N_DOCS // BLOCK_RANGE + (N_DOCS % BLOCK_RANGE > 0)
+
+
+def test_parallelism_invariance(spark, index_dir):
+    """Same results (exact doc_ids AND exact float64 scores) at
+    different shuffle parallelism — the in-session stand-in for the
+    N vs 4N cluster-size rank-identity requirement."""
+    results = {}
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for p in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", p)
+            idx = PhysicalIndex(spark, index_dir)
+            results[p] = [
+                (r["doc_id"], r["score"])
+                for r in idx.topk(["import", "return"], k=25).collect()
+            ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert results["3"] == results["17"]
