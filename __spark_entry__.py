@@ -22,9 +22,11 @@ from katta_spark.fulltext import query as Q
 from katta_spark.fulltext.analysis import LogicalIndex
 from katta_spark import oracle_ops as OO
 from katta_spark import oracle_sql as O
+from katta_spark.index import PhysicalIndex, build_index
 from katta_spark.ops import dedup, similarity, text
 
 _INDEX_CACHE: dict[str, LogicalIndex] = {}
+_PHYS_CACHE: dict[str, PhysicalIndex] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,6 +43,25 @@ def _index(spark: SparkSession, sf_dir: str) -> LogicalIndex:
 
 def _round_score(df: DataFrame, col: str = "score", nd: int = 6) -> DataFrame:
     return df.withColumn(col, F.round(F.col(col), nd))
+
+
+def phys_index(spark: SparkSession, sf_dir: str,
+               cache_root: str = "/tmp/katta_phys") -> PhysicalIndex:
+    """Physical (compressed-postings) index over the documents table,
+    built once per sf dir and reopened from disk afterwards."""
+    idx = _PHYS_CACHE.get(sf_dir)
+    if idx is None:
+        d = f"{cache_root}/{Path(sf_dir).name}"
+        if not Path(f"{d}/stats.json").exists():  # stats.json = build complete
+            corpus = _docs(spark, sf_dir).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("text").alias("content"),
+                "lang", "source", "n_chars",
+            )
+            build_index(spark, corpus, d, n_groups=4, block_range=1024)
+        idx = PhysicalIndex(spark, d)
+        _PHYS_CACHE[sf_dir] = idx
+    return idx
 
 
 # ------------------------------------------------------------------ entry
@@ -108,6 +129,31 @@ def q_ft_stats(spark, sf_dir):
     return idx.stats.select("n_docs", F.round("avgdl", 6).alias("avgdl"))
 
 
+def _q_phys_topk(terms, k=10, mode="or", filters=None, offset=0, wand=True):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _round_score(
+            phys_index(spark, sf_dir).topk(
+                terms, k=k, mode=mode, filters=filters, offset=offset,
+                use_wand=wand,
+            )
+        )
+
+    return run
+
+
+def q_phys_count(spark, sf_dir):
+    return phys_index(spark, sf_dir).count(["dup", "key"], mode="or")
+
+
+def q_phys_facet(spark, sf_dir):
+    return phys_index(spark, sf_dir).facet(["table"], "lang", n=5)
+
+
+def q_phys_fetch(spark, sf_dir):
+    idx = phys_index(spark, sf_dir)
+    return _round_score(idx.fetch_details(idx.topk(["dup"], k=5), ["lang", "source"]))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dup_groups(_docs(spark, sf_dir), text_col="text")
 
@@ -139,6 +185,15 @@ def q_sim_cosine_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") != 0), queries_df, k=10
     )
     return _round_score(out.select("vec_id", "cos"), col="cos")
+
+
+def q_sim_lsh_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.lsh_bucket_ann(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, dims=len(qv), n_planes=12
+    )
+    return _round_score(out, col="cos")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -190,6 +245,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fetch": q_ft_fetch,
         "ft_term_catalog": q_ft_term_catalog,
         "ft_stats": q_ft_stats,
+        # --- physical compressed-postings index (same semantics,
+        #     served from varint posting blocks + block-max WAND) ---
+        "ft_phys_topk": _q_phys_topk(["table"]),
+        "ft_phys_wand_or": _q_phys_topk(["spark", "data", "key"], k=15),
+        "ft_phys_and": _q_phys_topk(["spark", "vector"], mode="and"),
+        "ft_phys_filter": _q_phys_topk(["query"], filters={"lang": "en"}),
+        "ft_phys_paginate": _q_phys_topk(["batch"], k=20, offset=60),
+        "ft_phys_count": q_phys_count,
+        "ft_phys_facet": q_phys_facet,
+        "ft_phys_fetch": q_phys_fetch,
         # --- training-data pipeline ops ---
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -201,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_ann": q_sim_lsh_ann,
     }
 
 
@@ -236,6 +302,20 @@ SELECT doc_id, source, n_chars FROM (
   ORDER BY d.source ASC, d.n_chars DESC, d.doc_id ASC LIMIT 20
 )""",
         "ft_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
+        # physical index: identical semantics to the logical engine,
+        # so the oracles are the same SQL
+        "ft_phys_topk": O.topk_sql(["table"]),
+        "ft_phys_wand_or": O.topk_sql(["spark", "data", "key"], k=15),
+        "ft_phys_and": O.topk_sql(["spark", "vector"], mode="and"),
+        "ft_phys_filter": O.topk_sql(["query"], filter_sql="lang = 'en'"),
+        "ft_phys_paginate": O.topk_sql(["batch"], k=20, offset=60),
+        "ft_phys_count": f"""{ctes}{O.matched_sql(["dup", "key"])}
+SELECT count(*) AS n_hits FROM matched""",
+        "ft_phys_facet": f"""{ctes}{O.matched_sql(["table"])}
+SELECT lang, count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
+        "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_term_catalog": f"""{ctes}
 SELECT term, df, cf FROM dfv ORDER BY df DESC, term ASC LIMIT 100""",
         "ft_stats": f"""{ctes}
@@ -277,5 +357,6 @@ c AS (
 )
 SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
+        "sim_lsh_ann": OO.lsh_ann_sql(dims=64, n_planes=12, k=10),
     }
     return out

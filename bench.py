@@ -1,0 +1,170 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Covers:
+- physical index build over the documents table (files/sec),
+- the reference query set (BM25 WAND top-k, AND/OR, filter,
+  pagination, count, facet, fetch) — per-query median seconds,
+- a synthetic source-code corpus build at bench scale
+  (``$SPARK_GRAFT_BENCH_DOCS``, default 100k rows of the
+  BASELINE.json input shape) — the index-build throughput headline,
+- training-data ops (minhash-LSH dedup, quality scoring, cosine
+  top-k) over the same tables.
+
+Usage: python bench.py            # one JSON line to stdout
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from katta_spark.corpus import synthetic_corpus  # noqa: E402
+from katta_spark.index import PhysicalIndex, build_index  # noqa: E402
+from katta_spark.ops import dedup, similarity, text  # noqa: E402
+from katta_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def timed(fn, repeats: int = REPEATS) -> float:
+    """Median wall seconds of ``repeats`` executions (collect-driven)."""
+    samples = []
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        fn()
+        samples.append(time.monotonic() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def main() -> None:
+    t_all = time.monotonic()
+    spark = get_spark(
+        app_name="katta_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {"cpus": CPUS}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # ---- physical index build over the documents corpus -----------------
+    idx_dir = tempfile.mkdtemp(prefix="katta_bench_idx_")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("content"),
+        "lang", "source", "n_chars",
+    )
+    t0 = time.monotonic()
+    build_index(spark, corpus, idx_dir, n_groups=4, block_range=1024)
+    build_s = time.monotonic() - t0
+    queries["index_build_docs"] = round(build_s, 4)
+    extra["docs_files_per_sec"] = round(n_docs / build_s, 1)
+    idx = PhysicalIndex(spark, idx_dir)
+
+    # ---- reference query set over the built index -----------------------
+    def run(df):
+        return lambda: df().collect()
+
+    qset = {
+        "q_topk_common": run(lambda: idx.topk(["table"], k=10)),
+        "q_topk_rare": run(lambda: idx.topk(["dup"], k=10)),
+        "q_and": run(lambda: idx.topk(["spark", "vector"], mode="and")),
+        "q_or3": run(lambda: idx.topk(["spark", "data", "key"], k=15)),
+        "q_filter": run(lambda: idx.topk(["query"], filters={"lang": "en"})),
+        "q_paginate": run(lambda: idx.topk(["batch"], k=20, offset=60)),
+        "q_count": run(lambda: idx.count(["dup", "key"])),
+        "q_facet": run(lambda: idx.facet(["table"], "lang", n=5)),
+        "q_fetch": run(
+            lambda: idx.fetch_details(idx.topk(["dup"], k=5), ["lang", "source"])
+        ),
+    }
+    latencies = []
+    for name, fn in qset.items():
+        queries[name] = timed(fn)
+        latencies.append(queries[name])
+    extra["query_p50_ms"] = round(statistics.median(latencies) * 1000, 1)
+    extra["query_max_ms"] = round(max(latencies) * 1000, 1)
+
+    # ---- training-data ops ----------------------------------------------
+    queries["op_dedup_minhash"] = timed(
+        lambda: dedup.minhash_lsh_pairs(
+            docs.withColumnRenamed("text", "content"), num_hashes=16, bands=4
+        ).count(),
+        repeats=1,
+    )
+    queries["op_text_quality"] = timed(
+        lambda: text.quality_score(docs, text_col="text").count(), repeats=1
+    )
+    q_emb = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    queries["op_sim_cosine"] = timed(
+        lambda: similarity.cosine_join_topk(
+            emb.filter(F.col("vec_id") != 0), q_emb, k=10
+        ).collect(),
+        repeats=1,
+    )
+
+    # ---- synthetic source-code corpus at bench scale --------------------
+    synth_dir = tempfile.mkdtemp(prefix="katta_bench_synth_")
+    shutil.rmtree(synth_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(
+        spark,
+        synthetic_corpus(spark, BENCH_DOCS),
+        synth_dir,
+        n_groups=2,
+        doc_id_method="hash" if BENCH_DOCS > 10**6 else "rank",
+    )
+    synth_s = time.monotonic() - t0
+    queries["index_build_synth"] = round(synth_s, 4)
+    extra["synth_docs"] = BENCH_DOCS
+    extra["synth_files_per_sec"] = round(BENCH_DOCS / synth_s, 1)
+    sidx = PhysicalIndex(spark, synth_dir)
+    queries["q_synth_hot_wand"] = timed(
+        lambda: sidx.topk(["import", "return"], k=10).collect()
+    )
+    queries["q_synth_needle"] = timed(
+        lambda: sidx.topk(["xylophonequarknebula7"], k=10).collect()
+    )
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(synth_dir, ignore_errors=True)
+    spark.stop()
+
+    sf = Path(SF_DIR).name.replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "index-build throughput + BM25 query latency "
+                          "(physical WAND index) + training-data ops",
+                "value": round(time.monotonic() - t_all, 2),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,13 +43,18 @@ _FILLER = ["data", "value", "index", "shard", "query", "score", "term", "block"]
 NEEDLE_EVERY = 97  # one needle token per 97 docs: xylophoneQuarkNebula{i//97}
 
 
-def synthetic_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
+def synthetic_corpus(spark: SparkSession, n_docs: int,
+                     body_reps: int = 1) -> DataFrame:
     """Deterministic code-like corpus of ``n_docs`` rows.
 
     Pure column arithmetic on ``spark.range`` — identical content for
     a given ``i`` at any parallelism, any scale.  Skew property
     (FIXTURES.md §1): ``import`` in ~60% and ``return`` in ~70% of
     docs, so hot-term handling is genuinely exercised.
+
+    ``body_reps`` repeats the code body (needle kept unique) to reach
+    realistic source-file sizes — 1 rep is ~0.3 KB; real repos
+    average several KB/file, so benches use ~8-16 reps.
     """
     i = F.col("id")
     lang = F.element_at(F.array(*[F.lit(x) for x in LANGS]), (i % 7 + 1).cast("int"))
@@ -81,15 +86,18 @@ def synthetic_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
     ).otherwise(F.lit(""))
     kw_import = F.when(i % 10 < 6, F.lit("import os\nimport sys\n")).otherwise(F.lit(""))
     kw_return = F.when(i % 10 < 7, F.lit("    return result\n")).otherwise(F.lit(""))
-    body = F.concat(
+    core = F.concat(
         kw_import,
         F.lit("def "), snake, F.lit("(arg):\n    "),
         camel, F.lit("('x')\n    "),
         F.lit("class Handler: pass\n    "),
         camel2, F.lit("(arg)\n"),
         kw_return,
-        F.lit("# "), repeated, needle, F.lit("\n"),
+        F.lit("# "), repeated, F.lit("\n"),
     )
+    if body_reps > 1:
+        core = F.repeat(core, body_reps)
+    body = F.concat(core, needle)
     commit = F.sha1(F.concat_ws(":", repo, path, i.cast("string")))
     return spark.range(n_docs).select(
         repo.alias("repo"),
@@ -113,22 +121,65 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dense_ids(df: DataFrame, key_cols: list[str],
+              out_col: str = "doc_id") -> DataFrame:
+    """Dense 0..N-1 ids in global ``key_cols`` order, WITHOUT a
+    single-partition window (the naive ``row_number().over(orderBy)``
+    serializes the whole table through one task — an Amdahl wall at
+    scale).  Instead: range-partition by key, rank within each
+    partition in parallel, then add per-partition offsets (one tiny
+    driver-side cumulative sum over partition counts).
+
+    The range-partitioned frame is persisted while the two passes run
+    so both see the same partition boundaries (RangePartitioner
+    samples its bounds); at warehouse scale this intermediate would be
+    a parquet/Iceberg staging write instead of a cache.
+    """
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        df.repartitionByRange(nparts, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part = part.persist()
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(counts) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    out = part.withColumn(
+        out_col,
+        (F.row_number().over(w).cast("long") - 1
+         + F.element_at(off_map, F.col("_pid")).cast("long")),
+    ).drop("_pid")
+    return out
+
+
 def with_ingest_columns(df: DataFrame, doc_id_method: str = "rank") -> DataFrame:
     """Attach ``doc_id`` + ``content_sha256``.
 
     ``rank``: dense rank over (repo, path, commit) — stable across
-    runs and parallelism levels (FIXTURES.md §1); a global sort, fine
-    up to ~10^8 rows per build.  ``hash``: ``xxhash64(key)`` — the
-    sort-free assignment for 10^12-file builds where a total order is
-    unnecessary (stable, collision-checked downstream); mirrors
-    Katta's hash routing of rowIds
-    (lib/writer/DefaultDataWriter.java:171-184).
+    runs and parallelism levels (FIXTURES.md §1), computed by the
+    parallel two-pass scheme in :func:`dense_ids`.  ``hash``:
+    ``xxhash64(key)`` — the sort-free assignment for builds where a
+    total order is unnecessary (stable, collision-checked
+    downstream); mirrors Katta's hash routing of rowIds
+    (lib/writer/DefaultDataWriter.java:171-184).  NOTE: hash ids are
+    sparse, which defeats doc-gap compression — dense rank is the
+    production path.
     """
     out = df
     if "doc_id" not in df.columns:
         if doc_id_method == "rank":
-            w = Window.orderBy("repo", "path", "commit")
-            out = out.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+            out = dense_ids(df, ["repo", "path", "commit"])
         else:
             out = out.withColumn(
                 "doc_id", F.xxhash64(F.concat_ws("\x1f", "repo", "path", "commit"))

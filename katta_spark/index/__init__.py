@@ -19,6 +19,7 @@ over plain parquet.
 """
 
 from katta_spark.index.build import build_index, load_manifest
+from katta_spark.index.compact import compact_postings
 from katta_spark.index.search import PhysicalIndex
 
-__all__ = ["build_index", "load_manifest", "PhysicalIndex"]
+__all__ = ["build_index", "compact_postings", "load_manifest", "PhysicalIndex"]

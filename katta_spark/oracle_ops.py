@@ -112,6 +112,45 @@ SELECT doc_id, CAST(len_chars AS BIGINT) AS len_chars,
 FROM q"""
 
 
+def _sig_sql(col: str, dims: int, n_planes: int) -> str:
+    """LSH signature of a list column — same deterministic hyperplanes
+    cos(1 + j*dims + d) as katta_spark.ops.similarity.hyperplane_bits."""
+    terms = []
+    for j in range(n_planes):
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dims}), "
+            f"i -> CAST({col}[i] AS DOUBLE) * cos(1.0 + {j * dims} + (i - 1))))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_ann_sql(dims: int = 64, n_planes: int = 12, k: int = 10) -> str:
+    """Single-probe LSH-bucketed ANN: exact cosine within the query's
+    hyperplane-signature bucket."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+    )
+    n_e = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+    )
+    n_q = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(q.qv)), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv, {_sig_sql('embedding', dims, n_planes)} AS sig
+           FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, embedding, {_sig_sql('embedding', dims, n_planes)} AS sig
+      FROM embeddings WHERE vec_id <> 0),
+c AS (SELECT e.vec_id, {dot} / ({n_e} * {n_q}) AS cos
+      FROM e JOIN q ON e.sig = q.sig)
+SELECT vec_id, round(cos, 6) AS cos
+FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT {k})"""
+
+
 def langid_sql() -> str:
     tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
     hit_cols = []

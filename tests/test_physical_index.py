@@ -237,6 +237,45 @@ def test_incremental_commit_matches_full_build(spark, tmp_path):
         ]
 
 
+def test_compaction(spark, tmp_path):
+    """Compaction (the segment-merge/optimize analogue) rewrites many
+    commits into one layout with identical query results."""
+    from katta_spark.index import compact_postings
+    from katta_spark.index.build import load_manifest
+
+    full = with_ingest_columns(synthetic_corpus(spark, 600))
+    d = str(tmp_path / "idx_c")
+    build_index(spark, full.filter(F.col("doc_id") < 300), d,
+                n_groups=2, block_range=64, commit="c0")
+    build_index(spark, full.filter(F.col("doc_id") >= 300), d,
+                n_groups=2, block_range=64, commit="c1")
+    before = PhysicalIndex(spark, d)
+    snap = {
+        (qs := tuple(q)): [
+            (r["doc_id"], r["score"])
+            for r in before.topk(list(qs), k=10, mode=m).collect()
+        ]
+        for q, m in QUERY_SET[:5]
+    }
+    rep = compact_postings(spark, d)
+    assert rep["compacted"] == ["c0", "c1"]
+    m = load_manifest(d)
+    assert [e["commit"] for e in m] == [rep["new_commit"]]
+    after = PhysicalIndex(spark, d)
+    for qs, want in snap.items():
+        got = [
+            (r["doc_id"], r["score"])
+            for r in after.topk(list(qs), k=10).collect()
+        ]
+        assert got == want
+    # a post-compaction commit still lands correctly
+    extra = with_ingest_columns(synthetic_corpus(spark, 700)).filter(
+        F.col("doc_id") >= 600
+    )
+    build_index(spark, extra, d, n_groups=1, block_range=64, commit="c2")
+    assert PhysicalIndex(spark, d).stats["n_docs"] == 700
+
+
 # ---------------------------------------------------------- scale props
 
 

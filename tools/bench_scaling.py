@@ -1,0 +1,146 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+A real N / 4N-executor cluster isn't available in this sandbox, so
+the same job — synthetic source-code corpus generation + full index
+build + the reference query set — is run at two parallelism levels
+(local[8] and local[32]) on identical input, and throughput at both
+plus scaling efficiency (= speedup / core-ratio) is reported to
+``BENCH/BASELINE.md``.
+
+Each level runs in its own JVM (subprocess); a warmup job runs first
+inside each process so JVM/python-worker startup is excluded from
+the measured phase (a cluster would amortize it the same way).
+
+Usage: python tools/bench_scaling.py [--docs 200000] [--levels 8,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = """
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from katta_spark.session import get_spark
+from katta_spark.corpus import synthetic_corpus
+from katta_spark.index import build_index, PhysicalIndex
+
+cpus, n_docs, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+# warmup: a miniature end-to-end build+query compiles every hot path
+# (JVM C2 on the tokenizer regex/sha expressions, Arrow python
+# workers, codegen) outside the measured phase — a long-lived cluster
+# is warm the same way; first-job JIT costs ~10x and is serial-ish.
+spark.range(10**6).selectExpr("sum(id)").collect()
+spark.range(10**5).repartition(cpus).mapInPandas(lambda it: it, "id long").count()
+wdir = tempfile.mkdtemp(prefix=f"katta_warm_{{cpus}}_")
+shutil.rmtree(wdir, ignore_errors=True)
+build_index(spark, synthetic_corpus(spark, 5000), wdir, n_groups=1)
+PhysicalIndex(spark, wdir).topk(["import"], k=5).collect()
+shutil.rmtree(wdir, ignore_errors=True)
+
+d = tempfile.mkdtemp(prefix=f"katta_scale_{{cpus}}_")
+shutil.rmtree(d, ignore_errors=True)
+t0 = time.monotonic()
+build_index(spark, synthetic_corpus(spark, n_docs, body_reps=reps), d, n_groups=2)
+build_s = time.monotonic() - t0
+
+idx = PhysicalIndex(spark, d)
+qset = [(["import", "return"], "or"), (["parse", "request"], "and"),
+        (["xylophonequarknebula7"], "or"), (["block", "max", "score"], "or")]
+lat = []
+top1 = []
+for q, m in qset:
+    t0 = time.monotonic()
+    rows = idx.topk(q, k=10, mode=m).collect()
+    lat.append(time.monotonic() - t0)
+    top1.append([(r["doc_id"], round(r["score"], 9)) for r in rows])
+shutil.rmtree(d, ignore_errors=True)
+spark.stop()
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "build_s": round(build_s, 3),
+    "files_per_sec": round(n_docs / build_s, 1),
+    "query_lat_s": [round(x, 4) for x in lat],
+    "top1": top1,
+}}))
+"""
+
+
+def run_level(cpus: int, n_docs: int, reps: int) -> dict:
+    code = WORKER.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n_docs), str(reps)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"worker local[{cpus}] produced no RESULT:\n{out.stdout[-2000:]}\n"
+        f"{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+    assert len(levels) == 2 and levels[1] > levels[0]
+
+    t0 = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
+    # best-of-2 per level: the sandbox VM shows CPU steal / load
+    # noise; min wall is the standard noise-robust estimator here
+    results = []
+    for c in levels:
+        runs = [run_level(c, args.docs, args.reps) for _ in range(2)]
+        assert runs[0]["top1"] == runs[1]["top1"], "nondeterministic results!"
+        results.append(min(runs, key=lambda r: r["build_s"]))
+    lo, hi = results
+    ratio = levels[1] / levels[0]
+    speedup = lo["build_s"] / hi["build_s"]
+    eff = speedup / ratio
+    rank_identical = lo["top1"] == hi["top1"]
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    md = f"""# BENCH/BASELINE — two-parallelism scaling run
+
+Sandbox substitution for the north_rule's "N and 4N executors"
+criterion: the identical job (deterministic {args.docs:,}-doc
+source-code corpus, body_reps={args.reps} for realistic file sizes ->
+full index build -> reference query set) at
+`local[{levels[0]}]` and `local[{levels[1]}]`, one JVM each, JVM/worker
+warmup excluded. Generated {t0} by `python tools/bench_scaling.py
+--docs {args.docs}`.
+
+| parallelism | build wall (s) | throughput (files/sec) | query latencies (s) |
+|---|---|---|---|
+| local[{levels[0]}] | {lo["build_s"]} | {lo["files_per_sec"]} | {lo["query_lat_s"]} |
+| local[{levels[1]}] | {hi["build_s"]} | {hi["files_per_sec"]} | {hi["query_lat_s"]} |
+
+- speedup {levels[0]}->{levels[1]}: **{speedup:.2f}x** over a {ratio:.0f}x core ratio
+- **scaling efficiency: {eff:.3f}** (target >= 0.8 per BASELINE.json)
+- top-k rank-identical across parallelism levels: **{rank_identical}**
+  (doc_ids and BM25 scores to 1e-9 — the global-term-catalog design
+  makes scores shard-count invariant, SURVEY.md §4 scoring note)
+
+Raw: `{json.dumps({"levels": results, "efficiency": round(eff, 4)})}`
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
