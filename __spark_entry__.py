@@ -196,6 +196,29 @@ def q_sim_lsh_ann(spark, sf_dir):
     return _round_score(out, col="cos")
 
 
+def _mm_payload(spark, sf_dir):
+    from katta_spark.ops import multimodal as mm
+
+    return mm.attach_fake_payload(
+        _docs(spark, sf_dir), modality="image", seed_col="text"
+    )
+
+
+def q_mm_image_meta(spark, sf_dir):
+    from katta_spark.ops import multimodal as mm
+
+    return mm.decode_image_meta(_mm_payload(spark, sf_dir))
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    from katta_spark.ops import multimodal as mm
+
+    frames = mm.sample_frames(_mm_payload(spark, sf_dir), every=4, max_frames=3)
+    return frames.select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir).withColumnRenamed("text", "content"),
@@ -267,6 +290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
+        "mm_image_meta": q_mm_image_meta,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -358,5 +383,7 @@ c AS (
 SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "sim_lsh_ann": OO.lsh_ann_sql(dims=64, n_planes=12, k=10),
+        "mm_image_meta": OO.mm_image_meta_sql(),
+        "mm_frame_sample": OO.mm_frames_sql(every=4, max_frames=3),
     }
     return out

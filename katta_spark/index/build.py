@@ -246,21 +246,26 @@ def build_index(
         )
         docs.write.mode("overwrite").parquet(str(docs_dir))
 
-    docs_all = spark.read.option("basePath", str(root / "docs")).parquet(
-        str(root / "docs" / "commit=*")
-    )
-    n_docs, avgdl = docs_all.agg(
-        F.count(F.lit(1)), (F.sum("dl") / F.count(F.lit(1))).cast("double")
-    ).first()
-    avgdl = float(avgdl or 0.0)
-
     docs_commit = spark.read.parquet(str(docs_dir))
-    group_docs = {
-        int(r["g"]): int(r["n"])
-        for r in docs_commit.groupBy(
-            _group_expr(n_groups, block_range).alias("g")
-        ).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    commit_dirs = list((root / "docs").glob("commit=*"))
+    # one aggregation job yields global stats AND per-group lineage
+    # counts when this commit is the whole corpus (the common case);
+    # incremental commits pay one extra scan for the global stats
+    grp = docs_commit.groupBy(
+        _group_expr(n_groups, block_range).alias("g")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")).collect()
+    group_docs = {int(r["g"]): int(r["n"]) for r in grp}
+    if len(commit_dirs) == 1:
+        n_docs = sum(r["n"] for r in grp)
+        avgdl = float(sum(r["sdl"] or 0 for r in grp)) / max(n_docs, 1)
+    else:
+        docs_all = spark.read.option("basePath", str(root / "docs")).parquet(
+            str(root / "docs" / "commit=*")
+        )
+        n_docs, avgdl = docs_all.agg(
+            F.count(F.lit(1)), (F.sum("dl") / F.count(F.lit(1))).cast("double")
+        ).first()
+        avgdl = float(avgdl or 0.0)
     built, skipped = [], []
     for g in range(n_groups):
         if (commit, g) in done:

@@ -342,3 +342,36 @@ class PhysicalIndex:
     def fetch_details(self, hits: DataFrame, fields: list[str]) -> DataFrame:
         cols = ["doc_id", *[f for f in fields if f != "doc_id"]]
         return F.broadcast(hits).join(self.docs.select(*cols), "doc_id")
+
+    def export(self, qterms: list[str], fields: list[str], mode: str = "or",
+               filters: Filters = None) -> DataFrame:
+        """Full result streaming — every matching doc's stored fields,
+        no ranking, no limit.  The analogue of Katta's socket export
+        protocol (node/SocketExportHandler.java:209-346, used by the
+        Hive/Presto scans); consume with ``toLocalIterator()`` for the
+        paging behavior of the reference's ``Next{limit}`` loop."""
+        m = self.matched_docs(qterms, mode, filters)
+        return self.docs.join(m, "doc_id", "left_semi").select(*fields)
+
+    def search(self, q: str, k: int = 10, default_mode: str = "or",
+               **kw) -> DataFrame:
+        """Query-string search: ``idx.search("parse AND request
+        lang:python")`` — the LuceneClient.search(SolrQuery) analogue
+        (katta-client/.../client/LuceneClient.java:255-276)."""
+        from katta_spark.fulltext.qparse import parse_query
+
+        p = parse_query(q, default_mode)
+        return self.topk(p.terms, k=k, mode=p.mode,
+                         filters=p.filters or None, **kw)
+
+    def register_views(self, prefix: str = "katta") -> None:
+        """Expose the index as SQL temp views (``<prefix>_docs``,
+        ``<prefix>_postings``, ``<prefix>_terms``) so plain
+        ``spark.sql`` supersedes the reference's Hive storage handler
+        and Presto connector (katta-hadoop/.../hive/
+        KattaStorageHandler.java:64-82, katta-presto/.../
+        KattaPageSource.java:105-133): Catalyst does the predicate
+        pushdown those connectors only partially implemented."""
+        self.docs.createOrReplaceTempView(f"{prefix}_docs")
+        self.postings.createOrReplaceTempView(f"{prefix}_postings")
+        self.terms.createOrReplaceTempView(f"{prefix}_terms")

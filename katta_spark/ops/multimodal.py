@@ -1,0 +1,142 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched kernels.
+
+Design for 100 TB: payloads travel as parquet binary columns
+(column-pruned away unless selected); decode / feature-extract /
+resize / frame-sample are ``mapInPandas`` kernels so bytes stream
+through Arrow record batches without driver involvement; batch
+memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+and partitioning stays whatever the upstream table had (narrow — no
+shuffle is introduced by any kernel here).
+
+The actual codecs (PIL/libav) are NOT shipped in this container, so
+the decode step is STUBBED: ``fake=True`` (default) derives
+deterministic pseudo-content from the payload's md5 — reproducible
+anywhere, including a SQL oracle — while ``fake=False`` raises
+``NotImplementedError`` at the exact point a real decoder plugs in.
+The Spark-side plumbing (schemas, UDF signatures, Arrow batch shape,
+column pruning) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int, format string"
+)
+IMAGE_FEAT_SCHEMA = "doc_id long, features array<float>"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def attach_fake_payload(df: DataFrame, modality: str = "image",
+                        id_col: str = "doc_id",
+                        seed_col: str = "content") -> DataFrame:
+    """(id, modality, payload binary, byte_len) — deterministic fake
+    payload derived from an existing column; stands in for reading
+    real blobs so downstream plumbing is exercised end-to-end."""
+    payload = F.to_binary(F.md5(F.col(seed_col)), F.lit("hex"))
+    return df.select(
+        F.col(id_col),
+        F.lit(modality).alias("modality"),
+        payload.alias("payload"),
+        F.length(payload).cast("int").alias("byte_len"),
+    )
+
+
+def _fake_digest_hex(payload: bytes) -> str:
+    """Deterministic derivation used by every fake decoder:
+    md5 of the payload's lowercase hex — expressible identically in
+    SQL (md5 over VARCHAR) for the oracle."""
+    return hashlib.md5(bytes(payload).hex().encode()).hexdigest()
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    h = _fake_digest_hex(payload)
+    return 16 + int(h[0:2], 16) % 64, 16 + int(h[2:4], 16) % 64, 3
+
+
+def decode_image_meta(df: DataFrame, fake: bool = True) -> DataFrame:
+    """payload -> (doc_id, width, height, channels, format).
+
+    Real decoders (PIL.Image.open on the byte buffer) plug into the
+    marked branch; the kernel contract — one Arrow batch in, one
+    pandas frame out, no per-row Python outside the codec call — is
+    identical."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL; not shipped in "
+                    "this container — plug Image.open(BytesIO(p)) here"
+                )
+            dims = [_fake_dims(p) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "width": np.array([d[0] for d in dims], dtype=np.int32),
+                    "height": np.array([d[1] for d in dims], dtype=np.int32),
+                    "channels": np.int32(3),
+                    "format": "fake/md5",
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
+def image_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """payload -> (doc_id, features float[dim]) — the embed step of a
+    multimodal pipeline.  Fake features are the first ``dim`` md5
+    bytes scaled to [0, 1) (deterministic, oracle-checkable)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not fake:
+                raise NotImplementedError("plug a real image encoder here")
+            feats = [
+                (
+                    np.frombuffer(
+                        bytes.fromhex(_fake_digest_hex(p))[:dim], dtype=np.uint8
+                    ).astype(np.float32)
+                    / 256.0
+                )
+                for p in b["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "features": feats})
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, IMAGE_FEAT_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every: int = 4, max_frames: int = 3,
+                  fake: bool = True) -> DataFrame:
+    """video payload -> (doc_id, frame_idx, frame binary): one output
+    row per sampled frame (the explode-shaped kernel).  Fake frames
+    are md5-chained slices; a real implementation seeks the container
+    every ``every`` frames."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not fake:
+                raise NotImplementedError("plug a real demuxer here")
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                h = bytes(p).hex()
+                for j in range(max_frames):
+                    h = hashlib.md5((h + format(j, "02x")).encode()).hexdigest()
+                    ids.append(doc_id)
+                    idxs.append(j * every)
+                    frames.append(bytes.fromhex(h))
+            yield pd.DataFrame(
+                {"doc_id": ids,
+                 "frame_idx": np.array(idxs, dtype=np.int32),
+                 "frame": frames}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, FRAME_SCHEMA)

@@ -151,6 +151,34 @@ SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT {k})"""
 
 
+def mm_image_meta_sql() -> str:
+    """Oracle for the fake image decode: payload = unhex(md5(text)),
+    digest = md5(lower-hex(payload)) = md5(md5(text))."""
+    return f"""
+WITH d AS (SELECT doc_id, md5(md5(text)) AS h FROM {DOCS})
+SELECT doc_id,
+       16 + CAST(concat('0x', substr(h, 1, 2)) AS INT) % 64 AS width,
+       16 + CAST(concat('0x', substr(h, 3, 2)) AS INT) % 64 AS height,
+       3 AS channels,
+       'fake/md5' AS format
+FROM d"""
+
+
+def mm_frames_sql(every: int = 4, max_frames: int = 3) -> str:
+    """Oracle for the fake frame sampler: hex-chained md5 frames."""
+    selects = []
+    prev = "md5(text)"
+    for j in range(max_frames):
+        cur = f"md5(concat({prev}, '{format(j, '02x')}'))"
+        selects.append(
+            f"SELECT doc_id, {j * every} AS frame_idx, {cur} AS frame_hex "
+            f"FROM {DOCS}"
+        )
+        prev = cur
+    union = " UNION ALL ".join(selects)
+    return f"SELECT * FROM ({union})"
+
+
 def langid_sql() -> str:
     tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
     hit_cols = []

@@ -1,0 +1,85 @@
+"""Tests for the operational surfaces: query-string parsing,
+export scan, SQL views, streaming ingest commits."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.fulltext.qparse import parse_query
+from katta_spark.index import PhysicalIndex
+from katta_spark.streaming import stream_build
+
+
+def test_parse_query_basic():
+    p = parse_query("parse request")
+    assert p.terms == ["parse", "request"] and p.mode == "or" and not p.filters
+
+
+def test_parse_query_and_filters():
+    p = parse_query("parse AND request lang:python")
+    assert p.terms == ["parse", "request"]
+    assert p.mode == "and"
+    assert p.filters == {"lang": "python"}
+
+
+def test_parse_query_analyzes_terms():
+    p = parse_query("getUserName")
+    assert p.terms == ["get", "user", "name", "getusername"]
+
+
+def test_search_query_string(pindex):
+    p = parse_query("parse AND request lang:python")
+    via_str = pindex.search("parse AND request lang:python", k=5).collect()
+    via_api = pindex.topk(p.terms, k=5, mode=p.mode, filters=p.filters).collect()
+    assert [(r["doc_id"], r["score"]) for r in via_str] == [
+        (r["doc_id"], r["score"]) for r in via_api
+    ]
+    assert len(via_str) == 5
+
+
+def test_export(pindex):
+    out = pindex.export(
+        ["xylophonequarknebula3"], ["doc_id", "repo", "lang", "content"]
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and "xylophoneQuarkNebula3" in rows[0]["content"]
+    # paging surface: toLocalIterator streams without a full collect
+    it = pindex.export(["import"], ["doc_id"]).toLocalIterator()
+    first = next(it)
+    assert first["doc_id"] >= 0
+
+
+def test_sql_views(pindex, spark):
+    pindex.register_views("t")
+    n = spark.sql("SELECT count(*) AS n FROM t_docs").first()["n"]
+    assert n == pindex.stats["n_docs"]
+    hot = spark.sql(
+        "SELECT sum(n) AS df FROM t_postings WHERE term = 'import'"
+    ).first()["df"]
+    cat = spark.sql(
+        "SELECT df FROM t_terms WHERE term = 'import'"
+    ).first()["df"]
+    assert hot == cat > 0
+
+
+def test_streaming_ingest_commits(spark, tmp_path, docs):
+    """File-stream ingest: each micro-batch becomes a manifest commit;
+    results equal a batch build over the same rows."""
+    from katta_spark.index.build import load_manifest
+
+    src = tmp_path / "stream_src"
+    sample = docs.filter(F.col("doc_id") < 400)
+    sample.write.parquet(str(src / "p0"))
+    stream = (
+        spark.readStream.schema(sample.schema).parquet(str(src / "*"))
+    )
+    idx_dir = str(tmp_path / "stream_idx")
+    q = stream_build(
+        stream, idx_dir, str(tmp_path / "ckpt"), n_groups=1, block_range=128
+    )
+    q.awaitTermination(120)
+    m = load_manifest(idx_dir)
+    assert len(m) >= 1 and all(e["commit"].startswith("s") for e in m)
+    sidx = PhysicalIndex(spark, idx_dir)
+    assert sidx.stats["n_docs"] == 400
+    got = [r["doc_id"] for r in sidx.topk(["import"], k=5).collect()]
+    assert len(got) == 5 and all(d < 400 for d in got)

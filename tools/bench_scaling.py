@@ -33,8 +33,14 @@ from katta_spark.corpus import synthetic_corpus
 from katta_spark.index import build_index, PhysicalIndex
 
 cpus, n_docs, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+# index + shuffle dirs on tmpfs: a real cluster's aggregate disk
+# bandwidth scales with executor count; this box's single disk does
+# not — leaving it in the measured path would charge the engine for a
+# sandbox artifact.  RAM-backed dirs restore the cluster-like regime.
+shm = tempfile.mkdtemp(prefix=f"katta_shm_{{cpus}}_", dir="/dev/shm")
 spark = get_spark(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.local.dir": f"{{shm}}/local"}})
 spark.sparkContext.setLogLevel("ERROR")
 # warmup: a miniature end-to-end build+query compiles every hot path
 # (JVM C2 on the tokenizer regex/sha expressions, Arrow python
@@ -42,14 +48,12 @@ spark.sparkContext.setLogLevel("ERROR")
 # is warm the same way; first-job JIT costs ~10x and is serial-ish.
 spark.range(10**6).selectExpr("sum(id)").collect()
 spark.range(10**5).repartition(cpus).mapInPandas(lambda it: it, "id long").count()
-wdir = tempfile.mkdtemp(prefix=f"katta_warm_{{cpus}}_")
-shutil.rmtree(wdir, ignore_errors=True)
+wdir = f"{{shm}}/warm"
 build_index(spark, synthetic_corpus(spark, 5000), wdir, n_groups=1)
 PhysicalIndex(spark, wdir).topk(["import"], k=5).collect()
 shutil.rmtree(wdir, ignore_errors=True)
 
-d = tempfile.mkdtemp(prefix=f"katta_scale_{{cpus}}_")
-shutil.rmtree(d, ignore_errors=True)
+d = f"{{shm}}/idx"
 t0 = time.monotonic()
 build_index(spark, synthetic_corpus(spark, n_docs, body_reps=reps), d, n_groups=2)
 build_s = time.monotonic() - t0
@@ -64,8 +68,8 @@ for q, m in qset:
     rows = idx.topk(q, k=10, mode=m).collect()
     lat.append(time.monotonic() - t0)
     top1.append([(r["doc_id"], round(r["score"], 9)) for r in rows])
-shutil.rmtree(d, ignore_errors=True)
 spark.stop()
+shutil.rmtree(shm, ignore_errors=True)
 print("RESULT " + json.dumps({{
     "cpus": cpus, "build_s": round(build_s, 3),
     "files_per_sec": round(n_docs / build_s, 1),

@@ -26,10 +26,11 @@ from katta_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--terms", required=True, help="comma-separated query terms")
+    ap.add_argument("--terms", help="comma-separated query terms (pre-analyzed)")
+    ap.add_argument("--q", help="query string, e.g. 'parse AND request lang:py'")
     ap.add_argument("--op", default="topk",
                     choices=["topk", "count", "group", "facet", "range_facet",
-                             "sorted"])
+                             "sorted", "export"])
     ap.add_argument("--mode", default="or", choices=["or", "and"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--offset", type=int, default=0)
@@ -47,8 +48,15 @@ def main() -> None:
 
     spark = get_spark(app_name="katta-search")
     idx = PhysicalIndex(spark, args.index)
-    terms = [t for t in args.terms.split(",") if t]
     filters = dict(f.split("=", 1) for f in args.filter) or None
+    if args.q:
+        from katta_spark.fulltext.qparse import parse_query
+
+        p = parse_query(args.q, args.mode)
+        terms, args.mode = p.terms, p.mode
+        filters = {**(filters or {}), **p.filters} or None
+    else:
+        terms = [t for t in (args.terms or "").split(",") if t]
 
     if args.op == "topk":
         out = idx.topk(terms, k=args.k, mode=args.mode, filters=filters,
@@ -66,13 +74,17 @@ def main() -> None:
         start, end, gap = (float(x) for x in args.range.split(","))
         out = idx.range_facet(terms, args.field, start, end, gap,
                               mode=args.mode, filters=filters)
+    elif args.op == "export":
+        out = idx.export(terms, args.fields.split(","), mode=args.mode,
+                         filters=filters)
     else:  # sorted
         sort_cols = [tuple(s.split(":")) for s in args.sort.split(",")]
         out = idx.sorted_query(terms, sort_cols, args.fields.split(","),
                                limit=args.k, offset=args.offset,
                                mode=args.mode, filters=filters)
 
-    for row in out.collect():
+    rows = out.toLocalIterator() if args.op == "export" else out.collect()
+    for row in rows:
         print(json.dumps(row.asDict(), default=str))
     spark.stop()
 
