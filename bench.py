@@ -41,6 +41,13 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
+def bench_tmpdir(prefix: str) -> str:
+    """Index scratch on tmpfs when available: the single shared disk
+    of the sandbox otherwise dominates right-after-build reads."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def timed(fn, repeats: int = REPEATS) -> float:
     """Median wall seconds of ``repeats`` executions (collect-driven)."""
     samples = []
@@ -65,7 +72,7 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     # ---- physical index build over the documents corpus -----------------
-    idx_dir = tempfile.mkdtemp(prefix="katta_bench_idx_")
+    idx_dir = bench_tmpdir("katta_bench_idx_")
     shutil.rmtree(idx_dir, ignore_errors=True)
     corpus = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -78,6 +85,7 @@ def main() -> None:
     queries["index_build_docs"] = round(build_s, 4)
     extra["docs_files_per_sec"] = round(n_docs / build_s, 1)
     idx = PhysicalIndex(spark, idx_dir)
+    idx.topk(["the"], k=3).collect()  # untimed warm (listing + workers)
 
     # ---- reference query set over the built index -----------------------
     def run(df):
@@ -124,7 +132,7 @@ def main() -> None:
     )
 
     # ---- synthetic source-code corpus at bench scale --------------------
-    synth_dir = tempfile.mkdtemp(prefix="katta_bench_synth_")
+    synth_dir = bench_tmpdir("katta_bench_synth_")
     shutil.rmtree(synth_dir, ignore_errors=True)
     t0 = time.monotonic()
     build_index(
@@ -139,6 +147,7 @@ def main() -> None:
     extra["synth_docs"] = BENCH_DOCS
     extra["synth_files_per_sec"] = round(BENCH_DOCS / synth_s, 1)
     sidx = PhysicalIndex(spark, synth_dir)
+    sidx.topk(["def"], k=3).collect()  # untimed warm
     queries["q_synth_hot_wand"] = timed(
         lambda: sidx.topk(["import", "return"], k=10).collect()
     )
