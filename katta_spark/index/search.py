@@ -205,10 +205,16 @@ class PhysicalIndex:
     def _qblocks(self, qterms: list[str]) -> DataFrame:
         """Posting blocks of the query terms, shuffled once on
         block_id (doc-range co-partitioning) and ordered for the
-        streaming group iterator."""
-        blocks = self.postings.filter(F.col("term").isin(list(qterms)))
+        streaming group iterator.  Column-pruned before the exchange
+        (the scan then reads only the 8 needed columns, parquet
+        ReadSchema) and hash-partitioned: WAND needs block order only
+        WITHIN a partition (partitions keep independent thresholds),
+        so the range-partitioner's extra sampling job buys nothing."""
+        blocks = self.postings.filter(F.col("term").isin(list(qterms))).select(
+            "term", "block_id", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"
+        )
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        return blocks.repartitionByRange(nparts, "block_id").sortWithinPartitions(
+        return blocks.repartition(nparts, "block_id").sortWithinPartitions(
             "block_id", "term"
         )
 
