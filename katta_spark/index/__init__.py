@@ -20,6 +20,14 @@ over plain parquet.
 
 from katta_spark.index.build import build_index, load_manifest
 from katta_spark.index.compact import compact_postings
+from katta_spark.index.delete import delete_docs, expunge_deletes
 from katta_spark.index.search import PhysicalIndex
 
-__all__ = ["build_index", "compact_postings", "load_manifest", "PhysicalIndex"]
+__all__ = [
+    "build_index",
+    "compact_postings",
+    "delete_docs",
+    "expunge_deletes",
+    "load_manifest",
+    "PhysicalIndex",
+]

@@ -170,8 +170,17 @@ def tokens_with_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
     twice)."""
     if "toks" in docs.columns:
         # stored token arrays: the (expensive) analyzer regex ran
-        # exactly once, at docs-write — posting passes just explode
-        toks = docs.select("doc_id", "dl", F.explode("toks").alias("term"))
+        # exactly once, at docs-write — posting passes just explode.
+        # Field-scoped terms (ptoks, already "path:"-prefixed) ride
+        # in the same term space — Katta's multi-field Lucene schema
+        # (data/solr/userindex/conf/schema.xml:112-147) flattened to
+        # prefixed terms; dl remains the content length so content
+        # scoring is unaffected by field postings.
+        arr = (
+            F.concat("toks", "ptoks") if "ptoks" in docs.columns
+            else F.col("toks")
+        )
+        toks = docs.select("doc_id", "dl", F.explode(arr).alias("term"))
     else:
         dl = (
             F.col("dl") if "dl" in docs.columns
@@ -191,6 +200,7 @@ def build_index(
     index_dir: str,
     *,
     text_col: str = "content",
+    path_col: str | None = None,
     n_groups: int = 4,
     commit: str = "c0",
     doc_id_method: str = "rank",
@@ -244,6 +254,16 @@ def build_index(
         docs = docs.withColumn("toks", tokens_array("content")).withColumn(
             "dl", F.size("toks").cast("long")
         )
+        if path_col and path_col in docs.columns:
+            from katta_spark.tokenizer import path_tokens_array
+
+            docs = docs.withColumn(
+                "ptoks",
+                F.transform(
+                    path_tokens_array(path_col),
+                    lambda t: F.concat(F.lit("path:"), t),
+                ),
+            )
         docs.write.mode("overwrite").parquet(str(docs_dir))
 
     docs_commit = spark.read.parquet(str(docs_dir))

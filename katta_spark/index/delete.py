@@ -1,0 +1,172 @@
+"""Document deletion: tombstones + expunge-at-compaction.
+
+Lucene/Katta semantics reproduced exactly (reference probes:
+katta-core/src/test/java/com/ivyft/katta/lucene/IndexDeleteTest.java,
+TermDeleteTest.java; segment expunge via the merge manager,
+node/LuceneIndexMergeManager.java:154-196):
+
+- ``delete_docs`` writes tombstones; queries exclude tombstoned docs
+  IMMEDIATELY, but global stats (N, avgdl, df) keep their pre-delete
+  values — just like Lucene's deleted-docs bitset, where scores shift
+  only after segments merge.
+- ``expunge_deletes`` physically rewrites postings and docs without
+  the tombstoned documents and recomputes stats + the term catalog —
+  Lucene's forceMergeDeletes.
+
+Tombstones are tiny (doc_id only); queries apply them with a
+broadcast anti-join.  WAND is automatically bypassed while tombstones
+exist (a pruned heap could retain a deleted doc and exclude a live
+one); after expunge the WAND path resumes.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from collections.abc import Iterator
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from katta_spark.index import codec
+from katta_spark.index.build import (
+    _dir_bytes,
+    _manifest_dir,
+    build_posting_blocks,
+    load_manifest,
+)
+
+TOMBSTONE_SCHEMA = "doc_id long"
+
+
+def tombstone_dir(index_dir: str) -> Path:
+    return Path(index_dir) / "tombstones"
+
+
+def delete_docs(spark: SparkSession, index_dir: str,
+                doc_ids: list[int] | DataFrame) -> int:
+    """Mark documents deleted. Returns the number of tombstones
+    written (idempotent — duplicates are fine, queries distinct them)."""
+    if isinstance(doc_ids, list):
+        df = spark.createDataFrame([(int(d),) for d in doc_ids],
+                                   TOMBSTONE_SCHEMA)
+    else:
+        df = doc_ids.select(F.col("doc_id").cast("long"))
+    n = df.count()
+    df.write.mode("append").parquet(str(tombstone_dir(index_dir)))
+    return n
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    d = tombstone_dir(index_dir)
+    if not d.exists() or not any(d.glob("*.parquet")):
+        return None
+    return spark.read.parquet(str(d)).select("doc_id").distinct()
+
+
+def _decode_rows_kernel(block_range: int):
+    """Posting blocks -> raw (doc_id, dl, term, tf) rows."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "dl": [], "term": [], "tf": []}
+            for row in b.itertuples(index=False):
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_gaps, row.tfs, row.dls, int(row.block_id),
+                    block_range,
+                )
+                out["doc_id"].extend(ids)
+                out["dl"].extend(dls)
+                out["term"].extend([row.term] * len(ids))
+                out["tf"].extend(tfs)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """Physically remove tombstoned docs: rewrite docs + postings,
+    recompute stats and the term catalog.  The forceMergeDeletes
+    analogue; afterwards scores reflect the shrunken corpus."""
+    root = Path(index_dir)
+    stats = json.loads((root / "stats.json").read_text())
+    block_range = int(stats["block_range"])
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is None:
+        return {"expunged": 0}
+    n_tomb = tomb.count()
+    t0 = time.monotonic()
+
+    # docs: rewrite every commit dir minus tombstones into one commit
+    docs = spark.read.option("basePath", str(root / "docs")).parquet(
+        str(root / "docs" / "commit=*")
+    ).drop("commit")
+    live_docs = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+    new_commit = f"expunge{int(stats.get('expunges', 0))}"
+    tmp_docs = root / "docs_new" / f"commit={new_commit}"
+    live_docs.write.mode("overwrite").parquet(str(tmp_docs))
+
+    # postings: decode -> anti-join -> rebuild blocks (new avgdl for
+    # block-max metadata comes from the live docs)
+    n_docs, avgdl = spark.read.parquet(str(tmp_docs)).agg(
+        F.count(F.lit(1)), (F.sum("dl") / F.count(F.lit(1))).cast("double")
+    ).first()
+    avgdl = float(avgdl or 0.0)
+    postings = spark.read.option("basePath", str(root / "postings")).parquet(
+        str(root / "postings" / "commit=*" / "group=*")
+    )
+    raw = postings.select(
+        "term", "block_id", "doc_gaps", "tfs", "dls"
+    ).mapInPandas(
+        _decode_rows_kernel(block_range), "doc_id long, dl long, term string, tf long"
+    )
+    live = raw.join(F.broadcast(tomb), "doc_id", "left_anti")
+    blocks = build_posting_blocks(live, avgdl, block_range)
+    tmp_post = root / "postings_new" / f"commit={new_commit}" / "group=0"
+    blocks.write.mode("overwrite").parquet(str(tmp_post))
+
+    # terms catalog from the new blocks
+    newp = spark.read.parquet(str(tmp_post))
+    terms = newp.groupBy("term").agg(
+        F.sum("n").alias("df"), F.sum("cf").alias("cf")
+    )
+    tmp_terms = root / "terms_new"
+    terms.repartition(
+        max(int(spark.conf.get("spark.sql.shuffle.partitions")) // 4, 1), "term"
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(str(tmp_terms))
+
+    # swap: new dirs in, old dirs + tombstones out, manifest rewritten
+    stat = newp.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_postings"),
+    ).first()
+    shutil.rmtree(root / "docs")
+    (root / "docs_new").rename(root / "docs")
+    shutil.rmtree(root / "postings")
+    (root / "postings_new").rename(root / "postings")
+    shutil.rmtree(root / "terms")
+    tmp_terms.rename(root / "terms")
+    shutil.rmtree(tombstone_dir(index_dir))
+    mdir = _manifest_dir(index_dir)
+    for m in load_manifest(index_dir):
+        (mdir / f"{m['commit']}_g{m['group']}.json").unlink(missing_ok=True)
+    entry = {
+        "commit": new_commit, "group": 0, "status": "done",
+        "n_blocks": int(stat["n_blocks"]),
+        "n_postings": int(stat["n_postings"]),
+        "bytes": _dir_bytes(root / "postings"),
+        "n_docs_group": int(n_docs),
+        "wall_s": round(time.monotonic() - t0, 3),
+        "lineage": {"expunged_tombstones": int(n_tomb)},
+    }
+    (mdir / f"{new_commit}_g0.json").write_text(json.dumps(entry, indent=1))
+    stats.update(
+        n_docs=int(n_docs), avgdl=avgdl, expunges=int(stats.get("expunges", 0)) + 1,
+        commits=[new_commit],
+    )
+    (root / "stats.json").write_text(json.dumps(stats, indent=1))
+    return {"expunged": int(n_tomb), "n_docs": int(n_docs),
+            "wall_s": entry["wall_s"]}

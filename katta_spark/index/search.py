@@ -179,6 +179,8 @@ class PhysicalIndex:
     handle may reference replaced files."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from katta_spark.index.delete import load_tombstones
+
         self.spark = spark
         self.index_dir = index_dir
         root = Path(index_dir)
@@ -190,6 +192,14 @@ class PhysicalIndex:
             "basePath", str(root / "postings")
         ).parquet(str(root / "postings" / "commit=*" / "group=*"))
         self.terms = spark.read.parquet(str(root / "terms"))
+        # Lucene-style deleted-docs bitset: tombstoned docs vanish
+        # from every result immediately; stats/df shift only at
+        # expunge (see index.delete)
+        self.tombstones = load_tombstones(spark, index_dir)
+        if self.tombstones is not None:
+            self.docs = self.docs.join(
+                F.broadcast(self.tombstones), "doc_id", "left_anti"
+            )
 
     # ---------------------------------------------------------- plumbing
 
@@ -234,6 +244,8 @@ class PhysicalIndex:
         out = self._qblocks(live).mapInPandas(kern, SCORED_SCHEMA)
         if mode == "and" and len(live) > 1:
             out = out.filter(F.col("nt") == len(live))
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
         return out.select("doc_id", "score")
 
     def matched_docs(self, qterms: list[str], mode: str = "or",
@@ -263,6 +275,8 @@ class PhysicalIndex:
         non-scoring filter is present (a filter makes heap thresholds
         unsound); results are identical either way (tested)."""
         terms = sorted(set(qterms))
+        if self.tombstones is not None:
+            use_wand = False  # pruned heap could retain deleted docs
         if filters or not use_wand:
             scored = self.scored_docs(terms, mode)
             fd = self._filter_docs(filters)
@@ -292,7 +306,16 @@ class PhysicalIndex:
 
     def count(self, qterms: list[str], mode: str = "or",
               filters: Filters = None) -> DataFrame:
-        return self.matched_docs(qterms, mode, filters).agg(
+        terms = sorted(set(qterms))
+        if len(terms) == 1 and not filters and self.tombstones is None:
+            # fast path: a single term's hit count IS its global df —
+            # read it from the catalog, decode nothing (Katta's
+            # count() reads totalHits without materializing hits,
+            # lib/lucene/LuceneServer.java:768-773)
+            return self.terms.filter(F.col("term") == terms[0]).agg(
+                F.coalesce(F.sum("df"), F.lit(0)).alias("n_hits")
+            )
+        return self.matched_docs(terms, mode, filters).agg(
             F.count(F.lit(1)).alias("n_hits")
         )
 

@@ -10,18 +10,25 @@ import math
 from collections import Counter
 
 from katta_spark.fulltext.analysis import B, K1
-from katta_spark.tokenizer import py_tokenize
+from katta_spark.tokenizer import py_path_tokenize, py_tokenize
 
 
 class PyBM25:
-    def __init__(self, rows: list[tuple[int, str]]):
-        """rows: (doc_id, content)."""
+    def __init__(self, rows: list[tuple[int, str]],
+                 paths: dict[int, str] | None = None):
+        """rows: (doc_id, content); paths: optional doc_id -> path
+        (indexed as 'path:'-prefixed terms, excluded from dl —
+        mirrors the engine's field-scoped postings)."""
         self.tf: dict[int, Counter] = {}
         self.dl: dict[int, int] = {}
         df: Counter = Counter()
         for doc_id, content in rows:
             toks = py_tokenize(content)
             c = Counter(toks)
+            if paths and doc_id in paths:
+                c.update(
+                    "path:" + t for t in py_path_tokenize(paths[doc_id])
+                )
             self.tf[doc_id] = c
             self.dl[doc_id] = len(toks)
             df.update(c.keys())

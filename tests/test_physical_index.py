@@ -237,6 +237,39 @@ def test_incremental_commit_matches_full_build(spark, tmp_path):
         ]
 
 
+def test_path_field_queries(spark, tmp_path):
+    """Field-scoped postings ('path:'-prefixed terms): scoring and
+    mixed-field boolean queries rank-identical to the oracle."""
+    c = with_ingest_columns(synthetic_corpus(spark, 400))
+    d = str(tmp_path / "idx_path")
+    build_index(spark, c, d, path_col="path", n_groups=1, block_range=128)
+    idx = PhysicalIndex(spark, d)
+
+    assert idx.count(["path:src"]).first()["n_hits"] == 400
+
+    pdf = c.select("doc_id", "content", "path").toPandas()
+    oracle = PyBM25(
+        [(int(r.doc_id), r.content) for r in pdf.itertuples(index=False)],
+        paths={int(r.doc_id): r.path for r in pdf.itertuples(index=False)},
+    )
+    for q, m in [(["path:py"], "or"), (["import", "path:src"], "and"),
+                 (["path:module1", "chunk"], "or")]:
+        got = idx.topk(q, k=10, mode=m).collect()
+        want = oracle.topk(q, k=10, mode=m)
+        assert [r["doc_id"] for r in got] == [doc for doc, _ in want], q
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_count_fast_path(pindex, py_oracle):
+    """Single-term count comes from the catalog (no decode) and must
+    equal the decode-path count."""
+    fast = pindex.count(["import"]).first()["n_hits"]
+    slow = pindex.matched_docs(["import"]).count()
+    assert fast == slow == len(py_oracle.matches(["import"]))
+    assert pindex.count(["zzz_missing"]).first()["n_hits"] == 0
+
+
 def test_compaction(spark, tmp_path):
     """Compaction (the segment-merge/optimize analogue) rewrites many
     commits into one layout with identical query results."""
