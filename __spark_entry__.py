@@ -67,11 +67,13 @@ def phys_index(spark: SparkSession, sf_dir: str,
 # ------------------------------------------------------------------ entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 for (table OR spark) over sf0.001 docs,
-    hits joined back to stored fields."""
-    idx = _index(spark, "/root/testdata/sf0.001")
-    hits = Q.topk(idx, ["table", "spark"], k=10, mode="or")
-    return _round_score(Q.fetch_details(hits, idx.corpus, ["lang", "source"]))
+    """Flagship: build the compressed-postings index over the sf0.001
+    corpus (resumes from cache after the first call), answer BM25
+    top-10 for (table OR spark) with block-max WAND, join hits back
+    to stored fields."""
+    idx = phys_index(spark, "/root/testdata/sf0.001")
+    hits = idx.topk(["table", "spark"], k=10, mode="or")
+    return _round_score(idx.fetch_details(hits, ["lang", "source"]))
 
 
 # ---------------------------------------------------------------- queries
