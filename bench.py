@@ -48,13 +48,16 @@ def bench_tmpdir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-def timed(fn, repeats: int = REPEATS) -> float:
-    """Median wall seconds of ``repeats`` executions (collect-driven)."""
+def timed(fn, repeats: int = REPEATS, sink: list | None = None) -> float:
+    """Median wall seconds of ``repeats`` executions (collect-driven);
+    raw samples optionally appended to ``sink`` for percentiles."""
     samples = []
     for _ in range(repeats):
         t0 = time.monotonic()
         fn()
         samples.append(time.monotonic() - t0)
+    if sink is not None:
+        sink.extend(samples)
     return round(statistics.median(samples), 4)
 
 
@@ -104,12 +107,15 @@ def main() -> None:
             lambda: idx.fetch_details(idx.topk(["dup"], k=5), ["lang", "source"])
         ),
     }
-    latencies = []
+    samples: list[float] = []
     for name, fn in qset.items():
-        queries[name] = timed(fn)
-        latencies.append(queries[name])
-    extra["query_p50_ms"] = round(statistics.median(latencies) * 1000, 1)
-    extra["query_max_ms"] = round(max(latencies) * 1000, 1)
+        queries[name] = timed(fn, sink=samples)
+    samples.sort()
+    extra["query_p50_ms"] = round(statistics.median(samples) * 1000, 1)
+    extra["query_p99_ms"] = round(
+        samples[min(len(samples) - 1, int(len(samples) * 0.99))] * 1000, 1
+    )
+    extra["query_max_ms"] = round(max(samples) * 1000, 1)
 
     # ---- training-data ops ----------------------------------------------
     queries["op_dedup_minhash"] = timed(
