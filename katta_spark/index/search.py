@@ -76,12 +76,14 @@ def _iter_block_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pending
 
 
-def _score_group(g: pd.DataFrame, idf: dict[str, float], avgdl: float,
+def _score_group(g: pd.DataFrame, n_docs: float, avgdl: float,
                  k1: float, b: float, block_range: int
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Exact (doc_id, score, nt) for one doc-range group.  Terms are
     processed in sorted order so each doc's float64 sum accumulates
-    in a deterministic order (rank-identity across parallelism)."""
+    in a deterministic order (rank-identity across parallelism).
+    idf comes from the broadcast-joined global df column (the restored
+    getDocFreqs() exchange, LuceneServer.java:76-82)."""
     g = g.sort_values("term", kind="mergesort")
     bid = int(g["block_id"].iloc[0])
     all_ids, all_scores = [], []
@@ -89,8 +91,9 @@ def _score_group(g: pd.DataFrame, idf: dict[str, float], avgdl: float,
         ids, tfs, dls = codec.decode_block(
             row.doc_gaps, row.tfs, row.dls, bid, block_range
         )
+        idf = codec.bm25_idf(float(row.df), n_docs)
         all_ids.append(ids)
-        all_scores.append(idf[row.term] * codec.bm25_tfnorm(tfs, dls, avgdl, k1, b))
+        all_scores.append(idf * codec.bm25_tfnorm(tfs, dls, avgdl, k1, b))
     ids = np.concatenate(all_ids)
     scores = np.concatenate(all_scores)
     uniq, inv = np.unique(ids, return_inverse=True)
@@ -100,7 +103,7 @@ def _score_group(g: pd.DataFrame, idf: dict[str, float], avgdl: float,
     return uniq, summed, nt.astype(np.int64)
 
 
-def make_wand_kernel(idf: dict[str, float], avgdl: float, k1: float, b: float,
+def make_wand_kernel(n_docs: float, avgdl: float, k1: float, b: float,
                      k: int, n_terms: int, mode: str, block_range: int):
     """Per-partition block-max WAND top-k kernel for mapInPandas."""
 
@@ -113,16 +116,16 @@ def make_wand_kernel(idf: dict[str, float], avgdl: float, k1: float, b: float,
                 continue  # a missing term => no doc in this range matches
             ub = float(
                 sum(
-                    idf[t]
+                    codec.bm25_idf(float(df), n_docs)
                     * codec.bm25_tfnorm(
                         np.array([mt]), np.array([md]), avgdl, k1, b
                     )[0]
-                    for t, mt, md in zip(g["term"], g["max_tf"], g["min_dl"])
+                    for df, mt, md in zip(g["df"], g["max_tf"], g["min_dl"])
                 )
             )
             if ub < threshold:
                 continue  # block-max skip: cannot enter the top-k
-            ids, scores, nt = _score_group(g, idf, avgdl, k1, b, block_range)
+            ids, scores, nt = _score_group(g, n_docs, avgdl, k1, b, block_range)
             if mode == "and":
                 keep = nt == n_terms
                 ids, scores = ids[keep], scores[keep]
@@ -146,7 +149,7 @@ def make_wand_kernel(idf: dict[str, float], avgdl: float, k1: float, b: float,
     return kernel
 
 
-def make_exhaustive_kernel(idf: dict[str, float], avgdl: float,
+def make_exhaustive_kernel(n_docs: float, avgdl: float,
                            k1: float, b: float, block_range: int):
     """Decode-and-score-everything kernel: emits (doc_id, score, nt)
     for every matching doc — feeds count/group/facet/sorted/filtered
@@ -154,7 +157,7 @@ def make_exhaustive_kernel(idf: dict[str, float], avgdl: float,
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for g in _iter_block_groups(batches):
-            ids, scores, nt = _score_group(g, idf, avgdl, k1, b, block_range)
+            ids, scores, nt = _score_group(g, n_docs, avgdl, k1, b, block_range)
             yield pd.DataFrame(
                 {"doc_id": ids, "score": scores, "nt": nt.astype(np.int32)}
             )
@@ -223,27 +226,30 @@ class PhysicalIndex:
         blocks = self.postings.filter(F.col("term").isin(list(qterms))).select(
             "term", "block_id", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"
         )
+        # global df attached via broadcast join (the getDocFreqs()
+        # exchange as part of the SAME job — no driver collect)
+        cat = self.terms.filter(F.col("term").isin(list(qterms))).select(
+            "term", "df"
+        )
+        blocks = blocks.join(F.broadcast(cat), "term")
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         return blocks.repartition(nparts, "block_id").sortWithinPartitions(
             "block_id", "term"
         )
 
     def scored_docs(self, qterms: list[str], mode: str = "or") -> DataFrame:
-        """(doc_id, score) for every matching doc — exhaustive path."""
+        """(doc_id, score) for every matching doc — exhaustive path.
+        A term absent from the index simply matches no block rows, so
+        OR degrades gracefully and AND returns empty via the
+        nt == n_terms filter — no driver-side existence check."""
         terms = sorted(set(qterms))
-        idf = self.query_idf(terms)
-        live = [t for t in terms if t in idf]
-        if not live or (mode == "and" and len(live) < len(terms)):
-            return self.spark.createDataFrame([], SCORED_SCHEMA).select(
-                "doc_id", "score"
-            )
         kern = make_exhaustive_kernel(
-            idf, self.stats["avgdl"], self.stats["k1"], self.stats["b"],
-            self.stats["block_range"],
+            float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
         )
-        out = self._qblocks(live).mapInPandas(kern, SCORED_SCHEMA)
-        if mode == "and" and len(live) > 1:
-            out = out.filter(F.col("nt") == len(live))
+        out = self._qblocks(terms).mapInPandas(kern, SCORED_SCHEMA)
+        if mode == "and" and len(terms) > 1:
+            out = out.filter(F.col("nt") == len(terms))
         if self.tombstones is not None:
             out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
         return out.select("doc_id", "score")
@@ -284,17 +290,12 @@ class PhysicalIndex:
                 scored = scored.join(fd, "doc_id", "left_semi")
             ranked = scored
         else:
-            idf = self.query_idf(terms)
-            live = [t for t in terms if t in idf]
-            if not live or (mode == "and" and len(live) < len(terms)):
-                return self.spark.createDataFrame([], SCORED_SCHEMA).select(
-                    "doc_id", "score"
-                )
             kern = make_wand_kernel(
-                idf, self.stats["avgdl"], self.stats["k1"], self.stats["b"],
-                offset + k, len(live), mode, self.stats["block_range"],
+                float(self.stats["n_docs"]), self.stats["avgdl"],
+                self.stats["k1"], self.stats["b"],
+                offset + k, len(terms), mode, self.stats["block_range"],
             )
-            ranked = self._qblocks(live).mapInPandas(kern, SCORED_SCHEMA).select(
+            ranked = self._qblocks(terms).mapInPandas(kern, SCORED_SCHEMA).select(
                 "doc_id", "score"
             )
         out = ranked.orderBy(F.desc("score"), F.asc("doc_id"))

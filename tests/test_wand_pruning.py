@@ -15,7 +15,7 @@ def _block_row(term, block_id, doc_offsets, tfs, dls, block_range):
         doc_ids, np.array(tfs), np.array(dls), block_id, block_range
     )
     return {
-        "term": term, "block_id": block_id,
+        "term": term, "block_id": block_id, "df": 10,
         "max_tf": int(max(tfs)), "min_dl": int(min(dls)),
         "doc_gaps": g, "tfs": t, "dls": d,
     }
@@ -35,13 +35,13 @@ def test_wand_skips_weak_blocks(monkeypatch):
     decoded = []
     orig = S._score_group
 
-    def counting(g, idf, avgdl, k1, b, block_range):
+    def counting(g, n_docs, avgdl, k1, b, block_range):
         decoded.append(int(g["block_id"].iloc[0]))
-        return orig(g, idf, avgdl, k1, b, block_range)
+        return orig(g, n_docs, avgdl, k1, b, block_range)
 
     monkeypatch.setattr(S, "_score_group", counting)
     kern = S.make_wand_kernel(
-        {"t": 2.0}, avgdl=100.0, k1=1.2, b=0.75, k=5, n_terms=1,
+        1000.0, avgdl=100.0, k1=1.2, b=0.75, k=5, n_terms=1,
         mode="or", block_range=br,
     )
     out = pd.concat(list(kern(iter([pdf]))))
@@ -66,13 +66,13 @@ def test_wand_and_mode_skips_missing_term_blocks(monkeypatch):
     decoded = []
     orig = S._score_group
 
-    def counting(g, idf, avgdl, k1, b, block_range):
+    def counting(g, n_docs, avgdl, k1, b, block_range):
         decoded.append(int(g["block_id"].iloc[0]))
-        return orig(g, idf, avgdl, k1, b, block_range)
+        return orig(g, n_docs, avgdl, k1, b, block_range)
 
     monkeypatch.setattr(S, "_score_group", counting)
     kern = S.make_wand_kernel(
-        {"a": 1.0, "b": 1.0}, avgdl=10.0, k1=1.2, b=0.75, k=10,
+        1000.0, avgdl=10.0, k1=1.2, b=0.75, k=10,
         n_terms=2, mode="and", block_range=br,
     )
     out = pd.concat(list(kern(iter([pdf]))))
@@ -92,7 +92,7 @@ def test_wand_never_skips_on_tied_upper_bound():
     ]
     pdf = pd.DataFrame(rows)
     kern = S.make_wand_kernel(
-        {"t": 1.5}, avgdl=10.0, k1=1.2, b=0.75, k=6, n_terms=1,
+        1000.0, avgdl=10.0, k1=1.2, b=0.75, k=6, n_terms=1,
         mode="or", block_range=br,
     )
     out = pd.concat(list(kern(iter([pdf]))))
