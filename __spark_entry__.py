@@ -221,6 +221,51 @@ def q_mm_frame_sample(spark, sf_dir):
     )
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _fmt_ts(df, col, out):
+    df = df.withColumn(out, F.date_format(F.col(col), "yyyy-MM-dd HH:mm:ss"))
+    return df if out == col else df.drop(col)
+
+
+def q_ts_date_facet(spark, sf_dir):
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.date_range_facet(_events(spark, sf_dir), "ts", "DAY")
+    return _fmt_ts(out, "bucket_start", "bucket").select("bucket", "cnt")
+
+
+def q_ts_window_agg(spark, sf_dir):
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.window_agg(_events(spark, sf_dir), "ts", "1 hour", key_col="event_type")
+    return _fmt_ts(out, "win_start", "win").select(
+        "win", "event_type", "n", "sum_value", "avg_value"
+    )
+
+
+def q_ts_session_agg(spark, sf_dir):
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.session_agg(_events(spark, sf_dir), "ts", "user_id", gap="30 minutes")
+    return _fmt_ts(out, "session_start", "session_start").select(
+        "user_id", "session_start", "n"
+    )
+
+
+def q_ts_json(spark, sf_dir):
+    from katta_spark.ops import timeseries as TS
+
+    e = TS.json_props(_events(spark, sf_dir), "props", "k", "int")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg("prop_k"), 6).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir).withColumnRenamed("text", "content"),
@@ -294,6 +339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_ann": q_sim_lsh_ann,
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
+        # --- time-series ops over the events table ---
+        "ts_date_facet": q_ts_date_facet,
+        "ts_window_agg": q_ts_window_agg,
+        "ts_session_agg": q_ts_session_agg,
+        "ts_json": q_ts_json,
     }
 
 
@@ -387,5 +437,9 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "sim_lsh_ann": OO.lsh_ann_sql(dims=64, n_planes=12, k=10),
         "mm_image_meta": OO.mm_image_meta_sql(),
         "mm_frame_sample": OO.mm_frames_sql(every=4, max_frames=3),
+        "ts_date_facet": OO.ts_date_facet_sql("day"),
+        "ts_window_agg": OO.ts_window_agg_sql(1),
+        "ts_session_agg": OO.ts_session_agg_sql(30),
+        "ts_json": OO.ts_json_sql(),
     }
     return out

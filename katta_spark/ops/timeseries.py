@@ -1,0 +1,86 @@
+"""Time-series operators over event tables.
+
+Reference parity: Katta's facetByRange with date gaps — units
+YEAR/MONTH/DAY/HOUR/MINUTE/SECOND parsed from '+1YEAR'-style specs
+(katta-core/.../lib/lucene/group/DateRangeFactory.java:43-77, range
+stepping :86-230, dispatch LuceneServer.java:1197-1258).  Spark's
+``date_trunc``/``window``/``session_window`` express the same
+bucketing declaratively, with partial aggregation and AQE for free.
+
+Beyond the reference (training-data pipeline needs): tumbling-window
+aggregation, per-key session windows, JSON property extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# DateRangeFactory.java:46-76 unit tokens -> Spark date_trunc units
+DATE_UNITS = {
+    "YEAR": "year", "MONTH": "month", "DAY": "day",
+    "HOUR": "hour", "MINUTE": "minute", "SECOND": "second",
+}
+
+
+def date_range_facet(df: DataFrame, ts_col: str, unit: str,
+                     min_count: int = 1) -> DataFrame:
+    """(bucket_start timestamp, cnt) histogram at a calendar unit —
+    Katta's date facetByRange, one hash aggregation."""
+    trunc = DATE_UNITS[unit.upper().lstrip("+0123456789")]
+    return (
+        df.groupBy(F.date_trunc(trunc, F.col(ts_col)).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy("bucket_start")
+    )
+
+
+def window_agg(df: DataFrame, ts_col: str, duration: str,
+               value_col: str = "value",
+               key_col: str | None = None) -> DataFrame:
+    """Tumbling-window aggregate: (win_start, [key], n, sum_value,
+    avg_value).  Epoch-aligned, identical semantics batch or
+    streaming (``readStream`` + watermark reuses this verbatim)."""
+    keys = [F.window(F.col(ts_col), duration)["start"].alias("win_start")]
+    if key_col:
+        keys.append(F.col(key_col))
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .orderBy(*[k for k in ["win_start", key_col] if k is not None])
+    )
+
+
+def session_agg(df: DataFrame, ts_col: str, key_col: str,
+                gap: str = "30 minutes") -> DataFrame:
+    """Per-key session windows (gap-based): (key, session_start, n).
+
+    ``session_window`` is Spark's native stateful sessionization —
+    in batch it compiles to a sort-based aggregation per key; in
+    streaming the same expression maintains session state with
+    watermark eviction."""
+    return (
+        df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            key_col,
+            F.col("session_window")["start"].alias("session_start"),
+            "n",
+        )
+        .orderBy(key_col, "session_start")
+    )
+
+
+def json_props(df: DataFrame, json_col: str, field: str,
+               out_type: str = "int") -> DataFrame:
+    """Extract a JSON property as a typed column — F.get_json_object
+    stays JVM-side (Jackson), no UDF."""
+    return df.withColumn(
+        f"prop_{field}",
+        F.get_json_object(F.col(json_col), f"$.{field}").cast(out_type),
+    )

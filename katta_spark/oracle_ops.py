@@ -179,6 +179,53 @@ def mm_frames_sql(every: int = 4, max_frames: int = 3) -> str:
     return f"SELECT * FROM ({union})"
 
 
+def ts_date_facet_sql(unit: str = "day") -> str:
+    return f"""
+SELECT strftime(date_trunc('{unit}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+def ts_window_agg_sql(hours: int = 1) -> str:
+    return f"""
+SELECT strftime(time_bucket(INTERVAL '{hours} hour', ts), '%Y-%m-%d %H:%M:%S') AS win,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def ts_session_agg_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH lagd AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+marks AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagd
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+
+def ts_json_sql() -> str:
+    return """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
 def langid_sql() -> str:
     tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
     hit_cols = []
