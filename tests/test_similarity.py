@@ -1,0 +1,76 @@
+"""Similarity-search quality: exact top-k sanity + ANN lift over a
+random scan of the same fraction (absolute recall is floor-limited on
+uniform random vectors — see ops/similarity docstring)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.ops import similarity as sim
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e.cache().count()
+    return e
+
+
+def test_exact_topk_is_exact(emb):
+    q = emb.filter(F.col("vec_id") == 3).first()
+    qv = [float(x) for x in q["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 3)
+    got = sim.cosine_topk(corpus, qv, k=5).collect()
+    # brute-force in python
+    import math
+
+    rows = corpus.collect()
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def cos(v):
+        d = sum(float(a) * b for a, b in zip(v, qv))
+        n = math.sqrt(sum(float(a) * a for a in v))
+        return d / (n * qn)
+
+    want = sorted(
+        ((r["vec_id"], cos(r["embedding"])) for r in rows),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [r["vec_id"] for r in got] == [i for i, _ in want]
+    for r, (_, c) in zip(got, want):
+        assert r["cos"] == pytest.approx(c, abs=1e-9)
+
+
+def test_ann_lift_over_random(emb):
+    """Multi-table ANN must recall clearly more of the true top-10
+    than a random scan of the same corpus fraction would."""
+    n = emb.count() - 1
+    hits = scanned = 0
+    for qid in range(6):
+        q = emb.filter(F.col("vec_id") == qid).first()
+        qv = [float(x) for x in q["embedding"]]
+        corpus = emb.filter(F.col("vec_id") != qid)
+        exact = {r["vec_id"] for r in sim.cosine_topk(corpus, qv, k=10).collect()}
+        cond = None
+        for t in range(8):
+            off = t * 6
+            s = sim.hyperplane_bits(F.col("embedding"), 64, 6, off)
+            c = s == sim._query_sig(qv, 64, 6, off)
+            cond = c if cond is None else (cond | c)
+        cand = corpus.filter(cond)
+        scanned += cand.count()
+        ann = {
+            r["vec_id"]
+            for r in sim.lsh_tables_ann(corpus, qv, 10, 64, 6, 8).collect()
+        }
+        hits += len(exact & ann)
+    recall = hits / 60
+    rand_recall = scanned / (6 * n)  # expected recall of a random scan
+    # uniform i.i.d. vectors are the worst case for LSH (cosines all
+    # ~0): measured lift here is ~1.2x — the point of the assertion is
+    # that the bucketing is not WORSE than random and the plumbing
+    # returns real neighbors; clustered real-world embeddings give
+    # much larger lift at the same scan fraction.
+    assert recall > rand_recall, (recall, rand_recall)
+    assert recall > 0.15
