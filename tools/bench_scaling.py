@@ -171,7 +171,15 @@ warmup excluded. Generated {t0} by `python tools/bench_scaling.py
 
 Raw: `{json.dumps({"levels": results, "efficiency": round(eff, 4), "efficiency_vs_grantable": round(eff_rel, 4)})}`
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    out_path = bench_dir / "BASELINE.md"
+    if out_path.exists():
+        # keep hand-written analysis sections (everything from the
+        # first second-level heading after the headline block)
+        old = out_path.read_text()
+        idx = old.find("\n## ")
+        if idx != -1:
+            md = md + old[idx:]
+    out_path.write_text(md)
     print(md)
 
 
