@@ -143,6 +143,12 @@ def _q_phys_topk(terms, k=10, mode="or", filters=None, offset=0, wand=True):
     return run
 
 
+def q_phys_phrase(spark, sf_dir):
+    return _round_score(
+        phys_index(spark, sf_dir).phrase_topk(["order", "fast"], k=10)
+    )
+
+
 def q_phys_count(spark, sf_dir):
     return phys_index(spark, sf_dir).count(["dup", "key"], mode="or")
 
@@ -325,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_count": q_phys_count,
         "ft_phys_facet": q_phys_facet,
         "ft_phys_fetch": q_phys_fetch,
+        "ft_phys_phrase": q_phys_phrase,
         # --- training-data pipeline ops ---
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -393,6 +400,7 @@ SELECT lang, count(*) AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
+        "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
         "ft_term_catalog": f"""{ctes}
 SELECT term, df, cf FROM dfv ORDER BY df DESC, term ASC LIMIT 100""",
         "ft_stats": f"""{ctes}

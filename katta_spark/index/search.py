@@ -373,6 +373,50 @@ class PhysicalIndex:
         cols = ["doc_id", *[f for f in fields if f != "doc_id"]]
         return F.broadcast(hits).join(self.docs.select(*cols), "doc_id")
 
+    def phrase_topk(self, phrase: list[str], k: int = 10,
+                    filters: Filters = None, offset: int = 0) -> DataFrame:
+        """Exact phrase search: docs where the analyzed token stream
+        contains ``phrase`` consecutively, ranked by the BM25 sum of
+        the constituent terms (tie-break score desc, doc_id asc).
+
+        Two-phase plan, the classic phrase execution: (1) AND
+        retrieval over the inverted index narrows to docs containing
+        all terms; (2) positional verification — here against the
+        stored analyzed arrays (``toks``) with a pure Column
+        ``exists``/``sequence`` expression, the re-analysis variant of
+        Lucene's positions check (no positional postings needed; the
+        verify scan touches only the AND candidates via a semi-joined
+        broadcast)."""
+        m = len(phrase)
+        cand = self.scored_docs(phrase, mode="and")
+        starts = F.when(
+            F.size("toks") >= m, F.sequence(F.lit(0), F.size("toks") - m)
+        ).otherwise(F.array().cast("array<int>"))
+        phrase_arr = F.array(*[F.lit(t) for t in phrase])
+        is_match = F.exists(
+            starts,
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(True),
+                lambda acc, d: acc
+                & (
+                    F.element_at(F.col("toks"), (i + d + F.lit(1)).cast("int"))
+                    == F.element_at(phrase_arr, (d + F.lit(1)).cast("int"))
+                ),
+            ),
+        )
+        verified = self.docs.select("doc_id", "toks").filter(is_match).select(
+            "doc_id"
+        )
+        out = cand.join(verified, "doc_id", "left_semi")
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            out = out.join(fd, "doc_id", "left_semi")
+        out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            out = out.offset(offset)
+        return out.limit(k).select("doc_id", "score")
+
     def export(self, qterms: list[str], fields: list[str], mode: str = "or",
                filters: Filters = None) -> DataFrame:
         """Full result streaming — every matching doc's stored fields,

@@ -95,6 +95,41 @@ SELECT t.doc_id, round(t.score, 6) AS score, {cols}
 FROM top t JOIN {DOCS} d ON t.doc_id = d.doc_id"""
 
 
+def phrase_sql(phrase: list[str], k: int = 10) -> str:
+    """Phrase top-k oracle: AND-scored candidates intersected with
+    docs whose ordered token list contains the phrase consecutively."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    m = len(phrase)
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    conj = " AND ".join(
+        f"toks[i + {d}] = '{t.replace(chr(39), chr(39)*2)}'"
+        for d, t in enumerate(phrase)
+    )
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+verified AS (
+  SELECT doc_id FROM tokl
+  WHERE len(toks) >= {m}
+    AND len(list_filter(generate_series(1, len(toks) - {m - 1}),
+                        i -> {conj})) > 0
+),
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf
+  JOIN dfv ON tf.term = dfv.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(phrase)}
+  GROUP BY tf.doc_id HAVING count(*) = {len(set(phrase))}
+),
+top AS (
+  SELECT s.doc_id, s.score FROM scored s JOIN verified v ON s.doc_id = v.doc_id
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT {k}
+)
+SELECT doc_id, round(score, 6) AS score FROM top"""
+
+
 def matched_sql(terms: list[str], mode: str = "or", filter_sql: str | None = None) -> str:
     """CTE-suffix producing ``matched(doc_id)``."""
     n_terms = len(set(terms))

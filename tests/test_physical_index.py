@@ -261,6 +261,36 @@ def test_path_field_queries(spark, tmp_path):
             assert r["score"] == pytest.approx(s, abs=1e-9)
 
 
+def test_phrase_query(spark, tmp_path):
+    """Phrase = consecutive analyzed tokens: docs with the terms
+    scattered (AND-match) must NOT appear; scores equal the AND BM25
+    sum of the phrase terms."""
+    rows = [
+        (0, "alpha beta gamma here"),        # phrase "alpha beta": yes
+        (1, "beta alpha and more beta"),     # both terms, wrong order
+        (2, "alpha filler beta"),            # both terms, not adjacent
+        (3, "xx alpha beta"),                # yes
+        (4, "alphabeta together"),           # compound, not the phrase
+        (5, "alpha beta alpha beta"),        # yes (twice)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, "r", f"p{i}", "c", "x", t) for i, t in rows],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    d = str(tmp_path / "idx_phrase")
+    build_index(spark, corpus, d, n_groups=1, block_range=64)
+    idx = PhysicalIndex(spark, d)
+    got = idx.phrase_topk(["alpha", "beta"], k=10).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 3, 5]
+    # scores equal the plain AND scores of the same docs
+    and_scores = {
+        r["doc_id"]: r["score"]
+        for r in idx.topk(["alpha", "beta"], mode="and", k=10).collect()
+    }
+    for r in got:
+        assert r["score"] == pytest.approx(and_scores[r["doc_id"]], abs=1e-12)
+
+
 def test_count_fast_path(pindex, py_oracle):
     """Single-term count comes from the catalog (no decode) and must
     equal the decode-path count."""
