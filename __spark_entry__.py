@@ -51,8 +51,23 @@ def phys_index(spark: SparkSession, sf_dir: str,
     built once per sf dir and reopened from disk afterwards."""
     idx = _PHYS_CACHE.get(sf_dir)
     if idx is None:
+        import json
+        import shutil
+
         d = f"{cache_root}/{Path(sf_dir).name}"
-        if not Path(f"{d}/stats.json").exists():  # stats.json = build complete
+        stats_p = Path(f"{d}/stats.json")  # written last = build complete
+        fresh = False
+        if stats_p.exists():
+            try:  # stale/incompatible cache from an older engine build
+                st = json.loads(stats_p.read_text())
+                fresh = (
+                    "block_range" in st
+                    and st["n_docs"] == _docs(spark, sf_dir).count()
+                )
+            except Exception:
+                fresh = False
+        if not fresh:
+            shutil.rmtree(d, ignore_errors=True)
             corpus = _docs(spark, sf_dir).select(
                 F.col("doc_id").cast("long").alias("doc_id"),
                 F.col("text").alias("content"),
