@@ -45,6 +45,25 @@ def _round_score(df: DataFrame, col: str = "score", nd: int = 6) -> DataFrame:
     return df.withColumn(col, F.round(F.col(col), nd))
 
 
+ENGINE_ERA = 2  # bump when the on-disk index layout/schema changes
+
+
+def _source_fingerprint(sf_dir: str) -> dict:
+    """Filesystem-level identity of the source documents table:
+    (path, size, mtime_ns) per file + the engine era.  Pure stat()
+    calls — no Spark job on index open."""
+    p = Path(sf_dir) / "documents.parquet"
+    files = sorted(p.rglob("*")) if p.is_dir() else [p]
+    return {
+        "era": ENGINE_ERA,
+        "files": [
+            [f.name, f.stat().st_size, f.stat().st_mtime_ns]
+            for f in files
+            if f.is_file()
+        ],
+    }
+
+
 def phys_index(spark: SparkSession, sf_dir: str,
                cache_root: str = "/tmp/katta_phys") -> PhysicalIndex:
     """Physical (compressed-postings) index over the documents table,
@@ -56,13 +75,19 @@ def phys_index(spark: SparkSession, sf_dir: str,
 
         d = f"{cache_root}/{Path(sf_dir).name}"
         stats_p = Path(f"{d}/stats.json")  # written last = build complete
+        src_meta = _source_fingerprint(sf_dir)
+        meta_p = Path(f"{d}/source_meta.json")
         fresh = False
-        if stats_p.exists():
+        if stats_p.exists() and meta_p.exists():
             try:  # stale/incompatible cache from an older engine build
                 st = json.loads(stats_p.read_text())
+                # no Spark job: the guard compares the source parquet
+                # files' (path, size, mtime) fingerprint recorded at
+                # build time — catches content changes even at equal
+                # row count (and schema-era changes via ENGINE_ERA)
                 fresh = (
                     "block_range" in st
-                    and st["n_docs"] == _docs(spark, sf_dir).count()
+                    and json.loads(meta_p.read_text()) == src_meta
                 )
             except Exception:
                 fresh = False
@@ -73,7 +98,9 @@ def phys_index(spark: SparkSession, sf_dir: str,
                 F.col("text").alias("content"),
                 "lang", "source", "n_chars",
             )
-            build_index(spark, corpus, d, n_groups=4, block_range=1024)
+            build_index(spark, corpus, d, n_groups=4, block_range=1024,
+                        field_cols=["lang", "source"])
+            meta_p.write_text(json.dumps(src_meta))
         idx = PhysicalIndex(spark, d)
         _PHYS_CACHE[sf_dir] = idx
     return idx

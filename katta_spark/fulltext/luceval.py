@@ -1,0 +1,266 @@
+"""Boolean-query evaluator: compiles the parsed Lucene AST
+(katta_spark/fulltext/qparse.py) into a (doc_id, score) DataFrame
+over a :class:`~katta_spark.index.search.PhysicalIndex`.
+
+Scoring model (classic Lucene BooleanQuery):
+
+- a doc matches a Bool node iff it matches ALL must clauses, at least
+  one should clause when no must exists, and NO must_not clause;
+- score = sum of the scores of the matching scoring clauses (must +
+  should); non-scoring clauses (ranges / stored-column filters)
+  contribute 0; MatchAll scores 1.0 (MatchAllDocsQuery);
+- ``field:value`` is a SCORED term query when the field has postings
+  (build_index(field_cols=...)) — the reference treats e.g.
+  ``USER_FOLLOWINGS:0`` as a scored Lucene term
+  (katta-client/.../node/KattaSearchTest.java:47) — and a
+  non-scoring stored-column equality filter otherwise (Solr fq);
+- wildcards expand against the index INSIDE the scan (a LIKE
+  predicate pushed to parquet), never on the driver; matched terms
+  score as a BM25 sum (expand-and-score, oracle-checkable — a
+  deliberate deviation from Lucene's constant-score rewrite);
+- a pure-negative query is evaluated Solr-style as (*:* minus the
+  prohibited set).
+
+Physical shape: every flat group of plain terms shares ONE pruned
+postings scan (scored_docs batches them); nested sub-queries become
+doc_id equi-joins of aggregated (doc_id, score) sets — shuffle keyed
+on doc_id, no cross products anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from katta_spark.fulltext.qparse import (
+    Bool,
+    MatchAll,
+    Node,
+    Phrase,
+    RangeQ,
+    Term,
+    Wildcard,
+)
+
+
+def _is_number(s: str | None) -> bool:
+    if s is None:
+        return True
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _like_pattern(p: str) -> str:
+    """Lucene wildcard -> SQL LIKE (escape %/_ first)."""
+    return (
+        p.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+
+
+def flat_terms(node: Node) -> tuple[list[str], str] | None:
+    """(terms, mode) when the tree is a flat OR or AND of plain
+    unboosted content terms — the WAND-eligible shape."""
+    if isinstance(node, Term) and node.field is None and node.boost == 1.0:
+        return [node.text], "or"
+
+    def plain(n: Node) -> bool:
+        return isinstance(n, Term) and n.field is None and n.boost == 1.0
+
+    if isinstance(node, Bool) and node.boost == 1.0 and not node.must_not:
+        if node.should and not node.must and all(plain(n) for n in node.should):
+            return [n.text for n in node.should], "or"
+        if node.must and not node.should and all(plain(n) for n in node.must):
+            return [n.text for n in node.must], "and"
+    return None
+
+
+class LuceneEvaluator:
+    """Evaluate an AST against a PhysicalIndex."""
+
+    def __init__(self, idx):
+        self.idx = idx
+        self.fields: set[str] = set(idx.stats.get("indexed_fields", []))
+
+    # ------------------------------------------------------------ public
+
+    def eval_query(self, node: Node) -> DataFrame:
+        """(doc_id, score) of every matching doc, unranked."""
+        return self._eval(node)
+
+    # ------------------------------------------------------------- nodes
+
+    def _eval(self, node: Node) -> DataFrame:
+        if isinstance(node, Bool):
+            return self._eval_bool(node)
+        if isinstance(node, Term):
+            return self._eval_term(node)
+        if isinstance(node, Phrase):
+            return self._eval_phrase(node)
+        if isinstance(node, Wildcard):
+            return self._eval_wildcard(node)
+        if isinstance(node, RangeQ):
+            return self._eval_range(node)
+        if isinstance(node, MatchAll):
+            return self.idx.docs.select(
+                "doc_id", F.lit(1.0).alias("score")
+            )
+        raise TypeError(f"unknown query node {node!r}")
+
+    def _empty(self) -> DataFrame:
+        return self.idx.docs.select(
+            "doc_id", F.lit(0.0).alias("score")
+        ).filter(F.lit(False))
+
+    def _boost(self, df: DataFrame, boost: float) -> DataFrame:
+        if boost == 1.0:
+            return df
+        return df.select(
+            "doc_id", (F.col("score") * F.lit(float(boost))).alias("score")
+        )
+
+    def _postings_term(self, t: Term) -> str | None:
+        """The index-term a Term resolves to, or None when it is a
+        stored-column filter instead."""
+        if t.field is None:
+            return t.text
+        if t.field in self.fields:
+            return f"{t.field}:{t.text.lower()}"
+        return None
+
+    def _stored_filter(self, field: str, cond: Column) -> DataFrame:
+        if field not in self.idx.docs.columns:
+            return self._empty()
+        return self.idx.docs.filter(cond).select(
+            "doc_id", F.lit(0.0).alias("score")
+        )
+
+    def _eval_term(self, t: Term) -> DataFrame:
+        pt = self._postings_term(t)
+        if pt is not None:
+            return self._boost(self.idx.scored_docs([pt]), t.boost)
+        return self._stored_filter(
+            t.field, F.col(t.field).cast("string") == F.lit(t.text)
+        )
+
+    def _eval_phrase(self, p: Phrase) -> DataFrame:
+        if p.field is None:
+            return self._boost(self.idx.phrase_scored(p.words), p.boost)
+        # field-scoped quoted value on a stored column = exact match
+        return self._stored_filter(
+            p.field, F.col(p.field).cast("string") == F.lit(p.words[0])
+        )
+
+    def _eval_wildcard(self, w: Wildcard) -> DataFrame:
+        if w.field is None or w.field in self.fields:
+            prefix = "" if w.field is None else f"{w.field}:"
+            like = _like_pattern(prefix) + _like_pattern(w.pattern)
+            return self._boost(
+                self.idx.scored_docs_pred(F.col("term").like(like)), w.boost
+            )
+        return self._stored_filter(
+            w.field,
+            F.lower(F.col(w.field).cast("string")).like(
+                _like_pattern(w.pattern)
+            ),
+        )
+
+    def _eval_range(self, r: RangeQ) -> DataFrame:
+        if r.field not in self.idx.docs.columns:
+            return self._empty()
+        numeric = _is_number(r.lo) and _is_number(r.hi)
+        col = (
+            F.col(r.field).cast("double")
+            if numeric
+            else F.col(r.field).cast("string")
+        )
+
+        def lit(v: str) -> Column:
+            return F.lit(float(v)) if numeric else F.lit(v)
+
+        cond = F.lit(True)
+        if r.lo is not None:
+            cond = cond & (col >= lit(r.lo) if r.incl_lo else col > lit(r.lo))
+        if r.hi is not None:
+            cond = cond & (col <= lit(r.hi) if r.incl_hi else col < lit(r.hi))
+        return self._stored_filter(r.field, cond)
+
+    # -------------------------------------------------------------- bool
+
+    def _batch_and_rest(
+        self, nodes: list[Node]
+    ) -> tuple[list[str], list[Node]]:
+        """Split child nodes into batchable plain postings terms (one
+        shared scan) and everything else."""
+        terms: list[str] = []
+        rest: list[Node] = []
+        for n in nodes:
+            pt = self._postings_term(n) if isinstance(n, Term) else None
+            if pt is not None and n.boost == 1.0:
+                terms.append(pt)
+            else:
+                rest.append(n)
+        return terms, rest
+
+    def _sum_union(self, dfs: list[DataFrame]) -> DataFrame | None:
+        """Union (doc_id, score) sets, summing scores per doc."""
+        if not dfs:
+            return None
+        if len(dfs) == 1:
+            return dfs[0]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _eval_bool(self, b: Bool) -> DataFrame:
+        # --- should side: one batched scan for plain terms + the rest
+        sh_terms, sh_rest = self._batch_and_rest(b.should)
+        sh_dfs = []
+        if sh_terms:
+            sh_dfs.append(self.idx.scored_docs(sh_terms, "or"))
+        sh_dfs.extend(self._eval(n) for n in sh_rest)
+        should_df = self._sum_union(sh_dfs)
+
+        # --- must side: batched AND scan + per-node inner joins
+        mu_terms, mu_rest = self._batch_and_rest(b.must)
+        base: DataFrame | None = None
+        if mu_terms:
+            base = self.idx.scored_docs(mu_terms, "and")
+        for n in mu_rest:
+            d = self._eval(n).withColumnRenamed("score", "_s2")
+            if base is None:
+                base = d.withColumnRenamed("_s2", "score")
+            else:
+                base = base.join(d, "doc_id").select(
+                    "doc_id",
+                    (F.col("score") + F.col("_s2")).alias("score"),
+                )
+
+        if base is not None:
+            if should_df is not None:
+                s2 = should_df.withColumnRenamed("score", "_ss")
+                base = base.join(s2, "doc_id", "left").select(
+                    "doc_id",
+                    (
+                        F.col("score")
+                        + F.coalesce(F.col("_ss"), F.lit(0.0))
+                    ).alias("score"),
+                )
+        elif should_df is not None:
+            base = should_df
+        else:
+            # pure-negative query: Solr's implicit *:*
+            base = self.idx.docs.select("doc_id", F.lit(1.0).alias("score"))
+
+        for n in b.must_not:
+            base = base.join(
+                self._eval(n).select("doc_id"), "doc_id", "left_anti"
+            )
+        return self._boost(base, b.boost)

@@ -171,15 +171,15 @@ def tokens_with_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
     if "toks" in docs.columns:
         # stored token arrays: the (expensive) analyzer regex ran
         # exactly once, at docs-write — posting passes just explode.
-        # Field-scoped terms (ptoks, already "path:"-prefixed) ride
-        # in the same term space — Katta's multi-field Lucene schema
-        # (data/solr/userindex/conf/schema.xml:112-147) flattened to
-        # prefixed terms; dl remains the content length so content
-        # scoring is unaffected by field postings.
-        arr = (
-            F.concat("toks", "ptoks") if "ptoks" in docs.columns
-            else F.col("toks")
-        )
+        # Field-scoped terms (ptoks/ftoks, already "field:"-prefixed)
+        # ride in the same term space — Katta's multi-field Lucene
+        # schema (data/solr/userindex/conf/schema.xml:112-147)
+        # flattened to prefixed terms; dl remains the content length
+        # so content scoring is unaffected by field postings.
+        arr = F.col("toks")
+        for extra in ("ptoks", "ftoks"):
+            if extra in docs.columns:
+                arr = F.concat(arr, F.col(extra))
         toks = docs.select("doc_id", "dl", F.explode(arr).alias("term"))
     else:
         dl = (
@@ -201,6 +201,7 @@ def build_index(
     *,
     text_col: str = "content",
     path_col: str | None = None,
+    field_cols: list[str] | None = None,
     n_groups: int = 4,
     commit: str = "c0",
     doc_id_method: str = "rank",
@@ -219,10 +220,18 @@ def build_index(
     root = Path(index_dir)
     root.mkdir(parents=True, exist_ok=True)
     stats_path = root / "stats.json"
+    indexed_fields = sorted(
+        c for c in (field_cols or []) if c in corpus.columns
+    )
     if stats_path.exists():
         # block geometry is an index-wide invariant (decode + group
-        # lineage depend on it) — later commits inherit the original
-        block_range = json.loads(stats_path.read_text())["block_range"]
+        # lineage depend on it) — later commits inherit the original;
+        # indexed fields accumulate across commits
+        _prev_stats = json.loads(stats_path.read_text())
+        block_range = _prev_stats["block_range"]
+        indexed_fields = sorted(
+            set(indexed_fields) | set(_prev_stats.get("indexed_fields", []))
+        )
     mdir = _manifest_dir(index_dir)
     mdir.mkdir(exist_ok=True)
     manifest = load_manifest(index_dir)
@@ -235,10 +244,19 @@ def build_index(
             p for p in (root / "docs").glob("commit=*")
             if p != docs_dir and (p / "_SUCCESS").exists()
         ] if (root / "docs").exists() else []
-        prev_n = (
-            spark.read.parquet(*[str(p) for p in prev_dirs]).count()
-            if prev_dirs else 0
-        )
+        # next-id watermark = max(doc_id)+1, NOT the row count: after
+        # expunge the surviving ids are sparse (count < max+1) and a
+        # count-based offset would collide new ids with live docs,
+        # silently merging two documents' postings
+        if prev_dirs:
+            _mx = (
+                spark.read.parquet(*[str(p) for p in prev_dirs])
+                .agg(F.max("doc_id"))
+                .first()[0]
+            )
+            prev_n = int(_mx) + 1 if _mx is not None else 0
+        else:
+            prev_n = 0
         had_doc_id = "doc_id" in corpus.columns
         docs = with_ingest_columns(
             corpus.withColumn("content", F.col(text_col)) if text_col != "content"
@@ -262,6 +280,28 @@ def build_index(
                 F.transform(
                     path_tokens_array(path_col),
                     lambda t: F.concat(F.lit("path:"), t),
+                ),
+            )
+        if indexed_fields:
+            # scored field postings: one "<field>:<lower(value)>"
+            # term per doc per field (keyword semantics, not
+            # analyzed), queryable as a SCORED field:term clause —
+            # the reference's indexed Solr fields (KattaSearchTest
+            # .java:47 queries USER_FOLLOWINGS:0 as a scored term;
+            # schema.xml:112-147)
+            docs = docs.withColumn(
+                "ftoks",
+                F.filter(
+                    F.array(
+                        *[
+                            F.concat(
+                                F.lit(f"{c}:"),
+                                F.lower(F.col(c).cast("string")),
+                            )
+                            for c in indexed_fields
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
                 ),
             )
         docs.write.mode("overwrite").parquet(str(docs_dir))
@@ -350,6 +390,7 @@ def build_index(
         "k1": K1,
         "b": B,
         "block_range": block_range,
+        "indexed_fields": indexed_fields,
         "commits": sorted({m["commit"] for m in load_manifest(index_dir)}),
         "built_at_commit": commit,
     }

@@ -4,11 +4,16 @@ into one optimally-laid-out commit.
 The analogue of Katta's segment merge / optimize
 (katta-core/.../node/LuceneIndexMergeManager.java:154-196 addIndexes
 + optimize; CLI tool katta-core/.../tool/index/IndexMergeTool.java:97-161)
-and of Iceberg's rewrite_data_files.  Because posting blocks are
-doc-range aligned and commits own disjoint doc-id ranges, blocks
-never overlap — compaction is a pure re-layout (hash-partition by
-term, sort by (term, block_id)), no decode/re-encode needed, so it
-runs at raw shuffle speed regardless of index size.
+and of Iceberg's rewrite_data_files.  Posting blocks are doc-range
+aligned, so compaction is a pure re-layout (hash-partition by term,
+sort by (term, block_id)), no decode/re-encode needed, and runs at
+raw shuffle speed regardless of index size.  NOTE: duplicate
+(term, block_id) rows CAN exist across commits — when a commit's doc
+count is not a multiple of block_range, the next commit's first docs
+share the boundary block_id.  Readers must tolerate this (they do:
+_score_group sums across rows of a group and the WAND upper bound
+over-estimates, which is sound); compaction preserves the duplicate
+rows rather than merging them.
 
 Docs and the term catalog are untouched (the catalog is already a
 global aggregate).  The swap is crash-safe: the new commit dir is

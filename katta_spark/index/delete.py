@@ -143,12 +143,24 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
         F.count(F.lit(1)).alias("n_blocks"),
         F.coalesce(F.sum("n"), F.lit(0)).alias("n_postings"),
     ).first()
-    shutil.rmtree(root / "docs")
-    (root / "docs_new").rename(root / "docs")
-    shutil.rmtree(root / "postings")
-    (root / "postings_new").rename(root / "postings")
-    shutil.rmtree(root / "terms")
-    tmp_terms.rename(root / "terms")
+    # crash-safe swap: old dirs are renamed ASIDE (cheap) before the
+    # new ones take their place, and deleted only after every rename
+    # landed — a crash mid-swap leaves each of docs/postings/terms
+    # present as either the old or the new complete layout (the _old
+    # dirs are recovery state, never a half-deleted index)
+    aside = []
+    for name, new_dir in (
+        ("docs", root / "docs_new"),
+        ("postings", root / "postings_new"),
+        ("terms", tmp_terms),
+    ):
+        old = root / f"{name}_old"
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a crash
+        (root / name).rename(old)
+        new_dir.rename(root / name)
+        aside.append(old)
+    for old in aside:
+        shutil.rmtree(old)
     shutil.rmtree(tombstone_dir(index_dir))
     mdir = _manifest_dir(index_dir)
     for m in load_manifest(index_dir):

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 from collections.abc import Iterator
+from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np
@@ -42,6 +43,18 @@ from katta_spark.index import codec
 SCORED_SCHEMA = "doc_id long, score double, nt int"
 
 Filters = dict[str, object] | None
+
+
+@dataclass
+class SearchResponse:
+    """Result envelope parity with the reference's QueryResponse
+    (katta-core/.../lib/lucene/QueryResponse.java:27-192): the hit
+    slice plus numFound / maxScore / qTime."""
+
+    hits: DataFrame
+    num_found: int
+    max_score: float | None
+    qtime_ms: int
 
 
 def _topk_merge(cur: tuple[np.ndarray, np.ndarray] | None,
@@ -206,31 +219,30 @@ class PhysicalIndex:
 
     # ---------------------------------------------------------- plumbing
 
-    def query_idf(self, qterms: list[str]) -> dict[str, float]:
-        """Per-term global idf — the restored getDocFreqs() exchange
-        (LuceneServer.java:76-82): one tiny driver-side collect of the
-        catalog rows for the query's terms, broadcast in the kernel
-        closure."""
-        n = float(self.stats["n_docs"])
-        rows = self.terms.filter(F.col("term").isin(list(qterms))).collect()
-        return {r["term"]: codec.bm25_idf(float(r["df"]), n) for r in rows}
-
-    def _qblocks(self, qterms: list[str]) -> DataFrame:
+    def _qblocks(self, qterms: list[str] | Column) -> DataFrame:
         """Posting blocks of the query terms, shuffled once on
         block_id (doc-range co-partitioning) and ordered for the
         streaming group iterator.  Column-pruned before the exchange
         (the scan then reads only the 8 needed columns, parquet
         ReadSchema) and hash-partitioned: WAND needs block order only
         WITHIN a partition (partitions keep independent thresholds),
-        so the range-partitioner's extra sampling job buys nothing."""
-        blocks = self.postings.filter(F.col("term").isin(list(qterms))).select(
+        so the range-partitioner's extra sampling job buys nothing.
+
+        ``qterms`` may be a Column predicate over ``term`` instead of
+        a list (wildcard/prefix queries): an ``isin`` or a
+        ``startsWith`` both push to the parquet scan as DataFilters,
+        so only the matching terms' row groups are read."""
+        cond = (
+            qterms
+            if isinstance(qterms, Column)
+            else F.col("term").isin(list(qterms))
+        )
+        blocks = self.postings.filter(cond).select(
             "term", "block_id", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"
         )
         # global df attached via broadcast join (the getDocFreqs()
         # exchange as part of the SAME job — no driver collect)
-        cat = self.terms.filter(F.col("term").isin(list(qterms))).select(
-            "term", "df"
-        )
+        cat = self.terms.filter(cond).select("term", "df")
         blocks = blocks.join(F.broadcast(cat), "term")
         nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         return blocks.repartition(nparts, "block_id").sortWithinPartitions(
@@ -250,6 +262,21 @@ class PhysicalIndex:
         out = self._qblocks(terms).mapInPandas(kern, SCORED_SCHEMA)
         if mode == "and" and len(terms) > 1:
             out = out.filter(F.col("nt") == len(terms))
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        return out.select("doc_id", "score")
+
+    def scored_docs_pred(self, term_cond: Column) -> DataFrame:
+        """(doc_id, score) where score sums BM25 over every index term
+        matching ``term_cond`` — the multi-term (wildcard/prefix)
+        expansion path.  One pruned postings scan; the expansion set
+        never materializes on the driver (Lucene's MultiTermQuery
+        rewrite, done as a predicate instead of a term enumeration)."""
+        kern = make_exhaustive_kernel(
+            float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+        )
+        out = self._qblocks(term_cond).mapInPandas(kern, SCORED_SCHEMA)
         if self.tombstones is not None:
             out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
         return out.select("doc_id", "score")
@@ -373,20 +400,25 @@ class PhysicalIndex:
         cols = ["doc_id", *[f for f in fields if f != "doc_id"]]
         return F.broadcast(hits).join(self.docs.select(*cols), "doc_id")
 
-    def phrase_topk(self, phrase: list[str], k: int = 10,
-                    filters: Filters = None, offset: int = 0) -> DataFrame:
-        """Exact phrase search: docs where the analyzed token stream
-        contains ``phrase`` consecutively, ranked by the BM25 sum of
-        the constituent terms (tie-break score desc, doc_id asc).
+    def phrase_scored(self, phrase: list[str]) -> DataFrame:
+        """(doc_id, score) for EVERY doc containing ``phrase``
+        consecutively — the unranked phrase match set.
 
         Two-phase plan, the classic phrase execution: (1) AND
         retrieval over the inverted index narrows to docs containing
         all terms; (2) positional verification — here against the
         stored analyzed arrays (``toks``) with a pure Column
         ``exists``/``sequence`` expression, the re-analysis variant of
-        Lucene's positions check (no positional postings needed; the
-        verify scan touches only the AND candidates via a semi-joined
-        broadcast)."""
+        Lucene's positions check (no positional postings needed).
+
+        The candidate set is BROADCAST-joined into the docs scan
+        BEFORE the positional predicate is applied, so the O(len*m)
+        ``exists`` expression evaluates only on AND candidates — never
+        on the full corpus.  The predicate is guarded by a reference
+        to the candidate side (``score.isNotNull()``, always true) so
+        Catalyst's PushPredicateThroughJoin cannot move the docs-only
+        ``exists`` back below the join onto the full docs FileScan
+        (asserted by a plan test)."""
         m = len(phrase)
         cand = self.scored_docs(phrase, mode="and")
         starts = F.when(
@@ -405,10 +437,23 @@ class PhysicalIndex:
                 ),
             ),
         )
-        verified = self.docs.select("doc_id", "toks").filter(is_match).select(
-            "doc_id"
+        joined = self.docs.select("doc_id", "toks").join(
+            F.broadcast(cand), "doc_id"
         )
-        out = cand.join(verified, "doc_id", "left_semi")
+        # the guard must be ONE unsplittable expression referencing
+        # both join sides: a bare `score.isNotNull() & is_match`
+        # conjunction is split by Catalyst and the docs-only conjunct
+        # pushed below the join — exactly the full scan being avoided
+        guarded = F.when(F.col("score").isNotNull(), is_match).otherwise(
+            F.lit(False)
+        )
+        return joined.filter(guarded).select("doc_id", "score")
+
+    def phrase_topk(self, phrase: list[str], k: int = 10,
+                    filters: Filters = None, offset: int = 0) -> DataFrame:
+        """Phrase top-k, ranked by the BM25 sum of the constituent
+        terms (tie-break score desc, doc_id asc)."""
+        out = self.phrase_scored(phrase)
         fd = self._filter_docs(filters)
         if fd is not None:
             out = out.join(fd, "doc_id", "left_semi")
@@ -427,16 +472,73 @@ class PhysicalIndex:
         m = self.matched_docs(qterms, mode, filters)
         return self.docs.join(m, "doc_id", "left_semi").select(*fields)
 
+    # ------------------------------------------- query-string front door
+
+    def query_scored(self, q: str, fq: list[str] | None = None) -> DataFrame:
+        """(doc_id, score) for a full Lucene-syntax query string —
+        NOT/ranges/wildcards/phrases/nesting/boosts (the reference's
+        SolrPluginUtils.parseQueryStrings front door,
+        LuceneServer.java:1314-1353).  q and every fq are MUST-joined
+        (LuceneServer.java:1344-1352)."""
+        from katta_spark.fulltext.luceval import LuceneEvaluator
+        from katta_spark.fulltext.qparse import combine_q_fq
+
+        node = combine_q_fq(q, fq)
+        return LuceneEvaluator(self).eval_query(node)
+
+    def query(self, q: str, k: int = 10, offset: int = 0,
+              fq: list[str] | None = None) -> DataFrame:
+        """Top-k for a Lucene-syntax query string: (doc_id, score),
+        score desc / doc_id asc, sliced [offset, offset+k).  Flat
+        pure-term queries route through the WAND top-k path; general
+        boolean trees run the exhaustive evaluator."""
+        from katta_spark.fulltext.luceval import LuceneEvaluator, flat_terms
+        from katta_spark.fulltext.qparse import combine_q_fq
+
+        node = combine_q_fq(q, fq)
+        flat = flat_terms(node)
+        if flat is not None:
+            terms, mode = flat
+            return self.topk(terms, k=k, mode=mode, offset=offset)
+        out = LuceneEvaluator(self).eval_query(node).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        if offset:
+            out = out.offset(offset)
+        return out.limit(k).select("doc_id", "score")
+
     def search(self, q: str, k: int = 10, default_mode: str = "or",
                **kw) -> DataFrame:
         """Query-string search: ``idx.search("parse AND request
         lang:python")`` — the LuceneClient.search(SolrQuery) analogue
-        (katta-client/.../client/LuceneClient.java:255-276)."""
-        from katta_spark.fulltext.qparse import parse_query
+        (katta-client/.../client/LuceneClient.java:255-276).  Now a
+        thin wrapper over :meth:`query` (``default_mode`` is retained
+        for API compatibility; Lucene's default operator is OR and
+        explicit AND/OR/NOT in the string override it)."""
+        return self.query(q, k=k, **kw)
 
-        p = parse_query(q, default_mode)
-        return self.topk(p.terms, k=k, mode=p.mode,
-                         filters=p.filters or None, **kw)
+    def search_response(self, q: str, k: int = 10, offset: int = 0,
+                        fq: list[str] | None = None) -> "SearchResponse":
+        """Search with the reference's result envelope: hits +
+        numFound + maxScore + qTime (QueryResponse.java:27-192,
+        maxScore at :121-123)."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        scored = self.query_scored(q, fq)
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("n"), F.max("score").alias("mx")
+        ).first()
+        hits = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            hits = hits.offset(offset)
+        hits = hits.limit(k).select("doc_id", "score")
+        return SearchResponse(
+            hits=hits,
+            num_found=int(agg["n"]),
+            max_score=float(agg["mx"]) if agg["mx"] is not None else None,
+            qtime_ms=int((_time.monotonic() - t0) * 1000),
+        )
 
     def register_views(self, prefix: str = "katta") -> None:
         """Expose the index as SQL temp views (``<prefix>_docs``,

@@ -204,7 +204,7 @@ WITH lagd AS (
 ),
 marks AS (
   SELECT user_id, ts,
-         CASE WHEN prev IS NULL OR ts - prev > INTERVAL {gap_minutes} MINUTE
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL {gap_minutes} MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM lagd
 ),

