@@ -185,6 +185,18 @@ def _q_phys_topk(terms, k=10, mode="or", filters=None, offset=0, wand=True):
     return run
 
 
+def _q_qstr(q, k=10, offset=0):
+    """Lucene-syntax query-string search over the physical index
+    (parser -> boolean evaluator -> ranked slice)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _round_score(
+            phys_index(spark, sf_dir).query(q, k=k, offset=offset)
+        )
+
+    return run
+
+
 def q_phys_phrase(spark, sf_dir):
     return _round_score(
         phys_index(spark, sf_dir).phrase_topk(["order", "fast"], k=10)
@@ -374,6 +386,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_facet": q_phys_facet,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
+        # --- Lucene-syntax query strings through the parser +
+        #     boolean evaluator (reference front door parity:
+        #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
+        "ft_q_not": _q_qstr("table -scan"),
+        "ft_q_range": _q_qstr("scan AND n_chars:[100 TO 300]"),
+        "ft_q_nested": _q_qstr("(dup OR key) AND table"),
+        "ft_q_phrase": _q_qstr('"key agg"'),
+        "ft_q_wildcard": _q_qstr("s*"),
+        "ft_q_boost": _q_qstr("table^2 OR spark"),
+        "ft_q_must": _q_qstr("+table spark"),
+        "ft_q_field": _q_qstr("table AND lang:en"),
+        "ft_q_field_or": _q_qstr("dup OR source:src3"),
+        "ft_q_matchall": _q_qstr("*:*"),
         # --- training-data pipeline ops ---
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -443,6 +468,42 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
+        # Lucene-syntax queries: boolean-evaluator oracles
+        "ft_q_not": O.lucene_topk_sql(
+            [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]
+        ),
+        "ft_q_range": O.lucene_topk_sql(
+            [("scan", 1.0)],
+            filter_sql=(
+                "CAST(n_chars AS DOUBLE) >= 100.0"
+                " AND CAST(n_chars AS DOUBLE) <= 300.0"
+            ),
+        ),
+        "ft_q_nested": O.lucene_topk_sql(
+            [("dup", 1.0), ("key", 1.0), ("table", 1.0)],
+            must_doc_sql=[
+                O.term_docs_sql(["table"]),
+                O.term_docs_sql(["dup", "key"]),
+            ],
+        ),
+        "ft_q_phrase": O.phrase_sql(["key", "agg"], k=10),
+        "ft_q_wildcard": O.lucene_topk_sql([], like_patterns=["s%"]),
+        "ft_q_boost": O.lucene_topk_sql([("table", 2.0), ("spark", 1.0)]),
+        "ft_q_must": O.lucene_topk_sql(
+            [("table", 1.0), ("spark", 1.0)],
+            must_doc_sql=[O.term_docs_sql(["table"])],
+        ),
+        "ft_q_field": O.lucene_topk_sql(
+            [("table", 1.0)],
+            field_terms=[("lang", "en", 1.0)],
+            require_all=True,
+        ),
+        "ft_q_field_or": O.lucene_topk_sql(
+            [("dup", 1.0)], field_terms=[("source", "src3", 1.0)]
+        ),
+        "ft_q_matchall": """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "ft_term_catalog": f"""{ctes}
 SELECT term, df, cf FROM dfv ORDER BY df DESC, term ASC LIMIT 100""",
         "ft_stats": f"""{ctes}

@@ -161,9 +161,12 @@ class LuceneEvaluator:
         if w.field is None or w.field in self.fields:
             prefix = "" if w.field is None else f"{w.field}:"
             like = _like_pattern(prefix) + _like_pattern(w.pattern)
-            return self._boost(
-                self.idx.scored_docs_pred(F.col("term").like(like)), w.boost
-            )
+            cond = F.col("term").like(like)
+            if w.field is None:
+                # content terms never contain ':' — exclude the
+                # field/path postings sharing the term space
+                cond = cond & ~F.col("term").contains(":")
+            return self._boost(self.idx.scored_docs_pred(cond), w.boost)
         return self._stored_filter(
             w.field,
             F.lower(F.col(w.field).cast("string")).like(

@@ -130,6 +130,113 @@ top AS (
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def field_score_sql(field: str, value_lower: str) -> str:
+    """BM25 score of a scored FIELD term (build_index field_cols):
+    tf = 1 (one keyword posting per doc), dl = content dl, df = docs
+    with that field value."""
+    fdf = (
+        f"(SELECT count(*) FROM {DOCS} "
+        f"WHERE lower(CAST({field} AS VARCHAR)) = '{value_lower}')"
+    )
+    idf = (
+        f"ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST({fdf} AS DOUBLE) + 0.5)"
+        f" / (CAST({fdf} AS DOUBLE) + 0.5))"
+    )
+    tfn = (
+        f"(1.0 * {K1 + 1.0!r}) / (1.0"
+        f" + {K1!r} * ({1.0 - B!r} + {B!r} * CAST(dl.dl AS DOUBLE) / stats.avgdl))"
+    )
+    return f"{idf} * {tfn}"
+
+
+def lucene_topk_sql(
+    terms: list[tuple[str, float]],
+    field_terms: list[tuple[str, str, float]] = (),
+    like_patterns: list[str] = (),
+    require_all: bool = False,
+    must_doc_sql: list[str] = (),
+    not_doc_sql: list[str] = (),
+    filter_sql: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+) -> str:
+    """Oracle for the boolean query evaluator: per-clause score parts
+    UNION'd then summed per doc, with doc-set constraints.
+
+    ``terms``          scored content terms with boosts.
+    ``field_terms``    (field, lowercased value, boost) scored field
+                       postings clauses.
+    ``like_patterns``  wildcard clauses — every content term matching
+                       the LIKE pattern scores (expand-and-score).
+    ``require_all``    flat-AND: every terms/field_terms clause must
+                       match (wildcards excluded from the count).
+    ``must_doc_sql``   list of SELECTs yielding doc_id sets the doc
+                       must belong to (nested MUST sub-queries).
+    ``not_doc_sql``    doc_id sets the doc must NOT belong to.
+    """
+    parts = []
+    for t, boost in terms:
+        tq = t.replace("'", "''")
+        parts.append(
+            f"""  SELECT tf.doc_id, {score_sql()} * {float(boost)!r} AS s,
+         1 AS is_clause
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats WHERE tf.term = '{tq}'"""
+        )
+    for fld, val, boost in field_terms:
+        vq = val.replace("'", "''")
+        parts.append(
+            f"""  SELECT d.doc_id, {field_score_sql(fld, vq)} * {float(boost)!r} AS s,
+         1 AS is_clause
+  FROM {DOCS} d JOIN dl ON d.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE lower(CAST(d.{fld} AS VARCHAR)) = '{vq}'"""
+        )
+    for pat in like_patterns:
+        parts.append(
+            f"""  SELECT tf.doc_id, {score_sql()} AS s, 0 AS is_clause
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats WHERE tf.term LIKE '{pat}'"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    n_clauses = len(terms) + len(field_terms)
+    having = (
+        f"HAVING sum(is_clause) = {n_clauses}"
+        if require_all and n_clauses > 1
+        else ""
+    )
+    conds = []
+    for m in must_doc_sql:
+        conds.append(f"doc_id IN ({m})")
+    for nm in not_doc_sql:
+        conds.append(f"doc_id NOT IN ({nm})")
+    if filter_sql:
+        conds.append(f"doc_id IN (SELECT doc_id FROM {DOCS} WHERE {filter_sql})")
+    where = ("WHERE " + " AND ".join(conds)) if conds else ""
+    off = f"OFFSET {offset}" if offset else ""
+    return f"""{index_ctes()},
+parts AS (
+{union}
+),
+scored AS (
+  SELECT doc_id, sum(s) AS score FROM parts GROUP BY doc_id {having}
+),
+top AS (SELECT * FROM scored {where}
+        ORDER BY score DESC, doc_id ASC LIMIT {k} {off})
+SELECT doc_id, round(score, 6) AS score FROM top"""
+
+
+def term_docs_sql(terms: list[str], mode: str = "or") -> str:
+    """SELECT of doc_ids matching the terms — a must/not constraint
+    fragment for :func:`lucene_topk_sql`."""
+    tl = _term_list(terms)
+    if mode == "and" and len(set(terms)) > 1:
+        return (
+            f"SELECT doc_id FROM tf WHERE term IN {tl} "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(terms))}"
+        )
+    return f"SELECT doc_id FROM tf WHERE term IN {tl}"
+
+
 def matched_sql(terms: list[str], mode: str = "or", filter_sql: str | None = None) -> str:
     """CTE-suffix producing ``matched(doc_id)``."""
     n_terms = len(set(terms))
