@@ -48,11 +48,11 @@ def _round_score(df: DataFrame, col: str = "score", nd: int = 6) -> DataFrame:
 ENGINE_ERA = 2  # bump when the on-disk index layout/schema changes
 
 
-def _source_fingerprint(sf_dir: str) -> dict:
-    """Filesystem-level identity of the source documents table:
+def _source_fingerprint(sf_dir: str, name: str = "documents.parquet") -> dict:
+    """Filesystem-level identity of a source table:
     (path, size, mtime_ns) per file + the engine era.  Pure stat()
     calls — no Spark job on index open."""
-    p = Path(sf_dir) / "documents.parquet"
+    p = Path(sf_dir) / name
     files = sorted(p.rglob("*")) if p.is_dir() else [p]
     return {
         "era": ENGINE_ERA,
@@ -76,7 +76,7 @@ def phys_index(spark: SparkSession, sf_dir: str,
         d = f"{cache_root}/{Path(sf_dir).name}"
         stats_p = Path(f"{d}/stats.json")  # written last = build complete
         src_meta = _source_fingerprint(sf_dir)
-        meta_p = Path(f"{d}/source_meta.json")
+        meta_p = Path(f"{d}/_source_meta.json")
         fresh = False
         if stats_p.exists() and meta_p.exists():
             try:  # stale/incompatible cache from an older engine build
@@ -249,12 +249,41 @@ def q_sim_cosine_topk(spark, sf_dir):
     return _round_score(out.select("vec_id", "cos"), col="cos")
 
 
+def ann_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_ann") -> str:
+    """Signature-partitioned ANN index over the embeddings table
+    (minus the query vector 0), built once per sf dir."""
+    import json
+    import shutil
+
+    from katta_spark.ops import ann_index as AI
+
+    d = f"{cache_root}/{Path(sf_dir).name}"
+    src_meta = _source_fingerprint(sf_dir, "embeddings.parquet")
+    meta_p = Path(f"{d}/_source_meta.json")
+    if not (
+        Path(f"{d}/_meta.json").exists()
+        and meta_p.exists()
+        and json.loads(meta_p.read_text()) == src_meta
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") != 0
+        )
+        dims = len(emb.select("embedding").first()["embedding"])
+        AI.build_ann_index(emb, d, dims=dims, planes_per_table=12, n_tables=1)
+        meta_p.write_text(json.dumps(src_meta))
+    return d
+
+
 def q_sim_lsh_ann(spark, sf_dir):
+    """ANN served from the PERSISTED signature-partitioned index:
+    the probe is a partition-pruned read, not a corpus scan (same
+    bucket semantics as similarity.lsh_bucket_ann, same oracle)."""
+    from katta_spark.ops import ann_index as AI
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = similarity.lsh_bucket_ann(
-        emb.filter(F.col("vec_id") != 0), qv, k=10, dims=len(qv), n_planes=12
-    )
+    out = AI.ann_query(spark, ann_index_dir(spark, sf_dir), qv, k=10)
     return _round_score(out, col="cos")
 
 
@@ -338,6 +367,12 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash64(_docs(spark, sf_dir), text_col="text")
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_candidate_pairs(
+        _docs(spark, sf_dir), max_hamming=3, text_col="text"
+    )
+
+
 def q_dedup_fingerprint(spark, sf_dir):
     fp = text.fingerprint(_docs(spark, sf_dir), text_col="text")
     return (
@@ -405,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_langid": q_text_langid,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -516,6 +552,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "dedup_ngram_jaccard": OO.ngram_jaccard_sql(threshold=0.5, n=3),
         "dedup_minhash_lsh": OO.minhash_lsh_sql(num_hashes=16, bands=4, n=3),
         "dedup_simhash": OO.simhash_sql(),
+        "dedup_simhash_pairs": OO.simhash_pairs_sql(max_hamming=3),
         "text_langid": OO.langid_sql(),
         "text_quality": OO.quality_sql(),
         "text_token_stats": f"""{ctes}

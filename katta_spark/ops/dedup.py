@@ -11,8 +11,9 @@ scale md5 stays JVM-side (no Python in the hot path).
   through a (a*x+b) mod p family) banded into LSH buckets; candidate
   pairs come from bucket joins — the 100 TB path (shuffle is
   O(docs x bands), never O(docs^2)).
-- simhash:     64->32-bit sign-aggregated token fingerprint; hamming
-  candidates via band equality.
+- simhash:     64-bit sign-aggregated token fingerprint (two 32-bit
+  words); near-dup candidate pairs via 4x16-bit band-equality join +
+  popcount verify, complete for hamming <= 3.
 """
 
 from __future__ import annotations
@@ -158,28 +159,112 @@ def minhash_lsh_pairs(
 
 
 def simhash64(corpus: DataFrame, text_col: str = "content") -> DataFrame:
-    """(doc_id, simhash) — 32-bit sign-aggregated token fingerprint.
+    """(doc_id, simhash_hi, simhash_lo) — TRUE 64-bit sign-aggregated
+    token fingerprint (Charikar similarity hashing), held as two
+    32-bit words so every bit operation stays in non-negative BIGINT
+    range in both Spark and a SQL oracle.
 
     bit_j(doc) = 1 iff sum over token occurrences of
-    (+1 if bit_j(h32(token)) else -1) > 0, h32 = md5-derived.
+    (+1 if bit_j(h64(token)) else -1) > 0, where h64 = first 16 hex
+    digits of md5(token) (lo = digits 1-8, hi = digits 9-16).
 
-    Computed entirely as per-row array algebra (transform/aggregate
-    over the token array): NARROW — zero shuffle, scales linearly at
-    any corpus size; near-dup candidates then come from grouping on
-    simhash bands."""
-    t = tokens_array(text_col)
-    hashes = F.transform(
-        t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    Physical shape: explode -> ONE md5 per token occurrence (JVM,
+    whole-stage codegen) -> 64 conditional sums with map-side partial
+    aggregation -> bit assembly.  Shuffle volume is 64 small ints per
+    doc per map partition — linear at any corpus size.  (The earlier
+    higher-order-function formulation re-evaluated the md5 transform
+    once per bit; explode pays it once.)"""
+    toks = corpus.select(
+        "doc_id", F.explode(tokens_array(text_col)).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    t = toks.select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("hi"),
     )
-    def _bit_sum(mask: int):
-        return lambda acc, x: acc + F.when(
-            x.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    sig = F.lit(0).cast("long")
+    aggs = []
     for j in range(32):
-        s = F.aggregate(hashes, F.lit(0).cast("long"), _bit_sum(1 << j))
-        sig = sig + F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        for word in ("lo", "hi"):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(word).bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                ).alias(f"{word}{j}")
+            )
+    s = t.groupBy("doc_id").agg(*aggs)
+
+    def assemble(word: str) -> F.Column:
+        sig = F.lit(0).cast("long")
+        for j in range(32):
+            # token-less docs arrive via the left join with null sums:
+            # `null > 0` is null -> otherwise(0) -> bit 0 (oracle
+            # parity: coalesce(list_sum(...), 0))
+            sig = sig + F.when(
+                F.col(f"{word}{j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return (
+        corpus.select("doc_id")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            assemble("hi").alias("simhash_hi"),
+            assemble("lo").alias("simhash_lo"),
         )
-    return corpus.select("doc_id", sig.alias("simhash"))
+    )
+
+
+def simhash_candidate_pairs(
+    corpus: DataFrame, max_hamming: int = 3, text_col: str = "content"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup candidate pairs within
+    ``max_hamming`` bits over the 64-bit simhash.
+
+    Band-equality join: the 64 bits split into four 16-bit bands; two
+    docs within hamming distance <= 3 must agree on at least one band
+    (pigeonhole), so candidates come from a groupable equi-join —
+    shuffle O(docs x 4), never all-pairs — then an exact popcount
+    verify (the Manku/Jain/Sarma WWW'07 simhash dedup construction).
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "4x16-bit banding guarantees completeness only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+    sh = simhash64(corpus, text_col)
+    bands = []
+    for bnd in range(4):
+        word = F.col("simhash_lo") if bnd < 2 else F.col("simhash_hi")
+        val = F.shiftright(word, 16 * (bnd % 2)).bitwiseAND(F.lit(0xFFFF))
+        bands.append(
+            F.struct(F.lit(bnd).alias("band"), val.alias("val"))
+        )
+    e = sh.select(
+        "doc_id", "simhash_hi", "simhash_lo",
+        F.explode(F.array(*bands)).alias("bv"),
+    ).select(
+        "doc_id", "simhash_hi", "simhash_lo",
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    ham = (
+        F.bit_count(
+            F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
+        )
+        + F.bit_count(
+            F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo"))
+        )
+    ).cast("long")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -67,16 +67,56 @@ FROM banded a JOIN banded b
 GROUP BY doc_a, doc_b"""
 
 
-def simhash_sql() -> str:
+_H32_HI = "CAST(concat('0x', substr(md5({x}), 9, 8)) AS BIGINT)"
+
+
+def _simhash_ctes() -> str:
+    """CTE prefix ending in sh(doc_id, simhash_hi, simhash_lo) —
+    mirror of katta_spark.ops.dedup.simhash64."""
     tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
-    bits = " + ".join(
-        f"CASE WHEN coalesce(list_sum(list_transform(hs, h -> ((h >> {j}) % 2) * 2 - 1)), 0) > 0"
-        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
-        for j in range(32)
-    )
+
+    def bits(col: str) -> str:
+        return " + ".join(
+            f"CASE WHEN coalesce(list_sum(list_transform({col}, h -> ((h >> {j}) % 2) * 2 - 1)), 0) > 0"
+            f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+            for j in range(32)
+        )
+
     return f"""WITH tokl AS ({tokl}),
-hx AS (SELECT doc_id, list_transform(toks, x -> {_H32.format(x='x')}) AS hs FROM tokl)
-SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hx"""
+hx AS (SELECT doc_id,
+              list_transform(toks, x -> {_H32.format(x='x')}) AS hlo,
+              list_transform(toks, x -> {_H32_HI.format(x='x')}) AS hhi
+       FROM tokl),
+sh AS (SELECT doc_id, CAST({bits('hhi')} AS BIGINT) AS simhash_hi,
+              CAST({bits('hlo')} AS BIGINT) AS simhash_lo
+       FROM hx)"""
+
+
+def simhash_sql() -> str:
+    return f"""{_simhash_ctes()}
+SELECT doc_id, simhash_hi, simhash_lo FROM sh"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Band-equality candidate pairs + popcount verify — mirror of
+    katta_spark.ops.dedup.simhash_candidate_pairs."""
+    return f"""{_simhash_ctes()},
+bands AS (
+  SELECT doc_id, simhash_hi, simhash_lo, band,
+         CASE band WHEN 0 THEN simhash_lo & 65535
+                   WHEN 1 THEN (simhash_lo >> 16) & 65535
+                   WHEN 2 THEN simhash_hi & 65535
+                   ELSE (simhash_hi >> 16) & 65535 END AS val
+  FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}"""
 
 
 def fingerprint_dup_sql() -> str:
