@@ -87,6 +87,7 @@ class LuceneEvaluator:
     def __init__(self, idx):
         self.idx = idx
         self.fields: set[str] = set(idx.stats.get("indexed_fields", []))
+        self.analyzers: dict[str, str] = idx.stats.get("field_analyzers", {})
 
     # ------------------------------------------------------------ public
 
@@ -127,12 +128,36 @@ class LuceneEvaluator:
 
     def _postings_term(self, t: Term) -> str | None:
         """The index-term a Term resolves to, or None when it is a
-        stored-column filter instead."""
+        stored-column filter instead (or needs analysis — see
+        :meth:`_field_terms`)."""
         if t.field is None:
             return t.text
-        if t.field in self.fields:
+        if (
+            t.field in self.fields
+            and self.analyzers.get(t.field, "keyword") == "keyword"
+        ):
             return f"{t.field}:{t.text.lower()}"
         return None
+
+    def _field_terms(self, t: Term) -> list[str] | None:
+        """Postings terms for a field whose analyzer tokenizes the
+        value (per-field analyzer registry, schema.xml:306-378
+        parity): the query value runs through the SAME analyzer as at
+        index time; multiple tokens OR together (scores sum)."""
+        if t.field not in self.fields:
+            return None
+        kind = self.analyzers.get(t.field, "keyword")
+        if kind == "keyword":
+            return [f"{t.field}:{t.text.lower()}"]
+        if kind == "code":
+            from katta_spark.tokenizer import py_tokenize
+
+            toks = py_tokenize(t.text)
+        else:  # path
+            from katta_spark.tokenizer import py_path_tokenize
+
+            toks = py_path_tokenize(t.text)
+        return [f"{t.field}:{x}" for x in toks]
 
     def _stored_filter(self, field: str, cond: Column) -> DataFrame:
         if field not in self.idx.docs.columns:
@@ -145,6 +170,11 @@ class LuceneEvaluator:
         pt = self._postings_term(t)
         if pt is not None:
             return self._boost(self.idx.scored_docs([pt]), t.boost)
+        fts = self._field_terms(t)
+        if fts is not None:  # analyzed field: OR of the sub-tokens
+            if not fts:
+                return self._empty()
+            return self._boost(self.idx.scored_docs(fts, "or"), t.boost)
         return self._stored_filter(
             t.field, F.col(t.field).cast("string") == F.lit(t.text)
         )

@@ -40,7 +40,7 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
@@ -202,6 +202,7 @@ def build_index(
     text_col: str = "content",
     path_col: str | None = None,
     field_cols: list[str] | None = None,
+    field_analyzers: dict[str, str] | None = None,
     n_groups: int = 4,
     commit: str = "c0",
     doc_id_method: str = "rank",
@@ -223,15 +224,19 @@ def build_index(
     indexed_fields = sorted(
         c for c in (field_cols or []) if c in corpus.columns
     )
+    fanalyzers = {
+        c: (field_analyzers or {}).get(c, "keyword") for c in indexed_fields
+    }
     if stats_path.exists():
         # block geometry is an index-wide invariant (decode + group
         # lineage depend on it) — later commits inherit the original;
-        # indexed fields accumulate across commits
+        # indexed fields + analyzers accumulate across commits
         _prev_stats = json.loads(stats_path.read_text())
         block_range = _prev_stats["block_range"]
         indexed_fields = sorted(
             set(indexed_fields) | set(_prev_stats.get("indexed_fields", []))
         )
+        fanalyzers = {**_prev_stats.get("field_analyzers", {}), **fanalyzers}
     mdir = _manifest_dir(index_dir)
     mdir.mkdir(exist_ok=True)
     manifest = load_manifest(index_dir)
@@ -250,7 +255,8 @@ def build_index(
         # silently merging two documents' postings
         if prev_dirs:
             _mx = (
-                spark.read.parquet(*[str(p) for p in prev_dirs])
+                spark.read.option("basePath", str(root / "docs"))
+                .parquet(*[str(p) for p in prev_dirs])
                 .agg(F.max("doc_id"))
                 .first()[0]
             )
@@ -283,37 +289,67 @@ def build_index(
                 ),
             )
         if indexed_fields:
-            # scored field postings: one "<field>:<lower(value)>"
-            # term per doc per field (keyword semantics, not
-            # analyzed), queryable as a SCORED field:term clause —
-            # the reference's indexed Solr fields (KattaSearchTest
-            # .java:47 queries USER_FOLLOWINGS:0 as a scored term;
-            # schema.xml:112-147)
+            # scored field postings, queryable as SCORED field:term
+            # clauses — the reference's indexed Solr fields
+            # (KattaSearchTest.java:47 queries USER_FOLLOWINGS:0 as a
+            # scored term; schema.xml:112-147).  Per-field analyzer
+            # registry (the schema.xml:306-378 plug point):
+            #   keyword (default) — one "<field>:<lower(value)>" term
+            #   code             — the code tokenizer, each sub-token
+            #                      emitted as "<field>:<token>"
+            #   path             — the path tokenizer, prefixed
+            arrs = []
+            for c in indexed_fields:
+                kind = fanalyzers.get(c, "keyword")
+                if kind == "keyword":
+                    a = F.array(F.lower(F.col(c).cast("string")))
+                elif kind == "code":
+                    a = tokens_array(F.col(c).cast("string"))
+                elif kind == "path":
+                    from katta_spark.tokenizer import path_tokens_array
+
+                    a = path_tokens_array(F.col(c).cast("string"))
+                else:
+                    raise ValueError(f"unknown analyzer {kind!r} for {c!r}")
+                def _prefixed(arr, prefix):
+                    # nested helper (not a default-arg lambda): a
+                    # two-parameter lambda would be treated as the
+                    # (element, index) transform variant
+                    return F.transform(
+                        arr, lambda t: F.concat(F.lit(prefix), t)
+                    )
+
+                arrs.append(_prefixed(a, f"{c}:"))
             docs = docs.withColumn(
                 "ftoks",
                 F.filter(
-                    F.array(
-                        *[
-                            F.concat(
-                                F.lit(f"{c}:"),
-                                F.lower(F.col(c).cast("string")),
-                            )
-                            for c in indexed_fields
-                        ]
-                    ),
-                    lambda x: x.isNotNull(),
+                    F.flatten(F.array(*arrs)), lambda x: x.isNotNull()
                 ),
             )
-        docs.write.mode("overwrite").parquet(str(docs_dir))
+        # docs land PARTITIONED BY the lineage group, so each of the
+        # n_groups posting passes is a file-pruned read of ~1/n of the
+        # commit instead of a full re-scan with a non-pushable derived
+        # predicate.  The stored g is valid exactly for the n_groups
+        # it was written with — recorded in _commit_meta.json and
+        # restored on resume.
+        docs = docs.withColumn("g", _group_expr(n_groups, block_range))
+        docs.write.mode("overwrite").partitionBy("g").parquet(str(docs_dir))
+        (docs_dir / "_commit_meta.json").write_text(
+            json.dumps({"n_groups": n_groups})
+        )
+    else:
+        cm = docs_dir / "_commit_meta.json"
+        if cm.exists():
+            n_groups = int(json.loads(cm.read_text())["n_groups"])
 
     docs_commit = spark.read.parquet(str(docs_dir))
     commit_dirs = list((root / "docs").glob("commit=*"))
     # one aggregation job yields global stats AND per-group lineage
     # counts when this commit is the whole corpus (the common case);
     # incremental commits pay one extra scan for the global stats
-    grp = docs_commit.groupBy(
-        _group_expr(n_groups, block_range).alias("g")
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")).collect()
+    grp = docs_commit.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    ).collect()
     group_docs = {int(r["g"]): int(r["n"]) for r in grp}
     if len(commit_dirs) == 1:
         n_docs = sum(r["n"] for r in grp)
@@ -334,19 +370,21 @@ def build_index(
         if fail_after_groups is not None and len(built) >= fail_after_groups:
             raise RuntimeError(f"injected failure after {fail_after_groups} groups")
         g0 = time.monotonic()
-        part = docs_commit.filter(_group_expr(n_groups, block_range) == g)
+        # file-pruned: g is a partition directory of the docs commit
+        part = docs_commit.filter(F.col("g") == g)
         tf = tokens_with_tf(part, "content")
         blocks = build_posting_blocks(tf, avgdl, block_range)
         gdir = root / "postings" / f"commit={commit}" / f"group={g}"
-        blocks.write.mode("overwrite").parquet(str(gdir))
-        stat = (
-            spark.read.parquet(str(gdir))
-            .agg(
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.coalesce(F.sum("n"), F.lit(0)).alias("n_postings"),
-            )
-            .first()
+        # lineage metrics ride on the write job itself (Observation
+        # listener) — no per-group read-back job
+        obs = Observation(f"build_{commit}_g{g}")
+        blocks = blocks.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_postings"),
         )
+        blocks.write.mode("overwrite").parquet(str(gdir))
+        stat = obs.get
         n_docs_group = group_docs.get(g, 0)
         entry = {
             "commit": commit,
@@ -391,6 +429,7 @@ def build_index(
         "b": B,
         "block_range": block_range,
         "indexed_fields": indexed_fields,
+        "field_analyzers": fanalyzers,
         "commits": sorted({m["commit"] for m in load_manifest(index_dir)}),
         "built_at_commit": commit,
     }

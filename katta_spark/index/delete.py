@@ -103,11 +103,18 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     # docs: rewrite every commit dir minus tombstones into one commit
     docs = spark.read.option("basePath", str(root / "docs")).parquet(
         str(root / "docs" / "commit=*")
-    ).drop("commit")
+    ).drop("commit", "g")
     live_docs = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
     new_commit = f"expunge{int(stats.get('expunges', 0))}"
     tmp_docs = root / "docs_new" / f"commit={new_commit}"
-    live_docs.write.mode("overwrite").parquet(str(tmp_docs))
+    # keep the g partition layout uniform across commit dirs (the
+    # expunged commit is one resume group)
+    live_docs.withColumn("g", F.lit(0).cast("long")).write.mode(
+        "overwrite"
+    ).partitionBy("g").parquet(str(tmp_docs))
+    (tmp_docs / "_commit_meta.json").write_text(
+        json.dumps({"n_groups": 1})
+    )
 
     # postings: decode -> anti-join -> rebuild blocks (new avgdl for
     # block-max metadata comes from the live docs)

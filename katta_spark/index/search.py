@@ -540,6 +540,123 @@ class PhysicalIndex:
             qtime_ms=int((_time.monotonic() - t0) * 1000),
         )
 
+    def fields_info(self) -> DataFrame:
+        """(field, dtype, stored, indexed) for every field of the
+        index — the reference's schema introspection RPC
+        (LuceneServer.getFieldsInfo, LuceneServer.java:849-869 /
+        FieldInfoWritable).  ``indexed`` = the field has postings
+        (content text, path tokens, or build field_cols)."""
+        internal = {"toks", "ptoks", "ftoks", "g", "commit",
+                    "content_sha256", "dl"}
+        indexed_fields = set(self.stats.get("indexed_fields", []))
+        rows = []
+        for f in self.docs.schema.fields:
+            if f.name in internal:
+                continue
+            indexed = (
+                f.name == "content"
+                or f.name in indexed_fields
+                or (f.name == "path" and "ptoks" in self.docs.columns)
+            )
+            rows.append((f.name, f.dataType.simpleString(), True, indexed))
+        return self.spark.createDataFrame(
+            rows, "field string, dtype string, stored boolean, indexed boolean"
+        )
+
+    @classmethod
+    def open_many(cls, spark: SparkSession,
+                  pattern: str | list[str]) -> "PhysicalIndex":
+        """Cross-index search handle: one PhysicalIndex over SEVERAL
+        index directories (glob pattern or explicit list) — the
+        reference client's index-name pattern expansion searching many
+        indices in one call (Client.java:672-703).
+
+        Doc-id namespacing: index i's ids shift by a cumulative offset
+        rounded up to a block_range multiple, so BOTH doc_id and
+        block_id translate by pure column arithmetic and the
+        varint-gap decode (base = block_id * block_range) yields the
+        namespaced ids with no re-encode.  The term catalogs merge by
+        summation and stats merge exactly, so scores are identical to
+        a single index built over the union of the corpora (tested).
+        """
+        if isinstance(pattern, str):
+            import glob as _glob
+
+            dirs = sorted(
+                d for d in _glob.glob(pattern)
+                if (Path(d) / "stats.json").exists()
+            )
+        else:
+            dirs = list(pattern)
+        if not dirs:
+            raise ValueError(f"no indexes match {pattern!r}")
+        parts = [cls(spark, d) for d in dirs]
+        base = parts[0]
+        br = base.stats["block_range"]
+        for p in parts[1:]:
+            if p.stats["block_range"] != br:
+                raise ValueError("block_range differs across indexes")
+            if (p.stats["k1"], p.stats["b"]) != (
+                base.stats["k1"], base.stats["b"]
+            ):
+                raise ValueError("BM25 parameters differ across indexes")
+
+        merged = cls.__new__(cls)
+        merged.spark = spark
+        merged.index_dir = ",".join(dirs)
+
+        docs_u = posts_u = tombs_u = None
+        offset = 0
+        n_total, dl_total = 0, 0.0
+        for p in parts:
+            mx = p.docs.agg(F.max("doc_id")).first()[0]
+            span = (int(mx) + 1) if mx is not None else 0
+            blocks_span = -(-span // br)  # ceil
+            d = p.docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(offset)
+            )
+            po = p.postings.withColumn(
+                "block_id", F.col("block_id") + F.lit(offset // br)
+            )
+            docs_u = d if docs_u is None else docs_u.unionByName(
+                d, allowMissingColumns=True
+            )
+            posts_u = po if posts_u is None else posts_u.unionByName(
+                po, allowMissingColumns=True
+            )
+            if p.tombstones is not None:
+                t = p.tombstones.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(offset)
+                )
+                tombs_u = t if tombs_u is None else tombs_u.unionByName(t)
+            n_total += int(p.stats["n_docs"])
+            dl_total += float(p.stats["avgdl"]) * int(p.stats["n_docs"])
+            offset += blocks_span * br
+        merged.docs = docs_u
+        merged.postings = posts_u
+        merged.terms = posts_u.groupBy("term").agg(
+            F.sum("n").alias("df"), F.sum("cf").alias("cf")
+        )
+        merged.tombstones = tombs_u
+        # a field scored in only SOME indexes would carry a wrong
+        # global df — only the intersection stays queryable as scored
+        fields = None
+        for p in parts:
+            s = set(p.stats.get("indexed_fields", []))
+            fields = s if fields is None else (fields & s)
+        merged.stats = {
+            "n_docs": n_total,
+            "avgdl": (dl_total / n_total) if n_total else 0.0,
+            "k1": base.stats["k1"],
+            "b": base.stats["b"],
+            "block_range": br,
+            "indexed_fields": sorted(fields or ()),
+            "commits": sorted(
+                {c for p in parts for c in p.stats.get("commits", [])}
+            ),
+        }
+        return merged
+
     def register_views(self, prefix: str = "katta") -> None:
         """Expose the index as SQL temp views (``<prefix>_docs``,
         ``<prefix>_postings``, ``<prefix>_terms``) so plain

@@ -1,0 +1,121 @@
+"""Multi-index search (Client.java:672-703 pattern expansion parity):
+rank identity of open_many vs one index built over the union corpus
+with the same namespaced ids; schema introspection; per-field
+analyzer registry."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+from katta_spark.index import PhysicalIndex, build_index
+
+N1, N2, BR = 400, 300, 256
+
+
+@pytest.fixture(scope="module")
+def split_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("multi")
+    full = with_ingest_columns(synthetic_corpus(spark, N1 + N2))
+    a = full.filter(F.col("doc_id") < N1)
+    b = full.filter(F.col("doc_id") >= N1).withColumn(
+        "doc_id", F.col("doc_id") - N1
+    )
+    da, db, du = str(root / "part_a"), str(root / "part_b"), str(root / "union_u")
+    build_index(spark, a, da, n_groups=2, block_range=BR)
+    build_index(spark, b, db, n_groups=2, block_range=BR)
+    # union oracle: ONE index whose caller-assigned ids equal the
+    # namespacing open_many applies (B shifted by the block-aligned
+    # offset) — so doc_ids, scores and tie-breaks must all agree
+    off = -(-N1 // BR) * BR
+    u = a.unionByName(
+        full.filter(F.col("doc_id") >= N1).withColumn(
+            "doc_id", F.col("doc_id") - N1 + off
+        )
+    )
+    build_index(spark, u, du, n_groups=2, block_range=BR)
+    return str(root), da, db, du
+
+
+def test_open_many_stats_merge(spark, split_dirs):
+    _, da, db, du = split_dirs
+    m = PhysicalIndex.open_many(spark, [da, db])
+    un = PhysicalIndex(spark, du)
+    assert m.stats["n_docs"] == un.stats["n_docs"] == N1 + N2
+    assert m.stats["avgdl"] == pytest.approx(un.stats["avgdl"], abs=1e-9)
+    # merged catalog == union catalog
+    got = {r["term"]: int(r["df"]) for r in m.terms.collect()}
+    want = {r["term"]: int(r["df"]) for r in un.terms.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "terms,mode",
+    [
+        (["import"], "or"),
+        (["parse", "request"], "and"),
+        (["nebula", "quark"], "or"),
+        (["xylophonequarknebula3"], "or"),
+    ],
+)
+def test_open_many_rank_identity(spark, split_dirs, terms, mode):
+    _, da, db, du = split_dirs
+    m = PhysicalIndex.open_many(spark, [da, db])
+    un = PhysicalIndex(spark, du)
+    got = m.topk(terms, k=15, mode=mode).collect()
+    want = un.topk(terms, k=15, mode=mode).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_open_many_glob_and_surfaces(spark, split_dirs):
+    root, da, db, du = split_dirs
+    m = PhysicalIndex.open_many(spark, f"{root}/part_*")
+    un = PhysicalIndex(spark, du)
+    assert m.count(["import"]).first()["n_hits"] == \
+        un.count(["import"]).first()["n_hits"]
+    got = m.facet(["import"], "lang", n=3).collect()
+    want = un.facet(["import"], "lang", n=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    with pytest.raises(ValueError):
+        PhysicalIndex.open_many(spark, f"{root}/nothing_*")
+
+
+def test_fields_info(pindex):
+    info = {r["field"]: r for r in pindex.fields_info().collect()}
+    assert info["content"]["indexed"] and info["content"]["stored"]
+    assert not info["lang"]["indexed"]  # no field postings in conftest build
+    assert "toks" not in info and "g" not in info
+    assert info["doc_id"]["dtype"] == "bigint"
+
+
+def test_path_analyzer_field_postings(spark, docs, tmp_path_factory):
+    """field_analyzers={'path': 'path'}: the field value is tokenized
+    by the path analyzer at build AND at query, sub-tokens OR
+    together."""
+    d = str(tmp_path_factory.mktemp("fan") / "idx")
+    build_index(
+        spark,
+        docs.filter(F.col("doc_id") < 300).select(
+            "doc_id", "repo", "path", "commit", "lang", "content"
+        ),
+        d,
+        n_groups=2,
+        block_range=256,
+        field_cols=["path"],
+        field_analyzers={"path": "path"},
+    )
+    idx = PhysicalIndex(spark, d)
+    assert idx.stats["field_analyzers"] == {"path": "path"}
+    got = {r["doc_id"] for r in idx.query_scored("path:Module7").collect()}
+    want = {
+        r["doc_id"]
+        for r in idx.docs.filter(
+            F.col("path").rlike("(?i)module7\\.")
+        ).select("doc_id").collect()
+    }
+    assert got == want and got
+    # multi-token value: src/pkg3 -> OR of path:src, path:pkg3
+    got2 = {r["doc_id"] for r in idx.query_scored("path:src/pkg3").collect()}
+    want2 = {r["doc_id"] for r in idx.docs.select("doc_id").collect()}
+    assert got2 == want2  # every path starts with src/
