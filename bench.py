@@ -83,7 +83,8 @@ def main() -> None:
         "lang", "source", "n_chars",
     )
     t0 = time.monotonic()
-    build_index(spark, corpus, idx_dir, n_groups=4, block_range=1024)
+    build_index(spark, corpus, idx_dir, n_groups=4, block_range=1024,
+                field_cols=["lang", "source"])
     build_s = time.monotonic() - t0
     queries["index_build_docs"] = round(build_s, 4)
     extra["docs_files_per_sec"] = round(n_docs / build_s, 1)
@@ -106,6 +107,12 @@ def main() -> None:
         "q_fetch": run(
             lambda: idx.fetch_details(idx.topk(["dup"], k=5), ["lang", "source"])
         ),
+        # Lucene-syntax front door: parser + boolean evaluator
+        "q_phrase": run(lambda: idx.phrase_topk(["order", "fast"], k=10)),
+        "q_lucene_nested": run(lambda: idx.query("(dup OR key) AND table")),
+        "q_lucene_not": run(lambda: idx.query("table -scan")),
+        "q_wildcard": run(lambda: idx.query("s*")),
+        "q_field_scored": run(lambda: idx.query("table AND lang:en")),
     }
     samples: list[float] = []
     for name, fn in qset.items():
@@ -136,6 +143,30 @@ def main() -> None:
         ).collect(),
         repeats=1,
     )
+    queries["op_simhash_pairs"] = timed(
+        lambda: dedup.simhash_candidate_pairs(
+            docs.withColumnRenamed("text", "content"), max_hamming=3
+        ).count(),
+        repeats=1,
+    )
+    # persisted ANN index: build once, then partition-pruned probes
+    from katta_spark.ops import ann_index as AI
+
+    ann_dir = bench_tmpdir("katta_bench_ann_")
+    shutil.rmtree(ann_dir, ignore_errors=True)
+    emb_corpus = emb.filter(F.col("vec_id") != 0)
+    dims = len(emb_corpus.select("embedding").first()["embedding"])
+    queries["op_ann_index_build"] = timed(
+        lambda: AI.build_ann_index(
+            emb_corpus, ann_dir, dims=dims, planes_per_table=12, n_tables=1
+        ),
+        repeats=1,
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    queries["op_ann_query"] = timed(
+        lambda: AI.ann_query(spark, ann_dir, qv, k=10).collect()
+    )
+    shutil.rmtree(ann_dir, ignore_errors=True)
 
     # ---- synthetic source-code corpus at bench scale --------------------
     synth_dir = bench_tmpdir("katta_bench_synth_")

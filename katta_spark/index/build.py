@@ -362,12 +362,34 @@ def build_index(
             F.count(F.lit(1)), (F.sum("dl") / F.count(F.lit(1))).cast("double")
         ).first()
         avgdl = float(avgdl or 0.0)
+    # Adapt the input split size to the pruned group scans: a group's
+    # files total ~docs_bytes/n_groups, and the default 128 MB
+    # maxPartitionBytes (+4 MB open cost) would coalesce a small
+    # group into one or two input tasks, serializing the
+    # explode+aggregate stage.  Target = one split per core per
+    # group; at warehouse scale per_task exceeds the default and the
+    # default applies unchanged.
+    nparts_in = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_task = max(
+        1 << 20, _dir_bytes(docs_dir) // max(n_groups, 1) // max(nparts_in, 1)
+    )
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(min(per_task, 128 << 20))
+    )
+    spark.conf.set(
+        "spark.sql.files.openCostInBytes",
+        str(max(min(per_task // 4, 4 << 20), 64 << 10)),
+    )
     built, skipped = [], []
     for g in range(n_groups):
         if (commit, g) in done:
             skipped.append(g)
             continue
         if fail_after_groups is not None and len(built) >= fail_after_groups:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", old_open)
             raise RuntimeError(f"injected failure after {fail_after_groups} groups")
         g0 = time.monotonic()
         # file-pruned: g is a partition directory of the docs commit
@@ -421,6 +443,8 @@ def build_index(
     ).sortWithinPartitions("term").write.mode("overwrite").parquet(
         str(root / "terms")
     )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+    spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
     stats = {
         "n_docs": int(n_docs),

@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing sizes by COMPRESSED shuffle bytes; the
+        # build's ingest stages (tokenize + sha256 over text) are
+        # CPU-bound per row, so the 1 MB default min-partition-size
+        # coalesces a small corpus to a handful of tasks and
+        # undersubscribes the cluster.  64 KB keeps parallelismFirst
+        # honest at small scale; at warehouse scale partitions are
+        # orders of magnitude past either floor and nothing changes.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
