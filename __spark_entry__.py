@@ -45,7 +45,7 @@ def _round_score(df: DataFrame, col: str = "score", nd: int = 6) -> DataFrame:
     return df.withColumn(col, F.round(F.col(col), nd))
 
 
-ENGINE_ERA = 3  # bump when the on-disk index layout/schema changes
+ENGINE_ERA = 4  # bump when the on-disk index layout/schema changes
 
 
 def _source_fingerprint(sf_dir: str, name: str = "documents.parquet") -> dict:

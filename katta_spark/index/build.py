@@ -42,7 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import BinaryType, StructField, StructType
 
 from katta_spark.corpus import with_ingest_columns
 from katta_spark.fulltext.analysis import B, K1
@@ -67,6 +67,18 @@ def _enc_varint(vals: pd.Series) -> pd.Series:
     return pd.Series(
         [codec.encode_varint(np.asarray(v, dtype=np.int64)) for v in vals]
     )
+
+
+@F.pandas_udf(StructType([
+    StructField("pos_lens", BinaryType()),
+    StructField("pos_deltas", BinaryType()),
+]))
+def _enc_positions(poss: pd.Series) -> pd.DataFrame:
+    out = [
+        codec.encode_positions([np.asarray(p, dtype=np.int64) for p in plists])
+        for plists in poss
+    ]
+    return pd.DataFrame(out, columns=["pos_lens", "pos_deltas"])
 
 
 def _group_expr(n_groups: int, block_range: int):
@@ -105,6 +117,8 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
     upper bound idf*tfnorm(max_tf, min_dl, avgdl_now) stays valid when
     later commits shift the global avgdl.
     """
+    with_pos = "poss" in tokens_tf.columns
+    struct_cols = ["doc_id", "tf", "dl"] + (["poss"] if with_pos else [])
     blocks = (
         tokens_tf.withColumn(
             "block_id",
@@ -113,7 +127,7 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
         .groupBy("term", "block_id")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf", "dl"))
+                F.collect_list(F.struct(*struct_cols))
             ).alias("ps"),
             F.count(F.lit(1)).alias("n"),
             F.sum("tf").alias("cf"),
@@ -130,9 +144,14 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
             F.transform(F.col("ps"), lambda x: x["doc_id"]).alias("_ids"),
             F.transform(F.col("ps"), lambda x: x["tf"]).alias("_tfs"),
             F.transform(F.col("ps"), lambda x: x["dl"]).alias("_dls"),
+            *(
+                [F.transform(F.col("ps"), lambda x: x["poss"]).alias("_poss")]
+                if with_pos
+                else []
+            ),
         )
     )
-    enc = blocks.select(
+    enc_cols = [
         "term",
         "block_id",
         "n",
@@ -142,7 +161,16 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
         _enc_gaps("_ids", (F.col("block_id") * F.lit(block_range))).alias("doc_gaps"),
         _enc_varint("_tfs").alias("tfs"),
         _enc_varint("_dls").alias("dls"),
-    )
+    ]
+    if with_pos:
+        enc_cols.append(_enc_positions("_poss").alias("_pe"))
+    enc = blocks.select(*enc_cols)
+    if with_pos:
+        enc = enc.select(
+            *[c for c in enc.columns if c != "_pe"],
+            F.col("_pe.pos_lens").alias("pos_lens"),
+            F.col("_pe.pos_deltas").alias("pos_deltas"),
+        )
     # layout shuffle: hash-partition by term (Katta's murmur3 shard
     # routing, lib/writer/DefaultDataWriter.java:171-184), then sort
     # within partitions => row-groups inside every file carry tight
@@ -163,11 +191,18 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
     )
 
 
-def tokens_with_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
-    """(doc_id, dl, term, tf) in ONE pass: dl rides along with each
-    exploded token so no separate doc-length join/shuffle is needed
-    (reuses a stored ``dl`` column when present to avoid tokenizing
-    twice)."""
+def tokens_with_tf(docs: DataFrame, text_col: str = "content",
+                   positions: bool = False) -> DataFrame:
+    """(doc_id, dl, term, tf [, poss]) in ONE pass: dl rides along
+    with each exploded token so no separate doc-length join/shuffle
+    is needed (reuses a stored ``dl`` column when present to avoid
+    tokenizing twice).
+
+    With ``positions``, ``poss`` is the sorted token-position list of
+    each (doc, term) — content tokens occupy positions [0, dl);
+    field/path terms land past dl, where no analyzed phrase can reach
+    them (phrase terms never contain ':').
+    """
     if "toks" in docs.columns:
         # stored token arrays: the (expensive) analyzer regex ran
         # exactly once, at docs-write — posting passes just explode.
@@ -180,17 +215,23 @@ def tokens_with_tf(docs: DataFrame, text_col: str = "content") -> DataFrame:
         for extra in ("ptoks", "ftoks"):
             if extra in docs.columns:
                 arr = F.concat(arr, F.col(extra))
-        toks = docs.select("doc_id", "dl", F.explode(arr).alias("term"))
+        dl = F.col("dl")
     else:
+        arr = tokens_array(text_col)
         dl = (
             F.col("dl") if "dl" in docs.columns
             else F.size(tokens_array(text_col)).cast("long")
         )
+    if positions:
         toks = docs.select(
-            "doc_id",
-            dl.alias("dl"),
-            F.explode(tokens_array(text_col)).alias("term"),
+            "doc_id", dl.alias("dl"),
+            F.posexplode(arr).alias("pos", "term"),
         )
+        return toks.groupBy("doc_id", "dl", "term").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("poss"),
+        )
+    toks = docs.select("doc_id", dl.alias("dl"), F.explode(arr).alias("term"))
     return toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
@@ -203,6 +244,7 @@ def build_index(
     path_col: str | None = None,
     field_cols: list[str] | None = None,
     field_analyzers: dict[str, str] | None = None,
+    store_positions: bool = True,
     n_groups: int = 4,
     commit: str = "c0",
     doc_id_method: str = "rank",
@@ -233,6 +275,9 @@ def build_index(
         # indexed fields + analyzers accumulate across commits
         _prev_stats = json.loads(stats_path.read_text())
         block_range = _prev_stats["block_range"]
+        # positions are an index-wide invariant too (mixed commits
+        # would leave phrase execution half-blind)
+        store_positions = bool(_prev_stats.get("positions", False))
         indexed_fields = sorted(
             set(indexed_fields) | set(_prev_stats.get("indexed_fields", []))
         )
@@ -333,23 +378,44 @@ def build_index(
         # it was written with — recorded in _commit_meta.json and
         # restored on resume.
         docs = docs.withColumn("g", _group_expr(n_groups, block_range))
+        # per-group lineage stats ride the write job (Observation):
+        # no separate aggregation job over the freshly written commit
+        obs_docs = Observation(f"docs_{commit}")
+        gaggs = []
+        for gi in range(n_groups):
+            cond = F.col("g") == gi
+            gaggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{gi}")
+            )
+            gaggs.append(
+                F.sum(F.when(cond, F.col("dl")).otherwise(0)).alias(f"sdl{gi}")
+            )
+        docs = docs.observe(obs_docs, *gaggs)
         docs.write.mode("overwrite").partitionBy("g").parquet(str(docs_dir))
         (docs_dir / "_commit_meta.json").write_text(
             json.dumps({"n_groups": n_groups})
         )
     else:
+        obs_docs = None
         cm = docs_dir / "_commit_meta.json"
         if cm.exists():
             n_groups = int(json.loads(cm.read_text())["n_groups"])
 
     docs_commit = spark.read.parquet(str(docs_dir))
     commit_dirs = list((root / "docs").glob("commit=*"))
-    # one aggregation job yields global stats AND per-group lineage
-    # counts when this commit is the whole corpus (the common case);
-    # incremental commits pay one extra scan for the global stats
-    grp = docs_commit.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
-    ).collect()
+    if obs_docs is not None:
+        m = obs_docs.get
+        grp = [
+            {"g": gi, "n": int(m[f"n{gi}"] or 0),
+             "sdl": int(m[f"sdl{gi}"] or 0)}
+            for gi in range(n_groups)
+        ]
+    else:
+        # resume path: the commit was written by an earlier run — one
+        # aggregation job recovers the per-group stats
+        grp = docs_commit.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        ).collect()
     group_docs = {int(r["g"]): int(r["n"]) for r in grp}
     if len(commit_dirs) == 1:
         n_docs = sum(r["n"] for r in grp)
@@ -394,7 +460,7 @@ def build_index(
         g0 = time.monotonic()
         # file-pruned: g is a partition directory of the docs commit
         part = docs_commit.filter(F.col("g") == g)
-        tf = tokens_with_tf(part, "content")
+        tf = tokens_with_tf(part, "content", positions=store_positions)
         blocks = build_posting_blocks(tf, avgdl, block_range)
         gdir = root / "postings" / f"commit={commit}" / f"group={g}"
         # lineage metrics ride on the write job itself (Observation
@@ -454,6 +520,7 @@ def build_index(
         "block_range": block_range,
         "indexed_fields": indexed_fields,
         "field_analyzers": fanalyzers,
+        "positions": store_positions,
         "commits": sorted({m["commit"] for m in load_manifest(index_dir)}),
         "built_at_commit": commit,
     }

@@ -100,6 +100,46 @@ def decode_block(doc_gaps: bytes, tfs: bytes, dls: bytes,
     return doc_ids, decode_varint(tfs), decode_varint(dls)
 
 
+def encode_positions(pos_lists: list[np.ndarray]) -> tuple[bytes, bytes]:
+    """Encode per-posting token-position lists (one list per posting
+    of a (term, block) run, each sorted ascending) as two varint
+    buffers: (pos_lens, pos_deltas) — the storage analogue of
+    Lucene's .prx/.pos proximity files (delta-encoded positions).
+
+    Stored in SEPARATE parquet columns from doc_gaps/tfs, so queries
+    that never verify phrases never read a position byte (parquet
+    column pruning)."""
+    lens = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    if lens.sum() == 0:
+        return encode_varint(lens), b""
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+    deltas = np.diff(flat, prepend=np.int64(0))
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nz = starts[lens > 0]
+    deltas[nz] = flat[nz]  # each list restarts its delta chain at 0
+    return encode_varint(lens), encode_varint(deltas)
+
+
+def decode_positions(pos_lens: bytes, pos_deltas: bytes
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_positions`: (lens, flat_positions);
+    split with ``np.split(flat, np.cumsum(lens)[:-1])``."""
+    lens = decode_varint(pos_lens)
+    deltas = decode_varint(pos_deltas)
+    if deltas.size == 0:
+        return lens, deltas
+    c = np.cumsum(deltas)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nzmask = lens > 0
+    nz = starts[nzmask]
+    base = np.zeros(lens.size, dtype=np.int64)
+    base[nzmask] = np.where(nz > 0, c[nz - 1], 0)
+    flat = c - np.repeat(base, lens)
+    return lens, flat
+
+
 def bm25_tfnorm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
                 k1: float, b: float) -> np.ndarray:
     """tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) in float64 — identical

@@ -67,12 +67,14 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return spark.read.parquet(str(d)).select("doc_id").distinct()
 
 
-def _decode_rows_kernel(block_range: int):
-    """Posting blocks -> raw (doc_id, dl, term, tf) rows."""
+def _decode_rows_kernel(block_range: int, with_pos: bool = False):
+    """Posting blocks -> raw (doc_id, dl, term, tf[, poss]) rows."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = {"doc_id": [], "dl": [], "term": [], "tf": []}
+            if with_pos:
+                out["poss"] = []
             for row in b.itertuples(index=False):
                 ids, tfs, dls = codec.decode_block(
                     row.doc_gaps, row.tfs, row.dls, int(row.block_id),
@@ -82,6 +84,16 @@ def _decode_rows_kernel(block_range: int):
                 out["dl"].extend(dls)
                 out["term"].extend([row.term] * len(ids))
                 out["tf"].extend(tfs)
+                if with_pos:
+                    import numpy as np
+
+                    lens, flat = codec.decode_positions(
+                        row.pos_lens, row.pos_deltas
+                    )
+                    out["poss"].extend(
+                        [p.tolist() for p in
+                         np.split(flat, np.cumsum(lens)[:-1])]
+                    )
             yield pd.DataFrame(out)
 
     return kernel
@@ -125,11 +137,14 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     postings = spark.read.option("basePath", str(root / "postings")).parquet(
         str(root / "postings" / "commit=*" / "group=*")
     )
-    raw = postings.select(
-        "term", "block_id", "doc_gaps", "tfs", "dls"
-    ).mapInPandas(
-        _decode_rows_kernel(block_range), "doc_id long, dl long, term string, tf long"
+    with_pos = bool(stats.get("positions"))
+    pos_cols = ["pos_lens", "pos_deltas"] if with_pos else []
+    raw_schema = "doc_id long, dl long, term string, tf long" + (
+        ", poss array<long>" if with_pos else ""
     )
+    raw = postings.select(
+        "term", "block_id", "doc_gaps", "tfs", "dls", *pos_cols
+    ).mapInPandas(_decode_rows_kernel(block_range, with_pos), raw_schema)
     live = raw.join(F.broadcast(tomb), "doc_id", "left_anti")
     blocks = build_posting_blocks(live, avgdl, block_range)
     tmp_post = root / "postings_new" / f"commit={new_commit}" / "group=0"

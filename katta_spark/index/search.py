@@ -162,6 +162,100 @@ def make_wand_kernel(n_docs: float, avgdl: float, k1: float, b: float,
     return kernel
 
 
+def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
+                       k1: float, b: float, block_range: int):
+    """Positional phrase kernel: per doc-range group, decode the
+    phrase terms' postings + position lists, verify consecutive
+    positions (the Lucene .pos proximity merge: cand = pos(t0);
+    cand = intersect(cand+1, pos(t_i)) ...), and emit the BM25 sum of
+    the constituent terms for every verified doc.  Runs entirely on
+    the pruned postings scan — no docs-table access at all."""
+    uterms = sorted(set(phrase))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for g in _iter_block_groups(batches):
+            bid = int(g["block_id"].iloc[0])
+            acc: dict[str, list] = {}
+            for row in g.itertuples(index=False):
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_gaps, row.tfs, row.dls, bid, block_range
+                )
+                lens, flat = codec.decode_positions(
+                    row.pos_lens, row.pos_deltas
+                )
+                poss = np.split(flat, np.cumsum(lens)[:-1])
+                acc.setdefault(row.term, []).append(
+                    (ids, tfs, dls, poss, float(row.df))
+                )
+            per_term: dict[str, tuple] = {}
+            for t, runs in acc.items():
+                if len(runs) == 1:
+                    per_term[t] = runs[0]
+                    continue
+                # boundary blocks: a (term, block_id) can span commits
+                # (see index/compact.py) — merge runs doc-id-sorted
+                ids = np.concatenate([r[0] for r in runs])
+                order = np.argsort(ids, kind="mergesort")
+                per_term[t] = (
+                    ids[order],
+                    np.concatenate([r[1] for r in runs])[order],
+                    np.concatenate([r[2] for r in runs])[order],
+                    [
+                        [p for r in runs for p in r[3]][i]
+                        for i in order
+                    ],
+                    runs[0][4],
+                )
+            if any(t not in per_term for t in uterms):
+                continue
+            # candidate docs: present in every phrase term's postings
+            cand_ids = per_term[uterms[0]][0]
+            for t in uterms[1:]:
+                cand_ids = np.intersect1d(
+                    cand_ids, per_term[t][0], assume_unique=True
+                )
+            if not cand_ids.size:
+                continue
+            matched, scores = [], []
+            for d in cand_ids:
+                ok = True
+                cand = None
+                for i, t in enumerate(phrase):
+                    ids_t, _, _, poss_t, _ = per_term[t]
+                    j = int(np.searchsorted(ids_t, d))
+                    p = poss_t[j]
+                    cand = p if cand is None else np.intersect1d(
+                        cand + 1, p, assume_unique=True
+                    )
+                    if not cand.size:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                s = 0.0
+                for t in uterms:  # sorted order: rank-identity
+                    ids_t, tfs_t, dls_t, _, df_t = per_term[t]
+                    j = int(np.searchsorted(ids_t, d))
+                    s += codec.bm25_idf(df_t, n_docs) * codec.bm25_tfnorm(
+                        tfs_t[j : j + 1], dls_t[j : j + 1], avgdl, k1, b
+                    )[0]
+                matched.append(d)
+                scores.append(s)
+            if matched:
+                yield pd.DataFrame(
+                    {"doc_id": np.asarray(matched, dtype=np.int64),
+                     "score": np.asarray(scores, dtype=np.float64),
+                     "nt": np.full(len(matched), len(uterms), dtype=np.int32)}
+                )
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "nt": pd.Series(dtype="int32")}
+        )
+
+    return kernel
+
+
 def make_exhaustive_kernel(n_docs: float, avgdl: float,
                            k1: float, b: float, block_range: int):
     """Decode-and-score-everything kernel: emits (doc_id, score, nt)
@@ -219,7 +313,8 @@ class PhysicalIndex:
 
     # ---------------------------------------------------------- plumbing
 
-    def _qblocks(self, qterms: list[str] | Column) -> DataFrame:
+    def _qblocks(self, qterms: list[str] | Column,
+                 positions: bool = False) -> DataFrame:
         """Posting blocks of the query terms, shuffled once on
         block_id (doc-range co-partitioning) and ordered for the
         streaming group iterator.  Column-pruned before the exchange
@@ -237,9 +332,13 @@ class PhysicalIndex:
             if isinstance(qterms, Column)
             else F.col("term").isin(list(qterms))
         )
-        blocks = self.postings.filter(cond).select(
-            "term", "block_id", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"
-        )
+        cols = ["term", "block_id", "max_tf", "min_dl",
+                "doc_gaps", "tfs", "dls"]
+        if positions:
+            # position bytes live in their own parquet columns: only
+            # phrase verification ever reads them (column pruning)
+            cols += ["pos_lens", "pos_deltas"]
+        blocks = self.postings.filter(cond).select(*cols)
         # global df attached via broadcast join (the getDocFreqs()
         # exchange as part of the SAME job — no driver collect)
         cat = self.terms.filter(cond).select("term", "df")
@@ -403,6 +502,32 @@ class PhysicalIndex:
     def phrase_scored(self, phrase: list[str]) -> DataFrame:
         """(doc_id, score) for EVERY doc containing ``phrase``
         consecutively — the unranked phrase match set.
+
+        With positional postings (``build_index(store_positions=True)``,
+        the default) the phrase executes entirely on the pruned
+        postings scan — decode positions, verify consecutiveness in
+        the doc-range kernel, no docs-table access (Lucene's
+        .pos-backed PhrasQuery execution).  Indexes built without
+        positions fall back to re-analysis verification against the
+        stored token arrays of the broadcast-joined candidates."""
+        if self.stats.get("positions"):
+            return self._phrase_scored_positional(phrase)
+        return self._phrase_scored_reanalysis(phrase)
+
+    def _phrase_scored_positional(self, phrase: list[str]) -> DataFrame:
+        kern = make_phrase_kernel(
+            phrase, float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+        )
+        out = self._qblocks(sorted(set(phrase)), positions=True).mapInPandas(
+            kern, SCORED_SCHEMA
+        ).select("doc_id", "score")
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        return out
+
+    def _phrase_scored_reanalysis(self, phrase: list[str]) -> DataFrame:
+        """Fallback phrase verification against stored token arrays.
 
         Two-phase plan, the classic phrase execution: (1) AND
         retrieval over the inverted index narrows to docs containing
@@ -651,6 +776,9 @@ class PhysicalIndex:
             "b": base.stats["b"],
             "block_range": br,
             "indexed_fields": sorted(fields or ()),
+            "positions": all(
+                p.stats.get("positions", False) for p in parts
+            ),
             "commits": sorted(
                 {c for p in parts for c in p.stats.get("commits", [])}
             ),

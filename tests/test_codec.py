@@ -49,3 +49,23 @@ def test_bm25_helpers_match_formula():
     assert codec.bm25_idf(5, 1000) == pytest.approx(
         np.log(1 + (1000 - 5 + 0.5) / 5.5), abs=1e-15
     )
+
+
+def test_positions_roundtrip():
+    import numpy as np
+
+    from katta_spark.index.codec import decode_positions, encode_positions
+
+    rng = [
+        [np.array([0, 3, 7, 100])],
+        [np.array([5]), np.array([0, 1, 2]), np.array([1000, 2000])],
+        [np.array([], dtype=np.int64), np.array([4, 9])],
+        [],
+    ]
+    for lists in rng:
+        lens_b, deltas_b = encode_positions(lists)
+        lens, flat = decode_positions(lens_b, deltas_b)
+        assert lens.tolist() == [len(p) for p in lists]
+        got = np.split(flat, np.cumsum(lens)[:-1]) if len(lists) else []
+        for g, w in zip(got, lists):
+            assert g.tolist() == list(w)
