@@ -275,6 +275,17 @@ def ann_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_ann") -> str:
     return d
 
 
+def q_dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH bucket-join candidates +
+    exact cosine verify (threshold picked for a non-trivial result on
+    the uniform-random test embeddings)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.cosine_dup_pairs(
+        emb, threshold=0.25, dims=64, n_planes=4, n_tables=2
+    )
+    return _round_score(out, col="cos")
+
+
 def q_sim_lsh_ann(spark, sf_dir):
     """ANN served from the PERSISTED signature-partitioned index:
     the probe is a partition-pruned read, not a corpus scan (same
@@ -434,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_q_field": _q_qstr("table AND lang:en"),
         "ft_q_field_or": _q_qstr("dup OR source:src3"),
         "ft_q_matchall": _q_qstr("*:*"),
+        "ft_q_slop": _q_qstr('"window stream"~3'),
         # --- training-data pipeline ops ---
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -447,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
+        "dedup_embed_cosine": q_dedup_embed_cosine,
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
         # --- time-series ops over the events table ---
@@ -540,6 +553,7 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_q_matchall": """
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM documents ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "ft_q_slop": O.sloppy_phrase2_sql("window", "stream", slop=3, k=10),
         "ft_term_catalog": f"""{ctes}
 SELECT term, df, cf FROM dfv ORDER BY df DESC, term ASC LIMIT 100""",
         "ft_stats": f"""{ctes}
@@ -583,6 +597,9 @@ c AS (
 SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "sim_lsh_ann": OO.lsh_ann_sql(dims=64, n_planes=12, k=10),
+        "dedup_embed_cosine": OO.cosine_dup_sql(
+            threshold=0.25, dims=64, n_planes=4, n_tables=2
+        ),
         "mm_image_meta": OO.mm_image_meta_sql(),
         "mm_frame_sample": OO.mm_frames_sql(every=4, max_frames=3),
         "ts_date_facet": OO.ts_date_facet_sql("day"),

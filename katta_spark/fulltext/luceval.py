@@ -181,7 +181,9 @@ class LuceneEvaluator:
 
     def _eval_phrase(self, p: Phrase) -> DataFrame:
         if p.field is None:
-            return self._boost(self.idx.phrase_scored(p.words), p.boost)
+            return self._boost(
+                self.idx.phrase_scored(p.words, slop=p.slop), p.boost
+            )
         # field-scoped quoted value on a stored column = exact match
         return self._stored_filter(
             p.field, F.col(p.field).cast("string") == F.lit(p.words[0])

@@ -49,12 +49,15 @@ class Term:
 
 @dataclass
 class Phrase:
-    """Consecutive-token phrase on the content field, or (with a
-    field) an exact-value match on a stored column."""
+    """Consecutive-token phrase on the content field (``slop`` > 0
+    relaxes to ordered-within-window: span <= len(words)-1+slop, the
+    ``"a b"~N`` proximity form), or (with a field) an exact-value
+    match on a stored column."""
 
     words: list[str]
     field: str | None = None
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass
@@ -234,11 +237,19 @@ class _Parser:
         node = self._term_or_wild(text, default_field)
         return self._apply_boost(node, boost)
 
-    # trailing-boost on ), ", ]: parse_atom of word '^n' never occurs
-    # because _TOKEN_RE folds ^n into the preceding word; for quoted /
-    # paren atoms the boost arrives as a standalone word token
+    # trailing-modifiers on ), ": parse_atom of a '^n' / '~n' word
+    # never occurs because _TOKEN_RE folds them into the preceding
+    # word; for quoted / paren atoms they arrive as standalone tokens
     def _boosted(self, node: Node) -> Node:
         nxt = self.peek()
+        if nxt and nxt[0] == "word":
+            m = re.match(r"^~(\d+)(?:\^(\d+(?:\.\d+)?))?$", nxt[1])
+            if m and isinstance(node, Phrase) and node.field is None:
+                self.next()
+                node.slop = int(m.group(1))
+                if m.group(2):
+                    node = self._apply_boost(node, float(m.group(2)))
+                nxt = self.peek()
         if nxt and nxt[0] == "word" and re.match(r"^\^\d+(\.\d+)?$", nxt[1]):
             self.next()
             return self._apply_boost(node, float(nxt[1][1:]))

@@ -162,12 +162,33 @@ def make_wand_kernel(n_docs: float, avgdl: float, k1: float, b: float,
     return kernel
 
 
+def _window_match(pos_lists: list[np.ndarray], slop: int) -> bool:
+    """Ordered-within-window proximity: positions p_1 < ... < p_m,
+    one from each list in order, with span p_m - p_1 <= (m-1)+slop.
+    Greedy smallest-next chaining is span-optimal per start."""
+    limit = len(pos_lists) - 1 + slop
+    for p1 in pos_lists[0]:
+        prev = p1
+        ok = True
+        for pl in pos_lists[1:]:
+            k = int(np.searchsorted(pl, prev + 1))
+            if k == len(pl):
+                ok = False
+                break
+            prev = pl[k]
+        if ok and prev - p1 <= limit:
+            return True
+    return False
+
+
 def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
-                       k1: float, b: float, block_range: int):
+                       k1: float, b: float, block_range: int,
+                       slop: int = 0):
     """Positional phrase kernel: per doc-range group, decode the
     phrase terms' postings + position lists, verify consecutive
     positions (the Lucene .pos proximity merge: cand = pos(t0);
-    cand = intersect(cand+1, pos(t_i)) ...), and emit the BM25 sum of
+    cand = intersect(cand+1, pos(t_i)) ...) — or, with ``slop``,
+    ordered-within-window proximity — and emit the BM25 sum of
     the constituent terms for every verified doc.  Runs entirely on
     the pruned postings scan — no docs-table access at all."""
     uterms = sorted(set(phrase))
@@ -218,20 +239,30 @@ def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
                 continue
             matched, scores = [], []
             for d in cand_ids:
-                ok = True
-                cand = None
-                for i, t in enumerate(phrase):
-                    ids_t, _, _, poss_t, _ = per_term[t]
-                    j = int(np.searchsorted(ids_t, d))
-                    p = poss_t[j]
-                    cand = p if cand is None else np.intersect1d(
-                        cand + 1, p, assume_unique=True
-                    )
-                    if not cand.size:
-                        ok = False
-                        break
-                if not ok:
-                    continue
+                if slop > 0:
+                    plists = []
+                    for t in phrase:
+                        ids_t, _, _, poss_t, _ = per_term[t]
+                        plists.append(
+                            poss_t[int(np.searchsorted(ids_t, d))]
+                        )
+                    if not _window_match(plists, slop):
+                        continue
+                else:
+                    ok = True
+                    cand = None
+                    for t in phrase:
+                        ids_t, _, _, poss_t, _ = per_term[t]
+                        j = int(np.searchsorted(ids_t, d))
+                        p = poss_t[j]
+                        cand = p if cand is None else np.intersect1d(
+                            cand + 1, p, assume_unique=True
+                        )
+                        if not cand.size:
+                            ok = False
+                            break
+                    if not ok:
+                        continue
                 s = 0.0
                 for t in uterms:  # sorted order: rank-identity
                     ids_t, tfs_t, dls_t, _, df_t = per_term[t]
@@ -499,7 +530,7 @@ class PhysicalIndex:
         cols = ["doc_id", *[f for f in fields if f != "doc_id"]]
         return F.broadcast(hits).join(self.docs.select(*cols), "doc_id")
 
-    def phrase_scored(self, phrase: list[str]) -> DataFrame:
+    def phrase_scored(self, phrase: list[str], slop: int = 0) -> DataFrame:
         """(doc_id, score) for EVERY doc containing ``phrase``
         consecutively — the unranked phrase match set.
 
@@ -511,13 +542,20 @@ class PhysicalIndex:
         positions fall back to re-analysis verification against the
         stored token arrays of the broadcast-joined candidates."""
         if self.stats.get("positions"):
-            return self._phrase_scored_positional(phrase)
+            return self._phrase_scored_positional(phrase, slop)
+        if slop > 0:
+            raise ValueError(
+                "sloppy phrases need positional postings "
+                "(build_index(store_positions=True))"
+            )
         return self._phrase_scored_reanalysis(phrase)
 
-    def _phrase_scored_positional(self, phrase: list[str]) -> DataFrame:
+    def _phrase_scored_positional(self, phrase: list[str],
+                                  slop: int = 0) -> DataFrame:
         kern = make_phrase_kernel(
             phrase, float(self.stats["n_docs"]), self.stats["avgdl"],
             self.stats["k1"], self.stats["b"], self.stats["block_range"],
+            slop=slop,
         )
         out = self._qblocks(sorted(set(phrase)), positions=True).mapInPandas(
             kern, SCORED_SCHEMA
@@ -575,10 +613,11 @@ class PhysicalIndex:
         return joined.filter(guarded).select("doc_id", "score")
 
     def phrase_topk(self, phrase: list[str], k: int = 10,
-                    filters: Filters = None, offset: int = 0) -> DataFrame:
+                    filters: Filters = None, offset: int = 0,
+                    slop: int = 0) -> DataFrame:
         """Phrase top-k, ranked by the BM25 sum of the constituent
         terms (tie-break score desc, doc_id asc)."""
-        out = self.phrase_scored(phrase)
+        out = self.phrase_scored(phrase, slop=slop)
         fd = self._filter_docs(filters)
         if fd is not None:
             out = out.join(fd, "doc_id", "left_semi")

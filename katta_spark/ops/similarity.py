@@ -155,6 +155,61 @@ def lsh_bucket_ann(
     return cosine_topk(bucket.drop("_sig"), query_vec, k, id_col, vec_col)
 
 
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dims: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cosine >= threshold and id_a < id_b.
+
+    The 100 TB shape: candidates come from equality joins on
+    hyperplane-LSH bucket keys (``n_tables`` independent tables —
+    shuffle O(rows x tables), never all-pairs); the exact cosine then
+    verifies each candidate once.  High-cosine pairs collide in a
+    bucket with probability (1 - theta/pi)^n_planes per table,
+    compounded across tables; exact duplicates always collide.
+    Deterministic seedless planes — SQL-oracle-checkable."""
+    keyed = []
+    for t in range(n_tables):
+        sig = hyperplane_bits(
+            F.col(vec_col), dims, n_planes, t * n_planes
+        )
+        keyed.append(
+            embeddings.select(
+                F.lit(t).alias("tbl"), sig.alias("sig"),
+                F.col(id_col), F.col(vec_col),
+            )
+        )
+    e = keyed[0]
+    for k in keyed[1:]:
+        e = e.unionByName(k)
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_tables_ann(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -152,16 +152,18 @@ SELECT doc_id, CAST(len_chars AS BIGINT) AS len_chars,
 FROM q"""
 
 
-def _sig_sql(col: str, dims: int, n_planes: int) -> str:
+def _sig_sql(col: str, dims: int, n_planes: int,
+             plane_offset: int = 0) -> str:
     """LSH signature of a list column — same deterministic hyperplanes
     cos(1 + j*dims + d) as katta_spark.ops.similarity.hyperplane_bits."""
     terms = []
-    for j in range(n_planes):
+    for j0 in range(n_planes):
+        j = plane_offset + j0
         dot = (
             f"list_sum(list_transform(generate_series(1, {dims}), "
             f"i -> CAST({col}[i] AS DOUBLE) * cos(1.0 + {j * dims} + (i - 1))))"
         )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j0} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -189,6 +191,46 @@ c AS (SELECT e.vec_id, {dot} / ({n_e} * {n_q}) AS cos
       FROM e JOIN q ON e.sig = q.sig)
 SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT {k})"""
+
+
+def cosine_dup_sql(threshold: float = 0.25, dims: int = 64,
+                   n_planes: int = 4, n_tables: int = 2) -> str:
+    """Embedding-cosine near-dup pairs — mirror of
+    katta_spark.ops.similarity.cosine_dup_pairs (same deterministic
+    hyperplane family, bucket join per table, exact cosine verify)."""
+    tbls = []
+    for t in range(n_tables):
+        sig = _sig_sql("embedding", dims, n_planes, plane_offset=t * n_planes)
+        tbls.append(
+            f"SELECT {t} AS tbl, {sig} AS sig, vec_id, embedding FROM embeddings"
+        )
+    union = " UNION ALL ".join(tbls)
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    na = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    )
+    nb = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), "
+        "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH e AS ({union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+v AS (
+  SELECT c.id_a, c.id_b, {dot} / ({na} * {nb}) AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM v WHERE cos >= {threshold!r}"""
 
 
 def mm_image_meta_sql() -> str:

@@ -237,6 +237,40 @@ def term_docs_sql(terms: list[str], mode: str = "or") -> str:
     return f"SELECT doc_id FROM tf WHERE term IN {tl}"
 
 
+def sloppy_phrase2_sql(a: str, b: str, slop: int, k: int = 10) -> str:
+    """Two-term proximity oracle: docs where ``a`` precedes ``b``
+    within span 1+slop (the engine's ordered-within-window ``"a b"~N``
+    semantics), scored as the BM25 sum of both terms."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    ea = a.replace("'", "''")
+    eb = b.replace("'", "''")
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+verified AS (
+  SELECT doc_id FROM tokl
+  WHERE len(list_filter(generate_series(1, len(toks)),
+        i -> toks[i] = '{ea}' AND len(list_filter(
+               generate_series(1, len(toks)),
+               j -> toks[j] = '{eb}' AND j > i AND j - i <= {1 + slop})) > 0)) > 0
+),
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf
+  JOIN dfv ON tf.term = dfv.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list([a, b])}
+  GROUP BY tf.doc_id HAVING count(*) = {len({a, b})}
+),
+top AS (
+  SELECT s.doc_id, s.score FROM scored s JOIN verified v ON s.doc_id = v.doc_id
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT {k}
+)
+SELECT doc_id, round(score, 6) AS score FROM top"""
+
+
 def matched_sql(terms: list[str], mode: str = "or", filter_sql: str | None = None) -> str:
     """CTE-suffix producing ``matched(doc_id)``."""
     n_terms = len(set(terms))

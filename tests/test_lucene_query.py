@@ -371,3 +371,56 @@ def test_search_response_envelope(pindex, py_oracle):
     assert resp.qtime_ms >= 0
     hits = resp.hits.collect()
     assert [r["doc_id"] for r in hits] == [d for d, _ in want[:5]]
+
+
+def test_parse_slop_forms():
+    p = parse_lucene('"window stream"~3')
+    assert isinstance(p, Phrase) and p.slop == 3 and p.boost == 1.0
+    p = parse_lucene('"window stream"~2^4')
+    assert p.slop == 2 and p.boost == 4.0
+
+
+def test_sloppy_phrase_matches_brute_force(pindex, row_map):
+    """Engine window semantics (exists increasing chain, span <=
+    m-1+slop) vs a brute-force python mirror, 2- and 3-term."""
+    from itertools import product
+
+    def brute(words, slop):
+        out = set()
+        limit = len(words) - 1 + slop
+        for d, r in row_map.items():
+            toks = py_tokenize(r["content"])
+            plists = [
+                [i for i, t in enumerate(toks) if t == w] for w in words
+            ]
+            if any(not p for p in plists):
+                continue
+            for combo in product(*plists):
+                if all(b > a for a, b in zip(combo, combo[1:])) and (
+                    combo[-1] - combo[0] <= limit
+                ):
+                    out.add(d)
+                    break
+        return out
+
+    for words, slop in (
+        (["parse", "request"], 2),
+        (["read", "chunk"], 3),
+        (["parse", "http", "request"], 1),
+    ):
+        got = {
+            r["doc_id"]
+            for r in pindex.phrase_scored(words, slop=slop).collect()
+        }
+        assert got == brute(words, slop) and got
+    # slop=0 degenerates to the exact phrase
+    e1 = {r["doc_id"] for r in
+          pindex.phrase_scored(["parse", "http", "request"], slop=0).collect()}
+    e2 = {r["doc_id"] for r in
+          pindex.phrase_scored(["parse", "http", "request"]).collect()}
+    assert e1 == e2
+
+
+def test_slop_requires_positions(nopos_index):
+    with pytest.raises(ValueError):
+        nopos_index.phrase_scored(["parse", "request"], slop=2)
