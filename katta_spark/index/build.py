@@ -73,10 +73,13 @@ def _enc_varint(vals: pd.Series) -> pd.Series:
     StructField("pos_lens", BinaryType()),
     StructField("pos_deltas", BinaryType()),
 ]))
-def _enc_positions(poss: pd.Series) -> pd.DataFrame:
+def _enc_positions(plens: pd.Series, pflat: pd.Series) -> pd.DataFrame:
     out = [
-        codec.encode_positions([np.asarray(p, dtype=np.int64) for p in plists])
-        for plists in poss
+        codec.encode_positions_flat(
+            np.asarray(lens, dtype=np.int64),
+            np.asarray(flat, dtype=np.int64),
+        )
+        for lens, flat in zip(plens, pflat)
     ]
     return pd.DataFrame(out, columns=["pos_lens", "pos_deltas"])
 
@@ -145,7 +148,18 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
             F.transform(F.col("ps"), lambda x: x["tf"]).alias("_tfs"),
             F.transform(F.col("ps"), lambda x: x["dl"]).alias("_dls"),
             *(
-                [F.transform(F.col("ps"), lambda x: x["poss"]).alias("_poss")]
+                [
+                    # flatten positions JVM-side: the encode UDF gets
+                    # two flat int arrays, never a nested list (the
+                    # nested Arrow->pandas conversion was the posting
+                    # phase's scaling bottleneck)
+                    F.transform(
+                        F.col("ps"), lambda x: F.size(x["poss"])
+                    ).alias("_plens"),
+                    F.flatten(
+                        F.transform(F.col("ps"), lambda x: x["poss"])
+                    ).alias("_pflat"),
+                ]
                 if with_pos
                 else []
             ),
@@ -163,7 +177,7 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
         _enc_varint("_dls").alias("dls"),
     ]
     if with_pos:
-        enc_cols.append(_enc_positions("_poss").alias("_pe"))
+        enc_cols.append(_enc_positions("_plens", "_pflat").alias("_pe"))
     enc = blocks.select(*enc_cols)
     if with_pos:
         enc = enc.select(
