@@ -93,3 +93,28 @@ def test_expunge_rewrites_and_rescores(spark, del_setup):
         assert [r["doc_id"] for r in got] == [doc for doc, _ in want], q
         for r, (_, s) in zip(got, want):
             assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_phrase_survives_expunge(spark, del_setup):
+    """Positional postings must round-trip the expunge decode-rebuild:
+    phrase results after expunge equal the surviving subset, scored
+    against the shrunken corpus."""
+    d, pdf, oracle = del_setup
+    idx = PhysicalIndex(spark, d)  # post-expunge state from prior test
+    assert idx.stats.get("positions")
+    got = {r["doc_id"] for r in idx.phrase_scored(
+        ["parse", "http", "request"]).collect()}
+    import re
+
+    from katta_spark.tokenizer import py_tokenize
+
+    live = {int(r["doc_id"]) for r in idx.docs.select("doc_id").collect()}
+    want = set()
+    for r in pdf.itertuples(index=False):
+        if int(r.doc_id) not in live:
+            continue
+        toks = py_tokenize(r.content)
+        if any(toks[i:i + 3] == ["parse", "http", "request"]
+               for i in range(len(toks) - 2)):
+            want.add(int(r.doc_id))
+    assert got == want and got

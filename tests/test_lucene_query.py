@@ -424,3 +424,24 @@ def test_sloppy_phrase_matches_brute_force(pindex, row_map):
 def test_slop_requires_positions(nopos_index):
     with pytest.raises(ValueError):
         nopos_index.phrase_scored(["parse", "request"], slop=2)
+
+
+@pytest.mark.parametrize("q", [
+    "AND", "OR OR", "NOT", "((", "))", '"unclosed',
+    "field:", "a AND (b OR", "~2", "^3", '""', "-", "+",
+    "n_chars:[100 TO", "*:*:*", "a^x", "lang:(", ") dangling",
+])
+def test_parser_never_crashes(pindex, q):
+    """Malformed/degenerate query strings parse to SOMETHING and
+    evaluate without raising (Solr returns a 400; we return an
+    empty/total result set instead — never an exception)."""
+    node = parse_lucene(q)
+    assert node is not None
+    pindex.query(q, k=3).collect()  # must not raise
+
+
+def test_blank_query_raises_like_reference(pindex):
+    # LuceneServer.parse: "q or fq must not null." (LuceneServer.java:1341)
+    for q in ("", "   "):
+        with pytest.raises(ValueError):
+            pindex.query(q)
