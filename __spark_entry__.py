@@ -378,6 +378,18 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash64(_docs(spark, sf_dir), text_col="text")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup cluster resolution over the MinHash-LSH
+    candidate pairs: every doc labeled with its cluster's min doc_id
+    (the canonical survivor) via iterative min-label propagation."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir).withColumnRenamed("text", "content"),
+        num_hashes=16,
+        bands=4,
+    )
+    return dedup.dup_clusters(pairs)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_candidate_pairs(
         _docs(spark, sf_dir), max_hamming=3, text_col="text"
@@ -451,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_langid": q_text_langid,
@@ -565,6 +578,9 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "dedup_fingerprint": OO.fingerprint_dup_sql(),
         "dedup_ngram_jaccard": OO.ngram_jaccard_sql(threshold=0.5, n=3),
         "dedup_minhash_lsh": OO.minhash_lsh_sql(num_hashes=16, bands=4, n=3),
+        "dedup_clusters": OO.dup_clusters_sql(
+            OO.minhash_lsh_sql(num_hashes=16, bands=4, n=3)
+        ),
         "dedup_simhash": OO.simhash_sql(),
         "dedup_simhash_pairs": OO.simhash_pairs_sql(max_hamming=3),
         "text_langid": OO.langid_sql(),

@@ -158,6 +158,73 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster) — connected components over near-dup
+    candidate pairs: every doc maps to the MIN doc_id of its
+    transitive duplicate cluster (the canonical survivor).  The step a
+    real dedup pipeline runs after MinHash/SimHash pair generation
+    ("a~b, b~c => keep one of {a,b,c}").
+
+    Iterative min-label propagation (the standard Spark
+    connected-components shape, converges in O(diameter) rounds,
+    each round one join + one aggregation — no driver-side graph):
+    label(v) <- min(label(v), min over neighbors' labels).
+    Near-dup clusters are tiny and shallow in practice, so the loop
+    exits after 2-4 rounds; ``max_iter`` bounds pathological chains.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        nb = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                    "cluster", "nb_cluster"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nb_cluster").alias("nb_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(nb, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nb_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # cut the lineage per round
+        changed = (
+            labels.withColumnRenamed("cluster", "old")
+            .join(new_labels, "doc_id")
+            .filter(F.col("old") != F.col("cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     """(doc_id, simhash_hi, simhash_lo) — TRUE 64-bit sign-aggregated
     token fingerprint (Charikar similarity hashing), held as two

@@ -193,6 +193,23 @@ SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT {k})"""
 
 
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """(doc_id, cluster) connected components over a candidate-pair
+    query — recursive-CTE transitive closure + min per node (mirror
+    of katta_spark.ops.dedup.dup_clusters; exact on the small test
+    graphs, where the closure stays tiny)."""
+    return f"""WITH RECURSIVE pairs AS ({pairs_sql}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM e),
+r(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster FROM r GROUP BY src"""
+
+
 def cosine_dup_sql(threshold: float = 0.25, dims: int = 64,
                    n_planes: int = 4, n_tables: int = 2) -> str:
     """Embedding-cosine near-dup pairs — mirror of

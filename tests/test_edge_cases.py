@@ -95,3 +95,22 @@ def test_tokenizer_fuzz_parity(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == py_tokenize(c), repr(c)
+
+
+def test_dup_clusters_chain_and_star(spark):
+    """Min-label propagation resolves transitive chains and stars:
+    a-b, b-c, c-d is ONE cluster rooted at min id; disjoint pairs keep
+    their own roots; isolated docs never appear (no edges)."""
+    from katta_spark.ops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> cluster 1
+         (10, 11), (10, 12),          # star  -> cluster 10
+         (20, 21)],                   # pair  -> cluster 20
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster"]
+           for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
