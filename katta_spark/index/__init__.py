@@ -21,6 +21,7 @@ over plain parquet.
 from katta_spark.index.build import build_index, load_manifest
 from katta_spark.index.compact import compact_postings
 from katta_spark.index.delete import delete_docs, expunge_deletes
+from katta_spark.index.merge import merge_indexes
 from katta_spark.index.search import PhysicalIndex
 
 __all__ = [
@@ -29,5 +30,6 @@ __all__ = [
     "delete_docs",
     "expunge_deletes",
     "load_manifest",
+    "merge_indexes",
     "PhysicalIndex",
 ]

@@ -119,3 +119,36 @@ def test_path_analyzer_field_postings(spark, docs, tmp_path_factory):
     got2 = {r["doc_id"] for r in idx.query_scored("path:src/pkg3").collect()}
     want2 = {r["doc_id"] for r in idx.docs.select("doc_id").collect()}
     assert got2 == want2  # every path starts with src/
+
+
+def test_merge_indexes_rank_identity(spark, split_dirs, tmp_path_factory):
+    """Physically merged index == union-built index: same stats, same
+    ranked results (incl. positional phrases — position bytes carry
+    through the re-layout untouched)."""
+    from katta_spark.index import PhysicalIndex as PI
+    from katta_spark.index import merge_indexes
+
+    _, da, db, du = split_dirs
+    out = str(tmp_path_factory.mktemp("merged") / "idx")
+    rep = merge_indexes(spark, [da, db], out)
+    assert rep["n_docs"] == N1 + N2
+    merged = PI(spark, out)
+    un = PI(spark, du)
+    assert merged.stats["n_docs"] == un.stats["n_docs"]
+    for terms, mode in [(["import"], "or"), (["parse", "request"], "and")]:
+        got = merged.topk(terms, k=15, mode=mode).collect()
+        want = un.topk(terms, k=15, mode=mode).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+    got = merged.phrase_topk(["parse", "http", "request"], k=10).collect()
+    want = un.phrase_topk(["parse", "http", "request"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    # a merged index is a normal index: incremental build works on top
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index import build_index
+
+    extra = with_ingest_columns(synthetic_corpus(spark, 100)).drop("doc_id")
+    build_index(spark, extra, out, n_groups=1, commit="c1")
+    grown = PI(spark, out)
+    assert grown.stats["n_docs"] == N1 + N2 + 100
