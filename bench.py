@@ -114,9 +114,21 @@ def main() -> None:
         "q_wildcard": run(lambda: idx.query("s*")),
         "q_field_scored": run(lambda: idx.query("table AND lang:en")),
     }
+    CORE = {  # round-1 query classes, kept separate for comparability
+        "q_topk_common", "q_topk_rare", "q_and", "q_or3", "q_filter",
+        "q_paginate", "q_count", "q_facet", "q_fetch",
+    }
     samples: list[float] = []
+    core_samples: list[float] = []
     for name, fn in qset.items():
-        queries[name] = timed(fn, sink=samples)
+        queries[name] = timed(
+            fn, sink=samples if name not in CORE else core_samples
+        )
+    samples.extend(core_samples)
+    core_samples.sort()
+    extra["query_core_p50_ms"] = round(
+        statistics.median(core_samples) * 1000, 1
+    )
     samples.sort()
     extra["query_p50_ms"] = round(statistics.median(samples) * 1000, 1)
     extra["query_p99_ms"] = round(
