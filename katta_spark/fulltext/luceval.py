@@ -294,8 +294,15 @@ class LuceneEvaluator:
             # pure-negative query: Solr's implicit *:*
             base = self.idx.docs.select("doc_id", F.lit(1.0).alias("score"))
 
-        for n in b.must_not:
-            base = base.join(
-                self._eval(n).select("doc_id"), "doc_id", "left_anti"
-            )
+        # must_not: plain terms batch into ONE pruned scan; other
+        # nodes evaluate individually; a single anti-join applies all
+        nt_terms, nt_rest = self._batch_and_rest(b.must_not)
+        nots: DataFrame | None = None
+        if nt_terms:
+            nots = self.idx.scored_docs(nt_terms, "or").select("doc_id")
+        for n in nt_rest:
+            d = self._eval(n).select("doc_id")
+            nots = d if nots is None else nots.unionByName(d)
+        if nots is not None:
+            base = base.join(nots, "doc_id", "left_anti")
         return self._boost(base, b.boost)

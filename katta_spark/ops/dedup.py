@@ -176,6 +176,10 @@ def dup_clusters(
     label(v) <- min(label(v), min over neighbors' labels).
     Near-dup clusters are tiny and shallow in practice, so the loop
     exits after 2-4 rounds; ``max_iter`` bounds pathological chains.
+    Each round cuts lineage with ``localCheckpoint`` — at warehouse
+    scale swap that for a checkpoint/staging-table write (same shape,
+    durable), and the convergence count is one small aggregate per
+    round (O(diameter) driver round-trips, not per-row driver work).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -294,6 +298,12 @@ def simhash_candidate_pairs(
     (pigeonhole), so candidates come from a groupable equi-join —
     shuffle O(docs x 4), never all-pairs — then an exact popcount
     verify (the Manku/Jain/Sarma WWW'07 simhash dedup construction).
+
+    Skew note for warehouse scale: the verify cost is quadratic
+    WITHIN a band bucket, and byte-identical documents all share one
+    bucket — run :func:`dedup_exact` FIRST so each distinct content
+    appears once, which caps bucket sizes at the true near-dup
+    cluster width (AQE skew-join splitting backstops the rest).
     """
     if not 0 <= max_hamming <= 3:
         raise ValueError(

@@ -38,6 +38,16 @@ def main() -> None:
     ap.add_argument("--commit", default="c0")
     ap.add_argument("--block-range", type=int, default=4096)
     ap.add_argument("--doc-id-method", default="rank", choices=["rank", "hash"])
+    ap.add_argument("--path-col", default=None,
+                    help="column indexed as path: field postings")
+    ap.add_argument("--field-cols", default=None,
+                    help="comma-separated columns indexed as scored "
+                         "field postings (field:value queries)")
+    ap.add_argument("--field-analyzers", default=None,
+                    help="field=analyzer pairs, e.g. path=path,tag=code "
+                         "(default keyword)")
+    ap.add_argument("--no-positions", action="store_true",
+                    help="skip positional postings (no phrase index)")
     args = ap.parse_args()
 
     spark = get_spark(app_name=f"katta-build-{args.commit}")
@@ -46,6 +56,11 @@ def main() -> None:
     else:
         corpus = spark.read.parquet(args.input)
 
+    fanalyzers = None
+    if args.field_analyzers:
+        fanalyzers = dict(
+            kv.split("=", 1) for kv in args.field_analyzers.split(",")
+        )
     report = build_index(
         spark,
         corpus,
@@ -55,6 +70,10 @@ def main() -> None:
         commit=args.commit,
         block_range=args.block_range,
         doc_id_method=args.doc_id_method,
+        path_col=args.path_col,
+        field_cols=args.field_cols.split(",") if args.field_cols else None,
+        field_analyzers=fanalyzers,
+        store_positions=not args.no_positions,
     )
     report.pop("manifest", None)
     print(json.dumps(report))
