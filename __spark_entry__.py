@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_q_field_or": _q_qstr("dup OR source:src3"),
         "ft_q_matchall": _q_qstr("*:*"),
         "ft_q_slop": _q_qstr('"window stream"~3'),
+        "ft_q_fuzzy": _q_qstr("batc~2"),
         # --- training-data pipeline ops ---
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -567,6 +568,7 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM documents ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "ft_q_slop": O.sloppy_phrase2_sql("window", "stream", slop=3, k=10),
+        "ft_q_fuzzy": O.lucene_topk_sql([], edit_patterns=[("batc", 2)]),
         "ft_term_catalog": f"""{ctes}
 SELECT term, df, cf FROM dfv ORDER BY df DESC, term ASC LIMIT 100""",
         "ft_stats": f"""{ctes}

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from katta_spark.fulltext.qparse import (
     Bool,
+    Fuzzy,
     MatchAll,
     Node,
     Phrase,
@@ -106,6 +107,8 @@ class LuceneEvaluator:
             return self._eval_phrase(node)
         if isinstance(node, Wildcard):
             return self._eval_wildcard(node)
+        if isinstance(node, Fuzzy):
+            return self._eval_fuzzy(node)
         if isinstance(node, RangeQ):
             return self._eval_range(node)
         if isinstance(node, MatchAll):
@@ -204,6 +207,46 @@ class LuceneEvaluator:
             F.lower(F.col(w.field).cast("string")).like(
                 _like_pattern(w.pattern)
             ),
+        )
+
+    def _eval_fuzzy(self, fz: Fuzzy) -> DataFrame:
+        """``term~N``: expand against the term catalog by classic
+        levenshtein distance (the FuzzyQuery term-dictionary rewrite),
+        then score the matched term set as a BM25 sum — the same
+        expand-and-score convention as wildcards.  The distance
+        predicate runs on the CATALOG only (one row per distinct
+        term); the postings scan is pruned by a broadcast equi-join
+        (scored_docs_expanded), never by a per-posting-row
+        levenshtein.  On a field without postings: a non-scoring
+        stored-column edit-distance filter."""
+        d = int(fz.max_edits)
+        if fz.field is None or fz.field in self.fields:
+            prefix = "" if fz.field is None else f"{fz.field}:"
+            if prefix:
+                body = F.substring(
+                    F.col("term"), len(prefix) + 1, 2_147_483_647
+                )
+                cond = F.col("term").startswith(prefix)
+            else:
+                # content terms never contain ':' (field/path postings
+                # share the term space behind a "<field>:" prefix)
+                body = F.col("term")
+                cond = ~F.col("term").contains(":")
+            cond = (
+                cond
+                # cheap length band first: |len(t)| within d of the
+                # target short-circuits levenshtein on most of the
+                # catalog (Lucene's FuzzyQuery length pre-filter)
+                & (F.abs(F.length(body) - F.lit(len(fz.text))) <= F.lit(d))
+                & (F.levenshtein(body, F.lit(fz.text)) <= F.lit(d))
+            )
+            return self._boost(self.idx.scored_docs_expanded(cond), fz.boost)
+        return self._stored_filter(
+            fz.field,
+            F.levenshtein(
+                F.lower(F.col(fz.field).cast("string")), F.lit(fz.text)
+            )
+            <= F.lit(d),
         )
 
     def _eval_range(self, r: RangeQ) -> DataFrame:

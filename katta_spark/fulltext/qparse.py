@@ -15,6 +15,7 @@ engine evaluates (katta_spark/fulltext/luceval.py):
              | field ':' '[' a TO b ']'    # range ([] incl, {} excl)
              | term                        # analyzed term
              | wild*card | wild?card       # wildcard (not analyzed)
+             | term~N | term~              # fuzzy (levenshtein <= N, ~ = 2)
              | *:*                         # match-all
 
 Binary semantics (the practical classic-Lucene reading): ``AND``
@@ -70,6 +71,21 @@ class Wildcard:
 
 
 @dataclass
+class Fuzzy:
+    """``term~N`` — edit-distance expansion (classic levenshtein;
+    ``max_edits`` 0..2, bare ``term~`` = 2).  Lowercased, not
+    analyzed.  Scored expand-and-score like :class:`Wildcard`; the
+    distance is plain levenshtein, not Lucene's default
+    Damerau-transposition variant (documented deviation — both the
+    engine and the DuckDB oracle use the classic metric)."""
+
+    text: str
+    max_edits: int = 2
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
 class RangeQ:
     """``field:[lo TO hi]`` — non-scoring range filter.  ``None``
     bound = open (``*``).  ``[]`` inclusive, ``{}`` exclusive."""
@@ -94,7 +110,7 @@ class Bool:
     boost: float = 1.0
 
 
-Node = Term | Phrase | Wildcard | RangeQ | MatchAll | Bool
+Node = Term | Phrase | Wildcard | Fuzzy | RangeQ | MatchAll | Bool
 
 # ----------------------------------------------------------------- lexer
 
@@ -111,6 +127,9 @@ _TOKEN_RE = re.compile(
 
 _RANGE_BODY_RE = re.compile(r"^\s*(\S+)\s+TO\s+(\S+)\s*$", re.IGNORECASE)
 _BOOST_RE = re.compile(r"^(?P<body>.*?)\^(?P<boost>\d+(?:\.\d+)?)$")
+# fuzzy suffix on a WORD (never a bare "~N" token — those are phrase
+# slop, consumed by _boosted): body~ (=2), body~0, body~1, body~2
+_FUZZY_RE = re.compile(r"^(?P<body>.+?)~(?P<dist>[012])?$")
 
 
 def _lex(q: str) -> list[tuple[str, str]]:
@@ -259,13 +278,20 @@ class _Parser:
     def _apply_boost(node: Node | None, boost: float) -> Node | None:
         if node is None or boost == 1.0:
             return node
-        if isinstance(node, (Term, Phrase, Wildcard, Bool)):
+        if isinstance(node, (Term, Phrase, Wildcard, Fuzzy, Bool)):
             node.boost = node.boost * boost
         return node
 
     def _field_value(self, fld: str, rest: str) -> Node | None:
         if "*" in rest or "?" in rest:
             return Wildcard(pattern=rest.lower(), field=fld)
+        fm = _FUZZY_RE.match(rest)
+        if fm:
+            return Fuzzy(
+                text=fm.group("body").lower(),
+                max_edits=int(fm.group("dist") or 2),
+                field=fld,
+            )
         return Term(text=rest, field=fld)
 
     @staticmethod
@@ -300,6 +326,13 @@ class _Parser:
     def _term_or_wild(text: str, default_field: str | None) -> Node | None:
         if "*" in text or "?" in text:
             return Wildcard(pattern=text.lower(), field=default_field)
+        fm = _FUZZY_RE.match(text)
+        if fm:
+            return Fuzzy(
+                text=fm.group("body").lower(),
+                max_edits=int(fm.group("dist") or 2),
+                field=default_field,
+            )
         toks = py_tokenize(text)
         if not toks:
             return None

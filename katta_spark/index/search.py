@@ -411,6 +411,34 @@ class PhysicalIndex:
             out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
         return out.select("doc_id", "score")
 
+    def scored_docs_expanded(self, term_pred: Column) -> DataFrame:
+        """(doc_id, score) summing BM25 over every index term matching
+        a predicate parquet CANNOT push down (edit distance, arbitrary
+        SQL over the term string).  Unlike :meth:`scored_docs_pred`
+        (which filters the postings scan directly and relies on
+        DataFilters pruning), the predicate here is evaluated on the
+        TERM CATALOG — one row per distinct term, orders of magnitude
+        smaller than the postings — and the matched term set is
+        broadcast into the postings scan as an equi-join (Lucene's
+        FuzzyQuery term-dictionary expansion re-expressed as a catalog
+        broadcast join; no driver-side term enumeration)."""
+        cat = self.terms.filter(term_pred).select("term", "df")
+        cols = ["term", "block_id", "max_tf", "min_dl",
+                "doc_gaps", "tfs", "dls"]
+        blocks = self.postings.select(*cols).join(F.broadcast(cat), "term")
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        blocks = blocks.repartition(nparts, "block_id").sortWithinPartitions(
+            "block_id", "term"
+        )
+        kern = make_exhaustive_kernel(
+            float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+        )
+        out = blocks.mapInPandas(kern, SCORED_SCHEMA)
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        return out.select("doc_id", "score")
+
     def matched_docs(self, qterms: list[str], mode: str = "or",
                      filters: Filters = None) -> DataFrame:
         docs = self.scored_docs(qterms, mode).select("doc_id")

@@ -153,6 +153,7 @@ def lucene_topk_sql(
     terms: list[tuple[str, float]],
     field_terms: list[tuple[str, str, float]] = (),
     like_patterns: list[str] = (),
+    edit_patterns: list[tuple[str, int]] = (),
     require_all: bool = False,
     must_doc_sql: list[str] = (),
     not_doc_sql: list[str] = (),
@@ -168,6 +169,8 @@ def lucene_topk_sql(
                        postings clauses.
     ``like_patterns``  wildcard clauses — every content term matching
                        the LIKE pattern scores (expand-and-score).
+    ``edit_patterns``  fuzzy clauses (text, max_edits) — every content
+                       term within classic levenshtein distance scores.
     ``require_all``    flat-AND: every terms/field_terms clause must
                        match (wildcards excluded from the count).
     ``must_doc_sql``   list of SELECTs yielding doc_id sets the doc
@@ -196,6 +199,13 @@ def lucene_topk_sql(
             f"""  SELECT tf.doc_id, {score_sql()} AS s, 0 AS is_clause
   FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats WHERE tf.term LIKE '{pat}'"""
+        )
+    for txt, dist in edit_patterns:
+        tq = txt.replace("'", "''")
+        parts.append(
+            f"""  SELECT tf.doc_id, {score_sql()} AS s, 0 AS is_clause
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats WHERE levenshtein(tf.term, '{tq}') <= {int(dist)}"""
         )
     union = "\nUNION ALL\n".join(parts)
     n_clauses = len(terms) + len(field_terms)

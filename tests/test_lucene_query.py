@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from katta_spark.fulltext.qparse import (
     Bool,
+    Fuzzy,
     MatchAll,
     Phrase,
     RangeQ,
@@ -79,6 +80,19 @@ def test_parse_boost_forms():
     assert isinstance(p, Phrase) and p.boost == 2.0
 
 
+def test_parse_fuzzy_forms():
+    assert parse_lucene("roam~1") == Fuzzy(text="roam", max_edits=1)
+    assert parse_lucene("roam~") == Fuzzy(text="roam", max_edits=2)
+    assert parse_lucene("Roam~0") == Fuzzy(text="roam", max_edits=0)
+    f = parse_lucene("lang:pythn~1")
+    assert f == Fuzzy(text="pythn", max_edits=1, field="lang")
+    boosted = parse_lucene("roam~1^2")
+    assert isinstance(boosted, Fuzzy) and boosted.boost == 2.0
+    # a standalone ~N token is phrase slop, never a fuzzy
+    p = parse_lucene('"order fast"~2')
+    assert isinstance(p, Phrase) and p.slop == 2
+
+
 def test_parse_field_group_propagates():
     n = parse_lucene("lang:(en OR fr)")
     assert [(t.field, t.text) for t in n.should] == [("lang", "en"), ("lang", "fr")]
@@ -98,6 +112,19 @@ def test_combine_q_fq_is_must():
 
 
 # -------------------------------------------------- pure-Python evaluator
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic levenshtein (no transpositions) — mirrors both
+    F.levenshtein and DuckDB's levenshtein()."""
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+            prev = cur
+    return dp[-1]
 
 
 def _py_eval(node, oracle: PyBM25, rows: dict[int, dict]) -> dict[int, float]:
@@ -135,6 +162,22 @@ def _py_eval(node, oracle: PyBM25, rows: dict[int, dict]) -> dict[int, float]:
         for d in oracle.matches(terms, "or"):
             out[d] = oracle.score(d, terms) * node.boost
         return out
+    if isinstance(node, Fuzzy):
+        if node.field is None:
+            terms = [
+                t for t in oracle.df
+                if _lev(t, node.text) <= node.max_edits
+            ]
+            return {
+                d: oracle.score(d, terms) * node.boost
+                for d in oracle.matches(terms, "or")
+            }
+        return {
+            d: 0.0
+            for d, r in rows.items()
+            if _lev(str(r.get(node.field)).lower(), node.text)
+            <= node.max_edits
+        }
     if isinstance(node, RangeQ):
         lo = float(node.lo) if node.lo is not None else None
         hi = float(node.hi) if node.hi is not None else None
@@ -192,6 +235,12 @@ QUERIES = [
     'repo:"org1/repo8" import',
     "(parse AND request) OR (merge AND sorted)",
     "import AND NOT (chunk OR nebula)",
+    "imprt~1",
+    "chnk~2 OR import",
+    "request~0",
+    "nebul~1^2 import",
+    "lang:pythn~1 AND import",
+    "+import -nebul~1",
 ]
 
 
