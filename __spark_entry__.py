@@ -203,6 +203,18 @@ def q_phys_phrase(spark, sf_dir):
     )
 
 
+def q_phys_highlight(spark, sf_dir):
+    """Top-k + snippet generation (Lucene/Solr highlighter parity):
+    a 60-char window around the first query-term occurrence with
+    in-window occurrences wrapped in <em> markers — JVM expressions
+    only."""
+    idx = phys_index(spark, sf_dir)
+    hits = idx.topk(["batch"], k=5)
+    return _round_score(
+        idx.highlight(hits, ["batch"], width=60, text_col="content")
+    )
+
+
 def q_phys_count(spark, sf_dir):
     return phys_index(spark, sf_dir).count(["dup", "key"], mode="or")
 
@@ -444,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_facet": q_phys_facet,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
+        "ft_phys_highlight": q_phys_highlight,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -531,6 +544,7 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
+        "ft_phys_highlight": O.highlight_sql(["batch"], k=5, width=60),
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(
             [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]

@@ -654,6 +654,43 @@ class PhysicalIndex:
             out = out.offset(offset)
         return out.limit(k).select("doc_id", "score")
 
+    def highlight(self, hits: DataFrame, terms: list[str],
+                  width: int = 80, text_col: str = "content",
+                  pre: str = "<em>", post: str = "</em>") -> DataFrame:
+        """Snippet generation for a hit slice — the Lucene/Solr
+        Highlighter surface (the reference exposes Solr's ``hl``
+        through its SolrQuery pass-through,
+        katta-client/.../client/LuceneClient.java:255-276).
+
+        For each hit: a ``width``-char window starting near the FIRST
+        case-insensitive occurrence of any query term in the stored
+        text, with every term occurrence inside the window wrapped in
+        ``pre``/``post`` markers.  Pure JVM Column expressions
+        (locate / substring / regexp_replace) applied to the
+        broadcast-joined hit slice — no Python in the path, no extra
+        shuffle, and the docs scan reads only (doc_id, text_col)."""
+        import re as _re
+
+        lows = sorted({t.lower() for t in terms})
+        text = F.col(text_col)
+        # first match position (1-based): min over per-term locate,
+        # ignoring misses (locate = 0); docs with no match snippet
+        # from the start of the text
+        locs = [
+            F.nullif(F.locate(t, F.lower(text)), F.lit(0)) for t in lows
+        ]
+        first = F.coalesce(
+            F.least(*locs) if len(locs) > 1 else locs[0], F.lit(1)
+        )
+        start = F.greatest(first - F.lit(max(width // 3, 0)), F.lit(1))
+        snippet = F.substring(text, start, width)
+        pat = "(?i)(" + "|".join(_re.escape(t) for t in lows) + ")"
+        wrapped = F.regexp_replace(snippet, pat, f"{pre}$1{post}")
+        doc_side = self.docs.select("doc_id", text.alias(text_col))
+        return F.broadcast(hits).join(doc_side, "doc_id").select(
+            *hits.columns, wrapped.alias("snippet")
+        )
+
     def export(self, qterms: list[str], fields: list[str], mode: str = "or",
                filters: Filters = None) -> DataFrame:
         """Full result streaming — every matching doc's stored fields,

@@ -281,6 +281,29 @@ top AS (
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def highlight_sql(terms: list[str], k: int = 10, width: int = 80,
+                  pre: str = "<em>", post: str = "</em>") -> str:
+    """Top-k + snippet oracle mirroring PhysicalIndex.highlight: a
+    ``width``-char window starting near the first case-insensitive
+    occurrence of any query term, every in-window occurrence wrapped
+    in pre/post markers."""
+    import re as _re
+
+    lows = sorted({t.lower() for t in terms})
+    locs = ", ".join(
+        f"nullif(strpos(lower(d.text), '{t.replace(chr(39), chr(39)*2)}'), 0)"
+        for t in lows
+    )
+    first = f"coalesce(least({locs}), 1)" if len(lows) > 1 else f"coalesce({locs}, 1)"
+    pat = "(?i)(" + "|".join(_re.escape(t) for t in lows) + ")"
+    return f"""{index_ctes()}{_scored_ctes(terms, k)}
+SELECT t.doc_id, round(t.score, 6) AS score,
+       regexp_replace(
+         substring(d.text, greatest({first} - {max(width // 3, 0)}, 1), {width}),
+         '{pat}', '{pre}\\1{post}', 'g') AS snippet
+FROM top t JOIN {DOCS} d ON t.doc_id = d.doc_id"""
+
+
 def matched_sql(terms: list[str], mode: str = "or", filter_sql: str | None = None) -> str:
     """CTE-suffix producing ``matched(doc_id)``."""
     n_terms = len(set(terms))

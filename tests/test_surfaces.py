@@ -51,6 +51,30 @@ def test_export(pindex):
     assert first["doc_id"] >= 0
 
 
+def test_highlight_snippets(pindex, pandas_docs):
+    """Snippet window contains the wrapped query term; snippet text
+    (markers stripped) is a substring of the stored content; hit
+    columns pass through untouched."""
+    hits = pindex.topk(["import"], k=5)
+    out = pindex.highlight(hits, ["import"], width=40).collect()
+    assert len(out) == 5
+    contents = {
+        int(r.doc_id): r.content
+        for r in pandas_docs.itertuples(index=False)
+    }
+    for r in out:
+        assert "<em>import</em>" in r["snippet"]
+        raw = r["snippet"].replace("<em>", "").replace("</em>", "")
+        assert raw in contents[r["doc_id"]]
+        assert len(raw) <= 40
+    # a doc with no term occurrence snippets from the start of text
+    nohit = pindex.docs.select("doc_id").limit(1).withColumn(
+        "score", F.lit(0.0)
+    )
+    row = pindex.highlight(nohit, ["zzznotaterm"], width=25).first()
+    assert row["snippet"] == contents[row["doc_id"]][:25]
+
+
 def test_sql_views(pindex, spark):
     pindex.register_views("t")
     n = spark.sql("SELECT count(*) AS n FROM t_docs").first()["n"]
