@@ -203,6 +203,63 @@ def q_phys_phrase(spark, sf_dir):
     )
 
 
+_STOPWORDS = ["data", "row"]
+_STOP_CACHE: dict[str, PhysicalIndex] = {}
+
+
+def phys_index_stop(spark: SparkSession, sf_dir: str,
+                    cache_root: str = "/tmp/katta_phys_stop"
+                    ) -> PhysicalIndex:
+    """A second physical index built with a StopFilter analyzer chain
+    (build_index(stopwords=...)): stopwords are dropped BEFORE dl /
+    positions, so scores differ from the main index by design."""
+    idx = _STOP_CACHE.get(sf_dir)
+    if idx is None:
+        import json
+        import shutil
+
+        d = f"{cache_root}/{Path(sf_dir).name}"
+        src_meta = _source_fingerprint(sf_dir)
+        meta_p = Path(f"{d}/_source_meta.json")
+        fresh = (
+            Path(f"{d}/stats.json").exists()
+            and meta_p.exists()
+            and json.loads(meta_p.read_text()) == src_meta
+        )
+        if not fresh:
+            shutil.rmtree(d, ignore_errors=True)
+            corpus = _docs(spark, sf_dir).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("text").alias("content"),
+                "lang", "source", "n_chars",
+            )
+            build_index(spark, corpus, d, n_groups=2, block_range=1024,
+                        stopwords=_STOPWORDS, store_positions=False)
+            meta_p.write_text(json.dumps(src_meta))
+        idx = PhysicalIndex(spark, d)
+        _STOP_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_stop_and(spark, sf_dir):
+    """AND query containing a stopword over the StopFilter index: the
+    query analyzer drops the stopword (Lucene symmetry), degrading to
+    the remaining conjunction; BM25 norms use the post-filter dl."""
+    return _round_score(
+        phys_index_stop(spark, sf_dir).topk(["table", "data"], mode="and")
+    )
+
+
+def q_synonym(spark, sf_dir):
+    """Query-time synonym expansion: 'sort' scores as the OR group
+    (sort, order), scores summed per doc."""
+    return _round_score(
+        phys_index(spark, sf_dir).query(
+            "sort", synonyms={"sort": ["order"]}
+        )
+    )
+
+
 def q_phys_highlight(spark, sf_dir):
     """Top-k + snippet generation (Lucene/Solr highlighter parity):
     a 60-char window around the first query-term occurrence with
@@ -472,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_q_matchall": _q_qstr("*:*"),
         "ft_q_slop": _q_qstr('"window stream"~3'),
         "ft_q_fuzzy": _q_qstr("batc~2"),
+        "ft_q_synonym": q_synonym,
+        "ft_stop_and": q_stop_and,
         # --- training-data pipeline ops ---
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -583,6 +642,10 @@ SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM documents ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "ft_q_slop": O.sloppy_phrase2_sql("window", "stream", slop=3, k=10),
         "ft_q_fuzzy": O.lucene_topk_sql([], edit_patterns=[("batc", 2)]),
+        "ft_q_synonym": O.lucene_topk_sql([("sort", 1.0), ("order", 1.0)]),
+        "ft_stop_and": O.topk_sql(
+            ["table", "data"], mode="and", stopwords=_STOPWORDS
+        ),
         "ft_term_catalog": f"""{ctes}
 SELECT term, df, cf FROM dfv ORDER BY df DESC, term ASC LIMIT 100""",
         "ft_stats": f"""{ctes}

@@ -85,16 +85,77 @@ def flat_terms(node: Node) -> tuple[list[str], str] | None:
 class LuceneEvaluator:
     """Evaluate an AST against a PhysicalIndex."""
 
-    def __init__(self, idx):
+    def __init__(self, idx, synonyms: dict[str, list[str]] | None = None):
         self.idx = idx
         self.fields: set[str] = set(idx.stats.get("indexed_fields", []))
         self.analyzers: dict[str, str] = idx.stats.get("field_analyzers", {})
+        # analyzer-chain config (schema.xml:306-378): stopwords come
+        # from the index (they are an index-side invariant); synonyms
+        # default from the index stats but a query-time override wins
+        # (Solr applies SynonymFilter at query time)
+        self.stops: set[str] = set(idx.stats.get("stopwords") or [])
+        src = (
+            synonyms if synonyms is not None
+            else idx.stats.get("synonyms") or {}
+        )
+        self.synonyms: dict[str, list[str]] = {
+            k.lower(): sorted({x.lower() for x in v}) for k, v in src.items()
+        }
 
     # ------------------------------------------------------------ public
 
     def eval_query(self, node: Node) -> DataFrame:
         """(doc_id, score) of every matching doc, unranked."""
-        return self._eval(node)
+        stripped = self._strip_stops(node)
+        if stripped is None:
+            return self._empty()
+        return self._eval(stripped)
+
+    # ------------------------------------------------- stopword stripping
+
+    def _strip_stops(self, node: Node) -> Node | None:
+        """Query-analyzer StopFilter symmetry: content terms the index
+        dropped at build time vanish from the query tree (an AND with
+        a stopword degrades to the remaining conjunction; an
+        all-stopword clause list matches nothing).  Returns a NEW tree
+        — parse results are never mutated."""
+        if not self.stops:
+            return node
+        if isinstance(node, Term):
+            if node.field is None and node.text in self.stops:
+                return None
+            return node
+        if isinstance(node, Phrase):
+            if node.field is not None:
+                return node
+            kept = [w for w in node.words if w not in self.stops]
+            if not kept:
+                return None
+            if len(kept) == 1:
+                return Term(text=kept[0], boost=node.boost)
+            return Phrase(
+                words=kept, boost=node.boost, slop=node.slop
+            )
+        if isinstance(node, Bool):
+            must = [
+                x for x in (self._strip_stops(n) for n in node.must)
+                if x is not None
+            ]
+            should = [
+                x for x in (self._strip_stops(n) for n in node.should)
+                if x is not None
+            ]
+            must_not = [
+                x for x in (self._strip_stops(n) for n in node.must_not)
+                if x is not None
+            ]
+            if not must and not should and not must_not:
+                return None
+            return Bool(
+                must=must, should=should, must_not=must_not,
+                boost=node.boost,
+            )
+        return node
 
     # ------------------------------------------------------------- nodes
 
@@ -170,6 +231,14 @@ class LuceneEvaluator:
         )
 
     def _eval_term(self, t: Term) -> DataFrame:
+        if t.field is None and t.text in self.synonyms:
+            # SynonymFilter expansion: the term and its synonym group
+            # score as one OR clause (scores sum over the members
+            # present — a documented deviation from Lucene's
+            # SynonymQuery blended-df scoring, chosen because the sum
+            # is exactly SQL-oracle-checkable)
+            group = sorted({t.text, *self.synonyms[t.text]})
+            return self._boost(self.idx.scored_docs(group, "or"), t.boost)
         pt = self._postings_term(t)
         if pt is not None:
             return self._boost(self.idx.scored_docs([pt]), t.boost)
@@ -280,7 +349,11 @@ class LuceneEvaluator:
         rest: list[Node] = []
         for n in nodes:
             pt = self._postings_term(n) if isinstance(n, Term) else None
-            if pt is not None and n.boost == 1.0:
+            if (
+                pt is not None
+                and n.boost == 1.0
+                and not (n.field is None and n.text in self.synonyms)
+            ):
                 terms.append(pt)
             else:
                 rest.append(n)

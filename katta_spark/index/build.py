@@ -258,6 +258,8 @@ def build_index(
     path_col: str | None = None,
     field_cols: list[str] | None = None,
     field_analyzers: dict[str, str] | None = None,
+    stopwords: list[str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
     store_positions: bool = True,
     n_groups: int = 4,
     commit: str = "c0",
@@ -283,6 +285,15 @@ def build_index(
     fanalyzers = {
         c: (field_analyzers or {}).get(c, "keyword") for c in indexed_fields
     }
+    # analyzer-chain config (schema.xml:306-378 StopFilter/SynonymFilter
+    # parity): stopwords are an INDEX-SIDE invariant (they change dl and
+    # the stored token arrays, so later commits must inherit them);
+    # synonyms are QUERY-TIME config, stored here as the index default
+    stopwords = sorted({s.lower() for s in (stopwords or [])})
+    synonyms = {
+        k.lower(): sorted({s.lower() for s in v})
+        for k, v in (synonyms or {}).items()
+    }
     if stats_path.exists():
         # block geometry is an index-wide invariant (decode + group
         # lineage depend on it) — later commits inherit the original;
@@ -292,6 +303,8 @@ def build_index(
         # positions are an index-wide invariant too (mixed commits
         # would leave phrase execution half-blind)
         store_positions = bool(_prev_stats.get("positions", False))
+        stopwords = _prev_stats.get("stopwords", [])
+        synonyms = {**synonyms, **_prev_stats.get("synonyms", {})}
         indexed_fields = sorted(
             set(indexed_fields) | set(_prev_stats.get("indexed_fields", []))
         )
@@ -334,7 +347,17 @@ def build_index(
             docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(prev_n))
         # analyzer runs ONCE per document, here; every later pass
         # (posting groups, rebuilds, resume) reads the stored arrays
-        docs = docs.withColumn("toks", tokens_array("content")).withColumn(
+        toks_expr = tokens_array("content")
+        if stopwords:
+            # StopFilter: removed BEFORE positions are assigned, so
+            # the surviving tokens renumber densely ("a the b" indexes
+            # as consecutive [a, b] — a documented deviation from
+            # Lucene's position-increment gaps; both dl and BM25 norms
+            # see the post-filter length)
+            toks_expr = F.filter(
+                toks_expr, lambda t: ~t.isin(*stopwords)
+            )
+        docs = docs.withColumn("toks", toks_expr).withColumn(
             "dl", F.size("toks").cast("long")
         )
         if path_col and path_col in docs.columns:
@@ -534,6 +557,8 @@ def build_index(
         "block_range": block_range,
         "indexed_fields": indexed_fields,
         "field_analyzers": fanalyzers,
+        "stopwords": stopwords,
+        "synonyms": synonyms,
         "positions": store_positions,
         "commits": sorted({m["commit"] for m in load_manifest(index_dir)}),
         "built_at_commit": commit,

@@ -344,6 +344,18 @@ class PhysicalIndex:
 
     # ---------------------------------------------------------- plumbing
 
+    def _strip_stops(self, qterms: list[str]) -> list[str]:
+        """Query-side StopFilter: terms the index dropped at build
+        time are removed from queries too (Lucene's query analyzer
+        symmetry) — an AND containing a stopword degrades to the
+        conjunction of the remaining terms instead of matching
+        nothing."""
+        stops = self.stats.get("stopwords") or []
+        if not stops:
+            return list(qterms)
+        s = set(stops)
+        return [t for t in qterms if t not in s]
+
     def _qblocks(self, qterms: list[str] | Column,
                  positions: bool = False) -> DataFrame:
         """Posting blocks of the query terms, shuffled once on
@@ -384,7 +396,7 @@ class PhysicalIndex:
         A term absent from the index simply matches no block rows, so
         OR degrades gracefully and AND returns empty via the
         nt == n_terms filter — no driver-side existence check."""
-        terms = sorted(set(qterms))
+        terms = sorted(set(self._strip_stops(qterms)))
         kern = make_exhaustive_kernel(
             float(self.stats["n_docs"]), self.stats["avgdl"],
             self.stats["k1"], self.stats["b"], self.stats["block_range"],
@@ -465,7 +477,7 @@ class PhysicalIndex:
         asc, sliced [offset, offset+k).  WAND pruning is used when no
         non-scoring filter is present (a filter makes heap thresholds
         unsound); results are identical either way (tested)."""
-        terms = sorted(set(qterms))
+        terms = sorted(set(self._strip_stops(qterms)))
         if self.tombstones is not None:
             use_wand = False  # pruned heap could retain deleted docs
         if filters or not use_wand:
@@ -492,7 +504,7 @@ class PhysicalIndex:
 
     def count(self, qterms: list[str], mode: str = "or",
               filters: Filters = None) -> DataFrame:
-        terms = sorted(set(qterms))
+        terms = sorted(set(self._strip_stops(qterms)))
         if len(terms) == 1 and not filters and self.tombstones is None:
             # fast path: a single term's hit count IS its global df —
             # read it from the catalog, decode nothing (Katta's
@@ -569,6 +581,15 @@ class PhysicalIndex:
         .pos-backed PhrasQuery execution).  Indexes built without
         positions fall back to re-analysis verification against the
         stored token arrays of the broadcast-joined candidates."""
+        phrase = self._strip_stops(phrase)  # order/dups preserved:
+        # the index dropped these tokens BEFORE numbering positions,
+        # so "a the b" both indexes and queries as consecutive [a, b]
+        if not phrase:
+            return self.docs.select(
+                "doc_id", F.lit(0.0).alias("score")
+            ).filter(F.lit(False))
+        if len(phrase) == 1:
+            return self.scored_docs(phrase)
         if self.stats.get("positions"):
             return self._phrase_scored_positional(phrase, slop)
         if slop > 0:
@@ -703,33 +724,39 @@ class PhysicalIndex:
 
     # ------------------------------------------- query-string front door
 
-    def query_scored(self, q: str, fq: list[str] | None = None) -> DataFrame:
+    def query_scored(self, q: str, fq: list[str] | None = None,
+                     synonyms: dict[str, list[str]] | None = None
+                     ) -> DataFrame:
         """(doc_id, score) for a full Lucene-syntax query string —
-        NOT/ranges/wildcards/phrases/nesting/boosts (the reference's
-        SolrPluginUtils.parseQueryStrings front door,
+        NOT/ranges/wildcards/fuzzy/phrases/nesting/boosts (the
+        reference's SolrPluginUtils.parseQueryStrings front door,
         LuceneServer.java:1314-1353).  q and every fq are MUST-joined
-        (LuceneServer.java:1344-1352)."""
+        (LuceneServer.java:1344-1352).  ``synonyms`` overrides the
+        index's query-time synonym map for this call."""
         from katta_spark.fulltext.luceval import LuceneEvaluator
         from katta_spark.fulltext.qparse import combine_q_fq
 
         node = combine_q_fq(q, fq)
-        return LuceneEvaluator(self).eval_query(node)
+        return LuceneEvaluator(self, synonyms=synonyms).eval_query(node)
 
     def query(self, q: str, k: int = 10, offset: int = 0,
-              fq: list[str] | None = None) -> DataFrame:
+              fq: list[str] | None = None,
+              synonyms: dict[str, list[str]] | None = None) -> DataFrame:
         """Top-k for a Lucene-syntax query string: (doc_id, score),
         score desc / doc_id asc, sliced [offset, offset+k).  Flat
-        pure-term queries route through the WAND top-k path; general
-        boolean trees run the exhaustive evaluator."""
+        pure-term queries route through the WAND top-k path (unless a
+        term has a synonym expansion); general boolean trees run the
+        exhaustive evaluator."""
         from katta_spark.fulltext.luceval import LuceneEvaluator, flat_terms
         from katta_spark.fulltext.qparse import combine_q_fq
 
         node = combine_q_fq(q, fq)
+        ev = LuceneEvaluator(self, synonyms=synonyms)
         flat = flat_terms(node)
-        if flat is not None:
+        if flat is not None and not (set(flat[0]) & set(ev.synonyms)):
             terms, mode = flat
             return self.topk(terms, k=k, mode=mode, offset=offset)
-        out = LuceneEvaluator(self).eval_query(node).orderBy(
+        out = ev.eval_query(node).orderBy(
             F.desc("score"), F.asc("doc_id")
         )
         if offset:
@@ -829,6 +856,12 @@ class PhysicalIndex:
                 base.stats["k1"], base.stats["b"]
             ):
                 raise ValueError("BM25 parameters differ across indexes")
+            if p.stats.get("stopwords", []) != base.stats.get(
+                "stopwords", []
+            ):
+                # different stop sets mean different dl/token arrays —
+                # scores would silently disagree with a union build
+                raise ValueError("stopword sets differ across indexes")
 
         merged = cls.__new__(cls)
         merged.spark = spark
@@ -880,6 +913,12 @@ class PhysicalIndex:
             "b": base.stats["b"],
             "block_range": br,
             "indexed_fields": sorted(fields or ()),
+            "stopwords": base.stats.get("stopwords", []),
+            "synonyms": {
+                k: v
+                for p in reversed(parts)
+                for k, v in p.stats.get("synonyms", {}).items()
+            },
             "positions": all(
                 p.stats.get("positions", False) for p in parts
             ),

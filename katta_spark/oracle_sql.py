@@ -14,10 +14,17 @@ from katta_spark.tokenizer import duckdb_tokens_sql
 DOCS = "documents"
 
 
-def index_ctes() -> str:
+def index_ctes(stopwords: list[str] = ()) -> str:
     """Shared CTE prefix: tok / tf / dl / stats / dfv over documents —
-    the SQL mirror of :class:`katta_spark.fulltext.analysis.LogicalIndex`."""
+    the SQL mirror of :class:`katta_spark.fulltext.analysis.LogicalIndex`.
+    ``stopwords`` mirrors build_index(stopwords=...): dropped from tok
+    before dl/tf, so BM25 norms see the post-filter length."""
     tok = duckdb_tokens_sql(DOCS, "doc_id", "text")
+    if stopwords:
+        stops = ", ".join(
+            "'" + s.replace("'", "''") + "'" for s in sorted(set(stopwords))
+        )
+        tok = f"SELECT * FROM ({tok}) WHERE term NOT IN ({stops})"
     return f"""WITH tok AS ({tok}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT d.doc_id, count(t.term) AS dl
@@ -83,8 +90,10 @@ def topk_sql(
     mode: str = "or",
     filter_sql: str | None = None,
     offset: int = 0,
+    stopwords: list[str] = (),
 ) -> str:
-    return f"""{index_ctes()}{_scored_ctes(terms, k, mode, filter_sql, offset)}
+    qt = [t for t in terms if t not in set(stopwords)]
+    return f"""{index_ctes(stopwords)}{_scored_ctes(qt, k, mode, filter_sql, offset)}
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
