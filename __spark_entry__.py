@@ -344,6 +344,42 @@ def ann_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_ann") -> str:
     return d
 
 
+def ivf_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_ivf") -> str:
+    """IVF-flat index (centroid-partitioned) over the embeddings
+    table (minus the query vector 0), built once per sf dir."""
+    import json
+    import shutil
+
+    from katta_spark.ops import ann_index as AI
+
+    d = f"{cache_root}/{Path(sf_dir).name}"
+    src_meta = _source_fingerprint(sf_dir, "embeddings.parquet")
+    meta_p = Path(f"{d}/_source_meta.json")
+    if not (
+        Path(f"{d}/_meta.json").exists()
+        and meta_p.exists()
+        and json.loads(meta_p.read_text()) == src_meta
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") != 0
+        )
+        AI.build_ivf_index(emb, d, n_centroids=16)
+        meta_p.write_text(json.dumps(src_meta))
+    return d
+
+
+def q_sim_ivf_ann(spark, sf_dir):
+    """ANN from the IVF-flat index: nprobe nearest centroids, exact
+    rerank inside their partitions (partition-pruned read)."""
+    from katta_spark.ops import ann_index as AI
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = AI.ivf_query(spark, ivf_index_dir(spark, sf_dir), qv, k=10, nprobe=2)
+    return _round_score(out, col="cos")
+
+
 def q_dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH bucket-join candidates +
     exact cosine verify (threshold picked for a non-trivial result on
@@ -545,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
+        "sim_ivf_ann": q_sim_ivf_ann,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
@@ -692,6 +729,7 @@ c AS (
 SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "sim_lsh_ann": OO.lsh_ann_sql(dims=64, n_planes=12, k=10),
+        "sim_ivf_ann": OO.ivf_ann_sql(n_centroids=16, nprobe=2, k=10),
         "dedup_embed_cosine": OO.cosine_dup_sql(
             threshold=0.25, dims=64, n_planes=4, n_tables=2
         ),

@@ -123,6 +123,114 @@ def ann_candidates(
     return cand
 
 
+def _cos_to_literal(vec_col, cvec: list[float]):
+    """cos(vec_col, literal vector) as a pure JVM fold — element-order
+    sequential summation, bitwise-reproducible by any oracle that sums
+    in list order."""
+    import math
+
+    from katta_spark.ops.similarity import _dot, _norm
+
+    c = F.array(*[F.lit(float(x)) for x in cvec])
+    cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
+    return _dot(vec_col, c) / (_norm(vec_col) * F.lit(cn))
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """IVF-flat index: vectors partitioned by nearest-centroid id.
+
+    Coarse quantizer: the ``n_centroids`` vectors with the SMALLEST
+    ids — a deterministic sample, chosen over k-means so the
+    assignment is exactly reproducible by a SQL oracle (at warehouse
+    scale you would swap in k-means|| centroids; every other part of
+    the layout and the query path is unchanged).  Assignment is
+    argmax-cosine with tie-break centroid_id asc, computed per row as
+    a JVM expression fold over the broadcast centroid literals — no
+    shuffle, no cross join, no Python.  The write is partitioned by
+    ``cid`` so a probe reads only its centroid's directories."""
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centroids = [
+        [float(x) for x in r[vec_col]] for r in cents
+    ]
+    elems = [
+        F.struct(
+            (-_cos_to_literal(F.col(vec_col), cv)).alias("nc"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in enumerate(centroids)
+    ]
+    best = F.array_min(F.array(*elems))["cid"]
+    assigned = embeddings.select(
+        best.alias("cid"), F.col(id_col), F.col(vec_col)
+    )
+    (
+        assigned.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(out_dir)
+    )
+    meta = {
+        "kind": "ivf",
+        "n_centroids": int(n_centroids),
+        "centroids": centroids,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    (Path(out_dir) / "_meta.json").write_text(json.dumps(meta, indent=1))
+    return meta
+
+
+def ivf_query(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(id, cos) top-k by exact cosine within the ``nprobe`` nearest
+    centroids' partitions.  Centroid ranking is a driver-side handful
+    of flops over the stored centroid list (sequential float64 sums,
+    ordering cos desc / cid asc); the data read is partition-pruned to
+    the probed ``cid=`` directories."""
+    import math
+
+    meta = json.loads((Path(index_dir) / "_meta.json").read_text())
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos(cv: list[float]) -> float:
+        dot = 0.0
+        nc = 0.0
+        for a, b in zip(cv, query_vec):
+            dot += float(a) * float(b)
+            nc += float(a) * float(a)
+        return dot / ((math.sqrt(nc) or 1.0) * qn)
+
+    ranked = sorted(
+        ((cos(cv), cid) for cid, cv in enumerate(meta["centroids"])),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe = [cid for _, cid in ranked[: max(nprobe, 1)]]
+    df = spark.read.parquet(index_dir).filter(F.col("cid").isin(probe))
+    return cosine_topk(
+        df.select(meta["id_col"], meta["vec_col"]),
+        query_vec,
+        k,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
+
+
 def ann_query(
     spark: SparkSession,
     index_dir: str,

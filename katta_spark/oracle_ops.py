@@ -193,6 +193,61 @@ SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT {k})"""
 
 
+def ivf_ann_sql(n_centroids: int = 16, nprobe: int = 2, k: int = 10) -> str:
+    """IVF-flat ANN oracle — mirror of ops.ann_index.build_ivf_index /
+    ivf_query: coarse quantizer = the ``n_centroids`` smallest-id
+    vectors, assignment = argmax cosine (tie-break cid asc), probe =
+    the ``nprobe`` centroids nearest the query, exact rerank within
+    the probed partitions."""
+
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+        na = (
+            f"sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        )
+        nb = (
+            f"sqrt(list_sum(list_transform(generate_series(1, len({b})), "
+            f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+        )
+        return f"{dot} / ({na} * {nb})"
+
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        ORDER BY vec_id ASC LIMIT {n_centroids})
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, {cos('q.qv', 'c.cvec')} AS pc
+    FROM cents c CROSS JOIN q
+    ORDER BY pc DESC, c.cid ASC LIMIT {nprobe})
+),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) e
+    CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+rer AS (
+  SELECT a.vec_id, {cos('a.embedding', 'q.qv')} AS cos
+  FROM assign a CROSS JOIN q
+  WHERE a.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, round(cos, 6) AS cos
+FROM (SELECT * FROM rer ORDER BY cos DESC, vec_id ASC LIMIT {k})"""
+
+
 def dup_clusters_sql(pairs_sql: str) -> str:
     """(doc_id, cluster) connected components over a candidate-pair
     query — recursive-CTE transitive closure + min per node (mirror

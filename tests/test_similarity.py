@@ -124,6 +124,100 @@ def test_ann_index_probe_is_partition_pruned(spark, emb, ann_dir):
     assert 0 < n_probed < n_total / 2
 
 
+@pytest.fixture(scope="module")
+def ivf_dir(spark, emb, tmp_path_factory):
+    from katta_spark.ops import ann_index as AI
+
+    d = str(tmp_path_factory.mktemp("ivf") / "idx")
+    AI.build_ivf_index(emb.filter(F.col("vec_id") != 0), d, n_centroids=8)
+    return d
+
+
+def test_ivf_query_matches_python_bruteforce(spark, emb, ivf_dir):
+    """Assignment (argmax cosine, tie cid asc), probe ranking, and
+    rerank all match an independent python mirror."""
+    import math
+
+    from katta_spark.ops import ann_index as AI
+
+    rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") != 0).collect()
+    ]
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cents = [v for _, v in sorted(rows)[:8]]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    probe = [
+        cid
+        for _, cid in sorted(
+            ((-cos(qv, c), cid) for cid, c in enumerate(cents))
+        )[:2]
+    ]
+    cand = [
+        (vid, v)
+        for vid, v in rows
+        if min(
+            ((-cos(v, c), cid) for cid, c in enumerate(cents))
+        )[1] in probe
+    ]
+    want = sorted(
+        ((round(cos(v, qv), 6), vid) for vid, v in cand),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = AI.ivf_query(spark, ivf_dir, qv, k=10, nprobe=2).collect()
+    assert [(r["vec_id"], round(r["cos"], 6)) for r in got] == [
+        (vid, c) for c, vid in want
+    ]
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, ivf_dir):
+    """nprobe = n_centroids probes every partition, so IVF reduces to
+    the exact brute-force top-k."""
+    from katta_spark.ops import ann_index as AI
+
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    exact = sim.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10
+    ).collect()
+    ivf = AI.ivf_query(spark, ivf_dir, qv, k=10, nprobe=8).collect()
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in ivf] == [
+        (r["vec_id"], round(r["cos"], 9)) for r in exact
+    ]
+
+
+def test_ivf_probe_is_partition_pruned(spark, emb, ivf_dir):
+    from katta_spark.ops import ann_index as AI
+
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    out = AI.ivf_query(spark, ivf_dir, qv, k=10, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    n_probed = (
+        spark.read.parquet(ivf_dir)
+        .filter(F.col("cid").isin([0]))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    n_total = len(spark.read.parquet(ivf_dir).inputFiles())
+    assert 0 < n_probed < n_total
+
+
 def test_ann_multiprobe_widens_buckets(spark, emb, ann_dir):
     from katta_spark.ops import ann_index as AI
 
