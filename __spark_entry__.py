@@ -272,6 +272,35 @@ def q_phys_highlight(spark, sf_dir):
     )
 
 
+def q_terms_suggest(spark, sf_dir):
+    """Solr TermsComponent: top-df content terms under a prefix."""
+    return phys_index(spark, sf_dir).suggest("s", n=10)
+
+
+def q_field_stats(spark, sf_dir):
+    """Solr StatsComponent: numeric summary over the matching docs."""
+    out = phys_index(spark, sf_dir).field_stats(["scan"], "n_chars")
+    return out.select(
+        "n", "min_v", "max_v",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("mean_v", 6).alias("mean_v"),
+    )
+
+
+def q_group_topk(spark, sf_dir):
+    """Solr result grouping: top-3 hits per lang."""
+    return _round_score(
+        phys_index(spark, sf_dir).group_topk(["table"], "lang", k_per_group=3)
+    )
+
+
+def q_mlt(spark, sf_dir):
+    """MoreLikeThis: docs similar to doc 7 via its top tf-idf terms."""
+    return _round_score(
+        phys_index(spark, sf_dir).more_like_this(7, m_terms=5, k=10)
+    )
+
+
 def q_phys_count(spark, sf_dir):
     return phys_index(spark, sf_dir).count(["dup", "key"], mode="or")
 
@@ -550,6 +579,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
         "ft_phys_highlight": q_phys_highlight,
+        "ft_suggest": q_terms_suggest,
+        "ft_field_stats": q_field_stats,
+        "ft_group_topk": q_group_topk,
+        "ft_mlt": q_mlt,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -641,6 +674,10 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
         "ft_phys_highlight": O.highlight_sql(["batch"], k=5, width=60),
+        "ft_suggest": O.suggest_sql("s", n=10),
+        "ft_field_stats": O.field_stats_sql(["scan"], "n_chars"),
+        "ft_group_topk": O.group_topk_sql(["table"], "lang", k_per_group=3),
+        "ft_mlt": O.mlt_sql(7, m_terms=5, k=10),
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(
             [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]

@@ -113,6 +113,15 @@ def main() -> None:
         "q_lucene_not": run(lambda: idx.query("table -scan")),
         "q_wildcard": run(lambda: idx.query("s*")),
         "q_field_scored": run(lambda: idx.query("table AND lang:en")),
+        "q_fuzzy": run(lambda: idx.query("batc~2")),
+        "q_synonym": run(
+            lambda: idx.query("sort", synonyms={"sort": ["order"]})
+        ),
+        "q_highlight": run(
+            lambda: idx.highlight(
+                idx.topk(["batch"], k=5), ["batch"], width=60
+            )
+        ),
     }
     CORE = {  # round-1 query classes, kept separate for comparability
         "q_topk_common", "q_topk_rare", "q_and", "q_or3", "q_filter",
@@ -179,6 +188,17 @@ def main() -> None:
         lambda: AI.ann_query(spark, ann_dir, qv, k=10).collect()
     )
     shutil.rmtree(ann_dir, ignore_errors=True)
+    # IVF-flat index: centroid partitions, nprobe-pruned probes
+    ivf_dir = bench_tmpdir("katta_bench_ivf_")
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    queries["op_ivf_index_build"] = timed(
+        lambda: AI.build_ivf_index(emb_corpus, ivf_dir, n_centroids=16),
+        repeats=1,
+    )
+    queries["op_ivf_query"] = timed(
+        lambda: AI.ivf_query(spark, ivf_dir, qv, k=10, nprobe=2).collect()
+    )
+    shutil.rmtree(ivf_dir, ignore_errors=True)
 
     # ---- synthetic source-code corpus at bench scale --------------------
     synth_dir = bench_tmpdir("katta_bench_synth_")

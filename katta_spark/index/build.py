@@ -49,39 +49,58 @@ from katta_spark.fulltext.analysis import B, K1
 from katta_spark.index import codec
 from katta_spark.tokenizer import tokens_array
 
-ENC_SCHEMA = BinaryType()
 
-
-@F.pandas_udf(ENC_SCHEMA)
-def _enc_gaps(doc_ids: pd.Series, block_bases: pd.Series) -> pd.Series:
+# fused block encoders: ONE pandas UDF per block row instead of four
+# (gaps + 2 varints [+ positions]) — one Arrow round trip through the
+# python worker per batch rather than four, measurably faster at high
+# core counts where the per-call overhead stops amortizing
+@F.pandas_udf(StructType([
+    StructField("doc_gaps", BinaryType()),
+    StructField("tfs", BinaryType()),
+    StructField("dls", BinaryType()),
+]))
+def _enc_block(doc_ids: pd.Series, block_bases: pd.Series,
+               tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
     out = []
-    for ids, base in zip(doc_ids, block_bases):
+    for ids, base, tf, dl in zip(doc_ids, block_bases, tfs, dls):
         d = np.asarray(ids, dtype=np.int64)
-        gaps = np.diff(d, prepend=np.int64(base))
-        out.append(codec.encode_varint(gaps))
-    return pd.Series(out)
-
-
-@F.pandas_udf(ENC_SCHEMA)
-def _enc_varint(vals: pd.Series) -> pd.Series:
-    return pd.Series(
-        [codec.encode_varint(np.asarray(v, dtype=np.int64)) for v in vals]
-    )
+        out.append((
+            codec.encode_varint(np.diff(d, prepend=np.int64(base))),
+            codec.encode_varint(np.asarray(tf, dtype=np.int64)),
+            codec.encode_varint(np.asarray(dl, dtype=np.int64)),
+        ))
+    return pd.DataFrame(out, columns=["doc_gaps", "tfs", "dls"])
 
 
 @F.pandas_udf(StructType([
+    StructField("doc_gaps", BinaryType()),
+    StructField("tfs", BinaryType()),
+    StructField("dls", BinaryType()),
     StructField("pos_lens", BinaryType()),
     StructField("pos_deltas", BinaryType()),
 ]))
-def _enc_positions(plens: pd.Series, pflat: pd.Series) -> pd.DataFrame:
-    out = [
-        codec.encode_positions_flat(
+def _enc_block_pos(doc_ids: pd.Series, block_bases: pd.Series,
+                   tfs: pd.Series, dls: pd.Series,
+                   plens: pd.Series, pflat: pd.Series) -> pd.DataFrame:
+    out = []
+    for ids, base, tf, dl, lens, flat in zip(
+        doc_ids, block_bases, tfs, dls, plens, pflat
+    ):
+        d = np.asarray(ids, dtype=np.int64)
+        pl, pdlt = codec.encode_positions_flat(
             np.asarray(lens, dtype=np.int64),
             np.asarray(flat, dtype=np.int64),
         )
-        for lens, flat in zip(plens, pflat)
-    ]
-    return pd.DataFrame(out, columns=["pos_lens", "pos_deltas"])
+        out.append((
+            codec.encode_varint(np.diff(d, prepend=np.int64(base))),
+            codec.encode_varint(np.asarray(tf, dtype=np.int64)),
+            codec.encode_varint(np.asarray(dl, dtype=np.int64)),
+            pl,
+            pdlt,
+        ))
+    return pd.DataFrame(
+        out, columns=["doc_gaps", "tfs", "dls", "pos_lens", "pos_deltas"]
+    )
 
 
 def _group_expr(n_groups: int, block_range: int):
@@ -165,25 +184,27 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
             ),
         )
     )
-    enc_cols = [
-        "term",
-        "block_id",
-        "n",
-        "cf",
-        "max_tf",
-        "min_dl",
-        _enc_gaps("_ids", (F.col("block_id") * F.lit(block_range))).alias("doc_gaps"),
-        _enc_varint("_tfs").alias("tfs"),
-        _enc_varint("_dls").alias("dls"),
-    ]
+    meta_cols = ["term", "block_id", "n", "cf", "max_tf", "min_dl"]
+    base = F.col("block_id") * F.lit(block_range)
     if with_pos:
-        enc_cols.append(_enc_positions("_plens", "_pflat").alias("_pe"))
-    enc = blocks.select(*enc_cols)
-    if with_pos:
-        enc = enc.select(
-            *[c for c in enc.columns if c != "_pe"],
+        pe = _enc_block_pos(
+            "_ids", base, "_tfs", "_dls", "_plens", "_pflat"
+        ).alias("_pe")
+        enc = blocks.select(*meta_cols, pe).select(
+            *meta_cols,
+            F.col("_pe.doc_gaps").alias("doc_gaps"),
+            F.col("_pe.tfs").alias("tfs"),
+            F.col("_pe.dls").alias("dls"),
             F.col("_pe.pos_lens").alias("pos_lens"),
             F.col("_pe.pos_deltas").alias("pos_deltas"),
+        )
+    else:
+        pe = _enc_block("_ids", base, "_tfs", "_dls").alias("_pe")
+        enc = blocks.select(*meta_cols, pe).select(
+            *meta_cols,
+            F.col("_pe.doc_gaps").alias("doc_gaps"),
+            F.col("_pe.tfs").alias("tfs"),
+            F.col("_pe.dls").alias("dls"),
         )
     # layout shuffle: hash-partition by term (Katta's murmur3 shard
     # routing, lib/writer/DefaultDataWriter.java:171-184), then sort

@@ -434,7 +434,14 @@ class PhysicalIndex:
         broadcast into the postings scan as an equi-join (Lucene's
         FuzzyQuery term-dictionary expansion re-expressed as a catalog
         broadcast join; no driver-side term enumeration)."""
-        cat = self.terms.filter(term_pred).select("term", "df")
+        return self._scored_from_catalog(
+            self.terms.filter(term_pred).select("term", "df")
+        )
+
+    def _scored_from_catalog(self, cat: DataFrame) -> DataFrame:
+        """(doc_id, score) for an in-plan (term, df) catalog slice —
+        the shared tail of every expansion path (fuzzy, MoreLikeThis):
+        broadcast the slice into the postings scan, decode, sum."""
         cols = ["term", "block_id", "max_tf", "min_dl",
                 "doc_gaps", "tfs", "dls"]
         blocks = self.postings.select(*cols).join(F.broadcast(cat), "term")
@@ -674,6 +681,105 @@ class PhysicalIndex:
         if offset:
             out = out.offset(offset)
         return out.limit(k).select("doc_id", "score")
+
+    def suggest(self, prefix: str, n: int = 10) -> DataFrame:
+        """(term, df) — the ``n`` highest-df content terms with the
+        given prefix: the Solr TermsComponent surface (terms.prefix /
+        terms.limit, which the reference reaches through its SolrQuery
+        pass-through).  One pruned catalog scan: ``startswith`` pushes
+        to parquet as StringStartsWith on the term-sorted files."""
+        cond = F.col("term").startswith(prefix.lower())
+        if ":" not in prefix:
+            # content terms only — field/path postings share the term
+            # space behind "<field>:" prefixes
+            cond = cond & ~F.col("term").contains(":")
+        return (
+            self.terms.filter(cond)
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def field_stats(self, qterms: list[str], field: str, mode: str = "or",
+                    filters: Filters = None) -> DataFrame:
+        """One-row numeric summary of ``field`` over the matching docs
+        — the Solr StatsComponent surface (stats.field): count / min /
+        max / sum / mean."""
+        m = self.matched_docs(qterms, mode, filters)
+        v = F.col(field).cast("double")
+        return self.docs.join(m, "doc_id", "left_semi").agg(
+            F.count(v).alias("n"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.sum(v).alias("sum_v"),
+            F.avg(v).alias("mean_v"),
+        )
+
+    def group_topk(self, qterms: list[str], group_field: str,
+                   k_per_group: int = 3, mode: str = "or",
+                   filters: Filters = None) -> DataFrame:
+        """(group_field, doc_id, score, rank) — the top
+        ``k_per_group`` hits WITHIN each value of ``group_field``:
+        Solr result grouping (group.field / group.limit).  One scored
+        pass + a per-group window; the shuffle keys on the group
+        column, so group cardinality — not corpus size — bounds the
+        per-task state."""
+        from pyspark.sql import Window
+
+        scored = self.scored_docs(sorted(set(qterms)), mode)
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        joined = scored.join(
+            self.docs.select("doc_id", group_field), "doc_id"
+        )
+        w = Window.partitionBy(group_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_per_group)
+            .select(group_field, "doc_id", "score", "rank")
+        )
+
+    def more_like_this(self, doc_id: int, m_terms: int = 5, k: int = 10
+                       ) -> DataFrame:
+        """(doc_id, score) top-k docs similar to ``doc_id`` — the
+        Lucene/Solr MoreLikeThis surface.  Representative terms = the
+        source doc's top ``m_terms`` by tf·idf (tie-break term asc),
+        selected IN-PLAN from the stored token array joined to the
+        term catalog (no driver collect); they then score the corpus
+        as an OR group via the catalog broadcast join, source doc
+        excluded."""
+        src = (
+            self.docs.filter(F.col("doc_id") == doc_id)
+            .select(F.explode("toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        n_docs = float(self.stats["n_docs"])
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        rep = (
+            src.join(self.terms.select("term", "df"), "term")
+            .select(
+                "term", "df", (F.col("tf") * idf).alias("w")
+            )
+            .orderBy(F.desc("w"), F.asc("term"))
+            .limit(m_terms)
+            .select("term", "df")
+        )
+        out = self._scored_from_catalog(rep).filter(
+            F.col("doc_id") != doc_id
+        )
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
 
     def highlight(self, hits: DataFrame, terms: list[str],
                   width: int = 80, text_col: str = "content",

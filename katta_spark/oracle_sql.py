@@ -290,6 +290,82 @@ top AS (
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def suggest_sql(prefix: str, n: int = 10) -> str:
+    """TermsComponent oracle: top-n content terms by df with the
+    prefix, tie-break term asc."""
+    p = prefix.lower().replace("'", "''")
+    return f"""{index_ctes()}
+SELECT term, df FROM dfv WHERE term LIKE '{p}%'
+ORDER BY df DESC, term ASC LIMIT {n}"""
+
+
+def field_stats_sql(terms: list[str], field: str, mode: str = "or") -> str:
+    """StatsComponent oracle: count/min/max/sum/mean of a numeric
+    field over the matching docs."""
+    return f"""{index_ctes()}{matched_sql(terms, mode)}
+SELECT count(CAST(d.{field} AS DOUBLE)) AS n,
+       min(CAST(d.{field} AS DOUBLE)) AS min_v,
+       max(CAST(d.{field} AS DOUBLE)) AS max_v,
+       round(sum(CAST(d.{field} AS DOUBLE)), 6) AS sum_v,
+       round(avg(CAST(d.{field} AS DOUBLE)), 6) AS mean_v
+FROM {DOCS} d JOIN matched m ON d.doc_id = m.doc_id"""
+
+
+def group_topk_sql(terms: list[str], group_field: str,
+                   k_per_group: int = 3, mode: str = "or") -> str:
+    """Result-grouping oracle: top-k hits per value of
+    ``group_field`` (score desc, doc_id asc within group)."""
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+),
+ranked AS (
+  SELECT d.{group_field}, s.doc_id, s.score,
+    CAST(row_number() OVER (
+      PARTITION BY d.{group_field}
+      ORDER BY s.score DESC, s.doc_id ASC) AS INT) AS rank
+  FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
+)
+SELECT {group_field}, doc_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= {k_per_group}"""
+
+
+def mlt_sql(doc_id: int, m_terms: int = 5, k: int = 10) -> str:
+    """MoreLikeThis oracle: the source doc's top ``m_terms`` by tf·idf
+    (tie-break term asc) score the corpus as an OR group, source doc
+    excluded, top-k."""
+    idf = (
+        "ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfv.df AS DOUBLE)"
+        " + 0.5) / (CAST(dfv.df AS DOUBLE) + 0.5))"
+    )
+    return f"""{index_ctes()},
+src AS (
+  SELECT term, count(*) AS tf FROM tok WHERE doc_id = {int(doc_id)}
+  GROUP BY term
+),
+rep AS (
+  SELECT s.term FROM src s JOIN dfv ON s.term = dfv.term CROSS JOIN stats
+  ORDER BY CAST(s.tf AS DOUBLE) * {idf} DESC, s.term ASC LIMIT {m_terms}
+),
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM rep) AND tf.doc_id <> {int(doc_id)}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k})"""
+
+
 def highlight_sql(terms: list[str], k: int = 10, width: int = 80,
                   pre: str = "<em>", post: str = "</em>") -> str:
     """Top-k + snippet oracle mirroring PhysicalIndex.highlight: a

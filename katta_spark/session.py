@@ -49,6 +49,20 @@ def get_spark(
         # orders of magnitude past either floor and nothing changes.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # collect_list/collect_set aggregations (posting-list build:
+        # positions per (doc, term), posting structs per (term, block))
+        # run on ObjectHashAggregateExec, which ABANDONS hash
+        # aggregation for a full sort after only 128 distinct keys by
+        # default — the sort is memory-bandwidth-bound and was the
+        # posting phase's scaling limiter (interleaved A/B at 8 cores:
+        # ~1.5-2x faster with the hash path).  4M keys × ~100 B ≈
+        # 400 MB/task worst case before the sort fallback trips, which
+        # an executor sized for 128 MB input splits handles; the
+        # fallback remains the safety valve above that.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "4000000",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,107 @@
+"""Solr component surfaces over the physical index: TermsComponent
+(suggest), StatsComponent (field_stats), result grouping
+(group_topk), MoreLikeThis — each checked against an independent
+pure-Python mirror."""
+
+import math
+
+import pytest
+
+from katta_spark.tokenizer import py_tokenize
+
+from tests.oracle import PyBM25
+
+
+@pytest.fixture(scope="module")
+def py_oracle(pandas_docs):
+    return PyBM25(
+        [
+            (int(r.doc_id), r.content)
+            for r in pandas_docs.itertuples(index=False)
+        ]
+    )
+
+
+def test_suggest_prefix_by_df(pindex, py_oracle):
+    got = pindex.suggest("pa", n=5).collect()
+    want = sorted(
+        (
+            (t, d)
+            for t, d in py_oracle.df.items()
+            if t.startswith("pa")
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [(r["term"], r["df"]) for r in got] == want
+    # prefix with no matches is empty, not an error
+    assert pindex.suggest("zzzz", n=5).count() == 0
+
+
+def test_field_stats_matches_python(pindex, py_oracle):
+    got = pindex.field_stats(["nebula"], "dl").first()
+    docs = py_oracle.matches(["nebula"])
+    vals = [float(py_oracle.dl[d]) for d in docs]
+    assert got["n"] == len(vals)
+    assert got["min_v"] == min(vals)
+    assert got["max_v"] == max(vals)
+    assert got["sum_v"] == pytest.approx(sum(vals), abs=1e-9)
+    assert got["mean_v"] == pytest.approx(
+        sum(vals) / len(vals), abs=1e-9
+    )
+
+
+def test_group_topk_matches_python(pindex, py_oracle, pandas_docs):
+    langs = {
+        int(r.doc_id): r.lang for r in pandas_docs.itertuples(index=False)
+    }
+    got = pindex.group_topk(["import"], "lang", k_per_group=3).collect()
+    per_group: dict[str, list] = {}
+    for d in py_oracle.matches(["import"]):
+        per_group.setdefault(langs[d], []).append(
+            (-py_oracle.score(d, ["import"]), d)
+        )
+    want = set()
+    for lang, lst in per_group.items():
+        for rank, (negs, d) in enumerate(sorted(lst)[:3], 1):
+            want.add((lang, d, round(-negs, 9), rank))
+    assert {
+        (r["lang"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in got
+    } == want
+
+
+def test_more_like_this_matches_python(pindex, py_oracle, pandas_docs):
+    src_id = 7
+    content = pandas_docs.set_index("doc_id").loc[src_id, "content"]
+    tf: dict[str, int] = {}
+    for t in py_tokenize(content):
+        tf[t] = tf.get(t, 0) + 1
+    rep = sorted(
+        tf,
+        key=lambda t: (-tf[t] * py_oracle.idf(t), t),
+    )[:5]
+    scored = {
+        d: py_oracle.score(d, rep)
+        for d in py_oracle.matches(rep, "or")
+        if d != src_id
+    }
+    want = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:10]
+    got = pindex.more_like_this(src_id, m_terms=5, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    # the source doc never appears in its own MLT results
+    assert src_id not in {r["doc_id"] for r in got}
+
+
+def test_mlt_rep_terms_uses_idf_not_raw_tf(pindex, py_oracle):
+    """High-tf but corpus-common terms (import, tf=2 in doc 0) must
+    rank below rare needle terms (quark, df=#needle-docs) in the
+    representative set — i.e. the selection really is tf*idf, not tf.
+    With m_terms=3 doc 0's reps are its two singleton needle tokens +
+    'quark', so every result doc is a needle doc."""
+    got = pindex.more_like_this(0, m_terms=3, k=10).collect()
+    quark_docs = set(py_oracle.matches(["quark"]))
+    assert 0 < len(got) <= 10
+    assert all(r["doc_id"] in quark_docs for r in got)
+    assert all(r["doc_id"] != 0 for r in got)

@@ -45,30 +45,34 @@ from katta_spark.index import build_index
 build_index(spark, synthetic_corpus(spark, 3000), f"{{shm}}/warm", n_groups=1)
 shutil.rmtree(f"{{shm}}/warm", ignore_errors=True)
 
+# each phase sequence runs TWICE in the same JVM; per-phase min is
+# reported (the first pass at real size still pays C2 compilation of
+# the hot loops — a long-lived cluster runs steady-state)
 t = {{}}
-t0 = time.monotonic()
-docs = with_ingest_columns(synthetic_corpus(spark, n_docs, body_reps=reps))
-docs = docs.withColumn("toks", tokens_array("content")).withColumn(
-    "dl", F.size("toks").cast("long")
-).withColumn("g", _group_expr(1, 4096))
-docs.write.mode("overwrite").partitionBy("g").parquet(f"{{shm}}/docs")
-t["ingest"] = round(time.monotonic() - t0, 2)
+for rep in range(2):
+    t0 = time.monotonic()
+    docs = with_ingest_columns(synthetic_corpus(spark, n_docs, body_reps=reps))
+    docs = docs.withColumn("toks", tokens_array("content")).withColumn(
+        "dl", F.size("toks").cast("long")
+    ).withColumn("g", _group_expr(1, 4096))
+    docs.write.mode("overwrite").partitionBy("g").parquet(f"{{shm}}/docs")
+    t["ingest"] = min(t.get("ingest", 1e9), round(time.monotonic() - t0, 2))
 
-dc = spark.read.parquet(f"{{shm}}/docs")
-t0 = time.monotonic()
-blocks = build_posting_blocks(
-    tokens_with_tf(dc, "content", positions=True), 50.0, 4096
-)
-blocks.write.mode("overwrite").parquet(f"{{shm}}/postings")
-t["posting"] = round(time.monotonic() - t0, 2)
+    dc = spark.read.parquet(f"{{shm}}/docs")
+    t0 = time.monotonic()
+    blocks = build_posting_blocks(
+        tokens_with_tf(dc, "content", positions=True), 50.0, 4096
+    )
+    blocks.write.mode("overwrite").parquet(f"{{shm}}/postings")
+    t["posting"] = min(t.get("posting", 1e9), round(time.monotonic() - t0, 2))
 
-t0 = time.monotonic()
-pa = spark.read.parquet(f"{{shm}}/postings")
-pa.groupBy("term").agg(F.sum("n").alias("df"), F.sum("cf").alias("cf")) \\
-  .repartitionByRange(max(cpus // 4, 1), "term") \\
-  .sortWithinPartitions("term").write.mode("overwrite") \\
-  .parquet(f"{{shm}}/terms")
-t["terms"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    pa = spark.read.parquet(f"{{shm}}/postings")
+    pa.groupBy("term").agg(F.sum("n").alias("df"), F.sum("cf").alias("cf")) \\
+      .repartitionByRange(max(cpus // 4, 1), "term") \\
+      .sortWithinPartitions("term").write.mode("overwrite") \\
+      .parquet(f"{{shm}}/terms")
+    t["terms"] = min(t.get("terms", 1e9), round(time.monotonic() - t0, 2))
 
 spark.stop()
 shutil.rmtree(shm, ignore_errors=True)

@@ -70,11 +70,21 @@ PhysicalIndex(spark, wdir).topk(["import"], k=5).collect()
 shutil.rmtree(wdir, ignore_errors=True)
 
 cap = machine_capacity(cpus)
-d = f"{{shm}}/idx"
-t0 = time.monotonic()
-build_index(spark, synthetic_corpus(spark, n_docs, body_reps=reps), d, n_groups=1)
-build_s = time.monotonic() - t0
-cap = (cap + machine_capacity(cpus)) / 2  # bracket the measured run
+# measured = min of TWO full builds in the same JVM: the first run at
+# real size still pays C2 compilation of the hot loops (a fresh
+# process's first posting pass measures ~3-4x slower than its steady
+# state); a long-lived cluster runs steady-state, which is what the
+# scaling claim is about
+build_s = float("inf")
+for rep in range(2):
+    d = f"{{shm}}/idx{{rep}}"
+    t0 = time.monotonic()
+    build_index(spark, synthetic_corpus(spark, n_docs, body_reps=reps), d,
+                n_groups=1)
+    build_s = min(build_s, time.monotonic() - t0)
+    if rep == 0:
+        shutil.rmtree(d, ignore_errors=True)
+cap = (cap + machine_capacity(cpus)) / 2  # bracket the measured runs
 
 idx = PhysicalIndex(spark, d)
 qset = [(["import", "return"], "or"), (["parse", "request"], "and"),
