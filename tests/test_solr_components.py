@@ -38,8 +38,8 @@ def test_suggest_prefix_by_df(pindex, py_oracle):
 
 
 def test_field_stats_matches_python(pindex, py_oracle):
-    got = pindex.field_stats(["nebula"], "dl").first()
-    docs = py_oracle.matches(["nebula"])
+    got = pindex.field_stats(["quark"], "dl").first()
+    docs = py_oracle.matches(["quark"])
     vals = [float(py_oracle.dl[d]) for d in docs]
     assert got["n"] == len(vals)
     assert got["min_v"] == min(vals)
