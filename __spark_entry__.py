@@ -301,6 +301,18 @@ def q_mlt(spark, sf_dir):
     )
 
 
+_MULTI_Q = {"qa": ["table"], "qb": ["dup", "key"], "qc": ["spark", "vector"]}
+
+
+def q_multi_topk(spark, sf_dir):
+    """Batched top-k: three queries answered by ONE pruned postings
+    scan + one shuffle (the reference's N concurrent scatter-gathers
+    collapsed into one job)."""
+    return _round_score(
+        phys_index(spark, sf_dir).multi_topk(_MULTI_Q, k=5)
+    )
+
+
 def q_phys_count(spark, sf_dir):
     return phys_index(spark, sf_dir).count(["dup", "key"], mode="or")
 
@@ -583,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_stats": q_field_stats,
         "ft_group_topk": q_group_topk,
         "ft_mlt": q_mlt,
+        "ft_multi_topk": q_multi_topk,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -678,6 +691,7 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_field_stats": O.field_stats_sql(["scan"], "n_chars"),
         "ft_group_topk": O.group_topk_sql(["table"], "lang", k_per_group=3),
         "ft_mlt": O.mlt_sql(7, m_terms=5, k=10),
+        "ft_multi_topk": O.multi_topk_sql(_MULTI_Q, k=5),
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(
             [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]

@@ -287,6 +287,92 @@ def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
     return kernel
 
 
+def make_multi_kernel(qmap: list[tuple[str, list[str], str]],
+                      n_docs: float, avgdl: float, k1: float, b: float,
+                      k: int, block_range: int):
+    """Batched top-k kernel: MANY queries against ONE pruned postings
+    scan.  ``qmap`` = (qid, sorted unique terms, mode) per query.  Per
+    doc-range group every term decodes exactly once; each query then
+    aggregates its members' postings, with an independent block-max
+    WAND threshold per query (a group is skipped for a query whose
+    upper bound cannot beat its current k-th score).  The Spark
+    re-expression of Katta's client firing N concurrent searches: one
+    job, one scan, one shuffle instead of N."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tops: dict[str, tuple | None] = {qid: None for qid, _, _ in qmap}
+        thr: dict[str, float] = {qid: -np.inf for qid, _, _ in qmap}
+        for g in _iter_block_groups(batches):
+            bid = int(g["block_id"].iloc[0])
+            # per-term block metadata (pre-decode): upper-bound parts
+            ubp: dict[str, float] = {}
+            for row in g.itertuples(index=False):
+                u = codec.bm25_idf(float(row.df), n_docs) * codec.bm25_tfnorm(
+                    np.array([row.max_tf]), np.array([row.min_dl]),
+                    avgdl, k1, b,
+                )[0]
+                ubp[row.term] = ubp.get(row.term, 0.0) + float(u)
+            # which queries need this group at all?
+            active: list[tuple[str, list[str], str]] = []
+            need: set[str] = set()
+            for qid, terms, mode in qmap:
+                present = [t for t in terms if t in ubp]
+                if not present:
+                    continue
+                if mode == "and" and len(present) < len(terms):
+                    continue
+                if sum(ubp[t] for t in present) < thr[qid]:
+                    continue  # per-query block-max skip
+                active.append((qid, terms, mode))
+                need.update(present)
+            if not active:
+                continue
+            decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+            for row in g.itertuples(index=False):
+                if row.term not in need:
+                    continue  # no surviving query wants this term
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_gaps, row.tfs, row.dls, bid, block_range
+                )
+                idf = codec.bm25_idf(float(row.df), n_docs)
+                decoded.setdefault(row.term, []).append(
+                    (ids, idf * codec.bm25_tfnorm(tfs, dls, avgdl, k1, b))
+                )
+            for qid, terms, mode in active:
+                runs = [r for t in terms for r in decoded.get(t, [])]
+                ids = np.concatenate([r[0] for r in runs])
+                scores = np.concatenate([r[1] for r in runs])
+                uniq, inv = np.unique(ids, return_inverse=True)
+                summed = np.zeros(uniq.size, dtype=np.float64)
+                np.add.at(summed, inv, scores)
+                if mode == "and":
+                    nt = np.bincount(inv, minlength=uniq.size)
+                    keep = nt == len(terms)
+                    uniq, summed = uniq[keep], summed[keep]
+                    if not uniq.size:
+                        continue
+                tops[qid] = _topk_merge(tops[qid], uniq, summed, k)
+                if tops[qid][0].size >= k:
+                    thr[qid] = float(tops[qid][1][-1])
+        frames = []
+        for qid, top in tops.items():
+            if top is None:
+                continue
+            frames.append(pd.DataFrame(
+                {"qid": qid, "doc_id": top[0], "score": top[1]}
+            ))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {"qid": pd.Series(dtype="object"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+
+    return kernel
+
+
 def make_exhaustive_kernel(n_docs: float, avgdl: float,
                            k1: float, b: float, block_range: int):
     """Decode-and-score-everything kernel: emits (doc_id, score, nt)
@@ -506,6 +592,52 @@ class PhysicalIndex:
         if offset:
             out = out.offset(offset)
         return out.limit(k).select("doc_id", "score")
+
+    def multi_topk(self, queries_map: dict[str, list[str]], k: int = 10,
+                   mode: str = "or") -> DataFrame:
+        """(qid, doc_id, score) — BM25 top-k for MANY queries in ONE
+        job: one postings scan pruned to the union of all queries'
+        terms, one block_id shuffle, per-query block-max WAND inside
+        the shared kernel, then a per-qid window merge.  The reference
+        client answers N concurrent searches with N scatter-gathers
+        (Client.java:562-649); batching them into one scan is the
+        Spark-native equivalent.  Tie-break per query: score desc,
+        doc_id asc (Hit.compareTo parity, like :meth:`topk`)."""
+        from pyspark.sql import Window
+
+        qmap = [
+            (qid, sorted(set(self._strip_stops(terms))), mode)
+            for qid, terms in sorted(queries_map.items())
+        ]
+        if self.tombstones is not None:
+            # pruned per-query heaps could retain deleted docs; fall
+            # back to the exact per-query path and union (still one
+            # driver call, N jobs — correctness first)
+            out = None
+            for qid, terms, m in qmap:
+                d = self.topk(terms, k=k, mode=m).select(
+                    F.lit(qid).alias("qid"), "doc_id", "score"
+                )
+                out = d if out is None else out.unionByName(d)
+            return out
+        all_terms = sorted({t for _, terms, _ in qmap for t in terms})
+        kern = make_multi_kernel(
+            qmap, float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], k,
+            self.stats["block_range"],
+        )
+        cand = self._qblocks(all_terms).mapInPandas(
+            kern, "qid string, doc_id long, score double"
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            cand.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select("qid", "doc_id", "score")
+            .orderBy("qid", F.desc("score"), F.asc("doc_id"))
+        )
 
     # ------------------------------------------- aggregate query surface
 

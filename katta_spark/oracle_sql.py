@@ -290,6 +290,40 @@ top AS (
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def multi_topk_sql(queries_map: dict[str, list[str]], k: int = 10,
+                   mode: str = "or") -> str:
+    """Batched multi-query oracle: per-query BM25 top-k slices,
+    UNION'd with their qid tags (mirror of PhysicalIndex.multi_topk)."""
+    ctes, selects = [], []
+    for i, (qid, terms) in enumerate(sorted(queries_map.items())):
+        n_terms = len(set(terms))
+        having = (
+            f"HAVING count(*) = {n_terms}"
+            if mode == "and" and n_terms > 1
+            else ""
+        )
+        ctes.append(f"""scored_{i} AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+),
+top_{i} AS (SELECT * FROM scored_{i}
+            ORDER BY score DESC, doc_id ASC LIMIT {k})""")
+        q = qid.replace("'", "''")
+        selects.append(
+            f"SELECT '{q}' AS qid, doc_id, round(score, 6) AS score"
+            f" FROM top_{i}"
+        )
+    return (
+        f"{index_ctes()},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def suggest_sql(prefix: str, n: int = 10) -> str:
     """TermsComponent oracle: top-n content terms by df with the
     prefix, tie-break term asc."""

@@ -352,6 +352,49 @@ def test_skew_blocks_bounded(pindex):
     assert hot_blocks == N_DOCS // BLOCK_RANGE + (N_DOCS % BLOCK_RANGE > 0)
 
 
+def test_multi_topk_rank_identical_to_per_query(pindex):
+    """Batched multi-query results are rank-identical (ids AND exact
+    scores) to running each query alone; a query whose term doesn't
+    exist simply contributes no rows; the whole batch is ONE postings
+    scan (a single FileScan of the postings parquet in the plan)."""
+    qmap = {
+        "hot": ["import", "return"],
+        "needle": ["xylophonequarknebula7"],
+        "conj": ["parse", "request"],
+        "none": ["zzznotaterm"],
+    }
+    got = pindex.multi_topk(qmap, k=7).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    assert "none" not in by_q
+    for qid in ("hot", "needle", "conj"):
+        solo = [
+            (r["doc_id"], r["score"])
+            for r in pindex.topk(qmap[qid], k=7).collect()
+        ]
+        assert by_q[qid] == solo, qid
+    # one postings FileScan feeds the whole batch (plus the broadcast
+    # catalog scan) — N queries never mean N scans
+    plan = pindex.multi_topk(qmap, k=7)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("/postings") <= 2
+
+
+def test_multi_topk_and_mode(pindex, py_oracle):
+    got = pindex.multi_topk(
+        {"a": ["parse", "request"], "b": ["merge", "sorted"]},
+        k=5, mode="and",
+    ).collect()
+    for qid, terms in (("a", ["parse", "request"]), ("b", ["merge", "sorted"])):
+        want = py_oracle.topk(terms, k=5, mode="and")
+        rows = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in got if r["qid"] == qid
+        ]
+        assert rows == [(d, round(s, 9)) for d, s in want], qid
+
+
 def test_parallelism_invariance(spark, index_dir):
     """Same results (exact doc_ids AND exact float64 scores) at
     different shuffle parallelism — the in-session stand-in for the
