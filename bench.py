@@ -122,6 +122,13 @@ def main() -> None:
                 idx.topk(["batch"], k=5), ["batch"], width=60
             )
         ),
+        # 3 queries in ONE scan+shuffle — compare to q_topk_common×3
+        "q_multi_batch3": run(
+            lambda: idx.multi_topk(
+                {"a": ["table"], "b": ["dup", "key"],
+                 "c": ["spark", "vector"]}, k=10
+            )
+        ),
     }
     CORE = {  # round-1 query classes, kept separate for comparability
         "q_topk_common", "q_topk_rare", "q_and", "q_or3", "q_filter",
