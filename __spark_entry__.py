@@ -313,6 +313,16 @@ def q_multi_topk(spark, sf_dir):
     )
 
 
+def q_percolate(spark, sf_dir):
+    """Percolation: standing queries matched against documents with a
+    stateless narrow plan (streaming-ready, zero state store)."""
+    from katta_spark.streaming import percolate
+
+    return percolate(
+        _docs(spark, sf_dir), _MULTI_Q, text_col="text", mode="or"
+    )
+
+
 def q_phys_count(spark, sf_dir):
     return phys_index(spark, sf_dir).count(["dup", "key"], mode="or")
 
@@ -596,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_group_topk": q_group_topk,
         "ft_mlt": q_mlt,
         "ft_multi_topk": q_multi_topk,
+        "ft_percolate": q_percolate,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -692,6 +703,7 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_group_topk": O.group_topk_sql(["table"], "lang", k_per_group=3),
         "ft_mlt": O.mlt_sql(7, m_terms=5, k=10),
         "ft_multi_topk": O.multi_topk_sql(_MULTI_Q, k=5),
+        "ft_percolate": O.percolate_sql(_MULTI_Q),
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(
             [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]

@@ -24,7 +24,7 @@ The per-row ingest invariant is ``content_sha256 = sha2(content,256)``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LANGS = ["python", "python", "java", "go", "js", "rust", "c"]
@@ -154,11 +154,21 @@ def dense_ids(df: DataFrame, key_cols: list[str],
     off_map = F.create_map(
         *[F.lit(x) for pid in sorted(counts) for x in (pid, offsets[pid])]
     )
-    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    # second pass: rows come back from the cache partition-ordered and
+    # already key-sorted, so the within-partition sequence number is
+    # read straight off monotonically_increasing_id (= task_pid << 33
+    # | row_seq) — NO Window.partitionBy(_pid) pass, which would
+    # re-shuffle and re-sort the whole table a second time (measured
+    # as the largest single cost of the ingest phase).  The cache
+    # guarantees both passes see identical partition boundaries and
+    # row order; cached partition i is read by task i, so the
+    # embedded task pid equals the stored _pid.
+    seq = F.monotonically_increasing_id() - F.shiftleft(
+        F.col("_pid").cast("long"), 33
+    )
     out = part.withColumn(
         out_col,
-        (F.row_number().over(w).cast("long") - 1
-         + F.element_at(off_map, F.col("_pid")).cast("long")),
+        (seq + F.element_at(off_map, F.col("_pid")).cast("long")),
     ).drop("_pid")
     return out
 

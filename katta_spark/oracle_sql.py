@@ -324,6 +324,25 @@ top_{i} AS (SELECT * FROM scored_{i}
     )
 
 
+def percolate_sql(queries_map: dict[str, list[str]], mode: str = "or") -> str:
+    """Percolation oracle: (doc_id, qid) for every document matching a
+    standing query (any term for "or", all terms for "and")."""
+    parts = []
+    for qid, terms in sorted(queries_map.items()):
+        tl = _term_list(terms)
+        n_terms = len(set(terms))
+        if mode == "and" and n_terms > 1:
+            sel = (
+                f"SELECT doc_id FROM tf WHERE term IN {tl} "
+                f"GROUP BY doc_id HAVING count(DISTINCT term) = {n_terms}"
+            )
+        else:
+            sel = f"SELECT DISTINCT doc_id FROM tf WHERE term IN {tl}"
+        q = qid.replace("'", "''")
+        parts.append(f"SELECT doc_id, '{q}' AS qid FROM ({sel})")
+    return f"{index_ctes()}\n" + "\nUNION ALL\n".join(parts)
+
+
 def suggest_sql(prefix: str, n: int = 10) -> str:
     """TermsComponent oracle: top-n content terms by df with the
     prefix, tie-break term asc."""

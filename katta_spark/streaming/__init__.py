@@ -1,4 +1,5 @@
 from katta_spark.streaming.dedup import stream_dedup_exact
 from katta_spark.streaming.ingest import stream_build
+from katta_spark.streaming.percolate import percolate
 
-__all__ = ["stream_build", "stream_dedup_exact"]
+__all__ = ["percolate", "stream_build", "stream_dedup_exact"]

@@ -22,6 +22,15 @@ def test_doc_id_dense_and_stable(spark, docs):
     assert (lo, hi) == (0, n - 1)
 
 
+def test_doc_id_follows_global_key_order(spark, docs):
+    """doc_id i is exactly the i-th row in (repo, path, commit) order
+    — the dense-rank contract the monotonic-id fast path must uphold
+    (range partition boundaries + cached row order)."""
+    rows = docs.select("repo", "path", "commit", "doc_id").collect()
+    ordered = sorted(rows, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    assert [r["doc_id"] for r in ordered] == list(range(len(rows)))
+
+
 def test_doc_id_parallelism_invariant(spark, corpus, docs):
     """doc_id assignment is identical regardless of input partitioning."""
     again = with_ingest_columns(corpus.repartition(13))

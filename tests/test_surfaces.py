@@ -88,6 +88,58 @@ def test_sql_views(pindex, spark):
     assert hot == cat > 0
 
 
+def test_percolate_batch_and_stream_parity(spark, tmp_path, docs):
+    """Standing queries match the same (doc, qid) pairs in batch and
+    over a readStream of the same rows — the operator is stateless so
+    append mode needs no state store; AND mode requires every term."""
+    from katta_spark.streaming import percolate
+
+    queries = {
+        "imports": ["import"],
+        "parse_req": ["parse", "request"],
+        "nothing": ["zzznotaterm"],
+    }
+    src_docs = docs.select("doc_id", "content")
+    batch = {
+        (r["doc_id"], r["qid"])
+        for r in percolate(src_docs, queries, mode="and").collect()
+    }
+    assert batch and all(q != "nothing" for _, q in batch)
+    # independent python check: AND semantics over analyzed tokens
+    from katta_spark.tokenizer import py_tokenize
+
+    want = set()
+    for r in src_docs.collect():
+        toks = set(py_tokenize(r["content"]))
+        for qid, terms in queries.items():
+            if set(terms) <= toks:
+                want.add((r["doc_id"], qid))
+    assert batch == want
+
+    src = tmp_path / "perc_src"
+    src.mkdir()
+    src_docs.write.mode("overwrite").parquet(str(src / "docs.parquet"))
+    stream = spark.readStream.schema(src_docs.schema).parquet(
+        str(src / "docs.parquet")
+    )
+    q = (
+        percolate(stream, queries, mode="and")
+        .writeStream.format("memory")
+        .queryName("perc_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["doc_id"], r["qid"])
+        for r in spark.sql("SELECT * FROM perc_out").collect()
+    }
+    assert streamed == batch
+
+
 def test_streaming_ingest_commits(spark, tmp_path, docs):
     """File-stream ingest: each micro-batch becomes a manifest commit;
     results equal a batch build over the same rows."""
