@@ -48,6 +48,12 @@ def main() -> None:
                          "(default keyword)")
     ap.add_argument("--no-positions", action="store_true",
                     help="skip positional postings (no phrase index)")
+    ap.add_argument("--stopwords", default=None,
+                    help="comma-separated stopwords dropped at analysis "
+                         "(index-wide invariant, inherited by commits)")
+    ap.add_argument("--synonyms", default=None,
+                    help="query-time synonym groups, e.g. "
+                         "sort=order|rank,fast=quick")
     args = ap.parse_args()
 
     spark = get_spark(app_name=f"katta-build-{args.commit}")
@@ -73,6 +79,15 @@ def main() -> None:
         path_col=args.path_col,
         field_cols=args.field_cols.split(",") if args.field_cols else None,
         field_analyzers=fanalyzers,
+        stopwords=args.stopwords.split(",") if args.stopwords else None,
+        synonyms=(
+            {
+                kv.split("=", 1)[0]: kv.split("=", 1)[1].split("|")
+                for kv in args.synonyms.split(",")
+            }
+            if args.synonyms
+            else None
+        ),
         store_positions=not args.no_positions,
     )
     report.pop("manifest", None)
