@@ -133,13 +133,21 @@ def main() -> None:
     assert len(levels) == 2 and levels[1] > levels[0]
 
     t0 = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
-    # best-of-2 per level: the sandbox VM shows CPU steal / load
-    # noise; min wall is the standard noise-robust estimator here
+    # best-of-2 per level, INTERLEAVED (lo,hi,lo,hi): the sandbox
+    # host's CPU grant drifts on a ~tens-of-minutes scale, so running
+    # all of one level then all of the other lets a grant shift
+    # masquerade as (anti-)scaling; alternating levels samples both
+    # under the same host windows.  Min wall per level is the
+    # standard noise-robust estimator.
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+    for _ in range(2):
+        for c in levels:
+            runs[c].append(run_level(c, args.docs, args.reps))
     results = []
     for c in levels:
-        runs = [run_level(c, args.docs, args.reps) for _ in range(2)]
-        assert runs[0]["top1"] == runs[1]["top1"], "nondeterministic results!"
-        results.append(min(runs, key=lambda r: r["build_s"]))
+        assert runs[c][0]["top1"] == runs[c][1]["top1"], \
+            "nondeterministic results!"
+        results.append(min(runs[c], key=lambda r: r["build_s"]))
     lo, hi = results
     ratio = levels[1] / levels[0]
     speedup = lo["build_s"] / hi["build_s"]
