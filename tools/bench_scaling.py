@@ -117,9 +117,13 @@ def run_level(cpus: int, n_docs: int, reps: int) -> dict:
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
+    # preserve the full worker output for diagnosis (the interesting
+    # "Caused by:" line is often megabytes above the tail)
+    dump = Path(f"/tmp/scale_worker_fail_{cpus}.log")
+    dump.write_text(out.stdout + "\n===STDERR===\n" + out.stderr)
     raise RuntimeError(
-        f"worker local[{cpus}] produced no RESULT:\n{out.stdout[-2000:]}\n"
-        f"{out.stderr[-2000:]}"
+        f"worker local[{cpus}] produced no RESULT (full log: {dump}):\n"
+        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
 
 
