@@ -572,6 +572,57 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_ft_cursor(spark, sf_dir):
+    """Search-after deep pagination (Lucene searchAfter / Solr
+    cursorMark): page 2 is sliced by the (score, doc_id) cursor of
+    page 1's last hit — the heap stays at k for ANY page depth,
+    unlike offset pagination whose merge is O(depth).  The cursor is
+    client state (a bounded k-row collect), exactly as a cursorMark
+    round-trips through a real client."""
+    idx = phys_index(spark, sf_dir)
+    page1 = idx.topk(["table"], k=5).collect()
+    last = page1[-1]
+    return _round_score(
+        idx.topk(["table"], k=5, after=(last["score"], last["doc_id"]))
+    )
+
+
+def q_ft_min_match(spark, sf_dir):
+    """Minimum-should-match (Solr dismax mm=2): OR semantics with a
+    floor — docs must match >= 2 of the 3 query terms."""
+    return _round_score(
+        phys_index(spark, sf_dir).topk(
+            ["table", "dup", "key"], k=10, min_match=2
+        )
+    )
+
+
+def q_ft_pivot_facet(spark, sf_dir):
+    """Two-level pivot facet (Solr facet.pivot): top langs by match
+    count, top sources within each."""
+    return phys_index(spark, sf_dir).pivot_facet(
+        ["table"], "lang", "source", n1=3, n2=2
+    )
+
+
+def q_ft_spellcheck(spark, sf_dir):
+    """SpellCheckComponent: closest catalog terms to the misspelling
+    'tabel' by (edit distance, df)."""
+    return phys_index(spark, sf_dir).spellcheck("tabel", max_edits=2, n=5)
+
+
+def q_ft_boost_func(spark, sf_dir):
+    """Function-query boost (Solr boost=recip(...)): BM25 * a
+    length-decay function of the stored n_chars field, re-ranked
+    after the multiplication."""
+    boost = F.lit(1.0) + F.lit(1.0) / (
+        F.lit(1.0) + F.col("n_chars").cast("double") / F.lit(500.0)
+    )
+    return _round_score(
+        phys_index(spark, sf_dir).topk_boosted(["table"], boost, k=10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- fulltext query engine (Katta parity; SURVEY.md §2) ---
@@ -607,6 +658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_mlt": q_mlt,
         "ft_multi_topk": q_multi_topk,
         "ft_percolate": q_percolate,
+        "ft_cursor": q_ft_cursor,
+        "ft_min_match": q_ft_min_match,
+        "ft_pivot_facet": q_ft_pivot_facet,
+        "ft_spellcheck": q_ft_spellcheck,
+        "ft_boost_func": q_ft_boost_func,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -704,6 +760,19 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_mlt": O.mlt_sql(7, m_terms=5, k=10),
         "ft_multi_topk": O.multi_topk_sql(_MULTI_Q, k=5),
         "ft_percolate": O.percolate_sql(_MULTI_Q),
+        # cursor page 2 of size k == rank slice [k, 2k): the oracle
+        # states the CONTRACT (rank identity), the engine path proves
+        # the cursor mechanics (no offset in its plan — tested)
+        "ft_cursor": O.topk_sql(["table"], k=5, offset=5),
+        "ft_min_match": O.min_match_topk_sql(["dup", "key", "table"], 2, k=10),
+        "ft_pivot_facet": O.pivot_facet_sql(["table"], "lang", "source",
+                                            n1=3, n2=2),
+        "ft_spellcheck": O.spellcheck_sql("tabel", max_edits=2, n=5),
+        "ft_boost_func": O.boosted_topk_sql(
+            ["table"],
+            "1.0 + 1.0 / (1.0 + CAST(d.n_chars AS DOUBLE) / 500.0)",
+            k=10,
+        ),
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(
             [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]

@@ -129,7 +129,31 @@ def main() -> None:
                  "c": ["spark", "vector"]}, k=10
             )
         ),
+        # round-2 Solr surfaces
+        "q_min_match": run(
+            lambda: idx.topk(["spark", "data", "key"], k=10, min_match=2)
+        ),
+        "q_pivot_facet": run(
+            lambda: idx.pivot_facet(["table"], "lang", "source", n1=3, n2=2)
+        ),
+        "q_spellcheck": run(lambda: idx.spellcheck("tabel", max_edits=2, n=5)),
+        "q_boost_func": run(
+            lambda: idx.topk_boosted(
+                ["table"],
+                F.lit(1.0) + F.lit(1.0)
+                / (F.lit(1.0) + F.col("n_chars").cast("double") / F.lit(500.0)),
+                k=10,
+            )
+        ),
     }
+    # search-after cursor: same page as q_paginate (hits 61-80) but via
+    # a client-held cursor — contrast the two numbers directly
+    _c60 = idx.topk(["batch"], k=60).collect()[-1]
+    qset["q_cursor_page4"] = run(
+        lambda: idx.topk(
+            ["batch"], k=20, after=(_c60["score"], _c60["doc_id"])
+        )
+    )
     CORE = {  # round-1 query classes, kept separate for comparability
         "q_topk_common", "q_topk_rare", "q_and", "q_or3", "q_filter",
         "q_paginate", "q_count", "q_facet", "q_fetch",

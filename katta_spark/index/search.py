@@ -117,16 +117,34 @@ def _score_group(g: pd.DataFrame, n_docs: float, avgdl: float,
 
 
 def make_wand_kernel(n_docs: float, avgdl: float, k1: float, b: float,
-                     k: int, n_terms: int, mode: str, block_range: int):
-    """Per-partition block-max WAND top-k kernel for mapInPandas."""
+                     k: int, n_terms: int, mode: str, block_range: int,
+                     min_match: int | None = None,
+                     after: tuple[float, int] | None = None):
+    """Per-partition block-max WAND top-k kernel for mapInPandas.
+
+    ``min_match`` (Solr dismax mm): a doc must match at least that
+    many distinct query terms; "and" is the special case
+    min_match == n_terms.  A block-range group with fewer distinct
+    terms present is skipped outright — the same structural skip as
+    AND, generalized.
+
+    ``after`` = (score, doc_id) is a search-after cursor (Lucene
+    IndexSearcher.searchAfter): only hits strictly after the cursor
+    in (score desc, doc_id asc) order enter the heap, so deep
+    pagination keeps the heap at k instead of offset+k and never
+    re-sorts the skipped prefix.  The cursor does NOT weaken block-max
+    pruning — the skip threshold still comes from the page's own kth
+    score, which is sound because pruned blocks cannot contribute any
+    hit above it."""
+    required = n_terms if mode == "and" else max(1, int(min_match or 1))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         top: tuple[np.ndarray, np.ndarray] | None = None
         threshold = -np.inf
         for g in _iter_block_groups(batches):
             terms_here = set(g["term"])
-            if mode == "and" and len(terms_here) < n_terms:
-                continue  # a missing term => no doc in this range matches
+            if required > 1 and len(terms_here) < required:
+                continue  # too few terms => no doc in this range matches
             ub = float(
                 sum(
                     codec.bm25_idf(float(df), n_docs)
@@ -139,8 +157,14 @@ def make_wand_kernel(n_docs: float, avgdl: float, k1: float, b: float,
             if ub < threshold:
                 continue  # block-max skip: cannot enter the top-k
             ids, scores, nt = _score_group(g, n_docs, avgdl, k1, b, block_range)
-            if mode == "and":
-                keep = nt == n_terms
+            if required > 1:
+                keep = nt >= required
+                ids, scores = ids[keep], scores[keep]
+                if not ids.size:
+                    continue
+            if after is not None:
+                s0, d0 = after
+                keep = (scores < s0) | ((scores == s0) & (ids > d0))
                 ids, scores = ids[keep], scores[keep]
                 if not ids.size:
                     continue
@@ -477,11 +501,14 @@ class PhysicalIndex:
             "block_id", "term"
         )
 
-    def scored_docs(self, qterms: list[str], mode: str = "or") -> DataFrame:
+    def scored_docs(self, qterms: list[str], mode: str = "or",
+                    min_match: int | None = None) -> DataFrame:
         """(doc_id, score) for every matching doc — exhaustive path.
         A term absent from the index simply matches no block rows, so
         OR degrades gracefully and AND returns empty via the
-        nt == n_terms filter — no driver-side existence check."""
+        nt == n_terms filter — no driver-side existence check.
+        ``min_match`` keeps docs matching at least that many distinct
+        query terms (Solr dismax mm; "and" == all of them)."""
         terms = sorted(set(self._strip_stops(qterms)))
         kern = make_exhaustive_kernel(
             float(self.stats["n_docs"]), self.stats["avgdl"],
@@ -490,6 +517,8 @@ class PhysicalIndex:
         out = self._qblocks(terms).mapInPandas(kern, SCORED_SCHEMA)
         if mode == "and" and len(terms) > 1:
             out = out.filter(F.col("nt") == len(terms))
+        elif min_match is not None and min_match > 1:
+            out = out.filter(F.col("nt") >= int(min_match))
         if self.tombstones is not None:
             out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
         return out.select("doc_id", "score")
@@ -565,25 +594,47 @@ class PhysicalIndex:
 
     def topk(self, qterms: list[str], k: int = 10, mode: str = "or",
              filters: Filters = None, offset: int = 0,
-             use_wand: bool = True) -> DataFrame:
+             use_wand: bool = True, min_match: int | None = None,
+             after: tuple[float, int] | None = None) -> DataFrame:
         """BM25 top-k (doc_id, score), tie-break score desc / doc_id
         asc, sliced [offset, offset+k).  WAND pruning is used when no
         non-scoring filter is present (a filter makes heap thresholds
-        unsound); results are identical either way (tested)."""
+        unsound); results are identical either way (tested).
+
+        ``min_match`` — Solr dismax mm: docs must match at least that
+        many distinct query terms ("or" with a floor).
+
+        ``after`` — search-after cursor (score, doc_id) of the last
+        hit of the previous page (Lucene searchAfter / Solr
+        cursorMark).  Unlike ``offset`` — whose merge materializes and
+        sorts offset+k rows per page, O(depth) per page at 100 TB —
+        the cursor path keeps every per-partition heap at k and
+        filters vectorized inside the kernel, so page 1000 costs the
+        same as page 1.  Scores are float64-deterministic across runs
+        and parallelism (sorted-term accumulation, _score_group), so a
+        cursor taken from one page slices the next exactly."""
         terms = sorted(set(self._strip_stops(qterms)))
         if self.tombstones is not None:
             use_wand = False  # pruned heap could retain deleted docs
         if filters or not use_wand:
-            scored = self.scored_docs(terms, mode)
+            scored = self.scored_docs(terms, mode, min_match=min_match)
             fd = self._filter_docs(filters)
             if fd is not None:
                 scored = scored.join(fd, "doc_id", "left_semi")
+            if after is not None:
+                s0, d0 = after
+                scored = scored.filter(
+                    (F.col("score") < F.lit(float(s0)))
+                    | ((F.col("score") == F.lit(float(s0)))
+                       & (F.col("doc_id") > F.lit(int(d0))))
+                )
             ranked = scored
         else:
             kern = make_wand_kernel(
                 float(self.stats["n_docs"]), self.stats["avgdl"],
                 self.stats["k1"], self.stats["b"],
                 offset + k, len(terms), mode, self.stats["block_range"],
+                min_match=min_match, after=after,
             )
             ranked = self._qblocks(terms).mapInPandas(kern, SCORED_SCHEMA).select(
                 "doc_id", "score"
@@ -690,6 +741,51 @@ class PhysicalIndex:
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= min_count)
             .orderBy("bucket_start")
+        )
+
+    def pivot_facet(self, qterms: list[str], field1: str, field2: str,
+                    n1: int = 5, n2: int = 3, mode: str = "or",
+                    filters: Filters = None) -> DataFrame:
+        """Two-level pivot facet (Solr facet.pivot, flattened):
+        (field1, parent_cnt, field2, cnt) for the top ``n1`` values of
+        ``field1`` by match count and, within each, the top ``n2``
+        values of ``field2``.  ONE groupBy over the matched docs (a
+        single shuffle keyed on the value pair); both rank windows and
+        the parent totals run over the already-aggregated pair counts
+        — cardinality |field1|x|field2|, tiny next to the corpus — so
+        the plan at 100 TB is scan + one agg shuffle + window over
+        kilobytes.  Ties break value-ascending like :meth:`facet`."""
+        from pyspark.sql import Window
+
+        m = self.matched_docs(qterms, mode, filters)
+        pairs = (
+            self.docs.join(m, "doc_id", "left_semi")
+            .groupBy(field1, field2)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        wp = Window.partitionBy(field1)
+        pairs = pairs.withColumn("parent_cnt", F.sum("cnt").over(wp))
+        wr2 = Window.partitionBy(field1).orderBy(
+            F.desc("cnt"), F.asc(field2)
+        )
+        # top-n1 parents by total: orderBy+limit (TakeOrdered — no
+        # global single-partition window)
+        parents = (
+            pairs.groupBy(field1)
+            .agg(F.sum("cnt").alias("_pc"))
+            .orderBy(F.desc("_pc"), F.asc(field1))
+            .limit(n1)
+            .select(field1)
+        )
+        return (
+            pairs.join(F.broadcast(parents), field1, "left_semi")
+            .withColumn("_cr", F.row_number().over(wr2))
+            .filter(F.col("_cr") <= n2)
+            .select(field1, "parent_cnt", field2, "cnt")
+            .orderBy(
+                F.desc("parent_cnt"), F.asc(field1),
+                F.desc("cnt"), F.asc(field2),
+            )
         )
 
     def sorted_query(self, qterms: list[str], sort_cols: list[tuple[str, str]],
@@ -830,6 +926,64 @@ class PhysicalIndex:
             .select("term", "df")
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(n)
+        )
+
+    def spellcheck(self, word: str, max_edits: int = 2,
+                   n: int = 5) -> DataFrame:
+        """(term, dist, df) — the ``n`` closest content terms to
+        ``word`` by (edit distance asc, df desc, term asc): the Solr
+        SpellCheckComponent surface (spellcheck.q, IndexBasedSpell-
+        Checker over the term dictionary).  Runs on the TERM CATALOG
+        (one row per distinct term — orders of magnitude smaller than
+        postings or docs), with a length-window pre-filter
+        |len(term) - len(word)| <= max_edits that prunes most of the
+        catalog before the levenshtein evaluates; both predicates are
+        JVM expressions, no Python.  Same dictionary-expansion shape
+        as fuzzy queries (scored_docs_expanded), surfaced as
+        suggestions instead of scores."""
+        w = word.lower()
+        cond = (
+            ~F.col("term").contains(":")  # content terms only
+            & (F.abs(F.length("term") - F.lit(len(w))) <= max_edits)
+        )
+        return (
+            self.terms.filter(cond)
+            .select(
+                "term",
+                F.levenshtein(F.col("term"), F.lit(w)).alias("dist"),
+                "df",
+            )
+            .filter(F.col("dist") <= max_edits)
+            .filter(F.col("dist") > 0)  # the word itself is not a fix
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def topk_boosted(self, qterms: list[str], boost: Column, k: int = 10,
+                     mode: str = "or", filters: Filters = None) -> DataFrame:
+        """BM25 top-k with a multiplicative function-query boost
+        (Solr boost= / bf recip(...): e.g. freshness or length decay):
+        final score = BM25 * boost(doc), where ``boost`` is a Column
+        expression over the docs table's stored fields — JVM-side,
+        arbitrary arithmetic.  The matched set joins the docs table on
+        doc_id to evaluate the function (same co-partitioned join
+        shape as fetch_details, but BEFORE the top-k cut, since a
+        boost can reorder beyond any unboosted prefix — WAND bounds
+        are unsound under external multipliers, so this path scores
+        exhaustively and merges with TakeOrderedAndProject)."""
+        scored = self.scored_docs(qterms, mode)
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        bdf = self.docs.select("doc_id", boost.cast("double").alias("_boost"))
+        return (
+            scored.join(bdf, "doc_id")
+            .select(
+                "doc_id",
+                (F.col("score") * F.col("_boost")).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
 
     def field_stats(self, qterms: list[str], field: str, mode: str = "or",

@@ -442,6 +442,87 @@ SELECT t.doc_id, round(t.score, 6) AS score,
 FROM top t JOIN {DOCS} d ON t.doc_id = d.doc_id"""
 
 
+def pivot_facet_sql(terms: list[str], field1: str, field2: str,
+                    n1: int = 5, n2: int = 3, mode: str = "or") -> str:
+    """Pivot-facet oracle: (field1, parent_cnt, field2, cnt) for the
+    top n1 parents by total match count (tie value asc) and the top
+    n2 children within each (cnt desc, value asc) — the flattened
+    Solr facet.pivot contract of PhysicalIndex.pivot_facet."""
+    return f"""{index_ctes()}{matched_sql(terms, mode)},
+pairs AS (
+  SELECT d.{field1}, d.{field2}, count(*) AS cnt
+  FROM {DOCS} d JOIN matched m ON d.doc_id = m.doc_id
+  GROUP BY d.{field1}, d.{field2}
+),
+parents AS (
+  SELECT {field1}, CAST(sum(cnt) AS BIGINT) AS parent_cnt,
+         dense_rank() OVER (ORDER BY sum(cnt) DESC, {field1} ASC) AS pr
+  FROM pairs GROUP BY {field1}
+),
+ranked AS (
+  SELECT p.{field1}, pa.parent_cnt, p.{field2}, p.cnt,
+         row_number() OVER (PARTITION BY p.{field1}
+                            ORDER BY p.cnt DESC, p.{field2} ASC) AS cr
+  FROM pairs p JOIN parents pa ON p.{field1} = pa.{field1}
+  WHERE pa.pr <= {int(n1)}
+)
+SELECT {field1}, parent_cnt, {field2}, cnt FROM ranked WHERE cr <= {int(n2)}
+ORDER BY parent_cnt DESC, {field1} ASC, cnt DESC, {field2} ASC"""
+
+
+def spellcheck_sql(word: str, max_edits: int = 2, n: int = 5) -> str:
+    """SpellCheckComponent oracle: closest content terms to ``word``
+    by (edit distance asc, df desc, term asc), distance in
+    (0, max_edits]."""
+    w = word.lower().replace("'", "''")
+    return f"""{index_ctes()}
+SELECT term, CAST(levenshtein(term, '{w}') AS INT) AS dist, df
+FROM dfv
+WHERE levenshtein(term, '{w}') <= {int(max_edits)}
+  AND levenshtein(term, '{w}') > 0
+ORDER BY dist ASC, df DESC, term ASC LIMIT {int(n)}"""
+
+
+def boosted_topk_sql(terms: list[str], boost_sql: str, k: int = 10,
+                     mode: str = "or") -> str:
+    """Function-query boost oracle: BM25 score times a SQL expression
+    over the documents row (alias ``d``), top-k re-ranked AFTER the
+    multiplication (mirror of PhysicalIndex.topk_boosted)."""
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+),
+boosted AS (
+  SELECT s.doc_id, s.score * ({boost_sql}) AS score
+  FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM (SELECT * FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {int(k)})"""
+
+
+def min_match_topk_sql(terms: list[str], min_match: int, k: int = 10) -> str:
+    """Minimum-should-match oracle: OR-scored docs matching at least
+    ``min_match`` distinct query terms (Solr dismax mm), top-k."""
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id HAVING count(*) >= {int(min_match)}
+)
+SELECT doc_id, round(score, 6) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {int(k)})"""
+
+
 def matched_sql(terms: list[str], mode: str = "or", filter_sql: str | None = None) -> str:
     """CTE-suffix producing ``matched(doc_id)``."""
     n_terms = len(set(terms))

@@ -1,0 +1,211 @@
+"""Search-surface extensions: search-after cursor pagination,
+minimum-should-match, pivot facets, spellcheck, and function-query
+boosts — each checked against the pure-Python BM25 oracle or an
+independent Python mirror.
+
+Reference parity: cursorMark/searchAfter and dismax mm are part of
+the Solr surface the reference reaches through its SolrQuery
+pass-through (katta-core/.../lib/lucene/LuceneServer.java:1314-1353
+parses the full query string; the client forwards arbitrary Solr
+params)."""
+
+import pytest
+
+from tests.oracle import PyBM25
+
+
+@pytest.fixture(scope="module")
+def py_oracle(pandas_docs):
+    return PyBM25(
+        [
+            (int(r.doc_id), r.content)
+            for r in pandas_docs.itertuples(index=False)
+        ]
+    )
+
+
+# ------------------------------------------------------- cursor paging
+
+def test_cursor_pages_tile_full_ranking(pindex, py_oracle):
+    """Three k=7 pages chained by (score, doc_id) cursors reproduce
+    the oracle's first 21 ranks exactly — page N+1 starts exactly
+    where page N ended, no dup, no gap."""
+    terms = ["import", "table"]
+    want = py_oracle.topk(terms, k=21)
+    got = []
+    after = None
+    for _ in range(3):
+        page = pindex.topk(terms, k=7, after=after).collect()
+        got += [(r["doc_id"], r["score"]) for r in page]
+        after = (page[-1]["score"], page[-1]["doc_id"])
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_cursor_equals_offset_slice(pindex):
+    """Cursor page 2 == offset slice [k, 2k) on both the WAND and the
+    exhaustive paths (the two paths share score determinism)."""
+    terms = ["scan", "key"]
+    for wand in (True, False):
+        p1 = pindex.topk(terms, k=6, use_wand=wand).collect()
+        cur = (p1[-1]["score"], p1[-1]["doc_id"])
+        by_cursor = pindex.topk(terms, k=6, after=cur, use_wand=wand).collect()
+        by_offset = pindex.topk(terms, k=6, offset=6, use_wand=wand).collect()
+        assert [(r["doc_id"], r["score"]) for r in by_cursor] == [
+            (r["doc_id"], r["score"]) for r in by_offset
+        ]
+
+
+def test_cursor_past_end_is_empty(pindex, py_oracle):
+    """A cursor at (or past) the worst hit yields an empty page, not
+    an error — the client's loop termination condition."""
+    terms = ["xylophonequarknebula7"]  # needle term: few matches
+    all_hits = pindex.topk(terms, k=10**6, use_wand=False).collect()
+    if not all_hits:
+        pytest.skip("needle term absent from this corpus")
+    last = all_hits[-1]
+    nxt = pindex.topk(
+        terms, k=5, after=(last["score"], last["doc_id"])
+    ).collect()
+    assert nxt == []
+
+
+# ---------------------------------------------------------- min match
+
+def test_min_match_matches_python(pindex, py_oracle):
+    # terms chosen to co-occur partially: mm=2 must be a strict
+    # subset of OR and a strict superset of AND (asserted below so
+    # the test cannot go vacuous if the corpus generator changes)
+    terms = ["import", "parse", "request"]
+    got = pindex.topk(terms, k=15, min_match=2).collect()
+    ts = sorted(set(terms))
+    cand = [
+        d
+        for d, c in py_oracle.tf.items()
+        if sum(1 for t in ts if t in c) >= 2
+    ]
+    scored = sorted(
+        ((d, py_oracle.score(d, ts)) for d in cand),
+        key=lambda x: (-x[1], x[0]),
+    )[:15]
+    assert [r["doc_id"] for r in got] == [d for d, _ in scored]
+    for r, (_, s) in zip(got, scored):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+    # non-vacuity: the mm=2 candidate set sits strictly between AND
+    # and OR for this term set
+    n_and = len(
+        [d for d, c in py_oracle.tf.items()
+         if sum(1 for t in ts if t in c) == 3]
+    )
+    n_or = len(py_oracle.matches(ts))
+    assert n_and < len(cand) < n_or
+    assert len(cand) > 0
+
+
+def test_min_match_bounds(pindex, py_oracle):
+    """mm=1 degrades to OR; mm=n_terms equals AND."""
+    terms = ["scan", "merge"]
+    as_or = pindex.topk(terms, k=10).collect()
+    mm1 = pindex.topk(terms, k=10, min_match=1).collect()
+    assert [(r["doc_id"], r["score"]) for r in mm1] == [
+        (r["doc_id"], r["score"]) for r in as_or
+    ]
+    as_and = pindex.topk(terms, k=10, mode="and").collect()
+    mm2 = pindex.topk(terms, k=10, min_match=2).collect()
+    assert [(r["doc_id"], r["score"]) for r in mm2] == [
+        (r["doc_id"], r["score"]) for r in as_and
+    ]
+
+
+# --------------------------------------------------------- pivot facet
+
+def test_pivot_facet_matches_python(pindex, py_oracle, pandas_docs):
+    meta = {
+        int(r.doc_id): (r.lang, r.repo)
+        for r in pandas_docs.itertuples(index=False)
+    }
+    got = pindex.pivot_facet(["import"], "lang", "repo", n1=2, n2=2).collect()
+    pairs: dict[tuple, int] = {}
+    for d in py_oracle.matches(["import"]):
+        pairs[meta[d]] = pairs.get(meta[d], 0) + 1
+    parent: dict[str, int] = {}
+    for (l, _), c in pairs.items():
+        parent[l] = parent.get(l, 0) + c
+    top_parents = sorted(parent, key=lambda l: (-parent[l], l))[:2]
+    want = []
+    for l in top_parents:
+        kids = sorted(
+            ((c, r) for (pl, r), c in pairs.items() if pl == l),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for c, r in kids:
+            want.append((l, parent[l], r, c))
+    assert [
+        (r["lang"], r["parent_cnt"], r["repo"], r["cnt"]) for r in got
+    ] == want
+
+
+# ---------------------------------------------------------- spellcheck
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_spellcheck_matches_python(pindex, py_oracle):
+    word = "imprt"  # one deletion from 'import'
+    got = pindex.spellcheck(word, max_edits=2, n=5).collect()
+    cands = [
+        (t, _lev(t, word), d)
+        for t, d in py_oracle.df.items()
+        if 0 < _lev(t, word) <= 2
+    ]
+    want = sorted(cands, key=lambda x: (x[1], -x[2], x[0]))[:5]
+    assert [(r["term"], r["dist"], r["df"]) for r in got] == want
+    assert any(r["term"] == "import" for r in got)
+
+
+def test_spellcheck_excludes_exact_and_field_terms(pindex):
+    rows = pindex.spellcheck("import", max_edits=2, n=20).collect()
+    assert all(r["term"] != "import" for r in rows)
+    assert all(":" not in r["term"] for r in rows)
+
+
+# --------------------------------------------------------- boost func
+
+def test_boost_func_matches_python(pindex, py_oracle):
+    from pyspark.sql import functions as F
+
+    terms = ["table"]
+    boost = F.lit(1.0) + F.lit(1.0) / (
+        F.lit(1.0) + F.col("dl").cast("double") / F.lit(100.0)
+    )
+    got = pindex.topk_boosted(terms, boost, k=12).collect()
+    scored = [
+        (
+            d,
+            py_oracle.score(d, terms)
+            * (1.0 + 1.0 / (1.0 + py_oracle.dl[d] / 100.0)),
+        )
+        for d in py_oracle.matches(terms)
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    want = scored[:12]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+    # the multiplier really applied: every boosted score exceeds the
+    # plain BM25 score of the same doc (boost > 1 by construction)
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in pindex.scored_docs(terms).collect()
+    }
+    assert all(r["score"] > plain[r["doc_id"]] for r in got)
