@@ -358,6 +358,20 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(_docs(spark, sf_dir), text_col="text")
 
 
+def q_text_clean(spark, sf_dir):
+    """Boilerplate scrub: tag-strip + whitespace-collapse, per doc."""
+    return text.clean_text(_docs(spark, sf_dir), text_col="text")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Within-document repetition signals (duplicate-line and
+    duplicate-token fractions — Gopher-style repetition filters)."""
+    df = text.repetition_ratio(_docs(spark, sf_dir), text_col="text")
+    for c in ("dup_line_ratio", "dup_token_ratio"):
+        df = _round_score(df, col=c)
+    return df
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") == 0).select(
@@ -692,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_clean": q_text_clean,
+        "text_repetition": q_text_repetition,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
@@ -833,6 +849,8 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "dedup_simhash_pairs": OO.simhash_pairs_sql(max_hamming=3),
         "text_langid": OO.langid_sql(),
         "text_quality": OO.quality_sql(),
+        "text_clean": OO.clean_text_sql(),
+        "text_repetition": OO.repetition_sql(),
         "text_token_stats": f"""{ctes}
 SELECT d.doc_id,
        CAST(count(t.term) AS BIGINT) AS n_tokens,

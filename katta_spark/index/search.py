@@ -1165,11 +1165,25 @@ class PhysicalIndex:
         explicit AND/OR/NOT in the string override it)."""
         return self.query(q, k=k, **kw)
 
+    @staticmethod
+    def next_cursor(rows) -> tuple[float, int] | None:
+        """Solr nextCursorMark parity: the cursor for the following
+        page, derived from a collected page (list of Rows); None on
+        an empty page (the client's loop-termination signal)."""
+        if not rows:
+            return None
+        last = rows[-1]
+        return (float(last["score"]), int(last["doc_id"]))
+
     def search_response(self, q: str, k: int = 10, offset: int = 0,
-                        fq: list[str] | None = None) -> "SearchResponse":
+                        fq: list[str] | None = None,
+                        after: tuple[float, int] | None = None
+                        ) -> "SearchResponse":
         """Search with the reference's result envelope: hits +
         numFound + maxScore + qTime (QueryResponse.java:27-192,
-        maxScore at :121-123)."""
+        maxScore at :121-123).  ``after`` slices the hit page by a
+        search-after cursor; numFound/maxScore still describe the
+        WHOLE result set (Solr cursorMark semantics)."""
         import time as _time
 
         t0 = _time.monotonic()
@@ -1177,7 +1191,15 @@ class PhysicalIndex:
         agg = scored.agg(
             F.count(F.lit(1)).alias("n"), F.max("score").alias("mx")
         ).first()
-        hits = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        hits = scored
+        if after is not None:
+            s0, d0 = after
+            hits = hits.filter(
+                (F.col("score") < F.lit(float(s0)))
+                | ((F.col("score") == F.lit(float(s0)))
+                   & (F.col("doc_id") > F.lit(int(d0))))
+            )
+        hits = hits.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             hits = hits.offset(offset)
         hits = hits.limit(k).select("doc_id", "score")

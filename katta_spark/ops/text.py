@@ -88,6 +88,52 @@ def langid(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     )
 
 
+def clean_text(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, clean, n_removed) — boilerplate scrub for training
+    pipelines: strip HTML/XML tags, collapse whitespace runs to one
+    space, trim.  Narrow column algebra (regexp_replace is JVM
+    codegen), zero shuffle — a pure map stage at any scale."""
+    txt = F.col(text_col)
+    no_tags = F.regexp_replace(txt, r"<[^>]*>", " ")
+    clean = F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    return corpus.select(
+        "doc_id",
+        clean.alias("clean"),
+        (F.length(txt) - F.length(clean)).cast("long").alias("n_removed"),
+    )
+
+
+def repetition_ratio(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, n_lines, n_distinct_lines, dup_line_ratio,
+    dup_token_ratio) — within-document repetition signals
+    (Gopher/RefinedWeb-style repetition filters): the fraction of
+    non-blank lines that are duplicates of an earlier line, and the
+    fraction of tokens that repeat.  Empty docs score 0.0 (nothing
+    repeats), not 1.0.  Narrow array algebra, zero shuffle."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    t = tokens_array(text_col)
+    n_lines = F.size(lines)
+    nd_lines = F.size(F.array_distinct(lines))
+    n_toks = F.size(t)
+    nd_toks = F.size(F.array_distinct(t))
+
+    def ratio(n, nd):
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - nd.cast("double") / n.cast("double")
+        )
+
+    return corpus.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        nd_lines.cast("long").alias("n_distinct_lines"),
+        ratio(n_lines, nd_lines).alias("dup_line_ratio"),
+        ratio(n_toks, nd_toks).alias("dup_token_ratio"),
+    )
+
+
 def fingerprint(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     """(doc_id, fingerprint) — md5 of the sorted distinct token set:
     canonical content fingerprint robust to token order (the classic

@@ -380,6 +380,42 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type"""
 
 
+def clean_text_sql() -> str:
+    """Mirror of ops.text.clean_text: tag strip, whitespace collapse,
+    trim; n_removed = length delta."""
+    clean = (
+        "trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id, {clean} AS clean,
+       CAST(length(text) - length({clean}) AS BIGINT) AS n_removed
+FROM {DOCS}"""
+
+
+def repetition_sql() -> str:
+    """Mirror of ops.text.repetition_ratio: duplicate-line and
+    duplicate-token fractions, empty docs scoring 0.0."""
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    return f"""WITH tokl AS ({tokl}),
+ln AS (
+  SELECT d.doc_id,
+         list_filter(string_split(d.text, chr(10)),
+                     x -> trim(x) <> '') AS lines
+  FROM {DOCS} d
+)
+SELECT l.doc_id,
+  CAST(len(l.lines) AS BIGINT) AS n_lines,
+  CAST(len(list_distinct(l.lines)) AS BIGINT) AS n_distinct_lines,
+  round(CASE WHEN len(l.lines) = 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(l.lines)) AS DOUBLE)
+                   / CAST(len(l.lines) AS DOUBLE) END, 6) AS dup_line_ratio,
+  round(CASE WHEN len(t.toks) = 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                   / CAST(len(t.toks) AS DOUBLE) END, 6) AS dup_token_ratio
+FROM ln l JOIN tokl t ON l.doc_id = t.doc_id"""
+
+
 def langid_sql() -> str:
     tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
     hit_cols = []

@@ -71,6 +71,22 @@ def test_cursor_past_end_is_empty(pindex, py_oracle):
     assert nxt == []
 
 
+def test_search_response_cursor(pindex):
+    """Envelope + cursor: numFound stays whole-set (Solr cursorMark
+    semantics), pages tile, next_cursor(empty) ends the loop."""
+    r1 = pindex.search_response("import", k=5)
+    rows1 = r1.hits.collect()
+    cur = pindex.next_cursor(rows1)
+    r2 = pindex.search_response("import", k=5, after=cur)
+    rows2 = r2.hits.collect()
+    assert r2.num_found == r1.num_found
+    full = pindex.search_response("import", k=10).hits.collect()
+    assert [r["doc_id"] for r in rows1 + rows2] == [
+        r["doc_id"] for r in full
+    ]
+    assert pindex.next_cursor([]) is None
+
+
 # ---------------------------------------------------------- min match
 
 def test_min_match_matches_python(pindex, py_oracle):

@@ -1,0 +1,65 @@
+"""Training-data text ops added in round 2: boilerplate scrub and
+within-document repetition signals — python-mirror parity on the
+test corpus, plus edge cases on a hand-built frame."""
+
+import re
+
+import pytest
+
+from katta_spark.ops import text
+from katta_spark.tokenizer import py_tokenize
+
+
+def _py_clean(s: str) -> str:
+    return re.sub(r"\s+", " ", re.sub(r"<[^>]*>", " ", s)).strip()
+
+
+def test_clean_text_matches_python(spark, docs, pandas_docs):
+    got = {
+        r["doc_id"]: (r["clean"], r["n_removed"])
+        for r in text.clean_text(docs, text_col="content").collect()
+    }
+    for r in pandas_docs.itertuples(index=False):
+        want = _py_clean(r.content)
+        assert got[int(r.doc_id)] == (want, len(r.content) - len(want))
+
+
+def test_clean_text_strips_tags_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>hello   <b>world</b></p>\n\n  done "), (2, "")],
+        "doc_id long, content string",
+    )
+    rows = {
+        r["doc_id"]: r for r in text.clean_text(df).collect()
+    }
+    assert rows[1]["clean"] == "hello world done"
+    assert rows[2]["clean"] == ""
+    assert rows[2]["n_removed"] == 0
+
+
+def test_repetition_matches_python(spark, docs, pandas_docs):
+    got = {
+        r["doc_id"]: r
+        for r in text.repetition_ratio(docs, text_col="content").collect()
+    }
+    for r in pandas_docs.itertuples(index=False):
+        lines = [l for l in r.content.split("\n") if l.strip(" ")]
+        toks = py_tokenize(r.content)
+        g = got[int(r.doc_id)]
+        assert g["n_lines"] == len(lines)
+        assert g["n_distinct_lines"] == len(set(lines))
+        want_l = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+        want_t = 1.0 - len(set(toks)) / len(toks) if toks else 0.0
+        assert g["dup_line_ratio"] == pytest.approx(want_l, abs=1e-12)
+        assert g["dup_token_ratio"] == pytest.approx(want_t, abs=1e-12)
+
+
+def test_repetition_empty_doc_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "same line\nsame line\nsame line")],
+        "doc_id long, content string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_ratio(df).collect()}
+    assert rows[1]["dup_line_ratio"] == 0.0
+    assert rows[1]["dup_token_ratio"] == 0.0
+    assert rows[2]["dup_line_ratio"] == pytest.approx(2.0 / 3.0)
