@@ -496,8 +496,12 @@ class PhysicalIndex:
         # exchange as part of the SAME job — no driver collect)
         cat = self.terms.filter(cond).select("term", "df")
         blocks = blocks.join(F.broadcast(cat), "term")
-        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        return blocks.repartition(nparts, "block_id").sortWithinPartitions(
+        # repartition WITHOUT an explicit count: AQE coalesces the
+        # exchange to the actual shuffle bytes (a needle query's few
+        # blocks run as a couple of tasks, ~25% off the job floor)
+        # and fans out to full parallelism on hot terms at scale —
+        # an explicit N would pin both cases to the same width
+        return blocks.repartition("block_id").sortWithinPartitions(
             "block_id", "term"
         )
 
@@ -560,8 +564,8 @@ class PhysicalIndex:
         cols = ["term", "block_id", "max_tf", "min_dl",
                 "doc_gaps", "tfs", "dls"]
         blocks = self.postings.select(*cols).join(F.broadcast(cat), "term")
-        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        blocks = blocks.repartition(nparts, "block_id").sortWithinPartitions(
+        # AQE-coalescible exchange — see _qblocks
+        blocks = blocks.repartition("block_id").sortWithinPartitions(
             "block_id", "term"
         )
         kern = make_exhaustive_kernel(
