@@ -625,6 +625,18 @@ def q_ft_spellcheck(spark, sf_dir):
     return phys_index(spark, sf_dir).spellcheck("tabel", max_edits=2, n=5)
 
 
+def q_ft_dismax(spark, sf_dir):
+    """DisjunctionMax (Solr dismax qf): the same query searched as a
+    content term AND a scored field posting; best clause wins, the
+    other tie-breaks at 0.3.  Two clauses, so the float combine is
+    order-exact against the oracle."""
+    return _round_score(
+        phys_index(spark, sf_dir).dismax_topk(
+            ["table", "lang:en"], tie=0.3, k=10
+        )
+    )
+
+
 def q_ft_boost_func(spark, sf_dir):
     """Function-query boost (Solr boost=recip(...)): BM25 * a
     length-decay function of the stored n_chars field, re-ranked
@@ -677,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_pivot_facet": q_ft_pivot_facet,
         "ft_spellcheck": q_ft_spellcheck,
         "ft_boost_func": q_ft_boost_func,
+        "ft_dismax": q_ft_dismax,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -788,6 +801,9 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
             ["table"],
             "1.0 + 1.0 / (1.0 + CAST(d.n_chars AS DOUBLE) / 500.0)",
             k=10,
+        ),
+        "ft_dismax": O.dismax_sql(
+            ["table"], [("lang", "en")], tie=0.3, k=10
         ),
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(

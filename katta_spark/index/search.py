@@ -397,6 +397,42 @@ def make_multi_kernel(qmap: list[tuple[str, list[str], str]],
     return kernel
 
 
+def make_clause_kernel(n_docs: float, avgdl: float, k1: float, b: float,
+                       block_range: int):
+    """Per-partition kernel emitting PER-CLAUSE scores
+    (doc_id, term, score) — one output row per posting, no per-doc
+    summation.  Feeds combiners whose algebra is not a plain sum
+    (DisjunctionMax: max + tie*(sum-max)); the combine itself runs as
+    a JVM hash aggregation on the kernel output."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = True
+        for g in _iter_block_groups(batches):
+            bid = int(g["block_id"].iloc[0])
+            for row in g.itertuples(index=False):
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_gaps, row.tfs, row.dls, bid, block_range
+                )
+                idf = codec.bm25_idf(float(row.df), n_docs)
+                empty = False
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "term": np.full(ids.size, row.term, dtype=object),
+                        "score": idf
+                        * codec.bm25_tfnorm(tfs, dls, avgdl, k1, b),
+                    }
+                )
+        if empty:
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "term": pd.Series(dtype="object"),
+                 "score": pd.Series(dtype="float64")}
+            )
+
+    return kernel
+
+
 def make_exhaustive_kernel(n_docs: float, avgdl: float,
                            k1: float, b: float, block_range: int):
     """Decode-and-score-everything kernel: emits (doc_id, score, nt)
@@ -985,6 +1021,44 @@ class PhysicalIndex:
             .select(
                 "doc_id",
                 (F.col("score") * F.col("_boost")).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def dismax_topk(self, clauses: list[str], tie: float = 0.0,
+                    k: int = 10) -> DataFrame:
+        """DisjunctionMax top-k (Solr dismax / Lucene
+        DisjunctionMaxQuery): per-doc score = max(clause scores) +
+        ``tie`` * (sum - max).  Each clause is a term — a content
+        token or a ``field:value`` scored field posting (the dismax
+        ``qf`` shape: the same word searched across fields, the best
+        field winning, others tie-breaking).
+
+        ONE term-pruned postings scan; the kernel emits per-clause
+        scores and the max/sum combine is a JVM hash aggregation —
+        same shuffle count as a plain OR query at any scale.
+        tie=1.0 degrades to the OR sum; tie=0.0 is a pure max."""
+        terms = sorted(set(self._strip_stops(clauses)))
+        kern = make_clause_kernel(
+            float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+        )
+        per = self._qblocks(terms).mapInPandas(
+            kern, "doc_id long, term string, score double"
+        )
+        if self.tombstones is not None:
+            per = per.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        t = F.lit(float(tie))
+        agg = per.groupBy("doc_id").agg(
+            F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+        )
+        return (
+            agg.select(
+                "doc_id",
+                (F.col("_mx") + t * (F.col("_sm") - F.col("_mx"))).alias(
+                    "score"
+                ),
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)

@@ -508,6 +508,39 @@ SELECT doc_id, round(score, 6) AS score
 FROM (SELECT * FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {int(k)})"""
 
 
+def dismax_sql(terms: list[str], field_terms: list[tuple[str, str]] = (),
+               tie: float = 0.0, k: int = 10) -> str:
+    """DisjunctionMax oracle: per-doc max(clause) + tie*(sum-max)
+    over content-term and scored-field-term clauses (mirror of
+    PhysicalIndex.dismax_topk)."""
+    parts = []
+    for t in sorted(set(terms)):
+        tq = t.replace("'", "''")
+        parts.append(
+            f"""  SELECT tf.doc_id, {score_sql()} AS s
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats WHERE tf.term = '{tq}'"""
+        )
+    for fld, val in field_terms:
+        vq = val.lower().replace("'", "''")
+        parts.append(
+            f"""  SELECT d.doc_id, {field_score_sql(fld, vq)} AS s
+  FROM {DOCS} d JOIN dl ON d.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE lower(CAST(d.{fld} AS VARCHAR)) = '{vq}'"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""{index_ctes()},
+parts AS (
+{union}
+),
+scored AS (
+  SELECT doc_id, max(s) + {float(tie)!r} * (sum(s) - max(s)) AS score
+  FROM parts GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {int(k)})"""
+
+
 def min_match_topk_sql(terms: list[str], min_match: int, k: int = 10) -> str:
     """Minimum-should-match oracle: OR-scored docs matching at least
     ``min_match`` distinct query terms (Solr dismax mm), top-k."""

@@ -195,6 +195,34 @@ def test_spellcheck_excludes_exact_and_field_terms(pindex):
     assert all(":" not in r["term"] for r in rows)
 
 
+# ------------------------------------------------------------- dismax
+
+def test_dismax_matches_python_max(pindex, py_oracle):
+    """tie=0: per-doc score is the MAX of per-clause BM25 scores."""
+    terms = ["import", "table", "scan"]
+    got = pindex.dismax_topk(terms, tie=0.0, k=15).collect()
+    scored = []
+    for d in py_oracle.matches(terms):
+        per = [py_oracle.score(d, [t]) for t in terms
+               if t in py_oracle.tf[d]]
+        scored.append((d, max(per)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    want = scored[:15]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_dismax_tie1_equals_or_sum(pindex):
+    """tie=1.0 degrades to the plain OR sum (max + 1*(sum-max))."""
+    terms = ["scan", "merge"]
+    dm = pindex.dismax_topk(terms, tie=1.0, k=10).collect()
+    od = pindex.topk(terms, k=10, use_wand=False).collect()
+    assert [r["doc_id"] for r in dm] == [r["doc_id"] for r in od]
+    for a, b in zip(dm, od):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
 # --------------------------------------------------------- boost func
 
 def test_boost_func_matches_python(pindex, py_oracle):
