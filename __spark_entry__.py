@@ -625,6 +625,12 @@ def q_ft_spellcheck(spark, sf_dir):
     return phys_index(spark, sf_dir).spellcheck("tabel", max_edits=2, n=5)
 
 
+def q_ft_facet_query(spark, sf_dir):
+    """Solr facet.query: hit counts of three standing sub-queries in
+    one job (label-pruned scans, aggregation-only — no doc lists)."""
+    return phys_index(spark, sf_dir).facet_queries(_MULTI_Q)
+
+
 def q_ft_dismax(spark, sf_dir):
     """DisjunctionMax (Solr dismax qf): the same query searched as a
     content term AND a scored field posting; best clause wins, the
@@ -690,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_spellcheck": q_ft_spellcheck,
         "ft_boost_func": q_ft_boost_func,
         "ft_dismax": q_ft_dismax,
+        "ft_facet_query": q_ft_facet_query,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -805,6 +812,7 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_dismax": O.dismax_sql(
             ["table"], [("lang", "en")], tie=0.3, k=10
         ),
+        "ft_facet_query": O.facet_queries_sql(_MULTI_Q),
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(
             [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]

@@ -828,6 +828,36 @@ class PhysicalIndex:
             )
         )
 
+    def facet_queries(self, queries_map: dict[str, list[str]],
+                      mode: str = "or",
+                      filters: Filters = None) -> DataFrame:
+        """(facet_q, cnt) — Solr facet.query: hit counts of arbitrary
+        sub-queries returned together.  The per-label matched sets
+        union lazily into ONE action (one job, label-pruned scans);
+        each count is an aggregation, never a materialized doc list
+        on the driver."""
+        out = None
+        for label, terms in sorted(queries_map.items()):
+            m = self.matched_docs(terms, mode, filters).select(
+                F.lit(label).alias("facet_q"), "doc_id"
+            )
+            out = m if out is None else out.unionByName(m)
+        counts = out.groupBy("facet_q").agg(F.count(F.lit(1)).alias("cnt"))
+        # Solr reports 0 for a non-matching facet.query — a literal
+        # label frame (bounded: one row per standing query) keeps the
+        # zero rows that the union cannot produce
+        labels = self.spark.createDataFrame(
+            [(label,) for label in sorted(queries_map)], "facet_q string"
+        )
+        return (
+            labels.join(counts, "facet_q", "left")
+            .select(
+                "facet_q",
+                F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            )
+            .orderBy("facet_q")
+        )
+
     def sorted_query(self, qterms: list[str], sort_cols: list[tuple[str, str]],
                      fields: list[str], limit: int, offset: int = 0,
                      mode: str = "or", filters: Filters = None) -> DataFrame:

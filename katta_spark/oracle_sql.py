@@ -256,6 +256,20 @@ def term_docs_sql(terms: list[str], mode: str = "or") -> str:
     return f"SELECT doc_id FROM tf WHERE term IN {tl}"
 
 
+def facet_queries_sql(queries_map: dict[str, list[str]],
+                      mode: str = "or") -> str:
+    """facet.query oracle: (facet_q, cnt) per standing sub-query
+    (mirror of PhysicalIndex.facet_queries)."""
+    parts = []
+    for label, terms in sorted(queries_map.items()):
+        lq = label.replace("'", "''")
+        parts.append(
+            f"SELECT '{lq}' AS facet_q, CAST(count(DISTINCT doc_id) AS"
+            f" BIGINT) AS cnt FROM ({term_docs_sql(terms, mode)})"
+        )
+    return f"{index_ctes()}\n" + "\nUNION ALL\n".join(parts)
+
+
 def sloppy_phrase2_sql(a: str, b: str, slop: int, k: int = 10) -> str:
     """Two-term proximity oracle: docs where ``a`` precedes ``b``
     within span 1+slop (the engine's ordered-within-window ``"a b"~N``

@@ -223,6 +223,23 @@ def test_dismax_tie1_equals_or_sum(pindex):
         assert a["score"] == pytest.approx(b["score"], abs=1e-9)
 
 
+# ---------------------------------------------------------- facet.query
+
+def test_facet_queries_match_python(pindex, py_oracle):
+    qmap = {"has_import": ["import"], "both": ["scan", "merge"],
+            "none": ["xylophonequarknebula7zz"]}
+    got = {
+        r["facet_q"]: r["cnt"]
+        for r in pindex.facet_queries(qmap, mode="and").collect()
+    }
+    want = {
+        label: len(py_oracle.matches(terms, mode="and"))
+        for label, terms in qmap.items()
+    }
+    assert got == want
+    assert got["none"] == 0  # Solr parity: zero-hit queries report 0
+
+
 # --------------------------------------------------------- boost func
 
 def test_boost_func_matches_python(pindex, py_oracle):
