@@ -173,6 +173,78 @@ def dense_ids(df: DataFrame, key_cols: list[str],
     return out
 
 
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (Austin Appleby's public-domain
+    algorithm), returned as a SIGNED Java int — byte-for-byte the
+    hash Katta routes rows with (util/StringHash.java, seed 0).
+    Spark's built-in ``hash()`` is also murmur3-32 but hardcodes
+    seed 42, so routing parity needs this explicit implementation."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def shard_route(df: DataFrame, key_col: str, shard_partitions: int,
+                shard_step: int,
+                out_cols: tuple[str, str] = ("micro_shard", "shard_start")
+                ) -> DataFrame:
+    """Katta's murmur3 row routing, bit-identical
+    (lib/writer/DefaultDataWriter.java:171-184): micro-shard =
+    ``abs(murmur3_x86_32(key, seed=0) % shardPartitions)`` (Java %
+    keeps the dividend's sign; abs after), covering shard range
+    start = ``micro - micro % shardStep``.  The hash runs as an
+    Arrow-batched pandas UDF over the key column — build-side
+    routing only, never in a query path."""
+    from pyspark.sql.functions import pandas_udf
+
+    p, step = int(shard_partitions), int(shard_step)
+
+    # Java's % is a remainder truncated toward zero — python's %
+    # floors for negative dividends, so truncate explicitly
+    def _micro(keys):
+        def one(s: str) -> int:
+            h = murmur3_x86_32(str(s).encode("utf-8"))
+            r = h - int(h / p) * p
+            return abs(r)
+        return keys.map(one)
+
+    micro = pandas_udf(_micro, "int")
+
+    m = micro(F.col(key_col))
+    mc, sc = out_cols
+    return df.withColumn(mc, m).withColumn(
+        sc, (F.col(mc) - F.col(mc) % F.lit(step)).cast("int")
+    )
+
+
 def with_ingest_columns(df: DataFrame, doc_id_method: str = "rank") -> DataFrame:
     """Attach ``doc_id`` + ``content_sha256``.
 

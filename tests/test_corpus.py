@@ -56,3 +56,41 @@ def test_skew_property(spark, docs):
     assert hot / n > 0.5
     hot2 = docs.filter(F.col("content").contains("return")).count()
     assert hot2 / n > 0.5
+
+
+def test_murmur3_known_vectors():
+    """The standard MurmurHash3 x86-32 test vectors — the public
+    oracle for bit-identity with Katta's StringHash
+    (util/StringHash.java, seed 0)."""
+    from katta_spark.corpus import murmur3_x86_32 as m
+
+    assert m(b"") == 0
+    assert m(b"hello") == 613153351
+    assert m(b"foo") == -156908512
+    # tail-length coverage (1..3 trailing bytes after the 4-byte body)
+    assert m(b"a") != m(b"ab") != m(b"abc") != m(b"abcd")
+
+
+def test_shard_route_matches_java_semantics(spark, docs):
+    """micro = abs(java-truncated hash % P); start = micro - micro %
+    step (DefaultDataWriter.java:171-184) — recomputed row-by-row in
+    pure python over a sample."""
+    from katta_spark.corpus import murmur3_x86_32, shard_route
+
+    P, STEP = 37, 5  # non-power-of-two to exercise trunc-vs-floor
+    routed = shard_route(
+        docs.select("path"), "path", shard_partitions=P, shard_step=STEP
+    )
+    rows = routed.limit(200).collect()
+    assert rows
+    saw_negative_hash = False
+    for r in rows:
+        h = murmur3_x86_32(r["path"].encode("utf-8"))
+        saw_negative_hash |= h < 0
+        micro = abs(h - int(h / P) * P)
+        assert r["micro_shard"] == micro
+        assert r["shard_start"] == micro - micro % STEP
+    assert saw_negative_hash  # the Java trunc-% branch was exercised
+    assert routed.filter(
+        (F.col("micro_shard") < 0) | (F.col("micro_shard") >= P)
+    ).count() == 0
