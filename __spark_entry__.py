@@ -525,6 +525,26 @@ def q_ts_session_agg(spark, sf_dir):
     )
 
 
+_DM_NOW = "2024-01-25 13:47:33"
+_DM_LO, _DM_HI = "NOW/DAY-7DAYS", "NOW/HOUR+1HOURS"
+
+
+def q_ts_date_math(spark, sf_dir):
+    """Solr date-math range (DateMathParser grammar): count + span of
+    events in [NOW/DAY-7DAYS, NOW/HOUR+1HOURS) with NOW pinned."""
+    from katta_spark.ops.timeseries import date_math_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    now = F.to_timestamp(F.lit(_DM_NOW))
+    lo = date_math_col(now, _DM_LO)
+    hi = date_math_col(now, _DM_HI)
+    return ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 def q_ts_json(spark, sf_dir):
     from katta_spark.ops import timeseries as TS
 
@@ -739,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_window_agg": q_ts_window_agg,
         "ts_session_agg": q_ts_session_agg,
         "ts_json": q_ts_json,
+        "ts_date_math": q_ts_date_math,
     }
 
 
@@ -913,5 +934,6 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_window_agg": OO.ts_window_agg_sql(1),
         "ts_session_agg": OO.ts_session_agg_sql(30),
         "ts_json": OO.ts_json_sql(),
+        "ts_date_math": OO.ts_date_math_sql(_DM_NOW, _DM_LO, _DM_HI),
     }
     return out

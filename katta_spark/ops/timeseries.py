@@ -23,6 +23,66 @@ DATE_UNITS = {
 }
 
 
+def parse_date_math(expr: str) -> list[tuple]:
+    """Solr DateMathParser grammar (the subset Katta's Solr queries
+    use): leading ``NOW``, then any sequence of ``/UNIT`` (floor) and
+    ``±N UNIT[S]`` (calendar arithmetic) — e.g.
+    ``NOW/DAY-7DAYS+3HOURS``.  Returns [("trunc", unit) | ("add", n,
+    unit)]; raises ValueError on malformed input."""
+    import re
+
+    s = expr.strip().upper()
+    if not s.startswith("NOW"):
+        raise ValueError(f"date math must start with NOW: {expr!r}")
+    ops: list[tuple] = []
+    pat = re.compile(r"/([A-Z]+?)S?(?![A-Z])|([+-])(\d+)([A-Z]+?)S?(?![A-Z])")
+    i = 3
+    while i < len(s):
+        m = pat.match(s, i)
+        if m is None:
+            raise ValueError(f"bad date math at {s[i:]!r} in {expr!r}")
+        if m.group(1) is not None:
+            unit = DATE_UNITS.get(m.group(1))
+            if unit is None:
+                raise ValueError(f"unknown unit {m.group(1)!r} in {expr!r}")
+            ops.append(("trunc", unit))
+        else:
+            unit = DATE_UNITS.get(m.group(4))
+            if unit is None:
+                raise ValueError(f"unknown unit {m.group(4)!r} in {expr!r}")
+            n = int(m.group(2) + m.group(3))  # signed count
+            ops.append(("add", n, unit))
+        i = m.end()
+    return ops
+
+
+def date_math_col(now, expr: str):
+    """Spark Column for a Solr date-math string applied to ``now``
+    (a timestamp Column): floors via date_trunc, arithmetic via
+    calendar INTERVAL literals (month-clamping matches SQL engines)."""
+    c = now
+    for op in parse_date_math(expr):
+        if op[0] == "trunc":
+            c = F.date_trunc(op[1], c)
+        else:
+            c = c + F.expr(f"INTERVAL {op[1]} {op[2].upper()}")
+    return c
+
+
+def date_math_sql(now_sql: str, expr: str) -> str:
+    """DuckDB SQL fragment for the SAME parsed date-math ops — the
+    oracle side is generated from the one parser so the two engines'
+    calendar semantics (not two parsers) are what gets compared."""
+    c = now_sql
+    for op in parse_date_math(expr):
+        if op[0] == "trunc":
+            c = f"date_trunc('{op[1]}', {c})"
+        else:
+            sign = "+" if op[1] >= 0 else "-"
+            c = f"({c} {sign} INTERVAL {abs(op[1])} {op[2].upper()})"
+    return c
+
+
 def date_range_facet(df: DataFrame, ts_col: str, unit: str,
                      min_count: int = 1) -> DataFrame:
     """(bucket_start timestamp, cnt) histogram at a calendar unit —

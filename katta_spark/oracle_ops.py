@@ -373,6 +373,22 @@ SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
 FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
 
+def ts_date_math_sql(now: str, lo_expr: str, hi_expr: str) -> str:
+    """Date-math window oracle: both endpoints generated from the
+    SAME parse (ops.timeseries.date_math_sql) that drives the Spark
+    side — the comparison exercises the two engines' calendar
+    semantics, not two parsers."""
+    from katta_spark.ops.timeseries import date_math_sql
+
+    now_sql = f"TIMESTAMP '{now}'"
+    lo = date_math_sql(now_sql, lo_expr)
+    hi = date_math_sql(now_sql, hi_expr)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n, min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events WHERE ts >= {lo} AND ts < {hi}"""
+
+
 def ts_json_sql() -> str:
     return """
 SELECT event_type,

@@ -79,3 +79,43 @@ def test_stream_batch_window_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_parity").collect()
     }
     assert got == batch
+
+
+def test_date_math_parse_and_python_parity(spark):
+    """Solr date-math grammar: floors + signed calendar arithmetic,
+    python-datetime mirror for day/hour/minute units."""
+    from datetime import datetime, timedelta
+
+    from katta_spark.ops.timeseries import date_math_col, parse_date_math
+
+    now = datetime(2024, 1, 25, 13, 47, 33)
+    day0 = now.replace(hour=0, minute=0, second=0, microsecond=0)
+    cases = {
+        "NOW": now,
+        "NOW/DAY": day0,
+        "NOW-7DAYS": now - timedelta(days=7),
+        "NOW/DAY-7DAYS": day0 - timedelta(days=7),
+        "NOW/HOUR+90MINUTES": now.replace(minute=0, second=0)
+        + timedelta(minutes=90),
+        "NOW/MINUTE-30SECONDS": now.replace(second=0)
+        - timedelta(seconds=30),
+        "NOW+1DAYS/DAY": day0 + timedelta(days=1),
+    }
+    from pyspark.sql import functions as F
+
+    cols = [
+        date_math_col(
+            F.to_timestamp(F.lit("2024-01-25 13:47:33")), e
+        ).alias(f"c{i}")
+        for i, e in enumerate(cases)
+    ]
+    row = spark.range(1).select(*cols).first()
+    for i, (expr, want) in enumerate(cases.items()):
+        assert row[f"c{i}"] == want, expr
+    # month arithmetic clamps like SQL engines
+    assert parse_date_math("NOW-1MONTH") == [("add", -1, "month")]
+    import pytest as _pytest
+
+    for bad in ("TODAY", "NOW//DAY", "NOW-DAYS", "NOW-3FORTNIGHTS"):
+        with _pytest.raises(ValueError):
+            parse_date_math(bad)
