@@ -651,6 +651,39 @@ def q_ft_facet_query(spark, sf_dir):
     return phys_index(spark, sf_dir).facet_queries(_MULTI_Q)
 
 
+def q_ft_collapse(spark, sf_dir):
+    """Field collapsing (Solr {!collapse field=lang}): one best doc
+    per language, collapsed set re-ranked globally."""
+    return _round_score(
+        phys_index(spark, sf_dir).collapse_topk(["table"], "lang", k=10)
+    )
+
+
+def q_ft_term_vectors(spark, sf_dir):
+    """TermVectorComponent (tv=true): per-doc term/tf/df/tfidf
+    vectors for three docs — shuffle-free slice + catalog join."""
+    return _round_score(
+        phys_index(spark, sf_dir).term_vectors([3, 7, 11]), col="tfidf"
+    )
+
+
+def q_ft_elevate(spark, sf_dir):
+    """QueryElevationComponent (elevate.xml): docs 7 and 3 pinned to
+    the top in that order, doc 11 excluded, organic BM25 filling the
+    rest."""
+    return _round_score(
+        phys_index(spark, sf_dir).elevate_topk(
+            ["table"], elevate_ids=[7, 3], k=10, exclude_ids=[11]
+        )
+    )
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE-ish LLM token-cost estimate: regex pre-tokenization +
+    ceil(len/4) subword sum, pure column algebra."""
+    return text.bpe_token_estimate(_docs(spark, sf_dir), text_col="text")
+
+
 def q_ft_dismax(spark, sf_dir):
     """DisjunctionMax (Solr dismax qf): the same query searched as a
     content term AND a scored field posting; best clause wins, the
@@ -717,6 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boost_func": q_ft_boost_func,
         "ft_dismax": q_ft_dismax,
         "ft_facet_query": q_ft_facet_query,
+        "ft_collapse": q_ft_collapse,
+        "ft_term_vectors": q_ft_term_vectors,
+        "ft_elevate": q_ft_elevate,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -748,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
@@ -834,6 +871,11 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
             ["table"], [("lang", "en")], tie=0.3, k=10
         ),
         "ft_facet_query": O.facet_queries_sql(_MULTI_Q),
+        "ft_collapse": O.collapse_topk_sql(["table"], "lang", k=10),
+        "ft_term_vectors": O.term_vectors_sql([3, 7, 11]),
+        "ft_elevate": O.elevate_topk_sql(
+            ["table"], elevate_ids=[7, 3], k=10, exclude_ids=[11]
+        ),
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(
             [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]
@@ -896,6 +938,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_quality": OO.quality_sql(),
         "text_clean": OO.clean_text_sql(),
         "text_repetition": OO.repetition_sql(),
+        "text_bpe_tokens": OO.bpe_tokens_sql(),
         "text_token_stats": f"""{ctes}
 SELECT d.doc_id,
        CAST(count(t.term) AS BIGINT) AS n_tokens,

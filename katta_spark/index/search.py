@@ -1136,6 +1136,126 @@ class PhysicalIndex:
             .select(group_field, "doc_id", "score", "rank")
         )
 
+    def collapse_topk(self, qterms: list[str], collapse_field: str,
+                      k: int = 10, mode: str = "or",
+                      filters: Filters = None) -> DataFrame:
+        """(doc_id, score, collapse_field) — Solr's
+        CollapsingQParserPlugin (``{!collapse field=f}``, exposed by
+        the reference through its SolrQuery pass-through): the result
+        list keeps only the HIGHEST-scoring doc per value of
+        ``collapse_field`` (tie doc_id asc), then the collapsed set is
+        ranked globally and cut to top-k.
+
+        Plan shape: one scored pass, a window keyed on the collapse
+        column (per-task state bounded by group cardinality, never
+        corpus size), then a TakeOrderedAndProject merge — no global
+        sort.  NULL collapse values form one group (Solr
+        nullPolicy=collapse)."""
+        from pyspark.sql import Window
+
+        scored = self.scored_docs(sorted(set(qterms)), mode)
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        joined = scored.join(
+            self.docs.select("doc_id", collapse_field), "doc_id"
+        )
+        w = Window.partitionBy(collapse_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score", collapse_field)
+        )
+
+    def term_vectors(self, doc_ids: list[int]) -> DataFrame:
+        """(doc_id, term, tf, df, tfidf) for the given docs — the
+        Lucene/Solr TermVectorComponent surface
+        (``tv=true&tv.df=true&tv.tf_idf=true``; the reference reaches
+        it through SolrQuery pass-through,
+        katta-client/.../client/LuceneClient.java:255-276).
+
+        The ``doc_id IN`` filter pushes to the docs parquet scan
+        (DataFilters — only the requested rows' row-groups are read);
+        tf re-derives from the STORED token arrays of that tiny slice
+        (one explode over len(doc_ids) rows, never the postings);
+        df rides in from the term catalog via a broadcast of the
+        slice, so the whole plan is shuffle-free."""
+        ids = [int(d) for d in doc_ids]
+        tf = (
+            self.docs.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        n_docs = float(self.stats["n_docs"])
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        return (
+            F.broadcast(tf)
+            .join(self.terms.select("term", "df"), "term")
+            .select(
+                "doc_id", "term", "tf", "df",
+                (F.col("tf") * idf).alias("tfidf"),
+            )
+        )
+
+    def elevate_topk(self, qterms: list[str], elevate_ids: list[int],
+                     k: int = 10, exclude_ids: list[int] = (),
+                     mode: str = "or") -> DataFrame:
+        """(rank, doc_id, score, elevated) — Solr's
+        QueryElevationComponent (elevate.xml editorial pinning): the
+        ``elevate_ids`` docs occupy the TOP of the result list in the
+        GIVEN order regardless of score (a pinned doc that does not
+        match the query rides along with score 0.0 —
+        forceElevation=true semantics), ``exclude_ids`` vanish, and
+        the organic BM25 ranking fills the remaining ``k - n`` slots.
+
+        Plan shape: the pinned-id list is a broadcast literal (never a
+        shuffle); the organic tail is the usual TakeOrderedAndProject
+        top-k; the final rank window runs over at most k rows."""
+        from pyspark.sql import Window
+
+        ids = [int(d) for d in elevate_ids]
+        drop = sorted({int(d) for d in exclude_ids} | set(ids))
+        scored = self.scored_docs(sorted(set(qterms)), mode)
+        elev = self.spark.createDataFrame(
+            [(i, d) for i, d in enumerate(ids)], "pos int, doc_id long"
+        )
+        matched = scored.join(F.broadcast(elev), "doc_id")
+        unmatched = elev.join(
+            F.broadcast(matched.select("doc_id")), "doc_id", "left_anti"
+        ).select("doc_id", F.lit(0.0).alias("score"), "pos")
+        etop = matched.select("doc_id", "score", "pos").unionByName(
+            unmatched
+        ).withColumn("elevated", F.lit(True))
+        otop = (
+            scored.filter(~F.col("doc_id").isin(drop))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(max(k - len(ids), 0))
+            .select(
+                "doc_id", "score",
+                F.lit(None).cast("int").alias("pos"),
+                F.lit(False).alias("elevated"),
+            )
+        )
+        w = Window.orderBy(
+            F.desc("elevated"), F.asc_nulls_last("pos"),
+            F.desc("score"), F.asc("doc_id"),
+        )
+        return (
+            etop.unionByName(otop)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("rank", "doc_id", "score", "elevated")
+        )
+
     def more_like_this(self, doc_id: int, m_terms: int = 5, k: int = 10
                        ) -> DataFrame:
         """(doc_id, score) top-k docs similar to ``doc_id`` — the

@@ -37,6 +37,34 @@ def token_stats(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     )
 
 
+#: GPT-2-style pre-tokenization classes: letter runs, digit runs,
+#: single non-space punctuation.  Kept to a dialect-portable subset
+#: (no lookarounds) so Java regex (Spark) and RE2 (DuckDB oracle)
+#: agree byte-for-byte.
+BPE_PRETOK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_estimate(corpus: DataFrame, text_col: str = "content",
+                       chunk: int = 4) -> DataFrame:
+    """(doc_id, n_pretok, n_tokens_est) — LLM-tokenizer cost estimate
+    without shipping a tokenizer: GPT-2-ish regex pre-tokenization
+    (:data:`BPE_PRETOK_RE`), then each pretoken contributes
+    ``ceil(len/chunk)`` subword tokens (BPE merges rarely span more
+    than ~4 chars of code).  Narrow column algebra — regex +
+    ``aggregate`` over the match array, zero shuffle, zero Python."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOK_RE), 0)
+    est = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor((F.length(x) + (chunk - 1)) / chunk),
+    )
+    return corpus.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_pretok"),
+        est.alias("n_tokens_est"),
+    )
+
+
 def quality_score(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     """(doc_id, len_chars, alpha_ratio, stop_ratio, quality) —
     heuristic curation score in [0,1]:

@@ -409,6 +409,24 @@ SELECT doc_id, {clean} AS clean,
 FROM {DOCS}"""
 
 
+def bpe_tokens_sql(chunk: int = 4) -> str:
+    """Mirror of ops.text.bpe_token_estimate: regex pre-tokenization
+    (same dialect-portable pattern) + ceil(len/chunk) subword sum."""
+    from katta_spark.ops.text import BPE_PRETOK_RE
+
+    return f"""
+WITH pre AS (
+  SELECT doc_id, regexp_extract_all(text, '{BPE_PRETOK_RE}') AS toks
+  FROM {DOCS}
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_pretok,
+  CAST(coalesce(list_sum(list_transform(
+      toks, x -> CAST(floor((length(x) + {chunk - 1}) / {chunk}) AS BIGINT)
+  )), 0) AS BIGINT) AS n_tokens_est
+FROM pre"""
+
+
 def repetition_sql() -> str:
     """Mirror of ops.text.repetition_ratio: duplicate-line and
     duplicate-token fractions, empty docs scoring 0.0."""

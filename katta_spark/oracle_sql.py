@@ -405,6 +405,95 @@ SELECT {group_field}, doc_id, round(score, 6) AS score, rank
 FROM ranked WHERE rank <= {k_per_group}"""
 
 
+def collapse_topk_sql(terms: list[str], collapse_field: str,
+                      k: int = 10, mode: str = "or") -> str:
+    """Field-collapsing oracle: best-scoring doc per value of
+    ``collapse_field`` (tie doc_id asc), collapsed set ranked
+    globally, top-k (mirror of PhysicalIndex.collapse_topk)."""
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+),
+collapsed AS (
+  SELECT s.doc_id, s.score, d.{collapse_field},
+         row_number() OVER (PARTITION BY d.{collapse_field}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, 6) AS score, {collapse_field}
+FROM collapsed WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"""
+
+
+def term_vectors_sql(doc_ids: list[int]) -> str:
+    """TermVectorComponent oracle: (doc_id, term, tf, df, tfidf) for
+    the given docs, tfidf = tf × catalog BM25 idf."""
+    ids = ", ".join(str(int(d)) for d in sorted(set(doc_ids)))
+    idf = (
+        "ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfv.df AS DOUBLE)"
+        " + 0.5) / (CAST(dfv.df AS DOUBLE) + 0.5))"
+    )
+    return f"""{index_ctes()}
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, dfv.df,
+       round(CAST(tf.tf AS DOUBLE) * {idf}, 6) AS tfidf
+FROM tf JOIN dfv ON tf.term = dfv.term CROSS JOIN stats
+WHERE tf.doc_id IN ({ids})"""
+
+
+def elevate_topk_sql(terms: list[str], elevate_ids: list[int],
+                     k: int = 10, exclude_ids: list[int] = (),
+                     mode: str = "or") -> str:
+    """QueryElevation oracle: pinned ids first in the given order
+    (score 0.0 when unmatched), excluded ids dropped, organic BM25
+    ranking filling the remaining slots (mirror of
+    PhysicalIndex.elevate_topk)."""
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    vals = ", ".join(
+        f"({i}, {int(d)})" for i, d in enumerate(elevate_ids)
+    )
+    drop = sorted({int(d) for d in exclude_ids} | {int(d) for d in elevate_ids})
+    drop_sql = ", ".join(str(d) for d in drop)
+    n_org = max(int(k) - len(elevate_ids), 0)
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+),
+elev(pos, doc_id) AS (VALUES {vals}),
+etop AS (
+  SELECT e.doc_id, coalesce(s.score, 0.0) AS score, e.pos, TRUE AS elevated
+  FROM elev e LEFT JOIN scored s ON e.doc_id = s.doc_id
+),
+otop AS (
+  SELECT doc_id, score, NULL AS pos, FALSE AS elevated
+  FROM scored WHERE doc_id NOT IN ({drop_sql})
+  ORDER BY score DESC, doc_id ASC LIMIT {n_org}
+),
+united AS (SELECT * FROM etop UNION ALL SELECT * FROM otop),
+ranked AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY elevated DESC, pos ASC NULLS LAST,
+                    score DESC, doc_id ASC) AS INT) AS rank,
+         doc_id, round(score, 6) AS score, elevated
+  FROM united
+)
+SELECT rank, doc_id, score, elevated FROM ranked WHERE rank <= {int(k)}"""
+
+
 def mlt_sql(doc_id: int, m_terms: int = 5, k: int = 10) -> str:
     """MoreLikeThis oracle: the source doc's top ``m_terms`` by tf·idf
     (tie-break term asc) score the corpus as an OR group, source doc

@@ -105,3 +105,86 @@ def test_mlt_rep_terms_uses_idf_not_raw_tf(pindex, py_oracle):
     assert 0 < len(got) <= 10
     assert all(r["doc_id"] in quark_docs for r in got)
     assert all(r["doc_id"] != 0 for r in got)
+
+
+def test_collapse_topk_matches_python(pindex, py_oracle, pandas_docs):
+    """Field collapsing: one best doc per lang (tie doc_id asc),
+    collapsed set re-ranked globally — CollapsingQParserPlugin
+    semantics."""
+    langs = {
+        int(r.doc_id): r.lang for r in pandas_docs.itertuples(index=False)
+    }
+    got = pindex.collapse_topk(["import"], "lang", k=5).collect()
+    best: dict[str, tuple[float, int]] = {}
+    for d in py_oracle.matches(["import"]):
+        key = (-py_oracle.score(d, ["import"]), d)
+        if langs[d] not in best or key < best[langs[d]]:
+            best[langs[d]] = key
+    want = sorted(
+        ((lang, d, -negs) for lang, (negs, d) in best.items()),
+        key=lambda x: (-x[2], x[1]),
+    )[:5]
+    assert [
+        (r["lang"], r["doc_id"], round(r["score"], 9)) for r in got
+    ] == [(lang, d, round(s, 9)) for lang, d, s in want]
+    # collapse invariant: at most one doc per group value
+    assert len({r["lang"] for r in got}) == len(got)
+
+
+def test_term_vectors_matches_python(pindex, py_oracle, pandas_docs):
+    """TermVectorComponent: per-doc (term, tf, df, tfidf) equals the
+    python tokenize + corpus-df mirror, for exactly the asked docs."""
+    ids = [3, 11]
+    texts = pandas_docs.set_index("doc_id").loc[ids, "content"]
+    got = pindex.term_vectors(ids).collect()
+    assert {r["doc_id"] for r in got} == set(ids)
+    for doc_id in ids:
+        tf: dict[str, int] = {}
+        for t in py_tokenize(texts.loc[doc_id]):
+            tf[t] = tf.get(t, 0) + 1
+        rows = {
+            r["term"]: (r["tf"], r["df"], round(r["tfidf"], 9))
+            for r in got
+            if r["doc_id"] == doc_id
+        }
+        want = {
+            t: (
+                n,
+                py_oracle.df[t],
+                round(n * py_oracle.idf(t), 9),
+            )
+            for t, n in tf.items()
+        }
+        assert rows == want
+
+
+def test_elevate_topk_pins_and_excludes(pindex, py_oracle):
+    """QueryElevation: pinned ids occupy ranks 1..n in the GIVEN
+    order (unmatched pins score 0.0), excluded ids vanish, organic
+    BM25 fills the tail."""
+    organic = sorted(
+        ((d, py_oracle.score(d, ["import"]))
+         for d in py_oracle.matches(["import"])),
+        key=lambda x: (-x[1], x[0]),
+    )
+    # pin: one matching doc (from mid-ranking) + one NON-matching doc
+    pin_match = organic[5][0]
+    non_match = next(
+        d for d in sorted(py_oracle.tf) if "import" not in py_oracle.tf[d]
+    )
+    excl = organic[0][0]  # the organic #1 must disappear
+    got = pindex.elevate_topk(
+        ["import"], elevate_ids=[non_match, pin_match],
+        k=8, exclude_ids=[excl],
+    ).collect()
+    got.sort(key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got[:2]] == [non_match, pin_match]
+    assert got[0]["score"] == 0.0 and got[0]["elevated"]
+    assert round(got[1]["score"], 9) == round(organic[5][1], 9)
+    tail_want = [
+        d for d, _ in organic
+        if d not in {excl, pin_match, non_match}
+    ][:6]
+    assert [r["doc_id"] for r in got[2:]] == tail_want
+    assert all(not r["elevated"] for r in got[2:])
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))

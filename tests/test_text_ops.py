@@ -63,3 +63,33 @@ def test_repetition_empty_doc_scores_zero(spark):
     assert rows[1]["dup_line_ratio"] == 0.0
     assert rows[1]["dup_token_ratio"] == 0.0
     assert rows[2]["dup_line_ratio"] == pytest.approx(2.0 / 3.0)
+
+
+def _py_bpe_est(s: str, chunk: int = 4) -> tuple[int, int]:
+    pre = re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", s)
+    return len(pre), sum((len(p) + chunk - 1) // chunk for p in pre)
+
+
+def test_bpe_token_estimate_matches_python(spark, docs, pandas_docs):
+    got = {
+        r["doc_id"]: (r["n_pretok"], r["n_tokens_est"])
+        for r in text.bpe_token_estimate(docs, text_col="content").collect()
+    }
+    for r in pandas_docs.itertuples(index=False):
+        assert got[int(r.doc_id)] == _py_bpe_est(r.content)
+
+
+def test_bpe_token_estimate_edges(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a"), (4, "internationalization 12345 !!")],
+        "doc_id long, content string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_pretok"], r["n_tokens_est"])
+        for r in text.bpe_token_estimate(df).collect()
+    }
+    assert rows[1] == (0, 0)
+    assert rows[2] == (0, 0)
+    assert rows[3] == (1, 1)
+    # 20-char word -> 5 chunks; 5-digit run -> 2; two bangs -> 1 each
+    assert rows[4] == (4, 9)
