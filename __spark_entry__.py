@@ -23,7 +23,7 @@ from katta_spark.fulltext.analysis import LogicalIndex
 from katta_spark import oracle_ops as OO
 from katta_spark import oracle_sql as O
 from katta_spark.index import PhysicalIndex, build_index
-from katta_spark.ops import dedup, similarity, text
+from katta_spark.ops import dedup, sampling, similarity, text
 
 _INDEX_CACHE: dict[str, LogicalIndex] = {}
 _PHYS_CACHE: dict[str, PhysicalIndex] = {}
@@ -684,6 +684,57 @@ def q_text_bpe_tokens(spark, sf_dir):
     return text.bpe_token_estimate(_docs(spark, sf_dir), text_col="text")
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / intl phones -> typed
+    placeholders) with per-class counts — narrow regexp column
+    algebra; the full per-doc output is compared, so the oracle
+    checks Java-regex/RE2 dialect parity byte-for-byte."""
+    return text.pii_scrub(_docs(spark, sf_dir), text_col="text")
+
+
+def q_text_ngram_top(spark, sf_dir):
+    """Corpus top-20 bigrams under the code tokenizer (count desc,
+    ngram asc — a total order, so top-k is engine-independent)."""
+    return text.ngram_top(_docs(spark, sf_dir), n=2, k=20, text_col="text")
+
+
+def q_pipe_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (split membership a pure
+    function of doc_id — survives repartitioning and reruns),
+    aggregated per (split, lang)."""
+    return (
+        sampling.hash_split(_docs(spark, sf_dir), key_col="doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_pipe_sample(spark, sf_dir):
+    """Deterministic ~10% hash sample counted per lang: the bucket is
+    uniform per doc_id, so the rate holds inside every stratum
+    without a per-stratum pass."""
+    return (
+        sampling.stratified_sample(_docs(spark, sf_dir), rate=0.1, key_col="doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_pipe_top_per_source(spark, sf_dir):
+    """Source mixing: best 5 docs per source by quality score
+    (rounded to 6 before ranking on BOTH engines so tie geometry is
+    identical), tie-break doc_id asc."""
+    q = text.quality_score(_docs(spark, sf_dir), text_col="text").select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    joined = q.join(d, "doc_id").select("source", "doc_id", "quality")
+    out = sampling.top_n_per_group(
+        joined, "source", 5, [F.desc("quality"), F.asc("doc_id")]
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_ft_dismax(spark, sf_dir):
     """DisjunctionMax (Solr dismax qf): the same query searched as a
     content term AND a scored field posting; best clause wins, the
@@ -785,6 +836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_ngram_top": q_text_ngram_top,
+        "pipe_hash_split": q_pipe_hash_split,
+        "pipe_sample": q_pipe_sample,
+        "pipe_top_per_source": q_pipe_top_per_source,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
@@ -939,6 +995,11 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_clean": OO.clean_text_sql(),
         "text_repetition": OO.repetition_sql(),
         "text_bpe_tokens": OO.bpe_tokens_sql(),
+        "text_pii_scrub": OO.pii_scrub_sql(),
+        "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
+        "pipe_hash_split": OO.hash_split_sql(),
+        "pipe_sample": OO.stratified_sample_sql(rate=0.1),
+        "pipe_top_per_source": OO.top_per_source_sql(n=5),
         "text_token_stats": f"""{ctes}
 SELECT d.doc_id,
        CAST(count(t.term) AS BIGINT) AS n_tokens,

@@ -1,0 +1,127 @@
+"""Deterministic sampling / split operators for training-data
+pipelines: reproducible train/val/test splits, rate-based stratified
+sampling, and per-group quota selection (source mixing).
+
+Why not ``df.sample()``: Spark's sampler is seed-stable only for a
+fixed partitioning — repartition the input (or rerun at a different
+parallelism) and the sampled set changes.  Training pipelines need
+the membership of every row to be a pure function of the ROW, so the
+split survives re-partitioning, incremental re-runs, and engine
+changes.  Everything here keys off the first 8 hex digits of
+``md5(salt || key)`` — the repo-wide oracle-checkable hash convention
+(same trick as :mod:`katta_spark.ops.dedup`), bit-identical in Spark
+and DuckDB.
+
+Scale shape: :func:`hash_split` and :func:`stratified_sample` are
+pure map stages — zero shuffle at any corpus size.  :func:`top_n_per_group`
+is one hash shuffle on the group key, with an optional salted
+pre-filter pass for skewed groups (a 10^9-row group never hits one
+reducer's sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: bucket space for split/sample decisions — weights resolve to
+#: integer bucket boundaries, so engines agree exactly
+N_BUCKETS = 10_000
+
+DEFAULT_WEIGHTS: dict[str, float] = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, N_BUCKETS): first 32 bits of
+    md5(salt || key) mod N_BUCKETS.  JVM-side (md5/conv/pmod), no
+    Python; DuckDB mirror:
+    ``CAST(concat('0x', substr(md5(salt || key), 1, 8)) AS BIGINT) % 10000``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(N_BUCKETS))
+
+
+def split_boundaries(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket) per split, cumulative in dict
+    order; the last split absorbs rounding remainders."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        out.append((name, round(acc * N_BUCKETS)))
+    out[-1] = (out[-1][0], N_BUCKETS)
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Append a ``split`` column assigning every row to a named split
+    by deterministic hash bucket.  Membership is a pure function of
+    (salt, key) — stable across partitionings, reruns, engines, and
+    incremental appends (a new row never moves an old row's split).
+
+    Narrow, zero shuffle.  ``salt`` derives independent splits from
+    the same keys (e.g. per-epoch held-out rotation).
+    """
+    b = hash_bucket(F.col(key_col), salt)
+    expr = None
+    for name, hi in split_boundaries(weights or DEFAULT_WEIGHTS):
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ~``rate`` sample: keep rows whose hash bucket
+    falls under ``rate * N_BUCKETS``.  Because the bucket is uniform
+    per key, the rate holds within every stratum of any column that
+    is independent of the key hash — one sampler serves all strata
+    (no per-stratum pass).  Narrow, zero shuffle, reproducible."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.filter(hash_bucket(F.col(key_col), salt) < int(round(rate * N_BUCKETS)))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_by: list[Column],
+    prefilter_salt: int = 0,
+) -> DataFrame:
+    """Per-group quota selection (source mixing: "best n docs per
+    source"): rank rows inside each group by ``order_by`` (caller
+    must make it a TOTAL order — include a unique key as the last
+    tie-break) and keep ranks 1..n as column ``rank``.
+
+    One hash shuffle on ``group_col``.  For skewed groups set
+    ``prefilter_salt=s``: a first window over (group, bucket%s) cuts
+    each group to at most s*n survivors BEFORE the global per-group
+    window, so no single reducer ever sorts a whole 10^9-row group —
+    the classic salted two-phase top-k, exact because per-group rank
+    order is preserved by the salted prefilter."""
+    if prefilter_salt > 1:
+        s = F.pmod(F.xxhash64(*df.columns), F.lit(prefilter_salt))
+        w1 = Window.partitionBy(F.col(group_col), s).orderBy(*order_by)
+        df = (
+            df.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= n)
+            .drop("_rn1")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= n)

@@ -162,6 +162,72 @@ def repetition_ratio(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     )
 
 
+#: PII patterns in scrub order (earlier replacements feed later
+#: counts, so overlaps — an IP inside an email host — never double
+#: count).  Dialect-portable subset: no lookarounds, so Java regex
+#: (Spark) and RE2 (DuckDB oracle) match byte-for-byte.  The phone
+#: pattern is deliberately conservative (international `+` form
+#: only) — a bare 7-digit run in code/data is usually NOT a phone.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+]
+
+
+def pii_scrub(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, scrubbed, n_email, n_ipv4, n_phone) — redact emails,
+    IPv4 addresses, and international phone numbers to typed
+    placeholders, counting each class.  Counts are taken on the text
+    as of that pattern's turn (email first), so an address inside an
+    already-redacted span is not re-counted.
+
+    Narrow JVM column algebra (regexp_extract_all + regexp_replace,
+    codegen) — a pure map stage, zero shuffle, zero Python at any
+    corpus size."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, rep)
+    return corpus.select("doc_id", cur.alias("scrubbed"), *counts)
+
+
+def ngram_top(
+    corpus: DataFrame, n: int = 2, k: int = 20, text_col: str = "content"
+) -> DataFrame:
+    """(ngram, n_occurrences) — the k most frequent word n-grams in
+    the corpus under the code tokenizer, ties broken by ngram asc
+    (a total order, so top-k is engine-independent).
+
+    Scale shape: explode is narrow; the groupBy hash-aggregates with
+    map-side partial combine (per-task n-gram counts merge before the
+    shuffle), so shuffle volume is O(distinct n-grams), not O(token
+    occurrences); the final top-k is a TakeOrderedAndProject merge —
+    no global sort."""
+    t = tokens_array(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.get(t, i + F.lit(d)) for d in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        corpus.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def fingerprint(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     """(doc_id, fingerprint) — md5 of the sorted distinct token set:
     canonical content fingerprint robust to token order (the classic

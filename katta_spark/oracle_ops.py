@@ -467,3 +467,92 @@ def langid_sql() -> str:
 hits AS (SELECT doc_id, {", ".join(hit_cols)} FROM tokl),
 top AS (SELECT doc_id, {best} AS best, * FROM hits)
 SELECT doc_id, {case} AS lang_pred, CAST(best AS BIGINT) AS lang_hits FROM top"""
+
+
+def pii_scrub_sql() -> str:
+    """Mirror of ops.text.pii_scrub: sequential redaction, each
+    class counted on the text as of its turn (overlaps never double
+    count).  Patterns are the shared dialect-portable set
+    (ops.text.PII_PATTERNS), so Java regex and RE2 agree."""
+    from katta_spark.ops.text import PII_PATTERNS
+
+    cur = "text"
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{rep}', 'g')"
+    return f"""
+SELECT doc_id, {cur} AS scrubbed, {", ".join(counts)}
+FROM {DOCS}"""
+
+
+def ngram_top_sql(n: int = 2, k: int = 20) -> str:
+    """Mirror of ops.text.ngram_top: corpus top-k word n-grams under
+    the shared tokenizer, total order (count desc, ngram asc)."""
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    grams = ", ".join(f"toks[i+{d}]" for d in range(n))
+    return f"""WITH tokl AS ({tokl}),
+g AS (
+  SELECT unnest(CASE WHEN len(toks) >= {n}
+      THEN list_transform(generate_series(1, len(toks) - {n - 1}),
+                          i -> concat_ws(' ', {grams}))
+      ELSE [] END) AS ngram
+  FROM tokl
+)
+SELECT ngram, count(*) AS n_occurrences FROM g
+GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT {k}"""
+
+
+def _bucket_sql(key: str = "doc_id", salt: str = "") -> str:
+    """DuckDB mirror of ops.sampling.hash_bucket."""
+    from katta_spark.ops.sampling import N_BUCKETS
+
+    k = f"concat('{salt}', CAST({key} AS VARCHAR))" if salt else f"CAST({key} AS VARCHAR)"
+    return (
+        f"CAST(concat('0x', substr(md5({k}), 1, 8)) AS BIGINT)"
+        f" % {N_BUCKETS}"
+    )
+
+
+def hash_split_sql(weights: dict[str, float] | None = None) -> str:
+    """Mirror of ops.sampling.hash_split aggregated per (split, lang):
+    shares split_boundaries() with the Spark side, so the bucket
+    boundaries have ONE source of truth."""
+    from katta_spark.ops.sampling import DEFAULT_WEIGHTS, split_boundaries
+
+    bounds = split_boundaries(weights or DEFAULT_WEIGHTS)
+    case = "CASE " + " ".join(
+        f"WHEN bucket < {hi} THEN '{name}'" for name, hi in bounds[:-1]
+    ) + f" ELSE '{bounds[-1][0]}' END"
+    return f"""
+WITH b AS (SELECT lang, {_bucket_sql()} AS bucket FROM {DOCS})
+SELECT {case} AS split, lang, count(*) AS n_docs
+FROM b GROUP BY 1, 2"""
+
+
+def stratified_sample_sql(rate: float) -> str:
+    """Mirror of ops.sampling.stratified_sample counted per lang."""
+    from katta_spark.ops.sampling import N_BUCKETS
+
+    return f"""
+SELECT lang, count(*) AS n_docs FROM {DOCS}
+WHERE {_bucket_sql()} < {int(round(rate * N_BUCKETS))}
+GROUP BY lang"""
+
+
+def top_per_source_sql(n: int = 5) -> str:
+    """Mirror of ops.sampling.top_n_per_group over the quality score:
+    best n docs per source by (quality desc, doc_id asc)."""
+    return f"""WITH q AS ({quality_sql()}),
+r AS (
+  SELECT d.source, q.doc_id, q.quality,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY q.quality DESC, q.doc_id ASC) AS rank
+  FROM q JOIN {DOCS} d ON d.doc_id = q.doc_id
+)
+SELECT source, doc_id, quality, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {n}"""

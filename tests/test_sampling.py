@@ -1,0 +1,105 @@
+"""Deterministic sampling / split operators (ops/sampling.py).
+
+Python-mirror oracles: the bucket function is md5-based, so hashlib
+reproduces it exactly; top-n-per-group is mirrored with pandas."""
+
+import hashlib
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from katta_spark.ops import sampling  # noqa: E402
+
+
+def _py_bucket(key, salt: str = "") -> int:
+    h = hashlib.md5((salt + str(key)).encode()).hexdigest()
+    return int(h[:8], 16) % sampling.N_BUCKETS
+
+
+def _py_split(key, bounds) -> str:
+    b = _py_bucket(key)
+    for name, hi in bounds:
+        if b < hi:
+            return name
+    return bounds[-1][0]
+
+
+def test_hash_split_matches_python_md5(docs):
+    bounds = sampling.split_boundaries(sampling.DEFAULT_WEIGHTS)
+    got = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(docs, key_col="doc_id").select("doc_id", "split").collect()
+    }
+    assert len(got) == docs.count()
+    for doc_id, split in got.items():
+        assert split == _py_split(doc_id, bounds)
+
+
+def test_hash_split_partition_invariant(docs):
+    base = sampling.hash_split(docs, key_col="doc_id")
+    repart = sampling.hash_split(docs.repartition(13), key_col="doc_id")
+    a = {r["doc_id"]: r["split"] for r in base.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in repart.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_hash_split_proportions(docs):
+    n = docs.count()
+    counts = dict(
+        sampling.hash_split(docs, key_col="doc_id")
+        .groupBy("split").count().collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.9) < 0.03
+    assert abs(counts["val"] / n - 0.05) < 0.02
+    assert abs(counts["test"] / n - 0.05) < 0.02
+
+
+def test_stratified_sample_rate_subset_and_salt(docs):
+    n = docs.count()
+    s = sampling.stratified_sample(docs, rate=0.2, key_col="doc_id")
+    ids = {r["doc_id"] for r in s.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids <= all_ids
+    assert abs(len(ids) / n - 0.2) < 0.04
+    # exact membership matches the python mirror
+    expect = {i for i in all_ids if _py_bucket(i) < 2000}
+    assert ids == expect
+    # a different salt draws an (almost surely) different sample
+    ids2 = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            docs, rate=0.2, key_col="doc_id", salt="epoch1"
+        ).select("doc_id").collect()
+    }
+    assert ids2 != ids
+
+
+def test_top_n_per_group_matches_python(docs):
+    df = docs.select(
+        "doc_id", "lang", F.length("content").cast("long").alias("len")
+    )
+    got = sampling.top_n_per_group(
+        df, "lang", 4, [F.desc("len"), F.asc("doc_id")]
+    )
+    rows = sorted(
+        (r["lang"], r["rank"], r["doc_id"], r["len"]) for r in got.collect()
+    )
+    pdf = df.toPandas()
+    expect = []
+    for lang, grp in pdf.groupby("lang"):
+        top = grp.sort_values(["len", "doc_id"], ascending=[False, True]).head(4)
+        for rank, (_, r) in enumerate(top.iterrows(), start=1):
+            expect.append((lang, rank, int(r["doc_id"]), int(r["len"])))
+    assert rows == sorted(expect)
+    # the salted two-phase prefilter is exact (same result set)
+    salted = sampling.top_n_per_group(
+        df, "lang", 4, [F.desc("len"), F.asc("doc_id")], prefilter_salt=8
+    )
+    rows_s = sorted(
+        (r["lang"], r["rank"], r["doc_id"], r["len"]) for r in salted.collect()
+    )
+    assert rows_s == rows

@@ -93,3 +93,79 @@ def test_bpe_token_estimate_edges(spark):
     assert rows[3] == (1, 1)
     # 20-char word -> 5 chunks; 5-digit run -> 2; two bangs -> 1 each
     assert rows[4] == (4, 9)
+
+
+# ---------------------------------------------------------------- pii scrub
+
+def _py_pii(s: str) -> tuple[str, int, int, int]:
+    counts = []
+    for pat, rep in [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+        (r"\+\d{7,15}", "<PHONE>"),
+    ]:
+        counts.append(len(re.findall(pat, s)))
+        s = re.sub(pat, rep, s)
+    return (s, *counts)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@example.co.uk or b@x.io today"),
+            (2, "server at 10.0.0.1 and 192.168.1.255, call +4915112345678"),
+            (3, "an email inside a host a@1.2.3.4.com is one email, no ip left"),
+            (4, "nothing sensitive here"),
+            (5, ""),
+        ],
+        "doc_id long, content string",
+    )
+    got = {
+        r["doc_id"]: (r["scrubbed"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in text.pii_scrub(df).collect()
+    }
+    assert got[1] == ("mail <EMAIL> or <EMAIL> today", 2, 0, 0)
+    assert got[2] == ("server at <IP> and <IP>, call <PHONE>", 0, 2, 1)
+    # email replaced first, so the dotted quad inside it never counts as ip
+    assert got[3] == ("an email inside a host <EMAIL> is one email, no ip left", 1, 0, 0)
+    assert got[4] == ("nothing sensitive here", 0, 0, 0)
+    assert got[5] == ("", 0, 0, 0)
+
+
+def test_pii_scrub_matches_python(spark, docs, pandas_docs):
+    got = {
+        r["doc_id"]: (r["scrubbed"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in text.pii_scrub(docs, text_col="content").collect()
+    }
+    for r in pandas_docs.itertuples(index=False):
+        assert got[int(r.doc_id)] == _py_pii(r.content)
+
+
+# ---------------------------------------------------------------- ngram top
+
+def test_ngram_top_matches_python(spark, docs, pandas_docs):
+    from collections import Counter
+
+    c: Counter = Counter()
+    for r in pandas_docs.itertuples(index=False):
+        toks = py_tokenize(r.content)
+        c.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    # total order: count desc, ngram asc
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["ngram"], r["n_occurrences"])
+        for r in text.ngram_top(docs, n=2, k=20, text_col="content").collect()
+    ]
+    assert got == expect
+
+
+def test_ngram_top_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "alpha beta alpha beta"), (4, "alpha beta")],
+        "doc_id long, content string",
+    )
+    got = [
+        (r["ngram"], r["n_occurrences"])
+        for r in text.ngram_top(df, n=2, k=5).collect()
+    ]
+    assert got == [("alpha beta", 3), ("beta alpha", 1)]
