@@ -659,6 +659,17 @@ def q_ft_collapse(spark, sf_dir):
     )
 
 
+def q_ft_join(spark, sf_dir):
+    """Join qparser (Solr fq={!join from=source to=source}dup):
+    top-k for 'table' restricted to docs sharing a source with any
+    doc matching 'dup' — the join clause filters, never scores."""
+    return _round_score(
+        phys_index(spark, sf_dir).join_topk(
+            ["table"], "source", "source", ["dup"], k=10
+        )
+    )
+
+
 def q_ft_term_vectors(spark, sf_dir):
     """TermVectorComponent (tv=true): per-doc term/tf/df/tfidf
     vectors for three docs — shuffle-free slice + catalog join."""
@@ -802,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dismax": q_ft_dismax,
         "ft_facet_query": q_ft_facet_query,
         "ft_collapse": q_ft_collapse,
+        "ft_join": q_ft_join,
         "ft_term_vectors": q_ft_term_vectors,
         "ft_elevate": q_ft_elevate,
         # --- Lucene-syntax query strings through the parser +
@@ -928,6 +940,7 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         ),
         "ft_facet_query": O.facet_queries_sql(_MULTI_Q),
         "ft_collapse": O.collapse_topk_sql(["table"], "lang", k=10),
+        "ft_join": O.join_topk_sql(["table"], "source", "source", ["dup"], k=10),
         "ft_term_vectors": O.term_vectors_sql([3, 7, 11]),
         "ft_elevate": O.elevate_topk_sql(
             ["table"], elevate_ids=[7, 3], k=10, exclude_ids=[11]

@@ -730,6 +730,40 @@ class PhysicalIndex:
             .orderBy("qid", F.desc("score"), F.asc("doc_id"))
         )
 
+    def join_topk(self, qterms: list[str], from_field: str, to_field: str,
+                  inner_terms: list[str], k: int = 10, mode: str = "or",
+                  inner_mode: str = "or") -> DataFrame:
+        """Solr join qparser (``fq={!join from=f to=t}q``): BM25 top-k
+        for ``qterms`` restricted to docs whose ``to_field`` value
+        appears among the ``from_field`` values of docs matching
+        ``inner_terms``.  The join clause is a non-scoring FILTER
+        (Solr JoinQParserPlugin semantics — constant score, reachable
+        through the reference's SolrQuery pass-through,
+        LuceneClient.java:255-276).
+
+        Scale shape: the inner match is a pruned postings scan; its
+        from-values are distinct-aggregated (small — bounded by the
+        field's cardinality) and semi-joined into the stored-docs scan
+        (AQE broadcasts the value set), producing the allowed doc set
+        that semi-joins the scored side.  No extra corpus pass, no
+        driver-side value collection."""
+        inner = self.matched_docs(inner_terms, inner_mode)
+        vals = (
+            self.docs.join(inner, "doc_id", "left_semi")
+            .select(F.col(from_field).alias("_jval"))
+            .distinct()
+        )
+        allowed = self.docs.join(
+            vals, F.col(to_field) == F.col("_jval"), "left_semi"
+        ).select("doc_id")
+        scored = self.scored_docs(qterms, mode)
+        return (
+            scored.join(allowed, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
     # ------------------------------------------- aggregate query surface
 
     def count(self, qterms: list[str], mode: str = "or",

@@ -669,3 +669,22 @@ matched AS (
   SELECT doc_id FROM tf WHERE term IN {_term_list(terms)} {flt}
   GROUP BY doc_id {having}
 )"""
+
+
+def join_topk_sql(terms: list[str], from_field: str, to_field: str,
+                  inner_terms: list[str], k: int = 10, mode: str = "or",
+                  inner_mode: str = "or") -> str:
+    """Mirror of PhysicalIndex.join_topk (Solr {!join from=f to=t}q
+    as a non-scoring fq): score `terms`, keep docs whose to_field is
+    among the from_field values of docs matching `inner_terms`."""
+    n_inner = len(set(inner_terms))
+    having = (
+        f"GROUP BY doc_id HAVING count(DISTINCT term) = {n_inner}"
+        if inner_mode == "and" and n_inner > 1
+        else "GROUP BY doc_id"
+    )
+    filter_sql = (
+        f"{to_field} IN (SELECT {from_field} FROM {DOCS} WHERE doc_id IN "
+        f"(SELECT doc_id FROM tf WHERE term IN {_term_list(inner_terms)} {having}))"
+    )
+    return topk_sql(terms, k=k, mode=mode, filter_sql=filter_sql)

@@ -188,3 +188,31 @@ def test_elevate_topk_pins_and_excludes(pindex, py_oracle):
     assert [r["doc_id"] for r in got[2:]] == tail_want
     assert all(not r["elevated"] for r in got[2:])
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_join_topk_matches_python(pindex, py_oracle, pandas_docs):
+    """Join qparser ({!join from=lang to=lang}parse as fq): top-k for
+    'import' restricted to docs whose lang appears among the langs of
+    docs matching 'parse' — join filters, never scores."""
+    langs = {
+        int(r.doc_id): r.lang for r in pandas_docs.itertuples(index=False)
+    }
+    got = pindex.join_topk(
+        ["import"], "lang", "lang", ["parse"], k=8
+    ).collect()
+    allowed_langs = {langs[d] for d in py_oracle.matches(["parse"])}
+    cand = [
+        (d, py_oracle.score(d, ["import"]))
+        for d in py_oracle.matches(["import"])
+        if langs[d] in allowed_langs
+    ]
+    want = sorted(cand, key=lambda x: (-x[1], x[0]))[:8]
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+
+
+def test_join_topk_no_inner_matches_is_empty(pindex):
+    assert pindex.join_topk(
+        ["import"], "lang", "lang", ["zzzznotaterm"], k=5
+    ).count() == 0

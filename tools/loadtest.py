@@ -50,7 +50,7 @@ MIX: list[tuple[list[str], str]] = [
     (["import"], "or"),
     (["parse", "request"], "and"),
     (["block", "max", "score"], "or"),
-    (["xylophonequarknebula7"], "or"),
+    (["xylophonequarknebula7"], "or"),  # 1-hit needle (rare-term path)
     (["return"], "or"),
     (["spark", "vector"], "and"),
     (["batch", "stream"], "or"),
