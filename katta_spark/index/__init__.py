@@ -23,6 +23,7 @@ from katta_spark.index.compact import compact_postings
 from katta_spark.index.delete import delete_docs, expunge_deletes
 from katta_spark.index.merge import merge_indexes
 from katta_spark.index.search import PhysicalIndex
+from katta_spark.index.update import update_docs
 
 __all__ = [
     "build_index",
@@ -31,5 +32,6 @@ __all__ = [
     "expunge_deletes",
     "load_manifest",
     "merge_indexes",
+    "update_docs",
     "PhysicalIndex",
 ]
