@@ -119,3 +119,69 @@ def test_date_math_parse_and_python_parity(spark):
     for bad in ("TODAY", "NOW//DAY", "NOW-DAYS", "NOW-3FORTNIGHTS"):
         with _pytest.raises(ValueError):
             parse_date_math(bad)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data eviction: an event arriving after its window's
+    watermark has passed is DROPPED (never re-emitted, never merged)
+    — the Structured Streaming contract a 100 TB ingest relies on to
+    bound window state.  Two micro-batch phases over one checkpoint:
+    the watermark survives the restart and evicts the straggler."""
+    from datetime import datetime
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "ts timestamp, v double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("latestFirst", "false")
+            .parquet(str(src) + "/*")
+        )
+        # append mode needs the event-time window STRUCT in the
+        # grouping (extracting ["start"] pre-agg hides the event-time
+        # column from the watermark checker)
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window")["start"].alias("win_start"), "n")
+        )
+        # parquet sink: the memory sink cannot recover from a
+        # checkpoint, and checkpoint recovery IS what carries the
+        # watermark across the restart
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["win_start"]: r["n"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    t = lambda h, m: datetime(2024, 3, 1, h, m)
+    # phase 1: two events in the 10:00 window, one at 12:30 that
+    # advances the watermark to 12:30 -> the 10:00 window closes
+    write_file("a", [(t(10, 5), 1.0), (t(10, 10), 1.0), (t(12, 30), 1.0)])
+    p1 = run_phase()
+    assert p1 == {t(10, 0): 2}
+
+    # phase 2 (same checkpoint): a straggler for the CLOSED 10:00
+    # window plus a fresh 13:40 event that closes the 12:00 window.
+    # The sink is cumulative across phases; the straggler is evicted:
+    # 12:00 lands with n=1 (straggler not merged there either) and
+    # 10:00 never re-emits or updates past n=2.
+    write_file("b", [(t(10, 20), 1.0), (t(13, 40), 1.0)])
+    p2 = run_phase()
+    assert p2 == {t(10, 0): 2, t(12, 0): 1}
