@@ -241,6 +241,56 @@ def phys_index_stop(spark: SparkSession, sf_dir: str,
     return idx
 
 
+_SNAP_CACHE: dict[str, PhysicalIndex] = {}
+
+
+def phys_index_snap(spark: SparkSession, sf_dir: str,
+                    cache_root: str = "/tmp/katta_phys_snap"
+                    ) -> PhysicalIndex:
+    """A 2-commit index (even doc_ids -> commit c0, odd -> c1) opened
+    PINNED to c0: Iceberg-style time travel over the commit layout —
+    stats, IDF and every ranking reflect only the pinned commit."""
+    idx = _SNAP_CACHE.get(sf_dir)
+    if idx is None:
+        import json
+        import shutil
+
+        d = f"{cache_root}/{Path(sf_dir).name}"
+        src_meta = _source_fingerprint(sf_dir)
+        meta_p = Path(f"{d}/_source_meta.json")
+        fresh = (
+            Path(f"{d}/stats.json").exists()
+            and meta_p.exists()
+            and json.loads(meta_p.read_text()) == src_meta
+        )
+        if not fresh:
+            shutil.rmtree(d, ignore_errors=True)
+            corpus = _docs(spark, sf_dir).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("text").alias("content"),
+                "lang", "source", "n_chars",
+            )
+            even = corpus.filter(F.col("doc_id") % 2 == 0)
+            odd = corpus.filter(F.col("doc_id") % 2 == 1)
+            build_index(spark, even, d, n_groups=1, block_range=1024,
+                        store_positions=False, commit="c0")
+            build_index(spark, odd, d, n_groups=1, block_range=1024,
+                        store_positions=False, commit="c1")
+            meta_p.write_text(json.dumps(src_meta))
+        idx = PhysicalIndex(spark, d, commits=["c0"])
+        _SNAP_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_phys_snapshot(spark, sf_dir):
+    """Snapshot (time-travel) read: the 2-commit index pinned at c0
+    must rank exactly like an index that only ever saw the even docs
+    — the oracle recomputes BM25 over that restricted corpus."""
+    return _round_score(
+        phys_index_snap(spark, sf_dir).topk(["table", "spark"], k=10)
+    )
+
+
 def q_stop_and(spark, sf_dir):
     """AND query containing a stopword over the StopFilter index: the
     query analyzer drops the stopword (Lucene symmetry), degrading to
@@ -798,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_facet": q_phys_facet,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
+        "ft_phys_snapshot": q_phys_snapshot,
         "ft_phys_highlight": q_phys_highlight,
         "ft_suggest": q_terms_suggest,
         "ft_field_stats": q_field_stats,
@@ -915,6 +966,9 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
+        "ft_phys_snapshot": O.topk_sql(
+            ["table", "spark"], k=10, docs_where="doc_id % 2 = 0"
+        ),
         "ft_phys_highlight": O.highlight_sql(["batch"], k=5, width=60),
         "ft_suggest": O.suggest_sql("s", n=10),
         "ft_field_stats": O.field_stats_sql(["scan"], "n_chars"),

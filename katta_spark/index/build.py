@@ -475,6 +475,7 @@ def build_index(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
         ).collect()
     group_docs = {int(r["g"]): int(r["n"]) for r in grp}
+    group_sdl = {int(r["g"]): int(r["sdl"] or 0) for r in grp}
     if len(commit_dirs) == 1:
         n_docs = sum(r["n"] for r in grp)
         avgdl = float(sum(r["sdl"] or 0 for r in grp)) / max(n_docs, 1)
@@ -540,6 +541,10 @@ def build_index(
             "n_postings": int(stat["n_postings"]),
             "bytes": _dir_bytes(gdir),
             "n_docs_group": int(n_docs_group),
+            # sum of dl over the group's docs: snapshot opens
+            # (PhysicalIndex(commits=...)) derive exact n_docs/avgdl
+            # for any commit subset from the manifest alone, no job
+            "sdl_group": int(group_sdl.get(g, 0)),
             "wall_s": round(time.monotonic() - g0, 3),
             "lineage": {
                 "input": f"docs/commit={commit}",

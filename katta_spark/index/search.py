@@ -463,9 +463,20 @@ class PhysicalIndex:
     open time: after a new commit or rebuild rewrites ``terms/``,
     re-open a fresh ``PhysicalIndex`` (Katta's reopen-on-update,
     katta-core/.../lib/lucene/LuceneServer.java:362-369); a stale
-    handle may reference replaced files."""
+    handle may reference replaced files.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    ``commits`` opens a SNAPSHOT: only the named commit partitions are
+    read (Iceberg-style time travel over the ``commit=`` layout; the
+    analogue of searching the shard set of an older index version,
+    Client.java index-version pinning).  Partition pruning keeps the
+    scan to those commits' files; the term catalog (global df/cf) is
+    re-derived lazily from the pruned posting blocks so IDF reflects
+    the snapshot, and n_docs/avgdl come from the manifest's per-group
+    (n, sdl) lineage — no Spark job at open.  Snapshot reads see each
+    commit exactly as written: tombstones added later do NOT apply."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 commits: list[str] | None = None):
         from katta_spark.index.delete import load_tombstones
 
         self.spark = spark
@@ -479,6 +490,10 @@ class PhysicalIndex:
             "basePath", str(root / "postings")
         ).parquet(str(root / "postings" / "commit=*" / "group=*"))
         self.terms = spark.read.parquet(str(root / "terms"))
+        if commits is not None:
+            self._snapshot(commits)
+            self.tombstones = None
+            return
         # Lucene-style deleted-docs bitset: tombstoned docs vanish
         # from every result immediately; stats/df shift only at
         # expunge (see index.delete)
@@ -487,6 +502,43 @@ class PhysicalIndex:
             self.docs = self.docs.join(
                 F.broadcast(self.tombstones), "doc_id", "left_anti"
             )
+
+    def _snapshot(self, commits: list[str]) -> None:
+        """Restrict the handle to ``commits`` (partition-pruned) and
+        rebuild snapshot-consistent stats + term catalog."""
+        from katta_spark.index.build import load_manifest
+
+        want = sorted(set(commits))
+        known = set(self.stats.get("commits") or [])
+        missing = [c for c in want if c not in known]
+        if missing:
+            raise ValueError(
+                f"unknown commit(s) {missing}; index has {sorted(known)}"
+            )
+        cond = F.col("commit").isin(want)  # partition filter -> pruning
+        self.docs = self.docs.filter(cond)
+        self.postings = self.postings.filter(cond)
+        # exact snapshot df/cf: every block row's n counts the docs of
+        # that (commit, term, block) slice, so a sum over the pruned
+        # blocks is the catalog of exactly these commits.  Lazy: the
+        # agg fuses into each query plan (its input is already pruned
+        # to the query's terms by _qblocks' pushed filter).
+        self.terms = self.postings.groupBy("term").agg(
+            F.sum("n").alias("df"), F.sum("cf").alias("cf")
+        )
+        rows = [m for m in load_manifest(self.index_dir)
+                if m.get("status") == "done" and m.get("commit") in set(want)]
+        if rows and all("sdl_group" in m for m in rows):
+            n = sum(int(m["n_docs_group"]) for m in rows)
+            sdl = sum(int(m["sdl_group"]) for m in rows)
+        else:  # pre-sdl_group manifest: one column-pruned agg job
+            r = self.docs.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+            ).first()
+            n, sdl = int(r[0]), int(r[1])
+        self.stats = dict(
+            self.stats, n_docs=n, avgdl=(sdl / n if n else 0.0), commits=want
+        )
 
     # ---------------------------------------------------------- plumbing
 

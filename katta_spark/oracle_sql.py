@@ -14,12 +14,19 @@ from katta_spark.tokenizer import duckdb_tokens_sql
 DOCS = "documents"
 
 
-def index_ctes(stopwords: list[str] = ()) -> str:
+def index_ctes(stopwords: list[str] = (),
+               docs_where: str | None = None) -> str:
     """Shared CTE prefix: tok / tf / dl / stats / dfv over documents —
     the SQL mirror of :class:`katta_spark.fulltext.analysis.LogicalIndex`.
     ``stopwords`` mirrors build_index(stopwords=...): dropped from tok
-    before dl/tf, so BM25 norms see the post-filter length."""
-    tok = duckdb_tokens_sql(DOCS, "doc_id", "text")
+    before dl/tf, so BM25 norms see the post-filter length.
+    ``docs_where`` restricts the corpus (snapshot-read oracles): stats,
+    df and scores are all computed over the restricted set, exactly as
+    a commit-pinned PhysicalIndex does."""
+    docs_src = (
+        f"(SELECT * FROM {DOCS} WHERE {docs_where})" if docs_where else DOCS
+    )
+    tok = duckdb_tokens_sql(docs_src, "doc_id", "text")
     if stopwords:
         stops = ", ".join(
             "'" + s.replace("'", "''") + "'" for s in sorted(set(stopwords))
@@ -28,10 +35,10 @@ def index_ctes(stopwords: list[str] = ()) -> str:
     return f"""WITH tok AS ({tok}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT d.doc_id, count(t.term) AS dl
-       FROM {DOCS} d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+       FROM {docs_src} d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
 stats AS (SELECT count(*) AS n_docs,
                  CAST((SELECT count(*) FROM tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-          FROM {DOCS}),
+          FROM {docs_src}),
 dfv AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term)"""
 
 
@@ -91,9 +98,11 @@ def topk_sql(
     filter_sql: str | None = None,
     offset: int = 0,
     stopwords: list[str] = (),
+    docs_where: str | None = None,
 ) -> str:
     qt = [t for t in terms if t not in set(stopwords)]
-    return f"""{index_ctes(stopwords)}{_scored_ctes(qt, k, mode, filter_sql, offset)}
+    ctes = index_ctes(stopwords, docs_where)
+    return f"""{ctes}{_scored_ctes(qt, k, mode, filter_sql, offset)}
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 

@@ -237,6 +237,66 @@ def test_incremental_commit_matches_full_build(spark, tmp_path):
         ]
 
 
+def test_snapshot_commits_rank_identical_to_subset_build(spark, tmp_path):
+    """Opening the 2-commit index pinned to commit c0 (time travel)
+    must be indistinguishable — stats, catalog, every ranking — from
+    an index that only ever ingested c0's docs; and later tombstones
+    must NOT apply to the snapshot."""
+    from katta_spark.index.delete import delete_docs
+
+    full = with_ingest_columns(synthetic_corpus(spark, 600))
+    first = full.filter(F.col("doc_id") < 300)
+    second = full.filter(F.col("doc_id") >= 300)
+
+    d_inc = str(tmp_path / "inc")
+    d_c0 = str(tmp_path / "only_c0")
+    build_index(spark, first, d_inc, n_groups=2, block_range=64, commit="c0")
+    build_index(spark, second, d_inc, n_groups=2, block_range=64, commit="c1")
+    build_index(spark, first, d_c0, n_groups=2, block_range=64)
+
+    snap = PhysicalIndex(spark, d_inc, commits=["c0"])
+    ref = PhysicalIndex(spark, d_c0)
+    # manifest-derived stats: exact, no Spark job at open
+    assert snap.stats["n_docs"] == ref.stats["n_docs"] == 300
+    assert snap.stats["avgdl"] == pytest.approx(ref.stats["avgdl"], abs=1e-12)
+    # snapshot catalog == subset build's catalog (exact df/cf)
+    assert (
+        snap.terms.exceptAll(ref.terms).count() == 0
+        and ref.terms.exceptAll(snap.terms).count() == 0
+    )
+    for qterms, mode in QUERY_SET[:6]:
+        a = snap.topk(qterms, k=10, mode=mode).collect()
+        b = ref.topk(qterms, k=10, mode=mode).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (qterms, mode)
+
+    # the snapshot scans are partition-pruned to the pinned commit:
+    # commit appears as a PartitionFilter and the docs files actually
+    # read are exactly c0's
+    plan = snap.postings.filter(
+        F.col("term") == "import"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "commit" in plan
+    n_read = snap.docs.select(F.input_file_name()).distinct().count()
+    from pathlib import Path as _P
+    n_c0 = len(list((_P(d_inc) / "docs" / "commit=c0").rglob("*.parquet")))
+    n_all = len(list((_P(d_inc) / "docs").rglob("*.parquet")))
+    assert 0 < n_read <= n_c0 < n_all
+
+    # tombstone a live c0 doc AFTER the snapshot point: current handle
+    # hides it, the snapshot still returns it (read-as-written)
+    victim = int(snap.topk(["import"], k=1).first()["doc_id"])
+    delete_docs(spark, d_inc, [victim])
+    cur = PhysicalIndex(spark, d_inc)
+    assert cur.docs.filter(F.col("doc_id") == victim).count() == 0
+    snap2 = PhysicalIndex(spark, d_inc, commits=["c0"])
+    assert snap2.docs.filter(F.col("doc_id") == victim).count() == 1
+
+    with pytest.raises(ValueError, match="unknown commit"):
+        PhysicalIndex(spark, d_inc, commits=["c9"])
+
+
 def test_path_field_queries(spark, tmp_path):
     """Field-scoped postings ('path:'-prefixed terms): scoring and
     mixed-field boolean queries rank-identical to the oracle."""
