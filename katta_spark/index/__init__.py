@@ -20,7 +20,11 @@ over plain parquet.
 
 from katta_spark.index.build import build_index, load_manifest
 from katta_spark.index.compact import compact_postings
-from katta_spark.index.delete import delete_docs, expunge_deletes
+from katta_spark.index.delete import (
+    delete_by_query,
+    delete_docs,
+    expunge_deletes,
+)
 from katta_spark.index.merge import merge_indexes
 from katta_spark.index.search import PhysicalIndex
 from katta_spark.index.update import update_docs
@@ -28,6 +32,7 @@ from katta_spark.index.update import update_docs
 __all__ = [
     "build_index",
     "compact_postings",
+    "delete_by_query",
     "delete_docs",
     "expunge_deletes",
     "load_manifest",

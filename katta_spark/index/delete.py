@@ -60,6 +60,22 @@ def delete_docs(spark: SparkSession, index_dir: str,
     return n
 
 
+def delete_by_query(spark: SparkSession, index_dir: str, q: str,
+                    fq: list[str] | None = None) -> int:
+    """Solr deleteByQuery through the reference's update path
+    (CommonsHttpSolrServer.deleteByQuery; Katta exposes it via the
+    Solr handler): evaluate the Lucene-syntax query against the
+    CURRENT index state and tombstone every match.  Fully
+    distributed — the match set flows straight from the query plan
+    into the tombstone write, never through the driver.  Returns the
+    number of tombstones written."""
+    from katta_spark.index.search import PhysicalIndex
+
+    idx = PhysicalIndex(spark, index_dir)
+    hits = idx.query_scored(q, fq=fq).select("doc_id")
+    return delete_docs(spark, index_dir, hits)
+
+
 def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     d = tombstone_dir(index_dir)
     if not d.exists() or not any(d.glob("*.parquet")):

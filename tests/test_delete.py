@@ -118,3 +118,36 @@ def test_phrase_survives_expunge(spark, del_setup):
                for i in range(len(toks) - 2)):
             want.add(int(r.doc_id))
     assert got == want and got
+
+
+def test_delete_by_query(spark, tmp_path):
+    """Solr deleteByQuery: every match of the Lucene-syntax query is
+    tombstoned (boolean trees included), non-matches survive, and a
+    second identical delete is a no-op for results."""
+    from katta_spark.index import delete_by_query
+
+    d = str(tmp_path / "idx_dbq")
+    corpus = with_ingest_columns(synthetic_corpus(spark, 400))
+    build_index(spark, corpus, d, n_groups=1, block_range=128)
+    base = PhysicalIndex(spark, d)
+    n_match = base.count(["quark"]).first()["n_hits"]
+    n_import = base.count(["import"]).first()["n_hits"]
+    assert n_match > 0
+
+    n = delete_by_query(spark, d, "quark")
+    assert n == n_match
+
+    idx = PhysicalIndex(spark, d)
+    assert idx.count(["quark"]).first()["n_hits"] == 0
+    # docs matching 'import' but not 'quark' are still live
+    survivors = idx.count(["import"]).first()["n_hits"]
+    both = base.matched_docs(["import", "quark"], mode="and").count()
+    assert survivors == n_import - both
+
+    # boolean-tree delete: matches of (parse AND request) vanish too
+    n2 = PhysicalIndex(spark, d).count(["parse", "request"],
+                                       mode="and").first()["n_hits"]
+    deleted2 = delete_by_query(spark, d, "parse AND request")
+    assert deleted2 == n2
+    assert PhysicalIndex(spark, d).count(
+        ["parse", "request"], mode="and").first()["n_hits"] == 0
