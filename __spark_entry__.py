@@ -770,6 +770,32 @@ def q_pipe_hash_split(spark, sf_dir):
     )
 
 
+def q_pipe_decontam(spark, sf_dir):
+    """Benchmark decontamination: 5-gram overlap of every doc against
+    a benchmark slice (doc_id % 37 == 0).  Engine joins on 8-byte
+    xxhash64 n-gram keys with the benchmark inventory broadcast; the
+    oracle joins on the n-gram strings — identical at test scale,
+    collision odds 2^-64 at any scale (conservative direction)."""
+    from katta_spark.ops import decontam
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return decontam.ngram_overlap(d, bench, n=5, threshold=0.5,
+                                  text_col="text")
+
+
+def q_pipe_pack(spark, sf_dir):
+    """Greedy sequence packing: docs packed per source in doc_id
+    order into 2000-char-budget training sequences; the recursive-CTE
+    oracle replays the identical greedy recurrence."""
+    from katta_spark.ops import packing
+
+    return packing.pack_greedy(
+        _docs(spark, sf_dir), budget=2000, size_col="n_chars",
+        group_col="source",
+    )
+
+
 def q_pipe_sample(spark, sf_dir):
     """Deterministic ~10% hash sample counted per lang: the bucket is
     uniform per doc_id, so the rate holds inside every stratum
@@ -902,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_ngram_top": q_text_ngram_top,
         "pipe_hash_split": q_pipe_hash_split,
+        "pipe_decontam": q_pipe_decontam,
+        "pipe_pack": q_pipe_pack,
         "pipe_sample": q_pipe_sample,
         "pipe_top_per_source": q_pipe_top_per_source,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1065,6 +1093,9 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_pii_scrub": OO.pii_scrub_sql(),
         "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
         "pipe_hash_split": OO.hash_split_sql(),
+        "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
+        "pipe_pack": OO.pack_greedy_sql(budget=2000, group_col="source",
+                                        size_expr="n_chars"),
         "pipe_sample": OO.stratified_sample_sql(rate=0.1),
         "pipe_top_per_source": OO.top_per_source_sql(n=5),
         "text_token_stats": f"""{ctes}

@@ -1,0 +1,91 @@
+"""Sequence packing for training pipelines: concatenate documents
+into fixed-budget training sequences ("packs") with a deterministic
+greedy fill.
+
+No reference analogue (training-data op beyond zhenqin/katta).
+
+Semantics: within each group (shard / source / file — the unit a real
+pipeline packs independently), documents are taken in ``order_col``
+order and appended to the current pack while it stays within
+``budget``; the first doc that would overflow starts a new pack.  A
+document larger than the budget gets a pack of its own.  The result
+is a pure function of (group, order, sizes) — partition-layout and
+rerun invariant, unlike anything seeded from Spark task ids.
+
+Scale shape (100 TB): packing is inherently sequential WITHIN a
+group — the parallel unit is the group, exactly like the reference
+pipelines that pack per output shard.  ``applyInPandas`` gives one
+Arrow-batched kernel per group (one shuffle on group_col); the loop
+inside is O(docs-in-group) integer arithmetic.  Groups must be
+shard-sized (the same constraint any packer has); at warehouse scale
+use the output-shard key as ``group_col``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACK_SCHEMA = (
+    "doc_id long, grp string, pack_id long, pack_offset long, size long"
+)
+
+
+def _pack_kernel(budget: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ord", kind="mergesort").reset_index(drop=True)
+        packs, offs = [], []
+        pack, acc = 0, 0
+        for s in pdf["_size"].astype("int64"):
+            if acc > 0 and acc + s > budget:
+                pack += 1
+                acc = 0
+            packs.append(pack)
+            offs.append(acc)
+            acc += int(s)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "grp": pdf["_grp"],
+                "pack_id": pd.Series(packs, dtype="int64"),
+                "pack_offset": pd.Series(offs, dtype="int64"),
+                "size": pdf["_size"].astype("int64"),
+            }
+        )
+
+    return kernel
+
+
+def pack_greedy(
+    docs: DataFrame,
+    budget: int,
+    size_col: str,
+    group_col: str,
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, grp, pack_id, pack_offset, size): greedy fixed-budget
+    packing per group.  ``pack_id`` counts packs within the group from
+    0; ``pack_offset`` is the doc's start position inside its pack."""
+    slim = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(group_col).cast("string").alias("_grp"),
+        F.col(order_col).alias("_ord"),
+        F.col(size_col).cast("long").alias("_size"),
+    )
+    return slim.groupBy("_grp").applyInPandas(
+        _pack_kernel(int(budget)), PACK_SCHEMA
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-pack fill report over :func:`pack_greedy` output:
+    (grp, pack_id, n_docs, total, fill)."""
+    return packed.groupBy("grp", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("size").alias("total"),
+        F.round(F.sum("size") / F.lit(float(budget)), 6).alias("fill"),
+    )

@@ -119,6 +119,59 @@ cand AS (
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}"""
 
 
+def decontam_sql(n: int = 5, threshold: float = 0.5,
+                 bench_where: str = "doc_id % 37 = 0") -> str:
+    """Oracle for ops.decontam.ngram_overlap with the benchmark set
+    defined as the documents matching ``bench_where`` (the engine is
+    handed that subset as its bench DataFrame)."""
+    return f"""{_shingle_ctes(n)},
+bset AS (SELECT DISTINCT shingle FROM sh WHERE {bench_where}),
+per AS (
+  SELECT s.doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+  FROM sh s LEFT JOIN bset b ON s.shingle = b.shingle
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(p.n_matched, 0) AS BIGINT) AS n_matched,
+       round(coalesce(CAST(p.n_matched AS DOUBLE) / p.n_ngrams, 0.0), 6)
+         AS overlap,
+       coalesce(CAST(p.n_matched AS DOUBLE) / p.n_ngrams, 0.0)
+         >= {threshold!r} AS contaminated
+FROM {DOCS} d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
+def pack_greedy_sql(budget: int = 2000, group_col: str = "source",
+                    size_expr: str = "n_chars") -> str:
+    """Oracle for ops.packing.pack_greedy: a recursive CTE walks each
+    group in doc_id order carrying (pack_id, acc) — the same greedy
+    recurrence the Arrow kernel runs."""
+    return f"""WITH RECURSIVE ordered AS (
+  SELECT CAST({group_col} AS VARCHAR) AS grp, doc_id,
+         CAST({size_expr} AS BIGINT) AS size,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY doc_id) AS rn
+  FROM {DOCS}
+),
+walk AS (
+  SELECT grp, doc_id, size, rn,
+         CAST(0 AS BIGINT) AS pack_id,
+         CAST(0 AS BIGINT) AS pack_offset,
+         size AS acc
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.doc_id, o.size, o.rn,
+         CASE WHEN w.acc > 0 AND w.acc + o.size > {budget}
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.acc > 0 AND w.acc + o.size > {budget}
+              THEN CAST(0 AS BIGINT) ELSE w.acc END,
+         CASE WHEN w.acc > 0 AND w.acc + o.size > {budget}
+              THEN o.size ELSE w.acc + o.size END
+  FROM walk w JOIN ordered o ON o.grp = w.grp AND o.rn = w.rn + 1
+)
+SELECT doc_id, grp, pack_id, pack_offset, size FROM walk"""
+
+
 def fingerprint_dup_sql() -> str:
     tok = duckdb_tokens_sql(DOCS, "doc_id", "text")
     return f"""WITH tok AS ({tok}),

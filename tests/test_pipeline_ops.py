@@ -1,0 +1,97 @@
+"""Training-pipeline ops: benchmark decontamination + sequence
+packing (driver-contract oracles check exact values; these tests pin
+the structural invariants)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.corpus import synthetic_corpus
+from katta_spark.ops import decontam, packing
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_corpus(spark, 300).withColumn(
+        "n_chars", F.length("content")
+    ).withColumn("doc_id", F.monotonically_increasing_id()).cache()
+
+
+def test_decontam_bench_docs_fully_contaminated(spark, corpus):
+    """Docs that ARE the benchmark overlap 100%; the report covers
+    every corpus doc exactly once; overlap is within [0, 1]."""
+    bench = corpus.filter(F.col("doc_id") % 7 == 0)
+    rep = decontam.ngram_overlap(
+        corpus, bench, n=5, threshold=0.5, text_col="content"
+    ).cache()
+    assert rep.count() == corpus.count()
+    assert rep.select("doc_id").distinct().count() == corpus.count()
+    bad = rep.filter((F.col("overlap") < 0) | (F.col("overlap") > 1)).count()
+    assert bad == 0
+    bench_rows = rep.join(bench.select("doc_id"), "doc_id").filter(
+        F.col("n_ngrams") > 0
+    )
+    assert bench_rows.filter(F.col("overlap") < 1.0).count() == 0
+    assert bench_rows.filter(~F.col("contaminated")).count() == 0
+
+
+def test_decontam_disjoint_bench_is_clean(spark, corpus):
+    """A benchmark with no shared vocabulary marks nothing."""
+    bench = spark.createDataFrame(
+        [(0, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg")],
+        "doc_id long, content string",
+    )
+    rep = decontam.ngram_overlap(
+        corpus, bench, n=5, threshold=0.1, text_col="content"
+    )
+    assert rep.filter(F.col("n_matched") > 0).count() == 0
+    assert rep.filter(F.col("contaminated")).count() == 0
+
+
+def test_pack_greedy_invariants(spark, corpus):
+    """Every doc packed exactly once; no pack exceeds the budget
+    unless it holds a single oversized doc; offsets are the exact
+    running sums; pack ids are dense per group; packing is
+    partition-layout invariant."""
+    budget = 1500
+    packed = packing.pack_greedy(
+        corpus, budget, size_col="n_chars", group_col="lang"
+    ).cache()
+    assert packed.count() == corpus.count()
+
+    stats = packing.pack_stats(packed, budget).cache()
+    over = stats.filter((F.col("total") > budget) & (F.col("n_docs") > 1))
+    assert over.count() == 0
+
+    # offset of each doc == sum of sizes of earlier docs in its pack
+    from pyspark.sql import Window
+    w = (
+        Window.partitionBy("grp", "pack_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chk = packed.withColumn(
+        "want_off", F.coalesce(F.sum("size").over(w), F.lit(0))
+    )
+    assert chk.filter(F.col("pack_offset") != F.col("want_off")).count() == 0
+
+    # dense pack ids: max(pack_id)+1 == n_packs per group
+    dense = stats.groupBy("grp").agg(
+        (F.max("pack_id") + 1).alias("want"), F.count(F.lit(1)).alias("got")
+    )
+    assert dense.filter(F.col("want") != F.col("got")).count() == 0
+
+    # layout invariance: repartitioned input packs identically
+    re = packing.pack_greedy(
+        corpus.repartition(13), budget, size_col="n_chars", group_col="lang"
+    )
+    assert packed.exceptAll(re).count() == 0 and re.exceptAll(packed).count() == 0
+
+
+def test_pack_oversized_doc_gets_own_pack(spark):
+    rows = [(1, "g", 10), (2, "g", 5000), (3, "g", 20)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, sz long")
+    packed = packing.pack_greedy(
+        df, budget=100, size_col="sz", group_col="grp"
+    ).orderBy("doc_id").collect()
+    assert [r["pack_id"] for r in packed] == [0, 1, 2]
+    assert [r["pack_offset"] for r in packed] == [0, 0, 0]
