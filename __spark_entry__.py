@@ -770,6 +770,19 @@ def q_pipe_hash_split(spark, sf_dir):
     )
 
 
+def q_text_unigram_lp(spark, sf_dir):
+    """Corpus-unigram LM typicality score: avg ln p(token) per doc,
+    tf pre-aggregated before the catalog join (map-side combine)."""
+    return text.unigram_logprob(_docs(spark, sf_dir), text_col="text")
+
+
+def q_text_code_quality(spark, sf_dir):
+    """StarCoder-style source-file quality signals (line lengths,
+    comment/blank ratios, alphanumeric fraction) + keep flag —
+    narrow JVM column algebra."""
+    return text.code_quality(_docs(spark, sf_dir), text_col="text")
+
+
 def q_pipe_decontam(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every doc against
     a benchmark slice (doc_id % 37 == 0).  Engine joins on 8-byte
@@ -927,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_pii_scrub": q_text_pii_scrub,
         "text_ngram_top": q_text_ngram_top,
+        "text_unigram_lp": q_text_unigram_lp,
+        "text_code_quality": q_text_code_quality,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_decontam": q_pipe_decontam,
         "pipe_pack": q_pipe_pack,
@@ -1092,6 +1107,8 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_bpe_tokens": OO.bpe_tokens_sql(),
         "text_pii_scrub": OO.pii_scrub_sql(),
         "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
+        "text_unigram_lp": OO.unigram_lp_sql(),
+        "text_code_quality": OO.code_quality_sql(),
         "pipe_hash_split": OO.hash_split_sql(),
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
         "pipe_pack": OO.pack_greedy_sql(budget=2000, group_col="source",

@@ -237,3 +237,90 @@ def fingerprint(corpus: DataFrame, text_col: str = "content") -> DataFrame:
         "doc_id",
         F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " ")).alias("fingerprint"),
     )
+
+
+def unigram_logprob(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — corpus-unigram language-model
+    score: avg over token occurrences of ln p(token), with p the MLE
+    unigram model of the corpus itself (the cheap KenLM-quality proxy
+    used to rank documents by 'typicality' in data-curation
+    pipelines; lower = weirder).
+
+    Scale shape: per-(doc, term) tf is aggregated BEFORE the
+    catalog join (map-side combine turns the token stream into
+    distinct doc-term pairs), then one shuffle join on term against
+    the unigram catalog — AQE's skew-join handles hot terms.  The
+    corpus-total is a one-row broadcast."""
+    tok = corpus.select(
+        "doc_id", F.explode(tokens_array(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = freq.agg(F.sum("cf").alias("_total"))
+    per = (
+        tf.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cf") / F.col("_total")))
+                / F.sum("tf")
+            ).alias("lp"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce("lp", F.lit(0.0)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def code_quality(corpus: DataFrame, text_col: str = "content",
+                 max_line: int = 1000, max_avg_line: float = 200.0,
+                 min_alnum: float = 0.25) -> DataFrame:
+    """(doc_id, n_lines, avg_line_len, max_line_len, comment_ratio,
+    blank_ratio, alnum_frac, keep) — StarCoder-style source-file
+    quality signals: files with pathological line lengths or a tiny
+    alphanumeric fraction (minified/binary-ish blobs) are filtered.
+    Narrow column algebra, zero shuffle, zero Python."""
+    lines = F.split(F.col(text_col), "\n")
+    nonblank = F.filter(lines, lambda x: F.trim(x) != "")
+    comments = F.filter(
+        nonblank,
+        lambda x: F.ltrim(x).startswith("#") | F.ltrim(x).startswith("//"),
+    )
+    line_lens = F.transform(lines, F.length)
+    n_lines = F.size(lines)
+    avg_len = (
+        F.aggregate(line_lens, F.lit(0).cast("long"), lambda a, x: a + x)
+        / F.greatest(n_lines, F.lit(1))
+    )
+    max_len = F.coalesce(F.array_max(line_lens), F.lit(0))
+    alnum = (
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+        / F.greatest(F.length(text_col), F.lit(1))
+    )
+    keep = (
+        (max_len <= F.lit(max_line))
+        & (avg_len <= F.lit(max_avg_line))
+        & (alnum >= F.lit(min_alnum))
+    )
+    return corpus.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.round(avg_len, 6).alias("avg_line_len"),
+        max_len.cast("long").alias("max_line_len"),
+        F.round(
+            F.size(comments) / F.greatest(F.size(nonblank), F.lit(1)), 6
+        ).alias("comment_ratio"),
+        F.round(
+            (n_lines - F.size(nonblank)) / F.greatest(n_lines, F.lit(1)), 6
+        ).alias("blank_ratio"),
+        F.round(alnum, 6).alias("alnum_frac"),
+        keep.alias("keep"),
+    )

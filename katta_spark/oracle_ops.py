@@ -142,6 +142,55 @@ SELECT d.doc_id,
 FROM {DOCS} d LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
 
+def unigram_lp_sql() -> str:
+    """Oracle for ops.text.unigram_logprob (MLE corpus unigram LM)."""
+    from katta_spark.oracle_sql import index_ctes
+
+    return f"""{index_ctes()},
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM dfv),
+per AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         sum(tf.tf * ln(CAST(dfv.cf AS DOUBLE) / tot.total)) / sum(tf.tf) AS lp
+  FROM tf JOIN dfv ON tf.term = dfv.term CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(p.lp, 0.0), 6) AS avg_logprob
+FROM {DOCS} d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
+def code_quality_sql(max_line: int = 1000, max_avg_line: float = 200.0,
+                     min_alnum: float = 0.25) -> str:
+    """Oracle for ops.text.code_quality (StarCoder-style line/alnum
+    filters) — list algebra over string_split lines."""
+    return f"""WITH base AS (
+  SELECT doc_id,
+    len(lines) AS n_lines,
+    coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS sum_len,
+    coalesce(list_max(list_transform(lines, x -> length(x))), 0) AS max_len,
+    len(list_filter(lines, x -> trim(x) <> '')) AS n_nonblank,
+    len(list_filter(lines, x -> starts_with(ltrim(x), '#')
+                             OR starts_with(ltrim(x), '//'))) AS n_comment,
+    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+    length(text) AS n_chars_t
+  FROM (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM {DOCS})
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  round(CAST(sum_len AS DOUBLE) / greatest(n_lines, 1), 6) AS avg_line_len,
+  CAST(max_len AS BIGINT) AS max_line_len,
+  round(CAST(n_comment AS DOUBLE) / greatest(n_nonblank, 1), 6) AS comment_ratio,
+  round(CAST(n_lines - n_nonblank AS DOUBLE) / greatest(n_lines, 1), 6) AS blank_ratio,
+  round(CAST(n_alnum AS DOUBLE) / greatest(n_chars_t, 1), 6) AS alnum_frac,
+  (max_len <= {max_line}
+   AND CAST(sum_len AS DOUBLE) / greatest(n_lines, 1) <= {max_avg_line!r}
+   AND CAST(n_alnum AS DOUBLE) / greatest(n_chars_t, 1) >= {min_alnum!r})
+    AS keep
+FROM base"""
+
+
 def pack_greedy_sql(budget: int = 2000, group_col: str = "source",
                     size_expr: str = "n_chars") -> str:
     """Oracle for ops.packing.pack_greedy: a recursive CTE walks each

@@ -95,3 +95,43 @@ def test_pack_oversized_doc_gets_own_pack(spark):
     ).orderBy("doc_id").collect()
     assert [r["pack_id"] for r in packed] == [0, 1, 2]
     assert [r["pack_offset"] for r in packed] == [0, 0, 0]
+
+
+def test_unigram_logprob_orders_by_typicality(spark):
+    """A doc repeating the corpus-dominant token scores higher
+    (closer to 0) than a doc of one-off tokens; weights: avg equals
+    the hand-computed MLE value."""
+    import math
+
+    from katta_spark.ops import text as T
+
+    rows = [
+        (1, "alpha alpha alpha alpha"),
+        (2, "alpha alpha beta beta"),
+        (3, "gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r for r in T.unigram_logprob(df).collect()}
+    # corpus counts: alpha 6, beta 2, gamma 1, delta 1; total 10
+    want1 = math.log(6 / 10)
+    want3 = (math.log(1 / 10) + math.log(1 / 10)) / 2
+    assert out[1]["avg_logprob"] == round(want1, 6)
+    assert out[3]["avg_logprob"] == round(want3, 6)
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[1]["n_tokens"] == 4
+
+
+def test_code_quality_flags(spark):
+    from katta_spark.ops import text as T
+
+    rows = [
+        (1, "# comment\ndef foo():\n    return 1\n"),
+        (2, "x" * 5000),                        # one pathological line
+        (3, "(((((((((((())))))))))))" * 40),   # low alnum fraction
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r for r in T.code_quality(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["comment_ratio"] == round(1 / 3, 6)
+    assert out[2]["keep"] is False and out[2]["max_line_len"] == 5000
+    assert out[3]["keep"] is False and out[3]["alnum_frac"] == 0.0
