@@ -656,6 +656,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Containment dedup (|A∩B| / min(|A|,|B|) over 3-gram shingles):
+    catches short-doc-inside-long-doc pairs Jaccard misses."""
+    return _round_score(
+        dedup.containment_pairs(
+            _docs(spark, sf_dir), threshold=0.8, n=3, text_col="text"
+        ),
+        col="containment",
+    )
+
+
 def q_ft_cursor(spark, sf_dir):
     """Search-after deep pagination (Lucene searchAfter / Solr
     cursorMark): page 2 is sliced by the (score, doc_id) cursor of
@@ -927,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
@@ -1094,6 +1106,7 @@ SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "dedup_fingerprint": OO.fingerprint_dup_sql(),
         "dedup_ngram_jaccard": OO.ngram_jaccard_sql(threshold=0.5, n=3),
+        "dedup_containment": OO.containment_sql(threshold=0.8, n=3),
         "dedup_minhash_lsh": OO.minhash_lsh_sql(num_hashes=16, bands=4, n=3),
         "dedup_clusters": OO.dup_clusters_sql(
             OO.minhash_lsh_sql(num_hashes=16, bands=4, n=3)

@@ -345,3 +345,42 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def containment_pairs(
+    corpus: DataFrame, threshold: float = 0.8, n: int = 3,
+    text_col: str = "content",
+) -> DataFrame:
+    """(doc_a, doc_b, containment) for pairs whose n-gram CONTAINMENT
+    |A ∩ B| / min(|A|, |B|) >= threshold, doc_a < doc_b — catches a
+    short doc embedded inside a long one, which resemblance (Jaccard)
+    misses because the union is dominated by the long doc (Broder's
+    containment measure; the shingle-join shape and scale notes match
+    :func:`ngram_jaccard_pairs`)."""
+    sh = _shingles(corpus, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double")
+            / F.least("sh_a", "sh_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+    return out

@@ -46,6 +46,25 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
 ) WHERE jaccard >= {threshold!r}"""
 
 
+def containment_sql(threshold: float = 0.8, n: int = 3) -> str:
+    """Oracle for ops.dedup.containment_pairs (Broder containment)."""
+    return f"""{_shingle_ctes(n)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(containment, 6) AS containment FROM (
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE)
+         / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE containment >= {threshold!r}"""
+
+
 def minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
     rpb = num_hashes // bands
     fam = ", ".join(f"({i}, {2 * i + 1}, {i * i + 1})" for i in range(num_hashes))

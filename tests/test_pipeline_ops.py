@@ -135,3 +135,23 @@ def test_code_quality_flags(spark):
     assert out[1]["comment_ratio"] == round(1 / 3, 6)
     assert out[2]["keep"] is False and out[2]["max_line_len"] == 5000
     assert out[3]["keep"] is False and out[3]["alnum_frac"] == 0.0
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long doc has containment 1.0
+    even though its Jaccard vs the long doc is far below threshold."""
+    from katta_spark.ops import dedup as D
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"tok{i} filler{i} word{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, "completely different text here")],
+        "doc_id long, content string",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in D.containment_pairs(df, threshold=0.9, n=3).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = D.ngram_jaccard_pairs(df, threshold=0.5, n=3).collect()
+    assert jac == []  # resemblance misses the embedding
