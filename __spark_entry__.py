@@ -794,6 +794,20 @@ def q_text_code_quality(spark, sf_dir):
     return text.code_quality(_docs(spark, sf_dir), text_col="text")
 
 
+def q_ft_get(spark, sf_dir):
+    """Realtime get (Solr /get): stored fields for three ids straight
+    off the docs store — no query, the id filter pushes to the scan."""
+    return phys_index(spark, sf_dir).get_docs(
+        [3, 7, 11], ["lang", "source", "n_chars"]
+    )
+
+
+def q_text_nfc(spark, sf_dir):
+    """Unicode NFC normalization (Arrow-batched pandas UDF — the one
+    sanctioned Python hot path: Spark has no built-in normalizer)."""
+    return text.nfc_normalize(_docs(spark, sf_dir), text_col="text")
+
+
 def q_pipe_decontam(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every doc against
     a benchmark slice (doc_id % 37 == 0).  Engine joins on 8-byte
@@ -818,6 +832,18 @@ def q_pipe_pack(spark, sf_dir):
         _docs(spark, sf_dir), budget=2000, size_col="n_chars",
         group_col="source",
     )
+
+
+def q_pipe_temperature(spark, sf_dir):
+    """Temperature-resampled language mixing (q_l ∝ n_l^0.7 over
+    the skewed lang column): the head language is deterministically
+    downsampled toward the flattened distribution, rare languages
+    keep everything — the multilingual-training resampling recipe,
+    rerun/partition invariant."""
+    out = sampling.temperature_sample(
+        _docs(spark, sf_dir), group_col="lang", alpha=0.7
+    )
+    return out.select("doc_id", F.col("lang").cast("string").alias("grp"))
 
 
 def q_pipe_sample(spark, sf_dir):
@@ -917,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_join": q_ft_join,
         "ft_term_vectors": q_ft_term_vectors,
         "ft_elevate": q_ft_elevate,
+        "ft_get": q_ft_get,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -953,10 +980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_ngram_top": q_text_ngram_top,
         "text_unigram_lp": q_text_unigram_lp,
+        "text_nfc": q_text_nfc,
         "text_code_quality": q_text_code_quality,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_decontam": q_pipe_decontam,
         "pipe_pack": q_pipe_pack,
+        "pipe_temperature": q_pipe_temperature,
         "pipe_sample": q_pipe_sample,
         "pipe_top_per_source": q_pipe_top_per_source,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1054,6 +1083,9 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_elevate": O.elevate_topk_sql(
             ["table"], elevate_ids=[7, 3], k=10, exclude_ids=[11]
         ),
+        "ft_get": """
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE doc_id IN (3, 7, 11)""",
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(
             [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]
@@ -1121,11 +1153,14 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_pii_scrub": OO.pii_scrub_sql(),
         "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
         "text_unigram_lp": OO.unigram_lp_sql(),
+        "text_nfc": OO.nfc_sql(),
         "text_code_quality": OO.code_quality_sql(),
         "pipe_hash_split": OO.hash_split_sql(),
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
         "pipe_pack": OO.pack_greedy_sql(budget=2000, group_col="source",
                                         size_expr="n_chars"),
+        "pipe_temperature": OO.temperature_sample_sql(group_col="lang",
+                                                      alpha=0.7),
         "pipe_sample": OO.stratified_sample_sql(rate=0.1),
         "pipe_top_per_source": OO.top_per_source_sql(n=5),
         "text_token_stats": f"""{ctes}

@@ -1418,6 +1418,19 @@ class PhysicalIndex:
             *hits.columns, wrapped.alias("snippet")
         )
 
+    def get_docs(self, doc_ids: list[int],
+                 fields: list[str] | None = None) -> DataFrame:
+        """Realtime get (Solr /get): stored fields for the given ids,
+        no query involved.  Tombstoned docs are excluded (a realtime
+        get never resurrects a delete).  The id filter pushes to the
+        docs parquet scan as a DataFilter."""
+        cols = ["doc_id", *(fields or [])] if fields else ["*"]
+        return (
+            self.docs.filter(
+                F.col("doc_id").isin([int(i) for i in doc_ids])
+            ).select(*cols)
+        )
+
     def export(self, qterms: list[str], fields: list[str], mode: str = "or",
                filters: Filters = None) -> DataFrame:
         """Full result streaming — every matching doc's stored fields,

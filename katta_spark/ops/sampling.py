@@ -125,3 +125,66 @@ def top_n_per_group(
         )
     w = Window.partitionBy(group_col).orderBy(*order_by)
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= n)
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    target_total: int | None = None,
+) -> DataFrame:
+    """(grp, n_docs, q, rate, bucket_thr) — temperature-resampled
+    source-mixing rates (the multilingual-training recipe: sampling
+    probability q_s ∝ n_s^alpha flattens the source distribution as
+    alpha -> 0).  ``rate`` is the per-doc inclusion rate that yields
+    an expected ``target_total`` draws (default: the corpus size),
+    capped at 1 (this operator downsamples; upsampling is an epoch
+    concern).  ``bucket_thr`` resolves the rate to an integer bucket
+    threshold so membership is engine-exact.
+
+    One groupBy on the group key + a one-row broadcast — the corpus
+    itself is never shuffled."""
+    counts = df.groupBy(F.col(group_col).cast("string").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("_n_total"),
+        F.sum(F.pow("n_docs", F.lit(alpha))).alias("_z"),
+    )
+    q = F.pow("n_docs", F.lit(alpha)) / F.col("_z")
+    t = F.lit(target_total).cast("double") if target_total else F.col(
+        "_n_total").cast("double")
+    rate = F.least(F.lit(1.0), q * t / F.col("n_docs"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "n_docs",
+            F.round(q, 6).alias("q"),
+            F.round(rate, 6).alias("rate"),
+            F.round(rate * N_BUCKETS, 0).cast("long").alias("bucket_thr"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    target_total: int | None = None,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature-mixed subsample: keeps the rows whose
+    hash bucket falls under their group's :func:`temperature_rates`
+    threshold.  Membership is a pure function of (salt, key, group
+    counts) — rerun/partition invariant.  One small broadcast join."""
+    rates = temperature_rates(df, group_col, alpha, target_total).select(
+        F.col("grp").alias("_tkey"), F.col("bucket_thr").alias("_thr")
+    )
+    return (
+        df.withColumn("_grp", F.col(group_col).cast("string"))
+        .join(F.broadcast(rates), F.col("_grp") == F.col("_tkey"))
+        .filter(hash_bucket(F.col(key_col), salt) < F.col("_thr"))
+        .drop("_grp", "_tkey", "_thr")
+    )

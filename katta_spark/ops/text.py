@@ -324,3 +324,31 @@ def code_quality(corpus: DataFrame, text_col: str = "content",
         F.round(alnum, 6).alias("alnum_frac"),
         keep.alias("keep"),
     )
+
+
+def nfc_normalize(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, text_nfc, changed) — Unicode NFC normalization
+    (compose combining sequences; the canonical first step before any
+    hashing/dedup so 'e'+U+0301 and U+00E9 collapse to one form).
+
+    Spark has no built-in Unicode normalizer, so this is the
+    sanctioned slow path: an Arrow-batched vectorized pandas UDF
+    (never row-at-a-time Python) — narrow, zero shuffle, and the only
+    Python hot path in the text ops."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _nfc_series(s):  # pd.Series -> pd.Series (scalar pandas UDF)
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None else None
+        )
+
+    _nfc = pandas_udf(_nfc_series, "string")
+    nfc = _nfc(F.col(text_col))
+    return corpus.select(
+        "doc_id",
+        nfc.alias("text_nfc"),
+        (nfc != F.col(text_col)).alias("changed"),
+    )

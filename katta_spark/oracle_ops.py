@@ -517,6 +517,15 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type"""
 
 
+def nfc_sql() -> str:
+    """Oracle for ops.text.nfc_normalize (DuckDB's nfc_normalize
+    implements the same Unicode canonical composition)."""
+    return f"""
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       nfc_normalize(text) <> text AS changed
+FROM {DOCS}"""
+
+
 def clean_text_sql() -> str:
     """Mirror of ops.text.clean_text: tag strip, whitespace collapse,
     trim; n_removed = length delta."""
@@ -662,6 +671,30 @@ def stratified_sample_sql(rate: float) -> str:
 SELECT lang, count(*) AS n_docs FROM {DOCS}
 WHERE {_bucket_sql()} < {int(round(rate * N_BUCKETS))}
 GROUP BY lang"""
+
+
+def temperature_sample_sql(group_col: str = "source",
+                           alpha: float = 0.7) -> str:
+    """Oracle for ops.sampling.temperature_sample (target_total =
+    corpus size, downsample-capped at rate 1)."""
+    from katta_spark.ops.sampling import N_BUCKETS
+
+    return f"""WITH counts AS (
+  SELECT CAST({group_col} AS VARCHAR) AS grp, count(*) AS n_docs
+  FROM {DOCS} GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total,
+               sum(pow(n_docs, {alpha!r})) AS z
+        FROM counts),
+rates AS (
+  SELECT grp,
+         CAST(round(least(1.0, pow(n_docs, {alpha!r}) / z * n_total / n_docs)
+                    * {N_BUCKETS}, 0) AS BIGINT) AS thr
+  FROM counts CROSS JOIN tot
+)
+SELECT d.doc_id, CAST(d.{group_col} AS VARCHAR) AS grp
+FROM {DOCS} d JOIN rates r ON CAST(d.{group_col} AS VARCHAR) = r.grp
+WHERE {_bucket_sql("d.doc_id")} < r.thr"""
 
 
 def top_per_source_sql(n: int = 5) -> str:

@@ -155,3 +155,38 @@ def test_containment_catches_embedded_doc(spark):
     assert cont == {(1, 2): 1.0}
     jac = D.ngram_jaccard_pairs(df, threshold=0.5, n=3).collect()
     assert jac == []  # resemblance misses the embedding
+
+
+def test_nfc_composes_combining_sequences(spark):
+    from katta_spark.ops import text as T
+
+    decomposed = "caf" + "é"           # e + COMBINING ACUTE
+    composed = "café"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "ascii only")],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r for r in T.nfc_normalize(df).collect()}
+    assert out[1]["text_nfc"] == composed and out[1]["changed"] is True
+    assert out[2]["text_nfc"] == composed and out[2]["changed"] is False
+    assert out[3]["changed"] is False
+
+
+def test_temperature_sample_flattens_head_group(spark):
+    """The dominant group is downsampled hardest; tiny groups keep
+    ~everything; membership is partition invariant."""
+    from katta_spark.ops import sampling as S
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    rates = {r["grp"]: r for r in S.temperature_rates(df, "grp", alpha=0.5).collect()}
+    assert rates["small"]["rate"] == 1.0          # upweight capped at 1
+    assert rates["big"]["rate"] < 0.85            # head downsampled
+    samp = S.temperature_sample(df, "grp", alpha=0.5).cache()
+    again = S.temperature_sample(df.repartition(17), "grp", alpha=0.5)
+    assert samp.exceptAll(again).count() == 0
+    assert again.exceptAll(samp).count() == 0
+    kept = {r["grp"]: r["n"] for r in samp.groupBy("grp").agg(
+        F.count("*").alias("n")).collect()}
+    assert kept["small"] == 100
+    assert kept["big"] < 900 * 0.85
