@@ -959,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_q_matchall": _q_qstr("*:*"),
         "ft_q_slop": _q_qstr('"window stream"~3'),
         "ft_q_fuzzy": _q_qstr("batc~2"),
+        "ft_q_regex": _q_qstr("/tab(le)?[0-9]*/"),
         "ft_q_synonym": q_synonym,
         "ft_stop_and": q_stop_and,
         # --- training-data pipeline ops ---
@@ -1124,6 +1125,9 @@ SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM documents ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "ft_q_slop": O.sloppy_phrase2_sql("window", "stream", slop=3, k=10),
         "ft_q_fuzzy": O.lucene_topk_sql([], edit_patterns=[("batc", 2)]),
+        "ft_q_regex": O.lucene_topk_sql(
+            [], regex_patterns=["tab(le)?[0-9]*"]
+        ),
         "ft_q_synonym": O.lucene_topk_sql([("sort", 1.0), ("order", 1.0)]),
         "ft_stop_and": O.topk_sql(
             ["table", "data"], mode="and", stopwords=_STOPWORDS

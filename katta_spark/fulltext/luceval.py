@@ -39,6 +39,7 @@ from katta_spark.fulltext.qparse import (
     Node,
     Phrase,
     RangeQ,
+    Regex,
     Term,
     Wildcard,
 )
@@ -170,6 +171,8 @@ class LuceneEvaluator:
             return self._eval_wildcard(node)
         if isinstance(node, Fuzzy):
             return self._eval_fuzzy(node)
+        if isinstance(node, Regex):
+            return self._eval_regex(node)
         if isinstance(node, RangeQ):
             return self._eval_range(node)
         if isinstance(node, MatchAll):
@@ -316,6 +319,34 @@ class LuceneEvaluator:
                 F.lower(F.col(fz.field).cast("string")), F.lit(fz.text)
             )
             <= F.lit(d),
+        )
+
+    def _eval_regex(self, rx: Regex) -> DataFrame:
+        """``/pattern/``: Lucene RegexpQuery — the pattern must match
+        the WHOLE term (Lucene's implicit anchoring), expanded on the
+        term CATALOG (one row per distinct term) and scored through
+        the broadcast equi-join pruned postings scan, exactly like
+        fuzzy.  Regexes never push to the parquet scan, so the
+        catalog expansion is the scalable shape.  On a field without
+        postings: a non-scoring stored-column full-match filter."""
+        anchored = f"^(?:{rx.pattern})$"
+        if rx.field is None or rx.field in self.fields:
+            prefix = "" if rx.field is None else f"{rx.field}:"
+            if prefix:
+                body = F.substring(
+                    F.col("term"), len(prefix) + 1, 2_147_483_647
+                )
+                cond = F.col("term").startswith(prefix)
+            else:
+                # content terms never contain ':' (field/path postings
+                # share the term space behind a "<field>:" prefix)
+                body = F.col("term")
+                cond = ~F.col("term").contains(":")
+            cond = cond & body.rlike(anchored)
+            return self._boost(self.idx.scored_docs_expanded(cond), rx.boost)
+        return self._stored_filter(
+            rx.field,
+            F.lower(F.col(rx.field).cast("string")).rlike(anchored),
         )
 
     def _eval_range(self, r: RangeQ) -> DataFrame:

@@ -86,6 +86,19 @@ class Fuzzy:
 
 
 @dataclass
+class Regex:
+    """``/pattern/`` — Lucene RegexpQuery: the regex must match the
+    WHOLE indexed term (Lucene anchors implicitly); lowercased, not
+    analyzed.  Expand-and-score over the term catalog like
+    :class:`Fuzzy` (regexes don't push to the parquet scan, so the
+    catalog expansion + broadcast equi-join is the scalable shape)."""
+
+    pattern: str
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass
 class RangeQ:
     """``field:[lo TO hi]`` — non-scoring range filter.  ``None``
     bound = open (``*``).  ``[]`` inclusive, ``{}`` exclusive."""
@@ -110,12 +123,13 @@ class Bool:
     boost: float = 1.0
 
 
-Node = Term | Phrase | Wildcard | Fuzzy | RangeQ | MatchAll | Bool
+Node = Term | Phrase | Wildcard | Fuzzy | Regex | RangeQ | MatchAll | Bool
 
 # ----------------------------------------------------------------- lexer
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
+        (?P<regex>(?:\w+:)?/[^/\s]*/(?:\^\d+(?:\.\d+)?)?) |
         (?P<lparen>\() | (?P<rparen>\)) |
         (?P<quote>"(?P<qbody>[^"]*)") |
         (?P<range>[\[{](?P<rbody>[^\]}]*)[\]}]) |
@@ -142,7 +156,11 @@ def _lex(q: str) -> list[tuple[str, str]]:
         if m is None or m.end() == pos:
             break
         pos = m.end()
-        if m.group("lparen"):
+        if m.group("regex") is not None:
+            # /pattern/ atoms lex whole (regex metachars like () []
+            # would otherwise shatter on the operator rules)
+            out.append(("regex", m.group("regex")))
+        elif m.group("lparen"):
             out.append(("(", "("))
         elif m.group("rparen"):
             out.append((")", ")"))
@@ -233,6 +251,22 @@ class _Parser:
             if default_field is None:
                 return None  # a bare range has no field to apply to
             return self._range(default_field, text)
+        if kind == "regex":
+            # (field:)?/pattern/(^boost)?
+            m = re.match(
+                r"^(?:(?P<fld>\w+):)?/(?P<body>[^/]*)/"
+                r"(?:\^(?P<boost>\d+(?:\.\d+)?))?$",
+                text,
+            )
+            if not m or not m.group("body"):
+                return None
+            node = Regex(
+                pattern=m.group("body").lower(),
+                field=m.group("fld") or default_field,
+            )
+            return self._apply_boost(
+                node, float(m.group("boost") or 1.0)
+            )
         if kind != "word":
             return None
         # boost attached to the word itself (term^2)
@@ -278,11 +312,13 @@ class _Parser:
     def _apply_boost(node: Node | None, boost: float) -> Node | None:
         if node is None or boost == 1.0:
             return node
-        if isinstance(node, (Term, Phrase, Wildcard, Fuzzy, Bool)):
+        if isinstance(node, (Term, Phrase, Wildcard, Fuzzy, Regex, Bool)):
             node.boost = node.boost * boost
         return node
 
     def _field_value(self, fld: str, rest: str) -> Node | None:
+        if len(rest) >= 2 and rest[0] == "/" and rest[-1] == "/":
+            return Regex(pattern=rest[1:-1].lower(), field=fld)
         if "*" in rest or "?" in rest:
             return Wildcard(pattern=rest.lower(), field=fld)
         fm = _FUZZY_RE.match(rest)
@@ -324,6 +360,8 @@ class _Parser:
 
     @staticmethod
     def _term_or_wild(text: str, default_field: str | None) -> Node | None:
+        if len(text) >= 2 and text[0] == "/" and text[-1] == "/":
+            return Regex(pattern=text[1:-1].lower(), field=default_field)
         if "*" in text or "?" in text:
             return Wildcard(pattern=text.lower(), field=default_field)
         fm = _FUZZY_RE.match(text)

@@ -172,6 +172,7 @@ def lucene_topk_sql(
     field_terms: list[tuple[str, str, float]] = (),
     like_patterns: list[str] = (),
     edit_patterns: list[tuple[str, int]] = (),
+    regex_patterns: list[str] = (),
     require_all: bool = False,
     must_doc_sql: list[str] = (),
     not_doc_sql: list[str] = (),
@@ -189,6 +190,9 @@ def lucene_topk_sql(
                        the LIKE pattern scores (expand-and-score).
     ``edit_patterns``  fuzzy clauses (text, max_edits) — every content
                        term within classic levenshtein distance scores.
+    ``regex_patterns`` RegexpQuery clauses — every content term the
+                       regex FULLY matches scores (keep patterns in
+                       the Java/RE2-portable subset).
     ``require_all``    flat-AND: every terms/field_terms clause must
                        match (wildcards excluded from the count).
     ``must_doc_sql``   list of SELECTs yielding doc_id sets the doc
@@ -224,6 +228,13 @@ def lucene_topk_sql(
             f"""  SELECT tf.doc_id, {score_sql()} AS s, 0 AS is_clause
   FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats WHERE levenshtein(tf.term, '{tq}') <= {int(dist)}"""
+        )
+    for pat in regex_patterns:
+        pq = pat.replace("'", "''")
+        parts.append(
+            f"""  SELECT tf.doc_id, {score_sql()} AS s, 0 AS is_clause
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats WHERE regexp_full_match(tf.term, '{pq}')"""
         )
     union = "\nUNION ALL\n".join(parts)
     n_clauses = len(terms) + len(field_terms)

@@ -494,3 +494,37 @@ def test_blank_query_raises_like_reference(pindex):
     for q in ("", "   "):
         with pytest.raises(ValueError):
             pindex.query(q)
+
+
+def test_parse_regex_forms():
+    from katta_spark.fulltext.qparse import Bool, Regex, parse_lucene
+
+    n = parse_lucene("/tab(le)?[0-9]*/")
+    assert isinstance(n, Regex) and n.pattern == "tab(le)?[0-9]*"
+    n = parse_lucene("lang:/e./")
+    assert isinstance(n, Regex) and n.field == "lang" and n.pattern == "e."
+    n = parse_lucene("/ab+c/^2 OR table")
+    assert isinstance(n, Bool)
+    assert isinstance(n.should[0], Regex) and n.should[0].boost == 2.0
+
+
+def test_regex_query_matches_term_expansion(spark, pindex):
+    """/pattern/ scores exactly the docs whose content terms FULLY
+    match the anchored pattern — equal to the equivalent flat-term
+    query over the matched catalog terms."""
+    from pyspark.sql import functions as F
+
+    pat = "imp.*|q.ark"
+    matched = [
+        r["term"]
+        for r in pindex.terms.filter(
+            (~F.col("term").contains(":"))
+            & F.col("term").rlike(f"^(?:{pat})$")
+        ).select("term").collect()
+    ]
+    assert matched  # the pattern hits real catalog terms
+    got = pindex.query(f"/{pat}/", k=15).collect()
+    want = pindex.topk(sorted(set(matched)), k=15, mode="or").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
