@@ -495,6 +495,23 @@ def q_sim_ivf_ann(spark, sf_dir):
     return _round_score(out, col="cos")
 
 
+def q_sim_ivf_batch(spark, sf_dir):
+    """Batched ANN: two query vectors answered by ONE partition-pruned
+    scan of the IVF index (union of probes; per-qid rank window) —
+    the ANN dual of ft_multi_topk."""
+    from katta_spark.ops import ann_index as AI
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = {
+        str(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 1])).collect()
+    }
+    out = AI.ivf_query_batch(
+        spark, ivf_index_dir(spark, sf_dir), qs, k=10, nprobe=2
+    )
+    return _round_score(out, col="cos")
+
+
 def q_dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH bucket-join candidates +
     exact cosine verify (threshold picked for a non-trivial result on
@@ -992,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
+        "sim_ivf_batch": q_sim_ivf_batch,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1196,6 +1214,8 @@ SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "sim_lsh_ann": OO.lsh_ann_sql(dims=64, n_planes=12, k=10),
         "sim_ivf_ann": OO.ivf_ann_sql(n_centroids=16, nprobe=2, k=10),
+        "sim_ivf_batch": OO.ivf_batch_sql(query_ids=[0, 1], n_centroids=16,
+                                          nprobe=2, k=10),
         "dedup_embed_cosine": OO.cosine_dup_sql(
             threshold=0.25, dims=64, n_planes=4, n_tables=2
         ),

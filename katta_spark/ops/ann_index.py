@@ -247,3 +247,77 @@ def ann_query(
     return cosine_topk(
         cand, query_vec, k, id_col=meta["id_col"], vec_col=meta["vec_col"]
     )
+
+
+def ivf_query_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(qid, id, cos): N ANN queries answered by ONE partition-pruned
+    scan — the batched dual of :func:`ivf_query`, the same collapse
+    the fulltext engine does in ``multi_topk`` (N scatter-gathers ->
+    one job).
+
+    Driver side ranks each query against the tiny stored centroid
+    list; the data read is pruned to the UNION of all probed ``cid=``
+    directories, and each row is scored only against the queries that
+    probed its partition (the (qid, cid, qvec) table is broadcast, so
+    the probe join adds no shuffle).  Per-query top-k via one rank
+    window over the scored candidates."""
+    import math
+
+    from pyspark.sql import Window
+
+    meta = json.loads((Path(index_dir) / "_meta.json").read_text())
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    def cos(qv: list[float], cv: list[float]) -> float:
+        dot = sum(float(a) * float(b) for a, b in zip(cv, qv))
+        nc = math.sqrt(sum(float(a) * float(a) for a in cv)) or 1.0
+        nq = math.sqrt(sum(float(b) * float(b) for b in qv)) or 1.0
+        return dot / (nc * nq)
+
+    rows = []
+    for qid, qv in queries.items():
+        ranked = sorted(
+            ((cos(qv, cv), cid) for cid, cv in enumerate(meta["centroids"])),
+            key=lambda t: (-t[0], t[1]),
+        )
+        qn = math.sqrt(sum(float(x) * float(x) for x in qv)) or 1.0
+        for _, cid in ranked[: max(nprobe, 1)]:
+            rows.append((str(qid), int(cid),
+                         [float(x) for x in qv], float(qn)))
+    qdf = spark.createDataFrame(
+        rows, "qid string, cid int, qvec array<double>, qnorm double"
+    )
+    union_cids = sorted({r[1] for r in rows})
+
+    df = spark.read.parquet(index_dir).filter(F.col("cid").isin(union_cids))
+    v = F.col(vec_col)
+    dot = F.aggregate(
+        F.zip_with(v, F.col("qvec"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(v, F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    scored = (
+        df.join(F.broadcast(qdf), "cid")
+        .select(
+            "qid",
+            F.col(id_col).alias("id"),
+            (dot / (F.greatest(vnorm, F.lit(1e-300)) * F.col("qnorm")))
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "cos")
+    )

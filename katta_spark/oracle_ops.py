@@ -369,6 +369,66 @@ SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM rer ORDER BY cos DESC, vec_id ASC LIMIT {k})"""
 
 
+def ivf_batch_sql(query_ids: list[int] = (0, 1), n_centroids: int = 16,
+                  nprobe: int = 2, k: int = 10) -> str:
+    """Oracle for ops.ann_index.ivf_query_batch over the same index
+    as sim_ivf_ann (corpus = embeddings minus vec_id 0): per-query
+    probe + rerank, unioned with a qid label."""
+
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+        na = (
+            f"sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        )
+        nb = (
+            f"sqrt(list_sum(list_transform(generate_series(1, len({b})), "
+            f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+        )
+        return f"{dot} / ({na} * {nb})"
+
+    qids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id IN ({qids})),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+        ORDER BY vec_id ASC LIMIT {n_centroids})
+),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY {cos('q.qv', 'c.cvec')} DESC, c.cid ASC) AS rn
+    FROM cents c CROSS JOIN qs q
+  ) WHERE rn <= {nprobe}
+),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) e
+    CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+rer AS (
+  SELECT q.qid, a.vec_id AS id, {cos('a.embedding', 'q.qv')} AS cos,
+    row_number() OVER (PARTITION BY q.qid
+      ORDER BY {cos('a.embedding', 'q.qv')} DESC, a.vec_id ASC) AS rn
+  FROM assign a
+  JOIN probe p ON a.cid = p.cid
+  JOIN qs q ON q.qid = p.qid
+)
+SELECT qid, id, round(cos, 6) AS cos FROM rer WHERE rn <= {k}"""
+
+
 def dup_clusters_sql(pairs_sql: str) -> str:
     """(doc_id, cluster) connected components over a candidate-pair
     query — recursive-CTE transitive closure + min per node (mirror

@@ -225,3 +225,31 @@ def test_ann_multiprobe_widens_buckets(spark, emb, ann_dir):
     n0 = AI.ann_candidates(spark, ann_dir, qv, probes=0).count()
     n1 = AI.ann_candidates(spark, ann_dir, qv, probes=1).count()
     assert n1 >= n0
+
+
+def test_ivf_query_batch_matches_per_query(spark, emb, ivf_dir):
+    """The batched probe returns, per qid, exactly the per-query
+    ivf_query ranking — and reads one pruned scan, not N."""
+    from katta_spark.ops import ann_index as AI
+
+    qs = {
+        str(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 5])).collect()
+    }
+    batch = AI.ivf_query_batch(spark, ivf_dir, qs, k=8, nprobe=2)
+    got = {
+        qid: [(r["id"], round(r["cos"], 9)) for r in rows]
+        for qid, rows in __import__("itertools").groupby(
+            batch.orderBy("qid", F.desc("cos"), F.asc("id")).collect(),
+            key=lambda r: r["qid"],
+        )
+    }
+    for qid, qv in qs.items():
+        want = [
+            (r["vec_id"], round(r["cos"], 9))
+            for r in AI.ivf_query(spark, ivf_dir, qv, k=8, nprobe=2).collect()
+        ]
+        assert got[qid] == want, qid
+    # single pruned relation in the plan: the scan appears once
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
