@@ -201,6 +201,25 @@ def main() -> None:
         ).count(),
         repeats=1,
     )
+    from katta_spark.ops import decontam, packing
+
+    queries["op_decontam"] = timed(
+        lambda: decontam.ngram_overlap(
+            docs, docs.filter(F.col("doc_id") % 37 == 0), n=5,
+            text_col="text",
+        ).count(),
+        repeats=1,
+    )
+    queries["op_pack_greedy"] = timed(
+        lambda: packing.pack_greedy(
+            docs, 2000, size_col="n_chars", group_col="source"
+        ).count(),
+        repeats=1,
+    )
+    queries["op_unigram_lp"] = timed(
+        lambda: text.unigram_logprob(docs, text_col="text").count(),
+        repeats=1,
+    )
     # persisted ANN index: build once, then partition-pruned probes
     from katta_spark.ops import ann_index as AI
 
