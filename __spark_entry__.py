@@ -811,6 +811,14 @@ def q_text_code_quality(spark, sf_dir):
     return text.code_quality(_docs(spark, sf_dir), text_col="text")
 
 
+def q_ft_sig_terms(spark, sf_dir):
+    """Significant-terms aggregation (ES-style): content terms
+    overrepresented in docs matching 'scan' vs the corpus, by lift."""
+    return phys_index(spark, sf_dir).significant_terms(
+        ["scan"], m_terms=10, min_df=2
+    )
+
+
 def q_ft_get(spark, sf_dir):
     """Realtime get (Solr /get): stored fields for three ids straight
     off the docs store — no query, the id filter pushes to the scan."""
@@ -861,6 +869,18 @@ def q_pipe_temperature(spark, sf_dir):
         _docs(spark, sf_dir), group_col="lang", alpha=0.7
     )
     return out.select("doc_id", F.col("lang").cast("string").alias("grp"))
+
+
+def q_pipe_pack_text(spark, sf_dir):
+    """Materialized training sequences: packed docs concatenated in
+    pack order (order restored engine-independently by sorting
+    (offset, text) structs)."""
+    from katta_spark.ops import packing
+
+    d = _docs(spark, sf_dir)
+    packed = packing.pack_greedy(d, budget=2000, size_col="n_chars",
+                                 group_col="source")
+    return packing.pack_texts(d, packed, text_col="text")
 
 
 def q_pipe_sample(spark, sf_dir):
@@ -961,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_vectors": q_ft_term_vectors,
         "ft_elevate": q_ft_elevate,
         "ft_get": q_ft_get,
+        "ft_sig_terms": q_ft_sig_terms,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -1003,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_decontam": q_pipe_decontam,
         "pipe_pack": q_pipe_pack,
+        "pipe_pack_text": q_pipe_pack_text,
         "pipe_temperature": q_pipe_temperature,
         "pipe_sample": q_pipe_sample,
         "pipe_top_per_source": q_pipe_top_per_source,
@@ -1105,6 +1127,8 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_get": """
 SELECT doc_id, lang, source, n_chars
 FROM documents WHERE doc_id IN (3, 7, 11)""",
+        "ft_sig_terms": O.significant_terms_sql(["scan"], m_terms=10,
+                                                min_df=2),
         # Lucene-syntax queries: boolean-evaluator oracles
         "ft_q_not": O.lucene_topk_sql(
             [("table", 1.0)], not_doc_sql=[O.term_docs_sql(["scan"])]
@@ -1181,6 +1205,8 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
         "pipe_pack": OO.pack_greedy_sql(budget=2000, group_col="source",
                                         size_expr="n_chars"),
+        "pipe_pack_text": OO.pack_texts_sql(budget=2000, group_col="source",
+                                            size_expr="n_chars"),
         "pipe_temperature": OO.temperature_sample_sql(group_col="lang",
                                                       alpha=0.7),
         "pipe_sample": OO.stratified_sample_sql(rate=0.1),

@@ -1292,6 +1292,49 @@ class PhysicalIndex:
             )
         )
 
+    def significant_terms(self, qterms: list[str], m_terms: int = 10,
+                          mode: str = "or", min_df: int = 2) -> DataFrame:
+        """(term, df_fg, df_bg, lift) — significant-terms aggregation
+        (the Elasticsearch significant_terms dual of Solr's MLT rep
+        terms): content terms overrepresented in the docs MATCHING
+        the query (foreground) vs the whole index (background),
+        ranked by ``lift = (df_fg/n_fg) / (df_bg/n_docs)``; ties
+        df_fg desc, term asc.  Query terms themselves are excluded.
+
+        Plan shape: matched ids (term-pruned postings scan) semi-join
+        the STORED token arrays (no re-analysis), explode distinct,
+        hash-agg df_fg — one shuffle over the foreground only; the
+        foreground vocabulary joins the global catalog on term and
+        n_fg rides in as a one-row broadcast, so nothing touches the
+        driver."""
+        qset = sorted(set(self._strip_stops(qterms)))
+        matched = self.matched_docs(qset, mode)
+        fg_terms = (
+            self.docs.join(matched, "doc_id", "left_semi")
+            .select(F.explode(F.array_distinct("toks")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_fg"))
+            .filter(F.col("df_fg") >= int(min_df))
+            .filter(~F.col("term").isin(qset))
+        )
+        n_fg = matched.agg(F.count(F.lit(1)).alias("_n_fg"))
+        n_docs = float(self.stats["n_docs"])
+        out = (
+            fg_terms.join(self.terms.select("term", F.col("df").alias("df_bg")),
+                          "term")
+            .crossJoin(F.broadcast(n_fg))
+            .withColumn(
+                "lift",
+                (F.col("df_fg") / F.col("_n_fg"))
+                / (F.col("df_bg") / F.lit(n_docs)),
+            )
+        )
+        return (
+            out.orderBy(F.desc("lift"), F.desc("df_fg"), F.asc("term"))
+            .limit(m_terms)
+            .select("term", "df_fg", "df_bg", F.round("lift", 6).alias("lift"))
+        )
+
     def elevate_topk(self, qterms: list[str], elevate_ids: list[int],
                      k: int = 10, exclude_ids: list[int] = (),
                      mode: str = "or") -> DataFrame:

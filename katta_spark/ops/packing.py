@@ -89,3 +89,42 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.sum("size").alias("total"),
         F.round(F.sum("size") / F.lit(float(budget)), 6).alias("fill"),
     )
+
+
+def pack_texts(
+    docs: DataFrame,
+    packed: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize :func:`pack_greedy` output into training sequences:
+    (grp, pack_id, n_docs, seq) with ``seq`` the pack's documents
+    concatenated in pack order.
+
+    One join back to the docs (on the id — narrow payload: only
+    text_col survives pruning) + one hash shuffle on (grp, pack_id);
+    in-pack order is restored engine-independently by sorting the
+    collected (pack_offset, text) structs, so the output is
+    deterministic under any partitioning."""
+    slim = docs.select(F.col(id_col).cast("long").alias("doc_id"), text_col)
+    joined = packed.join(slim, "doc_id")
+    return (
+        joined.groupBy("grp", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pack_offset"), F.col(text_col)
+                            )
+                        )
+                    ),
+                    lambda s: s[text_col],
+                ),
+                sep,
+            ).alias("seq"),
+        )
+    )

@@ -240,6 +240,18 @@ walk AS (
 SELECT doc_id, grp, pack_id, pack_offset, size FROM walk"""
 
 
+def pack_texts_sql(budget: int = 2000, group_col: str = "source",
+                   size_expr: str = "n_chars") -> str:
+    """Oracle for ops.packing.pack_texts: the greedy walk joined back
+    to the docs, texts concatenated in pack-offset order."""
+    return f"""SELECT p.grp, p.pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(d.text, chr(10) ORDER BY p.pack_offset) AS seq
+FROM ({pack_greedy_sql(budget, group_col, size_expr)}) p
+JOIN {DOCS} d ON p.doc_id = d.doc_id
+GROUP BY p.grp, p.pack_id"""
+
+
 def fingerprint_dup_sql() -> str:
     tok = duckdb_tokens_sql(DOCS, "doc_id", "text")
     return f"""WITH tok AS ({tok}),

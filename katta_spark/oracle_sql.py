@@ -276,6 +276,32 @@ def term_docs_sql(terms: list[str], mode: str = "or") -> str:
     return f"SELECT doc_id FROM tf WHERE term IN {tl}"
 
 
+def significant_terms_sql(terms: list[str], m_terms: int = 10,
+                          mode: str = "or", min_df: int = 2) -> str:
+    """Oracle for PhysicalIndex.significant_terms (ES-style lift
+    ranking of foreground-overrepresented terms)."""
+    return f"""{index_ctes()},
+matched AS ({term_docs_sql(terms, mode)}),
+nfg AS (SELECT CAST(count(*) AS DOUBLE) AS n_fg FROM matched),
+fg AS (
+  SELECT t.term, count(DISTINCT t.doc_id) AS df_fg
+  FROM tf t JOIN matched m ON t.doc_id = m.doc_id
+  WHERE t.term NOT IN {_term_list(terms)}
+  GROUP BY t.term HAVING count(DISTINCT t.doc_id) >= {int(min_df)}
+),
+ranked AS (
+  SELECT fg.term, fg.df_fg, dfv.df AS df_bg,
+         (CAST(fg.df_fg AS DOUBLE) / nfg.n_fg)
+         / (CAST(dfv.df AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)) AS lift
+  FROM fg JOIN dfv ON fg.term = dfv.term
+  CROSS JOIN nfg CROSS JOIN stats
+)
+SELECT term, CAST(df_fg AS BIGINT) AS df_fg, CAST(df_bg AS BIGINT) AS df_bg,
+       round(lift, 6) AS lift
+FROM (SELECT * FROM ranked
+      ORDER BY lift DESC, df_fg DESC, term ASC LIMIT {m_terms})"""
+
+
 def facet_queries_sql(queries_map: dict[str, list[str]],
                       mode: str = "or") -> str:
     """facet.query oracle: (facet_q, cnt) per standing sub-query

@@ -270,3 +270,39 @@ def test_boost_func_matches_python(pindex, py_oracle):
         for r in pindex.scored_docs(terms).collect()
     }
     assert all(r["score"] > plain[r["doc_id"]] for r in got)
+
+
+# ------------------------------------------------- significant terms
+
+def test_significant_terms_matches_python(pindex, py_oracle, pandas_docs):
+    """lift ranking == an independent Python mirror over the stored
+    docs; query terms excluded; lift > 1 for genuinely foreground-
+    concentrated terms."""
+    from collections import Counter
+
+    from katta_spark.tokenizer import py_tokenize
+
+    qterms, min_df, m = ["parse"], 2, 10
+    term_sets = {
+        int(r.doc_id): set(py_tokenize(r.content))
+        for r in pandas_docs.itertuples(index=False)
+    }
+    fg_ids = [d for d, ts in term_sets.items() if "parse" in ts]
+    n_fg, n_all = len(fg_ids), len(term_sets)
+    df_fg = Counter(t for d in fg_ids for t in term_sets[d])
+    df_bg = Counter(t for ts in term_sets.values() for t in ts)
+    rows = [
+        (t, c, df_bg[t], (c / n_fg) / (df_bg[t] / n_all))
+        for t, c in df_fg.items()
+        if c >= min_df and t not in qterms
+    ]
+    rows.sort(key=lambda r: (-r[3], -r[1], r[0]))
+    want = [(t, fg, bg, round(lift, 6)) for t, fg, bg, lift in rows[:m]]
+
+    got = [
+        (r["term"], r["df_fg"], r["df_bg"], r["lift"])
+        for r in pindex.significant_terms(qterms, m_terms=m,
+                                          min_df=min_df).collect()
+    ]
+    assert got == want
+    assert all(r[3] > 1.0 for r in got[:3])  # head terms are enriched

@@ -52,3 +52,51 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     # survivor of alpha is its first occurrence
     alpha = r2.filter(F.col("content") == "alpha text").first()
     assert alpha["doc_id"] == 0
+
+
+def test_stream_static_blocklist_join(spark, tmp_path):
+    """Streaming curation shape: each micro-batch anti-joins a STATIC
+    blocklist dimension (broadcast — no stream-side shuffle), and a
+    blocklist update between runs applies to later batches only."""
+    src = tmp_path / "src2"
+    out = tmp_path / "out2"
+    ckpt = tmp_path / "ckpt2"
+    block = tmp_path / "block"
+    src.mkdir()
+
+    spark.createDataFrame([(0,), (99,)], "doc_id long").write.mode(
+        "overwrite").parquet(str(block))
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        blk = spark.read.parquet(str(block))
+        q = (
+            stream.join(F.broadcast(blk), "doc_id", "left_anti")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(0, "blocked"), (1, "kept one")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    ) == [1]
+
+    # blocklist grows; the already-emitted row 1 stays, new row 2 is
+    # filtered by the UPDATED static side
+    spark.createDataFrame([(0,), (2,), (99,)], "doc_id long").write.mode(
+        "overwrite").parquet(str(block))
+    spark.createDataFrame(
+        [(2, "now blocked"), (3, "kept two")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    ) == [1, 3]
