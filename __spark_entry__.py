@@ -847,6 +847,19 @@ def q_pipe_decontam(spark, sf_dir):
                                   text_col="text")
 
 
+def q_pipe_dsir(spark, sf_dir):
+    """DSIR importance resampling: top-50 docs by Gumbel-perturbed
+    hashed-n-gram log importance weight toward the lang='de' slice as
+    the target distribution.  Feature hashing, smoothing, and the
+    hash-derived Gumbel noise are engine-identical, so the SELECTED
+    SET matches DuckDB exactly (not just statistically)."""
+    from katta_spark.ops import dsir
+
+    d = _docs(spark, sf_dir)
+    return dsir.dsir_select(d, d.filter(F.col("lang") == "de"), k=50,
+                            text_col="text")
+
+
 def q_pipe_pack(spark, sf_dir):
     """Greedy sequence packing: docs packed per source in doc_id
     order into 2000-char-budget training sequences; the recursive-CTE
@@ -1023,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_quality": q_text_code_quality,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_decontam": q_pipe_decontam,
+        "pipe_dsir": q_pipe_dsir,
         "pipe_pack": q_pipe_pack,
         "pipe_pack_text": q_pipe_pack_text,
         "pipe_temperature": q_pipe_temperature,
@@ -1203,6 +1217,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_code_quality": OO.code_quality_sql(),
         "pipe_hash_split": OO.hash_split_sql(),
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
+        "pipe_dsir": OO.dsir_select_sql(k=50, target_where="lang = 'de'"),
         "pipe_pack": OO.pack_greedy_sql(budget=2000, group_col="source",
                                         size_expr="n_chars"),
         "pipe_pack_text": OO.pack_texts_sql(budget=2000, group_col="source",

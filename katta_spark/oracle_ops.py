@@ -782,3 +782,63 @@ r AS (
 )
 SELECT source, doc_id, quality, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {n}"""
+
+
+def dsir_select_sql(k: int = 50, target_where: str = "lang = 'de'",
+                    n_features: int = 8192, alpha: float = 1.0) -> str:
+    """Oracle for ops.dsir.dsir_select (hashed-n-gram importance
+    resampling, Gumbel top-k): feature hashing, smoothing, Gumbel
+    transform all mirror the Spark side exactly (md5 convention +
+    hash-derived uniform), so selection is engine-identical."""
+    raw_tok = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    tgt_tok = duckdb_tokens_list_sql(
+        f"(SELECT doc_id, text FROM {DOCS} WHERE {target_where})",
+        "doc_id", "text")
+
+    def feats(tokl_name: str) -> str:
+        return f"""(
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(feat), 1, 8)) AS BIGINT)
+           % {n_features} AS bucket,
+         count(*) AS cnt
+  FROM (
+    SELECT doc_id, unnest(list_concat(
+      toks,
+      CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1]))
+           ELSE [] END)) AS feat
+    FROM {tokl_name})
+  GROUP BY 1, 2)"""
+
+    a = float(alpha)
+    return f"""WITH raw_tokl AS ({raw_tok}),
+tgt_tokl AS ({tgt_tok}),
+raw_fc AS {feats("raw_tokl")},
+tgt_fc AS {feats("tgt_tokl")},
+q AS (SELECT bucket, sum(cnt) AS cq FROM raw_fc GROUP BY 1),
+p AS (SELECT bucket, sum(cnt) AS cp FROM tgt_fc GROUP BY 1),
+tq AS (SELECT CAST(sum(cq) AS DOUBLE) AS tq FROM q),
+tp AS (SELECT CAST(sum(cp) AS DOUBLE) AS tp FROM p),
+lr AS (
+  SELECT q.bucket,
+         ln((coalesce(p.cp, 0) + {a!r}) / (tp.tp + {a * n_features!r}))
+       - ln((q.cq + {a!r}) / (tq.tq + {a * n_features!r})) AS lr
+  FROM q LEFT JOIN p ON q.bucket = p.bucket CROSS JOIN tq CROSS JOIN tp
+),
+w AS (
+  SELECT d.doc_id,
+         round(coalesce(s.logw, 0.0), 6) AS logw
+  FROM {DOCS} d LEFT JOIN (
+    SELECT fc.doc_id, sum(fc.cnt * lr.lr) AS logw
+    FROM raw_fc fc JOIN lr ON fc.bucket = lr.bucket
+    GROUP BY fc.doc_id) s ON d.doc_id = s.doc_id
+),
+keyed AS (
+  SELECT doc_id, logw,
+         round(logw + (-ln(-ln(
+           ({_bucket_sql("doc_id")} + 0.5) / 10000.0))), 6) AS key
+  FROM w
+)
+SELECT doc_id, logw, key
+FROM (SELECT * FROM keyed ORDER BY key DESC, doc_id ASC LIMIT {int(k)})"""

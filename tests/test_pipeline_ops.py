@@ -190,3 +190,85 @@ def test_temperature_sample_flattens_head_group(spark):
         F.count("*").alias("n")).collect()}
     assert kept["small"] == 100
     assert kept["big"] < 900 * 0.85
+
+
+# ------------------------------------------------------------- DSIR
+
+def test_dsir_weights_match_python_mirror(spark, corpus):
+    """Per-doc log importance weights == an independent pure-Python
+    mirror (hashlib md5 buckets, Counter distributions, float sums);
+    and docs FROM the target slice score higher on average than the
+    rest (the op steers toward the target)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from katta_spark.ops import dsir
+    from katta_spark.tokenizer import py_tokenize
+
+    nf, alpha = 512, 1.0
+    rows = corpus.select("doc_id", "content", "lang").collect()
+    tgt_langs = {"python"} if any(
+        r["lang"] == "python" for r in rows) else {rows[0]["lang"]}
+
+    def buckets(text):
+        toks = py_tokenize(text)
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return Counter(
+            int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % nf
+            for f in feats
+        )
+
+    per_doc = {int(r["doc_id"]): buckets(r["content"]) for r in rows}
+    tgt_ids = {int(r["doc_id"]) for r in rows if r["lang"] in tgt_langs}
+    q = Counter()
+    p = Counter()
+    for d, c in per_doc.items():
+        q.update(c)
+        if d in tgt_ids:
+            p.update(c)
+    tq, tp = sum(q.values()), sum(p.values())
+    lr = {
+        b: math.log((p.get(b, 0) + alpha) / (tp + alpha * nf))
+        - math.log((cq + alpha) / (tq + alpha * nf))
+        for b, cq in q.items()
+    }
+    want = {
+        d: round(sum(cnt * lr[b] for b, cnt in c.items()), 6)
+        for d, c in per_doc.items()
+    }
+
+    tgt = corpus.filter(F.col("lang").isin(*tgt_langs))
+    got = {
+        int(r["doc_id"]): r["logw"]
+        for r in dsir.dsir_weights(
+            corpus, tgt, text_col="content", n_features=nf, alpha=alpha
+        ).collect()
+    }
+    assert got == want
+    in_t = [got[d] for d in got if d in tgt_ids]
+    out_t = [got[d] for d in got if d not in tgt_ids]
+    assert sum(in_t) / len(in_t) > sum(out_t) / len(out_t)
+
+
+def test_dsir_select_deterministic_and_weighted(spark, corpus):
+    """Gumbel top-k is identical across reruns/partitionings (pure
+    function of the rows) and enriches the target slice vs a uniform
+    draw of the same size."""
+    from katta_spark.ops import dsir
+
+    lang = corpus.select("lang").first()["lang"]
+    tgt = corpus.filter(F.col("lang") == lang)
+    k = 40
+    a = dsir.dsir_select(corpus, tgt, k=k, text_col="content",
+                         n_features=512)
+    b = dsir.dsir_select(corpus.repartition(13), tgt, k=k,
+                         text_col="content", n_features=512)
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b
+    sel = {r[0] for r in rows_a}
+    tgt_ids = {r["doc_id"] for r in tgt.select("doc_id").collect()}
+    base_rate = len(tgt_ids) / corpus.count()
+    sel_rate = len(sel & tgt_ids) / k
+    assert sel_rate > base_rate
