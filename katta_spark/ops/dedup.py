@@ -125,19 +125,19 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def band_buckets(
     corpus: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
     text_col: str = "content",
 ) -> DataFrame:
-    """Candidate near-dup pairs (doc_a, doc_b, n_bands) that collide
-    in >=1 LSH band.  rows-per-band bucket join: the scalable path —
-    shuffle volume is docs x bands, never docs^2."""
+    """(doc_id, band, bucket) — the LSH band buckets of every doc:
+    the band's minhash rows folded into one md5 bucket key.  Shared
+    by the batch pair-join and the streaming dedup's bucket store."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(corpus, num_hashes, n, text_col)
-    banded = (
+    return (
         sig.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -148,6 +148,19 @@ def minhash_lsh_pairs(
             ).alias("bucket")
         )
     )
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "content",
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b, n_bands) that collide
+    in >=1 LSH band.  rows-per-band bucket join: the scalable path —
+    shuffle volume is docs x bands, never docs^2."""
+    banded = band_buckets(corpus, num_hashes, bands, n, text_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

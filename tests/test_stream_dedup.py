@@ -100,3 +100,75 @@ def test_stream_static_blocklist_join(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(str(out)).collect()
     ) == [1, 3]
+
+
+def test_stream_dedup_minhash_near_dups(spark, tmp_path):
+    """Near-dup streaming dedup: LSH bucket collisions drop docs both
+    in-batch and cross-batch; the bucket store survives between runs."""
+    from katta_spark.streaming import stream_dedup_minhash
+
+    src = tmp_path / "src3"
+    out = tmp_path / "out3"
+    store = tmp_path / "store3"
+    ckpt = tmp_path / "ckpt3"
+    src.mkdir()
+
+    base = (
+        "def quick_sort(arr): pivot = arr[0] "
+        "left = [x for x in arr if x < pivot] "
+        "right = [x for x in arr if x > pivot] "
+        "return quick_sort(left) + [pivot] + quick_sort(right)"
+    )
+    near = base + " return None"  # near-dup: all but ~2 shingles shared
+    other = (
+        "class LinkedList: push pop head tail size iterate walk node "
+        "next prev insert remove clear extend reverse sort merge zip"
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        q = stream_dedup_minhash(
+            stream, str(out), str(store), str(ckpt), num_hashes=8, bands=4
+        )
+        q.awaitTermination(120)
+
+    # batch 1: base, an exact dup (collides in ALL bands), one distinct
+    spark.createDataFrame(
+        [(0, base), (1, base), (2, other)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    r1 = spark.read.parquet(str(out))
+    assert sorted(r["doc_id"] for r in r1.collect()) == [0, 2]
+
+    # batch 2: exact dup of base (cross-batch drop), a fresh doc (kept)
+    fresh = "import os sys json re collections functools itertools math"
+    spark.createDataFrame(
+        [(3, base), (4, fresh)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    r2 = spark.read.parquet(str(out))
+    assert sorted(r["doc_id"] for r in r2.collect()) == [0, 2, 4]
+
+    # the near-dup variant collides with base in >=1 band -> dropped
+    # cross-batch even though not byte-identical
+    from katta_spark.ops.dedup import band_buckets
+
+    bb_pair = band_buckets(
+        spark.createDataFrame([(0, base), (5, near)], SCHEMA),
+        num_hashes=8,
+        bands=4,
+    )
+    shared = (
+        bb_pair.groupBy("band", "bucket")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert shared >= 1  # precondition: they really are LSH-near
+
+    spark.createDataFrame([(5, near)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+    r3 = spark.read.parquet(str(out))
+    assert sorted(r["doc_id"] for r in r3.collect()) == [0, 2, 4]
