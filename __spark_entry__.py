@@ -833,6 +833,27 @@ def q_text_nfc(spark, sf_dir):
     return text.nfc_normalize(_docs(spark, sf_dir), text_col="text")
 
 
+def q_sketch_kmv_vocab(spark, sf_dir):
+    """KMV distinct-term cardinality sketch over the corpus
+    vocabulary (ops/sketch.py): one narrow pass, per-partition
+    k-smallest Arrow kernel, k-item global merge."""
+    from katta_spark.ops import sketch
+    from katta_spark.tokenizer import explode_tokens
+
+    terms = explode_tokens(_docs(spark, sf_dir), "text", [])
+    return sketch.kmv_distinct(terms, "term", k=256)
+
+
+def q_sketch_len_quantile(spark, sf_dir):
+    """Power-of-two bucket quantiles of document length: exact
+    integer bucketing (length(bin(v))), <= 64-row histogram."""
+    from katta_spark.ops import sketch
+
+    return sketch.bit_quantiles(
+        _docs(spark, sf_dir), "n_chars", qs=(0.5, 0.9, 0.99)
+    )
+
+
 def q_pipe_decontam(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of every doc against
     a benchmark slice (doc_id % 37 == 0).  Engine joins on 8-byte
@@ -1034,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lp": q_text_unigram_lp,
         "text_nfc": q_text_nfc,
         "text_code_quality": q_text_code_quality,
+        "sketch_kmv_vocab": q_sketch_kmv_vocab,
+        "sketch_len_quantile": q_sketch_len_quantile,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_decontam": q_pipe_decontam,
         "pipe_dsir": q_pipe_dsir,
@@ -1215,6 +1238,8 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_unigram_lp": OO.unigram_lp_sql(),
         "text_nfc": OO.nfc_sql(),
         "text_code_quality": OO.code_quality_sql(),
+        "sketch_kmv_vocab": OO.kmv_vocab_sql(k=256),
+        "sketch_len_quantile": OO.bit_quantiles_sql((0.5, 0.9, 0.99)),
         "pipe_hash_split": OO.hash_split_sql(),
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
         "pipe_dsir": OO.dsir_select_sql(k=50, target_where="lang = 'de'"),

@@ -842,3 +842,43 @@ keyed AS (
 )
 SELECT doc_id, logw, key
 FROM (SELECT * FROM keyed ORDER BY key DESC, doc_id ASC LIMIT {int(k)})"""
+
+
+# ------------------------------------------------------------ sketches
+
+def kmv_vocab_sql(k: int = 256) -> str:
+    """Oracle for ops.sketch.kmv_distinct over the corpus vocabulary:
+    k smallest distinct 60-bit md5 hashes of the analyzed terms."""
+    tok = duckdb_tokens_sql(DOCS, "doc_id", "text")
+    return f"""WITH tok AS ({tok}),
+h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(term), 1, 15))
+                      AS BIGINT) AS h FROM tok),
+t AS (SELECT h FROM h ORDER BY h LIMIT {int(k)})
+SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+       CASE WHEN count(*) < {int(k)} THEN CAST(count(*) AS BIGINT)
+            ELSE CAST(floor({float(k - 1)!r} * 1152921504606846976.0
+                            / max(h)) AS BIGINT) END AS est_distinct
+FROM t"""
+
+
+def bit_quantiles_sql(qs: tuple = (0.5, 0.9, 0.99),
+                      col: str = "n_chars") -> str:
+    """Oracle for ops.sketch.bit_quantiles on a non-negative integer
+    column: power-of-two buckets (bits = length(bin(v))), cumulative
+    histogram, first bucket reaching q * total."""
+    qlist = ", ".join(repr(float(q)) for q in qs)
+    return f"""WITH h AS (
+  SELECT length(bin(CAST({col} AS BIGINT))) AS bits, count(*) AS n
+  FROM {DOCS} GROUP BY 1),
+c AS (SELECT bits,
+             CAST(sum(n) OVER (ORDER BY bits) AS BIGINT) AS cum_n,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM h),
+x AS (
+  SELECT q.q, c.bits, c.cum_n,
+         row_number() OVER (PARTITION BY q.q ORDER BY c.bits) AS rn
+  FROM (SELECT unnest([{qlist}]) AS q) q
+  JOIN c ON c.cum_n >= q.q * c.total)
+SELECT CAST(q AS DOUBLE) AS q, CAST(bits AS INT) AS bits,
+       (CAST(1 AS BIGINT) << bits) - 1 AS ub, cum_n
+FROM x WHERE rn = 1"""

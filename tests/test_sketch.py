@@ -1,0 +1,64 @@
+"""Deterministic sketches: KMV cardinality + bit-bucket quantiles."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.ops import sketch
+
+
+def test_h60_matches_duckdb(spark):
+    vals = ["abc", "hello world", "", "Zürich"]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", sketch.h60("v").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        (exp,) = duckdb.sql(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)",
+            params=[v],
+        ).fetchone()
+        assert got[v] == exp, v
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).select(F.concat(F.lit("v"), "id").alias("x"))
+    row = sketch.kmv_distinct(df, "x", k=256).first()
+    assert row["k_used"] == 100
+    assert row["est_distinct"] == 100
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 20000
+    # 20k distinct values, each duplicated (dups must not matter)
+    df = (
+        spark.range(2 * n)
+        .select(F.concat(F.lit("doc"), F.col("id") % n).alias("x"))
+        .repartition(8)
+    )
+    row = sketch.kmv_distinct(df, "x", k=256).first()
+    assert row["k_used"] == 256
+    # std err ~ 1/sqrt(256) ≈ 6.25%; allow 4 sigma
+    assert abs(row["est_distinct"] - n) / n < 0.25
+
+
+def test_bit_quantiles_known_distribution(spark):
+    # 70 values of 3 (bits=2), 25 of 10 (bits=4), 5 of 1000 (bits=10)
+    vals = [3] * 70 + [10] * 25 + [1000] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = {
+        r["q"]: r for r in sketch.bit_quantiles(df, "v", (0.5, 0.9, 0.99)).collect()
+    }
+    assert rows[0.5]["bits"] == 2 and rows[0.5]["ub"] == 3
+    assert rows[0.9]["bits"] == 4 and rows[0.9]["ub"] == 15
+    assert rows[0.99]["bits"] == 10 and rows[0.99]["ub"] == 1023
+    assert rows[0.5]["cum_n"] == 70
+
+
+def test_bit_histogram_zero_value(spark):
+    # bin(0) = '0' -> bits=1, identical convention in DuckDB
+    df = spark.createDataFrame([(0,), (1,), (2,)], "v long")
+    got = {r["bits"]: r["n"] for r in sketch.bit_histogram(df, "v").collect()}
+    assert got == {1: 2, 2: 1}  # 0 and 1 share bits=1; 2 has bits=2
