@@ -833,6 +833,22 @@ def q_text_nfc(spark, sf_dir):
     return text.nfc_normalize(_docs(spark, sf_dir), text_col="text")
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Exact duplicated-span detection (Lee et al. ACL'22 substring
+    dedup, rolling-hash shape): every 8-token window occurring more
+    than once in the corpus.  One shuffle (count window over the
+    64-bit span hash), no self-join."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), width=8,
+                                 text_col="text")
+
+
+def q_dedup_span_stats(spark, sf_dir):
+    """Per-doc share of tokens covered by duplicated 8-token spans —
+    the 'mostly boilerplate' curation signal."""
+    return dedup.dup_span_stats(_docs(spark, sf_dir), width=8,
+                                text_col="text")
+
+
 def q_sketch_kmv_vocab(spark, sf_dir):
     """KMV distinct-term cardinality sketch over the corpus
     vocabulary (ops/sketch.py): one narrow pass, per-partition
@@ -1057,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_quality": q_text_code_quality,
         "sketch_kmv_vocab": q_sketch_kmv_vocab,
         "sketch_len_quantile": q_sketch_len_quantile,
+        "dedup_spans": q_dedup_spans,
+        "dedup_span_stats": q_dedup_span_stats,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_decontam": q_pipe_decontam,
         "pipe_dsir": q_pipe_dsir,
@@ -1240,6 +1258,8 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_code_quality": OO.code_quality_sql(),
         "sketch_kmv_vocab": OO.kmv_vocab_sql(k=256),
         "sketch_len_quantile": OO.bit_quantiles_sql((0.5, 0.9, 0.99)),
+        "dedup_spans": OO.duplicate_spans_sql(width=8),
+        "dedup_span_stats": OO.dup_span_stats_sql(width=8),
         "pipe_hash_split": OO.hash_split_sql(),
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
         "pipe_dsir": OO.dsir_select_sql(k=50, target_where="lang = 'de'"),

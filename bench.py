@@ -201,6 +201,12 @@ def main() -> None:
         ).count(),
         repeats=1,
     )
+    queries["op_dup_spans"] = timed(
+        lambda: dedup.duplicate_spans(
+            docs.withColumnRenamed("text", "content"), width=8
+        ).count(),
+        repeats=1,
+    )
     from katta_spark.ops import decontam, packing
 
     queries["op_decontam"] = timed(

@@ -397,3 +397,95 @@ def containment_pairs(
         .select("doc_a", "doc_b", "containment")
     )
     return out
+
+
+# --------------------------------------------------- duplicated spans
+
+def _window_spans(corpus: DataFrame, width: int,
+                  text_col: str) -> DataFrame:
+    """(doc_id, pos, h) — 60-bit hash of every ``width``-token rolling
+    window (pos is the 0-based start token index).  Narrow: the
+    window strings never leave the row — only the 8-byte hash does."""
+    toks = tokens_array(text_col)
+    # sequence(1, 0) would generate DESCENDING [1, 0] — docs shorter
+    # than the window must yield an empty span array instead.
+    idx = F.when(
+        F.size(toks) >= width,
+        F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    win = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i, width))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return corpus.select(
+        "doc_id", F.posexplode(win).alias("pos", "h")
+    )
+
+
+def duplicate_spans(corpus: DataFrame, width: int = 8,
+                    text_col: str = "content") -> DataFrame:
+    """(doc_id, pos, n_occ) — every ``width``-token span whose exact
+    token sequence occurs more than once in the corpus (across OR
+    within documents): the detection half of exact substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22 — their suffix-array pass re-expressed as rolling
+    window hashing, the shape that distributes).
+
+    One shuffle: a count window over the span hash — no self-join,
+    no second pass over the corpus.  Shuffle rows = total token
+    count (each token starts at most one window), 16 bytes each.
+    """
+    from pyspark.sql import Window
+
+    spans = _window_spans(corpus, width, text_col)
+    n = F.count("*").over(Window.partitionBy("h"))
+    return (
+        spans.withColumn("n_occ", n.cast("long"))
+        .filter(F.col("n_occ") > 1)
+        .select("doc_id", "pos", "n_occ")
+    )
+
+
+def dup_span_stats(corpus: DataFrame, width: int = 8,
+                   text_col: str = "content") -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_frac) — per-document share
+    of tokens covered by some duplicated ``width``-token span: the
+    curation signal ("drop or trim docs that are mostly boilerplate").
+
+    Coverage = distinct token positions under the union of duplicated
+    windows (overlaps counted once).  The position explode is bounded
+    by ``dup_spans x width`` rows and collapses immediately into a
+    per-doc distinct count.
+    """
+    dup = duplicate_spans(corpus, width, text_col)
+    covered = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (width - 1))
+            ).alias("tpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tpos").cast("long").alias("dup_tokens"))
+    )
+    toks = tokens_array(text_col)
+    return (
+        corpus.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

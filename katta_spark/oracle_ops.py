@@ -882,3 +882,56 @@ x AS (
 SELECT CAST(q AS DOUBLE) AS q, CAST(bits AS INT) AS bits,
        (CAST(1 AS BIGINT) << bits) - 1 AS ub, cum_n
 FROM x WHERE rn = 1"""
+
+
+# ------------------------------------------------- duplicated spans
+
+def _span_cte(width: int) -> str:
+    """CTE ``spans(doc_id, pos, h)`` mirroring ops.dedup._window_spans
+    (0-based pos, 60-bit md5 window hash)."""
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    return f"""WITH tokl AS ({tokl}),
+spans AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(
+           list_slice(toks, i, i + {width - 1}), ' ')), 1, 15))
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, toks,
+          unnest(generate_series(1,
+            CASE WHEN len(toks) >= {width}
+                 THEN len(toks) - {width - 1} ELSE 0 END)) AS i
+        FROM tokl)
+)"""
+
+
+def duplicate_spans_sql(width: int = 8) -> str:
+    """Oracle for ops.dedup.duplicate_spans."""
+    return f"""{_span_cte(width)}
+SELECT doc_id, CAST(pos AS INT) AS pos, n_occ FROM (
+  SELECT doc_id, pos,
+         CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS n_occ
+  FROM spans)
+WHERE n_occ > 1"""
+
+
+def dup_span_stats_sql(width: int = 8) -> str:
+    """Oracle for ops.dedup.dup_span_stats."""
+    return f"""{_span_cte(width)},
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n_occ
+    FROM spans)
+  WHERE n_occ > 1),
+covered AS (
+  SELECT doc_id, CAST(count(DISTINCT tpos) AS BIGINT) AS dup_tokens
+  FROM (SELECT doc_id,
+          unnest(generate_series(pos, pos + {width - 1})) AS tpos
+        FROM dup)
+  GROUP BY doc_id),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         FROM tokl)
+SELECT l.doc_id, l.n_tokens,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(c.dup_tokens, 0)
+             / greatest(l.n_tokens, 1), 6) AS dup_frac
+FROM lens l LEFT JOIN covered c ON l.doc_id = c.doc_id"""

@@ -272,3 +272,32 @@ def test_dsir_select_deterministic_and_weighted(spark, corpus):
     base_rate = len(tgt_ids) / corpus.count()
     sel_rate = len(sel & tgt_ids) / k
     assert sel_rate > base_rate
+
+
+def test_duplicate_spans_exact_positions(spark):
+    """Hand-crafted corpus: an 8-token boilerplate shared by two docs
+    is flagged at the right start positions; unique text is not."""
+    from katta_spark.ops.dedup import dup_span_stats, duplicate_spans
+
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, boiler + " unique tail zero here"),
+        (1, "lead in words " + boiler),
+        (2, "completely different content nothing shared at all ok"),
+        (3, "short doc"),  # shorter than the window -> no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {
+        (r["doc_id"], r["pos"]): r["n_occ"]
+        for r in duplicate_spans(df, width=8).collect()
+    }
+    # doc 0: boilerplate starts at token 0; doc 1: after 3 lead tokens
+    assert got[(0, 0)] == 2
+    assert got[(1, 3)] == 2
+    assert all(d != 2 and d != 3 for d, _ in got)
+
+    stats = {r["doc_id"]: r for r in dup_span_stats(df, width=8).collect()}
+    assert stats[0]["dup_tokens"] == 8
+    assert stats[2]["dup_tokens"] == 0 and stats[2]["dup_frac"] == 0.0
+    assert stats[3]["n_tokens"] < 8 and stats[3]["dup_tokens"] == 0
+    assert abs(stats[0]["dup_frac"] - 8 / stats[0]["n_tokens"]) < 1e-6
