@@ -136,12 +136,65 @@ def _cos_to_literal(vec_col, cvec: list[float]):
     return _dot(vec_col, c) / (_norm(vec_col) * F.lit(cn))
 
 
+def _assign_cid(vec_col, centroids: list[list[float]]):
+    """argmax-cosine centroid id (tie-break cid asc) as a pure JVM
+    fold over broadcast centroid literals — no shuffle, no Python."""
+    elems = [
+        F.struct(
+            (-_cos_to_literal(vec_col, cv)).alias("nc"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*elems))["cid"]
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    init_centroids: list[list[float]],
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd k-means refinement of IVF coarse centroids.
+
+    Each iteration is ONE map-side-combinable shuffle: assignment is
+    the JVM argmax fold (:func:`_assign_cid`, narrow), recentering is
+    ``groupBy(cid).agg(avg(emb[0]), ..., avg(emb[d-1]))`` — per-dim
+    built-in aggregates with partial combine, so shuffle volume is
+    ``k x d`` partials per input partition, never the vectors.
+    Empty clusters keep their previous centroid.  The k-means|| seed
+    the original docstring promised lives in the caller's hands as
+    ``init_centroids`` (the deterministic smallest-id sample is the
+    default seed in :func:`build_ivf_index`).
+    """
+    cents = [list(map(float, c)) for c in init_centroids]
+    if not cents:
+        return cents
+    dims = len(cents[0])
+    for _ in range(max(0, iters)):
+        aggs = [F.count("*").alias("_n")] + [
+            F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dims)
+        ]
+        rows = (
+            embeddings.select(
+                _assign_cid(F.col(vec_col), cents).alias("cid"), vec_col
+            )
+            .groupBy("cid")
+            .agg(*aggs)
+            .collect()
+        )
+        new = {r["cid"]: [float(r[f"m{d}"]) for d in range(dims)] for r in rows}
+        cents = [new.get(cid, old) for cid, old in enumerate(cents)]
+    return cents
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     out_dir: str,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> dict:
     """IVF-flat index: vectors partitioned by nearest-centroid id.
 
@@ -163,16 +216,18 @@ def build_ivf_index(
     centroids = [
         [float(x) for x in r[vec_col]] for r in cents
     ]
-    elems = [
-        F.struct(
-            (-_cos_to_literal(F.col(vec_col), cv)).alias("nc"),
-            F.lit(cid).alias("cid"),
+    if kmeans_iters:
+        # Lloyd refinement (one shuffle per iteration).  Off by
+        # default: float-avg recentering is reproducible only up to
+        # summation order, so oracle-checked builds keep the exact
+        # deterministic seed centroids.
+        centroids = kmeans_refine(
+            embeddings, centroids, iters=kmeans_iters, vec_col=vec_col
         )
-        for cid, cv in enumerate(centroids)
-    ]
-    best = F.array_min(F.array(*elems))["cid"]
     assigned = embeddings.select(
-        best.alias("cid"), F.col(id_col), F.col(vec_col)
+        _assign_cid(F.col(vec_col), centroids).alias("cid"),
+        F.col(id_col),
+        F.col(vec_col),
     )
     (
         assigned.repartition("cid")

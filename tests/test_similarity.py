@@ -253,3 +253,81 @@ def test_ivf_query_batch_matches_per_query(spark, emb, ivf_dir):
     # single pruned relation in the plan: the scan appears once
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_kmeans_refine_converges_to_cluster_means(spark):
+    """Three well-separated 4-d clusters: Lloyd refinement from a
+    poor deterministic seed recovers the true cluster means and the
+    refined IVF assignment groups each cluster into one partition."""
+    import math
+
+    from katta_spark.ops import ann_index as AI
+
+    def pts(center, n, spread):
+        return [
+            [c + spread * ((i * 7 + j * 3) % 5 - 2) / 10.0
+             for j, c in enumerate(center)]
+            for i in range(n)
+        ]
+
+    c0, c1, c2 = [10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]
+    rows = []
+    for base, center in enumerate((c0, c1, c2)):
+        for i, v in enumerate(pts(center, 20, 1.0)):
+            rows.append((base * 100 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # bad seed: three vectors from the SAME cluster
+    seed = [r[1] for r in rows[:3]]
+    refined = AI.kmeans_refine(df, seed, iters=8, vec_col="embedding")
+
+    # each true center must be (cosine-)closest to a distinct refined
+    # centroid, i.e. the refinement escaped the single-cluster seed
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    owners = {
+        ci: max(range(3), key=lambda k: cos(center, refined[k]))
+        for ci, center in enumerate((c0, c1, c2))
+    }
+    assert sorted(owners.values()) == [0, 1, 2], (owners, refined)
+
+
+def test_ivf_build_with_kmeans_partitions_clusters(spark, tmp_path):
+    from katta_spark.ops import ann_index as AI
+
+    # interleaved ids: the deterministic smallest-id seed picks one
+    # (noisy) vector from EACH cluster; Lloyd then pulls centroids to
+    # the cluster means
+    rows = []
+    for i in range(30):
+        for axis in range(3):
+            v = [0.0] * 8
+            v[axis] = 10.0
+            v[(axis + 3) % 8] = (i % 7) / 10.0
+            rows.append((i * 3 + axis, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = str(tmp_path / "ivf_km")
+    meta = AI.build_ivf_index(df, d, n_centroids=3, kmeans_iters=5)
+
+    got = spark.read.parquet(d)
+    # partition purity: each cluster (vec_id % 3) maps to exactly one cid
+    purity = (
+        got.selectExpr("CAST(vec_id % 3 AS INT) AS grp", "cid")
+        .distinct()
+        .groupBy("grp")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in purity)
+
+    # refinement moved centroids onto the true means: secondary
+    # component = mean of (i % 7)/10 over i in 0..29 = 0.3, not the
+    # seed vector's own (i=0 -> 0.0)
+    true_secondary = sum((i % 7) / 10.0 for i in range(30)) / 30
+    for cv in meta["centroids"]:
+        sec = sorted((abs(x) for x in cv), reverse=True)[1]
+        assert abs(sec - true_secondary) < 1e-6, meta["centroids"]
