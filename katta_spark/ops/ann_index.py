@@ -246,6 +246,29 @@ def build_ivf_index(
     return meta
 
 
+def append_to_ivf_index(embeddings: DataFrame, index_dir: str) -> dict:
+    """Incremental vector ingest: assign NEW vectors to the existing
+    (frozen) centroids and append their ``cid=`` partitions — the
+    vector-index analogue of the text index's commit appends.  Probes
+    pick up appended files with no handle invalidation (partition
+    pruning is directory-based).  Quantizer drift under a shifting
+    distribution is handled by a periodic rebuild with
+    ``kmeans_iters>0``, same as any IVF system."""
+    meta = json.loads((Path(index_dir) / "_meta.json").read_text())
+    assigned = embeddings.select(
+        _assign_cid(F.col(meta["vec_col"]), meta["centroids"]).alias("cid"),
+        F.col(meta["id_col"]),
+        F.col(meta["vec_col"]),
+    )
+    (
+        assigned.repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(index_dir)
+    )
+    return meta
+
+
 def ivf_query(
     spark: SparkSession,
     index_dir: str,

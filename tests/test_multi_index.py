@@ -152,3 +152,18 @@ def test_merge_indexes_rank_identity(spark, split_dirs, tmp_path_factory):
     build_index(spark, extra, out, n_groups=1, commit="c1")
     grown = PI(spark, out)
     assert grown.stats["n_docs"] == N1 + N2 + 100
+
+
+def test_open_many_phrase_rank_identity(spark, split_dirs):
+    """Positional phrase execution directly over a multi-index handle:
+    the block-shift namespacing must leave position decode intact
+    (doc base = block_id * block_range still holds after the shift)."""
+    _, da, db, du = split_dirs
+    m = PhysicalIndex.open_many(spark, [da, db])
+    un = PhysicalIndex(spark, du)
+    got = m.phrase_topk(["parse", "http", "request"], k=10).collect()
+    want = un.phrase_topk(["parse", "http", "request"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    assert len(got) > 0  # the phrase actually occurs in the corpus
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)

@@ -301,3 +301,39 @@ def test_duplicate_spans_exact_positions(spark):
     assert stats[2]["dup_tokens"] == 0 and stats[2]["dup_frac"] == 0.0
     assert stats[3]["n_tokens"] < 8 and stats[3]["dup_tokens"] == 0
     assert abs(stats[0]["dup_frac"] - 8 / stats[0]["n_tokens"]) < 1e-6
+
+
+def test_duplicate_spans_fuzz_parity_python_mirror(spark):
+    """Seeded random corpora over a tiny alphabet (forces real window
+    collisions): Spark output == a pure-python rolling-window mirror
+    built on the same tokenizer."""
+    import random
+
+    from katta_spark.ops.dedup import duplicate_spans
+    from katta_spark.tokenizer import py_tokenize
+
+    rng = random.Random(42)
+    alphabet = ["alpha", "beta", "gamma", "delta"]
+    w = 3
+    rows = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {
+        (r["doc_id"], r["pos"]): r["n_occ"]
+        for r in duplicate_spans(df, width=w).collect()
+    }
+
+    from collections import Counter
+
+    spans = []
+    for doc_id, text in rows:
+        toks = py_tokenize(text)
+        for pos in range(len(toks) - w + 1):
+            spans.append((doc_id, pos, " ".join(toks[pos:pos + w])))
+    counts = Counter(s for _, _, s in spans)
+    want = {
+        (d, p): counts[s] for d, p, s in spans if counts[s] > 1
+    }
+    assert got == want

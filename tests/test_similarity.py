@@ -331,3 +331,24 @@ def test_ivf_build_with_kmeans_partitions_clusters(spark, tmp_path):
     for cv in meta["centroids"]:
         sec = sorted((abs(x) for x in cv), reverse=True)[1]
         assert abs(sec - true_secondary) < 1e-6, meta["centroids"]
+
+
+def test_ivf_append_matches_full_build(spark, emb, tmp_path):
+    """build(first half) + append(second half) answers queries
+    identically to build(full) — centroids are the smallest-id seed
+    in both, so layout and results must match exactly."""
+    from katta_spark.ops import ann_index as AI
+
+    d_inc = str(tmp_path / "ivf_inc")
+    d_full = str(tmp_path / "ivf_full")
+    first = emb.filter(F.col("vec_id") < 500)
+    rest = emb.filter(F.col("vec_id") >= 500)
+    AI.build_ivf_index(first, d_inc, n_centroids=8)
+    AI.append_to_ivf_index(rest, d_inc)
+    AI.build_ivf_index(emb, d_full, n_centroids=8)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = AI.ivf_query(spark, d_inc, qv, k=10, nprobe=3).collect()
+    want = AI.ivf_query(spark, d_full, qv, k=10, nprobe=3).collect()
+    assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in want]
+    assert len(got) == 10
