@@ -62,3 +62,38 @@ def test_bit_histogram_zero_value(spark):
     df = spark.createDataFrame([(0,), (1,), (2,)], "v long")
     got = {r["bits"]: r["n"] for r in sketch.bit_histogram(df, "v").collect()}
     assert got == {1: 2, 2: 1}  # 0 and 1 share bits=1; 2 has bits=2
+
+
+def test_new_ops_plan_shapes(spark):
+    """Scale-shape pins: duplicate_spans shuffles ONCE (16-byte hash
+    rows, window strings never materialize before the exchange); the
+    KMV kernel runs narrow over the scan (no exchange below
+    MapInPandas) with its one exchange over <= k x partitions rows."""
+    from katta_spark.ops.dedup import duplicate_spans
+    from katta_spark.tokenizer import explode_tokens
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumnRenamed("text", "content")
+
+    p1 = (
+        duplicate_spans(docs, width=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p1.count("Exchange") == 1
+    assert "CartesianProduct" not in p1 and "NestedLoop" not in p1
+
+    p2 = (
+        sketch.kmv_distinct(explode_tokens(docs, "content", []), "term", 256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p2.count("Exchange") == 1
+    assert "MapInPandas" in p2
+    # parents print first: the one exchange sits ABOVE the kernel,
+    # i.e. nothing shuffles the corpus before the per-partition top-k
+    assert p2.index("Exchange") > p2.index("TakeOrderedAndProject")
+    assert p2.index("Exchange") < p2.index("MapInPandas")
