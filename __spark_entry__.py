@@ -337,6 +337,37 @@ def q_field_stats(spark, sf_dir):
     )
 
 
+_INTERVALS = [
+    ("small", 0, 120, True, False),
+    ("mid", 100, 300, True, False),
+    ("large", 250, 100000, True, True),
+]
+
+
+def q_ft_interval_facet(spark, sf_dir):
+    """Solr facet.interval: overlapping interval counts, one agg pass."""
+    return phys_index(spark, sf_dir).interval_facet(
+        ["data"], "n_chars", _INTERVALS
+    )
+
+
+def q_ft_range_other(spark, sf_dir):
+    """Solr facet.range.other=all: before/between/after counts."""
+    return phys_index(spark, sf_dir).range_facet_other(
+        ["scan"], "n_chars", 100.0, 300.0
+    )
+
+
+def q_ft_facet_stats(spark, sf_dir):
+    """Solr stats.facet: numeric field summary per facet bucket."""
+    out = phys_index(spark, sf_dir).facet_stats(["table"], "lang", "n_chars")
+    return out.select(
+        "lang", "n", "min_v", "max_v",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("mean_v", 6).alias("mean_v"),
+    )
+
+
 def q_group_topk(spark, sf_dir):
     """Solr result grouping: top-3 hits per lang."""
     return _round_score(
@@ -1015,6 +1046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_highlight": q_phys_highlight,
         "ft_suggest": q_terms_suggest,
         "ft_field_stats": q_field_stats,
+        "ft_interval_facet": q_ft_interval_facet,
+        "ft_range_other": q_ft_range_other,
+        "ft_facet_stats": q_ft_facet_stats,
         "ft_group_topk": q_group_topk,
         "ft_mlt": q_mlt,
         "ft_multi_topk": q_multi_topk,
@@ -1152,6 +1186,11 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_phys_highlight": O.highlight_sql(["batch"], k=5, width=60),
         "ft_suggest": O.suggest_sql("s", n=10),
         "ft_field_stats": O.field_stats_sql(["scan"], "n_chars"),
+        "ft_interval_facet": O.interval_facet_sql(
+            ["data"], "n_chars", _INTERVALS
+        ),
+        "ft_range_other": O.range_other_sql(["scan"], "n_chars", 100.0, 300.0),
+        "ft_facet_stats": O.facet_stats_sql(["table"], "lang", "n_chars"),
         "ft_group_topk": O.group_topk_sql(["table"], "lang", k_per_group=3),
         "ft_mlt": O.mlt_sql(7, m_terms=5, k=10),
         "ft_multi_topk": O.multi_topk_sql(_MULTI_Q, k=5),

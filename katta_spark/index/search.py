@@ -869,6 +869,87 @@ class PhysicalIndex:
             .orderBy("bucket_start")
         )
 
+    def interval_facet(self, qterms: list[str], field: str,
+                       intervals: list[tuple], mode: str = "or",
+                       filters: Filters = None) -> DataFrame:
+        """Solr ``facet.interval``: arbitrary — possibly overlapping —
+        intervals over a numeric field; a matching doc counts in EVERY
+        interval that contains it (unlike :meth:`range_facet`'s
+        disjoint gap buckets).  ``intervals`` is a list of
+        ``(label, lo, hi, lo_incl, hi_incl)`` mirroring Solr's
+        ``[lo,hi)`` / ``(lo,hi]`` bracket syntax.
+
+        Plan shape: the per-interval counts are conditional sums inside
+        ONE global aggregate (map-side partial agg over the matched
+        scan, a single reduce row), and the unpivot to (label, cnt)
+        rows is a ``stack`` over that one row — no per-label pass, no
+        extra shuffle, however many intervals are asked for.
+        """
+        m = self.matched_docs(qterms, mode, filters)
+        v = F.col(field).cast("double")
+        aggs = []
+        for i, (label, lo, hi, lo_incl, hi_incl) in enumerate(intervals):
+            c = (v >= F.lit(float(lo))) if lo_incl else (v > F.lit(float(lo)))
+            c = c & ((v <= F.lit(float(hi))) if hi_incl else (v < F.lit(float(hi))))
+            aggs.append(
+                F.coalesce(F.sum(F.when(c, F.lit(1)).cast("long")), F.lit(0))
+                .alias(f"_i{i}")
+            )
+        row = self.docs.join(m, "doc_id", "left_semi").agg(*aggs)
+        stack = ", ".join(
+            "'" + lbl.replace("'", "\\'") + f"', _i{i}"
+            for i, (lbl, *_rest) in enumerate(intervals)
+        )
+        return row.selectExpr(
+            f"stack({len(intervals)}, {stack}) AS (label, cnt)"
+        ).orderBy("label")
+
+    def range_facet_other(self, qterms: list[str], field: str,
+                          start: float, end: float, mode: str = "or",
+                          filters: Filters = None) -> DataFrame:
+        """Solr ``facet.range.other=all``: one row of (before, between,
+        after) counts — matches below ``start``, inside ``[start,
+        end)``, and at/above ``end``.  ONE conditional aggregate over
+        the matched scan (same plan family as :meth:`interval_facet`).
+        """
+        m = self.matched_docs(qterms, mode, filters)
+        v = F.col(field).cast("double")
+
+        def cnt(cond: Column, name: str) -> Column:
+            return F.coalesce(
+                F.sum(F.when(cond, F.lit(1)).cast("long")), F.lit(0)
+            ).alias(name)
+
+        lo, hi = F.lit(float(start)), F.lit(float(end))
+        return self.docs.join(m, "doc_id", "left_semi").agg(
+            cnt(v < lo, "before"),
+            cnt((v >= lo) & (v < hi), "between"),
+            cnt(v >= hi, "after"),
+        )
+
+    def facet_stats(self, qterms: list[str], facet_field: str,
+                    stat_field: str, mode: str = "or",
+                    filters: Filters = None) -> DataFrame:
+        """Solr StatsComponent with ``stats.facet``: the
+        :meth:`field_stats` summary computed per value of
+        ``facet_field`` — one hash aggregation keyed on the facet
+        value (partial agg map-side; shuffle O(distinct facet
+        values))."""
+        m = self.matched_docs(qterms, mode, filters)
+        v = F.col(stat_field).cast("double")
+        return (
+            self.docs.join(m, "doc_id", "left_semi")
+            .groupBy(facet_field)
+            .agg(
+                F.count(v).alias("n"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+                F.round(F.sum(v), 6).alias("sum_v"),
+                F.round(F.avg(v), 6).alias("mean_v"),
+            )
+            .orderBy(facet_field)
+        )
+
     def pivot_facet(self, qterms: list[str], field1: str, field2: str,
                     n1: int = 5, n2: int = 3, mode: str = "or",
                     filters: Filters = None) -> DataFrame:

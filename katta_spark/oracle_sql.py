@@ -424,6 +424,54 @@ SELECT count(CAST(d.{field} AS DOUBLE)) AS n,
 FROM {DOCS} d JOIN matched m ON d.doc_id = m.doc_id"""
 
 
+def interval_facet_sql(terms: list[str], field: str,
+                       intervals: list[tuple], mode: str = "or") -> str:
+    """facet.interval oracle: per-interval FILTER counts over the
+    matched docs (overlap allowed — a doc counts in every interval)."""
+    rows = []
+    for label, lo, hi, lo_incl, hi_incl in intervals:
+        lop = ">=" if lo_incl else ">"
+        hip = "<=" if hi_incl else "<"
+        lbl = label.replace("'", "''")
+        rows.append(
+            f"SELECT '{lbl}' AS label, count(*) FILTER "
+            f"(WHERE v {lop} {float(lo)!r} AND v {hip} {float(hi)!r}) AS cnt "
+            f"FROM vals"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""{index_ctes()}{matched_sql(terms, mode)},
+vals AS (SELECT CAST(d.{field} AS DOUBLE) AS v
+         FROM {DOCS} d JOIN matched m ON d.doc_id = m.doc_id)
+SELECT label, cnt FROM ({body}) ORDER BY label"""
+
+
+def range_other_sql(terms: list[str], field: str, start: float,
+                    end: float, mode: str = "or") -> str:
+    """facet.range.other=all oracle: (before, between, after)."""
+    return f"""{index_ctes()}{matched_sql(terms, mode)},
+vals AS (SELECT CAST(d.{field} AS DOUBLE) AS v
+         FROM {DOCS} d JOIN matched m ON d.doc_id = m.doc_id)
+SELECT count(*) FILTER (WHERE v < {float(start)!r}) AS before,
+       count(*) FILTER (WHERE v >= {float(start)!r} AND v < {float(end)!r})
+         AS "between",
+       count(*) FILTER (WHERE v >= {float(end)!r}) AS "after"
+FROM vals"""
+
+
+def facet_stats_sql(terms: list[str], facet_field: str, stat_field: str,
+                    mode: str = "or") -> str:
+    """stats.facet oracle: field_stats per facet value."""
+    return f"""{index_ctes()}{matched_sql(terms, mode)}
+SELECT d.{facet_field},
+       count(CAST(d.{stat_field} AS DOUBLE)) AS n,
+       min(CAST(d.{stat_field} AS DOUBLE)) AS min_v,
+       max(CAST(d.{stat_field} AS DOUBLE)) AS max_v,
+       round(sum(CAST(d.{stat_field} AS DOUBLE)), 6) AS sum_v,
+       round(avg(CAST(d.{stat_field} AS DOUBLE)), 6) AS mean_v
+FROM {DOCS} d JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY d.{facet_field} ORDER BY d.{facet_field}"""
+
+
 def group_topk_sql(terms: list[str], group_field: str,
                    k_per_group: int = 3, mode: str = "or") -> str:
     """Result-grouping oracle: top-k hits per value of

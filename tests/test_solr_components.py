@@ -216,3 +216,46 @@ def test_join_topk_no_inner_matches_is_empty(pindex):
     assert pindex.join_topk(
         ["import"], "lang", "lang", ["zzzznotaterm"], k=5
     ).count() == 0
+
+
+def test_interval_facet_overlapping_counts(pindex, py_oracle):
+    iv = [("a", 0, 40, True, False), ("b", 20, 400, True, True)]
+    got = {
+        r["label"]: r["cnt"]
+        for r in pindex.interval_facet(["quark"], "dl", iv).collect()
+    }
+    vals = [py_oracle.dl[d] for d in py_oracle.matches(["quark"])]
+    assert got == {
+        "a": sum(1 for v in vals if 0 <= v < 40),
+        "b": sum(1 for v in vals if 20 <= v <= 400),
+    }
+    # overlap region [20, 40) is counted in BOTH intervals
+    both = sum(1 for v in vals if 20 <= v < 40)
+    if both:
+        assert got["a"] + got["b"] > len(vals)
+
+
+def test_range_facet_other_partitions_matches(pindex, py_oracle):
+    got = pindex.range_facet_other(["quark"], "dl", 30.0, 60.0).first()
+    vals = [py_oracle.dl[d] for d in py_oracle.matches(["quark"])]
+    assert got["before"] == sum(1 for v in vals if v < 30)
+    assert got["between"] == sum(1 for v in vals if 30 <= v < 60)
+    assert got["after"] == sum(1 for v in vals if v >= 60)
+    assert got["before"] + got["between"] + got["after"] == len(vals)
+
+
+def test_facet_stats_per_bucket(pindex, py_oracle, pandas_docs):
+    langs = {
+        int(r.doc_id): r.lang for r in pandas_docs.itertuples(index=False)
+    }
+    rows = pindex.facet_stats(["quark"], "lang", "dl").collect()
+    per: dict[str, list[float]] = {}
+    for d in py_oracle.matches(["quark"]):
+        per.setdefault(langs[d], []).append(float(py_oracle.dl[d]))
+    assert [r["lang"] for r in rows] == sorted(per)
+    for r in rows:
+        vals = per[r["lang"]]
+        assert r["n"] == len(vals)
+        assert r["min_v"] == min(vals)
+        assert r["max_v"] == max(vals)
+        assert r["mean_v"] == pytest.approx(sum(vals) / len(vals), abs=1e-6)
