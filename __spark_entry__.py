@@ -623,6 +623,28 @@ def q_ts_session_agg(spark, sf_dir):
     )
 
 
+def q_ts_sliding_window(spark, sf_dir):
+    """Hopping windows: 2-hour width sliding every hour (each event in
+    two windows)."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.sliding_window_agg(_events(spark, sf_dir), "ts", "2 hours", "1 hour")
+    return _fmt_ts(out, "win_start", "win").select(
+        "win", "n", "sum_value", "avg_value"
+    )
+
+
+def q_ts_gap_fill(spark, sf_dir):
+    """LOCF gap fill: 12-hour grid per user (users 0-2), forward-filled."""
+    from katta_spark.ops import timeseries as TS
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 3)
+    out = TS.gap_fill(ev, "ts", "user_id", "value", step="12 hours")
+    return _fmt_ts(out, "grid_ts", "grid_ts").select(
+        "user_id", "grid_ts", "value"
+    )
+
+
 _DM_NOW = "2024-01-25 13:47:33"
 _DM_LO, _DM_HI = "NOW/DAY-7DAYS", "NOW/HOUR+1HOURS"
 
@@ -1128,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_date_facet": q_ts_date_facet,
         "ts_window_agg": q_ts_window_agg,
         "ts_session_agg": q_ts_session_agg,
+        "ts_sliding_window": q_ts_sliding_window,
+        "ts_gap_fill": q_ts_gap_fill,
         "ts_json": q_ts_json,
         "ts_date_math": q_ts_date_math,
     }
@@ -1349,6 +1373,8 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_date_facet": OO.ts_date_facet_sql("day"),
         "ts_window_agg": OO.ts_window_agg_sql(1),
         "ts_session_agg": OO.ts_session_agg_sql(30),
+        "ts_sliding_window": OO.ts_sliding_window_sql(7200, 3600),
+        "ts_gap_fill": OO.ts_gap_fill_sql("12 hours", "user_id < 3"),
         "ts_json": OO.ts_json_sql(),
         "ts_date_math": OO.ts_date_math_sql(_DM_NOW, _DM_LO, _DM_HI),
     }

@@ -116,6 +116,85 @@ def window_agg(df: DataFrame, ts_col: str, duration: str,
     )
 
 
+def sliding_window_agg(df: DataFrame, ts_col: str, width: str, hop: str,
+                       value_col: str = "value") -> DataFrame:
+    """Hopping-window aggregate (win_start, n, sum_value, avg_value):
+    every event lands in ``width/hop`` overlapping windows.
+
+    ``F.window(ts, width, hop)`` expands each row to its covering
+    windows JVM-side before ONE hash aggregation — shuffle grows by
+    the (small, constant) overlap factor, never a self-join or a
+    per-window pass.  Epoch-aligned like :func:`window_agg`, so batch
+    and Structured Streaming produce identical buckets."""
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), width, hop)["start"].alias("win_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .orderBy("win_start")
+    )
+
+
+def gap_fill(df: DataFrame, ts_col: str, key_col: str,
+             value_col: str = "value", step: str = "1 hour") -> DataFrame:
+    """Regular-grid resample with forward fill (LOCF) per key:
+    (key, grid_ts, value).  The grid runs from each key's first to
+    last observation at a fixed ``step``; every grid point carries the
+    most recent observation at-or-before it (ties at one timestamp are
+    averaged first, so the fill is deterministic).
+
+    Plan shape: one agg for per-key bounds, ``sequence`` + explode for
+    the grid (no driver loop, no cross join), then last-non-null over
+    a per-key ordered window — state is partitioned by key, so the
+    sort never concentrates on one task.  The first grid point always
+    coincides with the key's first observation, so the fill is never
+    null."""
+    from pyspark.sql import Window
+
+    obs = df.groupBy(key_col, ts_col).agg(
+        F.avg(value_col).alias("_v")
+    )
+    grid = (
+        df.groupBy(key_col)
+        .agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.expr(f"sequence(_lo, _hi, interval {step})")
+            ).alias("_t"),
+        )
+        .withColumn("_v", F.lit(None).cast("double"))
+        .withColumn("_src", F.lit(1))
+    )
+    unioned = grid.unionByName(
+        obs.select(
+            key_col,
+            F.col(ts_col).alias("_t"),
+            "_v",
+            F.lit(0).alias("_src"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_t", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("_f", F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_src") == 1)
+        .select(
+            key_col,
+            F.col("_t").alias("grid_ts"),
+            F.round("_f", 6).alias("value"),
+        )
+        .orderBy(key_col, "grid_ts")
+    )
+
+
 def session_agg(df: DataFrame, ts_col: str, key_col: str,
                 gap: str = "30 minutes") -> DataFrame:
     """Per-key session windows (gap-based): (key, session_start, n).

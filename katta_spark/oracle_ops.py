@@ -543,6 +543,47 @@ SELECT strftime(time_bucket(INTERVAL '{hours} hour', ts), '%Y-%m-%d %H:%M:%S') A
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def ts_sliding_window_sql(width_s: int = 7200, hop_s: int = 3600) -> str:
+    """Oracle for ops.timeseries.sliding_window_agg: each event is
+    replicated into its width/hop covering windows via a small
+    generate_series cross join, mirroring Spark's window expansion.
+    Window starts are epoch-aligned exactly like Spark's
+    ``F.window`` (start = hop*floor(epoch/hop) - i*hop)."""
+    reps = width_s // hop_s
+    start = (
+        f"make_timestamp(({hop_s} * CAST(floor(epoch(ts) / {hop_s}) AS BIGINT)"
+        f" - g.i * {hop_s}) * 1000000)"
+    )
+    return f"""
+SELECT strftime({start}, '%Y-%m-%d %H:%M:%S') AS win,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events, (SELECT unnest(range({reps})) AS i) g
+GROUP BY 1 ORDER BY 1"""
+
+
+def ts_gap_fill_sql(step: str = "12 hours", key_where: str = "user_id < 3"
+                    ) -> str:
+    """Oracle for ops.timeseries.gap_fill: per-key generate_series
+    grid + ASOF join to the latest observation at-or-before each grid
+    point (same-timestamp observations averaged first, as the engine
+    does)."""
+    return f"""
+WITH ev AS (SELECT * FROM events WHERE {key_where}),
+obs AS (SELECT user_id, ts, avg(value) AS v FROM ev GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM ev GROUP BY 1),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL '{step}')) AS grid_ts
+         FROM bounds)
+SELECT g.user_id,
+       strftime(g.grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+       round(o.v, 6) AS value
+FROM grid g ASOF JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+ORDER BY 1, 2"""
+
+
 def ts_session_agg_sql(gap_minutes: int = 30) -> str:
     return f"""
 WITH lagd AS (

@@ -185,3 +185,58 @@ def test_watermark_drops_late_events(spark, tmp_path):
     write_file("b", [(t(10, 20), 1.0), (t(13, 40), 1.0)])
     p2 = run_phase()
     assert p2 == {t(10, 0): 2, t(12, 0): 1}
+
+
+def test_sliding_window_covers_each_event_twice(spark):
+    """width=2h, hop=1h: every event falls in exactly 2 windows, and
+    each sliding window's count equals the sum of its two tumbling
+    1-hour sub-buckets."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    slid = TS.sliding_window_agg(e, "ts", "2 hours", "1 hour").collect()
+    assert sum(r["n"] for r in slid) == 2 * e.count()
+    tumb = {
+        r["win_start"]: r["n"]
+        for r in TS.window_agg(e, "ts", "1 hour").collect()
+    }
+    from datetime import timedelta
+
+    for r in slid:
+        want = tumb.get(r["win_start"], 0) + tumb.get(
+            r["win_start"] + timedelta(hours=1), 0
+        )
+        assert r["n"] == want
+
+
+def test_gap_fill_locf_matches_naive(spark):
+    """Every grid value equals the average observation at the latest
+    event time at-or-before the grid point; grid is a regular
+    12-hour lattice from each key's first to last event."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    e = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("user_id") < 3
+    )
+    got = TS.gap_fill(e, "ts", "user_id", "value", step="12 hours").collect()
+    obs = defaultdict(list)
+    for r in e.select("user_id", "ts", "value").collect():
+        obs[r["user_id"]].append((r["ts"], r["value"]))
+    per_key = defaultdict(list)
+    for r in got:
+        per_key[r["user_id"]].append(r)
+    for uid, rows in per_key.items():
+        evs = sorted(obs[uid])
+        lo, hi = evs[0][0], evs[-1][0]
+        # regular lattice anchored at the first event
+        assert rows[0]["grid_ts"] == lo
+        assert all(
+            b["grid_ts"] - a["grid_ts"] == timedelta(hours=12)
+            for a, b in zip(rows, rows[1:])
+        )
+        assert rows[-1]["grid_ts"] <= hi
+        assert hi - rows[-1]["grid_ts"] < timedelta(hours=12)
+        for r in rows:
+            past = [t for t, _ in evs if t <= r["grid_ts"]]
+            t_last = max(past)
+            vals = [v for t, v in evs if t == t_last]
+            assert r["value"] == round(sum(vals) / len(vals), 6)
