@@ -902,6 +902,14 @@ def q_dedup_span_stats(spark, sf_dir):
                                 text_col="text")
 
 
+def q_dedup_trim_spans(spark, sf_dir):
+    """Substring-dedup removal pass (Lee et al. ACL'22): duplicated
+    8-token windows keep their first occurrence corpus-wide; all other
+    occurrences are cut and the doc rewritten from surviving tokens."""
+    return dedup.trim_duplicate_spans(_docs(spark, sf_dir), width=8,
+                                      text_col="text")
+
+
 def q_sketch_kmv_vocab(spark, sf_dir):
     """KMV distinct-term cardinality sketch over the corpus
     vocabulary (ops/sketch.py): one narrow pass, per-partition
@@ -1131,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_len_quantile": q_sketch_len_quantile,
         "dedup_spans": q_dedup_spans,
         "dedup_span_stats": q_dedup_span_stats,
+        "dedup_trim_spans": q_dedup_trim_spans,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_decontam": q_pipe_decontam,
         "pipe_dsir": q_pipe_dsir,
@@ -1323,6 +1332,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "sketch_len_quantile": OO.bit_quantiles_sql((0.5, 0.9, 0.99)),
         "dedup_spans": OO.duplicate_spans_sql(width=8),
         "dedup_span_stats": OO.dup_span_stats_sql(width=8),
+        "dedup_trim_spans": OO.trim_spans_sql(width=8),
         "pipe_hash_split": OO.hash_split_sql(),
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
         "pipe_dsir": OO.dsir_select_sql(k=50, target_where="lang = 'de'"),

@@ -452,6 +452,68 @@ def duplicate_spans(corpus: DataFrame, width: int = 8,
     )
 
 
+def trim_duplicate_spans(corpus: DataFrame, width: int = 8,
+                         text_col: str = "content") -> DataFrame:
+    """(doc_id, n_tokens, n_removed, text_kept) — the REMOVAL half of
+    exact substring dedup (Lee et al. ACL'22 §4: keep one occurrence
+    of every duplicated substring, cut the rest): for each duplicated
+    ``width``-token window the first occurrence corpus-wide (lowest
+    (doc_id, pos)) survives; every other occurrence's token positions
+    are cut, overlapping cuts unioned, and the document is rewritten
+    from the surviving tokens (token-level rewrite — the output is the
+    analyzed token stream re-joined, the unit Lee et al. operate on).
+
+    Plan: ONE window shuffle over the span hash elects winners (same
+    key as :func:`duplicate_spans`); loser windows explode to covered
+    positions (bounded by dup_spans x width) and anti-join the token
+    stream on (doc_id, tpos) — co-keyed, AQE-broadcastable when cuts
+    are sparse; reconstruction is one groupBy(doc_id).  No self-join,
+    no second corpus pass.
+    """
+    from pyspark.sql import Window
+
+    spans = _window_spans(corpus, width, text_col)
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy("doc_id", "pos")
+    losers = (
+        spans.withColumn("_n", F.count("*").over(wh))
+        .withColumn("_rn", F.row_number().over(who))
+        .filter((F.col("_n") > 1) & (F.col("_rn") > 1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (width - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = corpus.select(
+        "doc_id", F.posexplode(tokens_array(text_col)).alias("tpos", "tok")
+    )
+    kept = toks.join(losers, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_kept"),
+    )
+    base = corpus.select(
+        "doc_id", F.size(tokens_array(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+    )
+
+
 def dup_span_stats(corpus: DataFrame, width: int = 8,
                    text_col: str = "content") -> DataFrame:
     """(doc_id, n_tokens, dup_tokens, dup_frac) — per-document share

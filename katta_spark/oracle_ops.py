@@ -955,6 +955,43 @@ SELECT doc_id, CAST(pos AS INT) AS pos, n_occ FROM (
 WHERE n_occ > 1"""
 
 
+def trim_spans_sql(width: int = 8) -> str:
+    """Oracle for ops.dedup.trim_duplicate_spans: winner = lowest
+    (doc_id, pos) per duplicated window hash; loser windows' covered
+    positions are cut and the doc is rebuilt from surviving tokens."""
+    return f"""{_span_cte(width)},
+losers AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY h) AS n,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM spans)
+  WHERE n > 1 AND rn > 1),
+removed AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id,
+           unnest(generate_series(pos, pos + {width - 1})) AS tpos
+    FROM losers)),
+tokens AS (
+  SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        FROM tokl)),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM tokens t LEFT JOIN removed r
+    ON t.doc_id = r.doc_id AND t.tpos = r.tpos
+  WHERE r.doc_id IS NULL),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS text_kept
+  FROM kept GROUP BY doc_id),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tokl)
+SELECT l.doc_id, l.n_tokens,
+       CAST(l.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.text_kept, '') AS text_kept
+FROM lens l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id"""
+
+
 def dup_span_stats_sql(width: int = 8) -> str:
     """Oracle for ops.dedup.dup_span_stats."""
     return f"""{_span_cte(width)},

@@ -337,3 +337,69 @@ def test_duplicate_spans_fuzz_parity_python_mirror(spark):
         (d, p): counts[s] for d, p, s in spans if counts[s] > 1
     }
     assert got == want
+
+
+def test_trim_duplicate_spans_first_wins(spark):
+    """Removal half of substring dedup: the first occurrence of the
+    boilerplate (doc 0, pos 0) survives; the copy in doc 1 is cut;
+    untouched docs rebuild to their exact token stream."""
+    from katta_spark.ops.dedup import trim_duplicate_spans
+    from katta_spark.tokenizer import py_tokenize
+
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, boiler + " unique tail zero here"),
+        (1, "lead in words " + boiler),
+        (2, "completely different content nothing shared at all ok"),
+        (3, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: r for r in trim_duplicate_spans(df, width=8).collect()}
+    # doc 0 keeps everything (it is the winner)
+    assert got[0]["n_removed"] == 0
+    assert got[0]["text_kept"] == " ".join(py_tokenize(rows[0][1]))
+    # doc 1 loses exactly the 8 boilerplate tokens, keeps its lead
+    assert got[1]["n_removed"] == 8
+    assert got[1]["text_kept"] == "lead in words"
+    # unique and short docs untouched
+    for d in (2, 3):
+        assert got[d]["n_removed"] == 0
+        assert got[d]["text_kept"] == " ".join(py_tokenize(rows[d][1]))
+
+
+def test_trim_duplicate_spans_fuzz_no_dup_windows_remain(spark):
+    """Property: after one trim pass with first-wins, every window
+    that was duplicated has lost all non-winning occurrences — and
+    total kept tokens = original - removed."""
+    import random
+
+    from katta_spark.ops.dedup import trim_duplicate_spans
+
+    rng = random.Random(7)
+    alphabet = ["alpha", "beta", "gamma"]
+    rows = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 18))))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    w = 3
+    got = {r["doc_id"]: r for r in trim_duplicate_spans(df, width=w).collect()}
+    # python mirror
+    toks = {d: t.split() for d, t in rows}
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d in sorted(toks):
+        t = toks[d]
+        for p in range(len(t) - w + 1):
+            occ[tuple(t[p:p + w])].append((d, p))
+    cut = defaultdict(set)
+    for k, lst in occ.items():
+        if len(lst) > 1:
+            for d, p in sorted(lst)[1:]:
+                cut[d].update(range(p, p + w))
+    for d, t in toks.items():
+        want = [tok for i, tok in enumerate(t) if i not in cut[d]]
+        assert got[d]["n_tokens"] == len(t)
+        assert got[d]["n_removed"] == len(cut[d])
+        assert got[d]["text_kept"] == " ".join(want)
