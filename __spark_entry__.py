@@ -826,6 +826,20 @@ def q_text_bpe_tokens(spark, sf_dir):
     return text.bpe_token_estimate(_docs(spark, sf_dir), text_col="text")
 
 
+def q_text_bpe_pairs(spark, sf_dir):
+    """Round 0 of distributed BPE training (Sennrich et al. 2016):
+    top-20 adjacent char pairs over the term vocabulary, weighted by
+    corpus term frequency — the pass every merge round repeats."""
+    from katta_spark.ops import bpe
+
+    v = bpe.initial_vocab(_docs(spark, sf_dir), text_col="text")
+    return (
+        bpe.pair_counts(v)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII redaction (emails / IPv4 / intl phones -> typed
     placeholders) with per-class counts — narrow regexp column
@@ -1130,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_bpe_pairs": q_text_bpe_pairs,
         "text_pii_scrub": q_text_pii_scrub,
         "text_ngram_top": q_text_ngram_top,
         "text_unigram_lp": q_text_unigram_lp,
@@ -1323,6 +1338,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_clean": OO.clean_text_sql(),
         "text_repetition": OO.repetition_sql(),
         "text_bpe_tokens": OO.bpe_tokens_sql(),
+        "text_bpe_pairs": O.bpe_pairs_sql(20),
         "text_pii_scrub": OO.pii_scrub_sql(),
         "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
         "text_unigram_lp": OO.unigram_lp_sql(),

@@ -472,6 +472,18 @@ FROM {DOCS} d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY d.{facet_field} ORDER BY d.{facet_field}"""
 
 
+def bpe_pairs_sql(k: int = 20) -> str:
+    """Round-0 BPE pair-count oracle: adjacent char pairs of every
+    distinct term weighted by its corpus frequency (dfv.cf)."""
+    return f"""{index_ctes()},
+pairs AS (
+  SELECT substr(term, i, 1) AS a, substr(term, i + 1, 1) AS b, cf
+  FROM (SELECT term, cf, unnest(generate_series(1, len(term) - 1)) AS i
+        FROM dfv))
+SELECT a, b, CAST(sum(cf) AS BIGINT) AS cnt FROM pairs
+GROUP BY a, b ORDER BY cnt DESC, a ASC, b ASC LIMIT {k}"""
+
+
 def group_topk_sql(terms: list[str], group_field: str,
                    k_per_group: int = 3, mode: str = "or") -> str:
     """Result-grouping oracle: top-k hits per value of
