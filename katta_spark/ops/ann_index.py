@@ -309,6 +309,251 @@ def ivf_query(
     )
 
 
+def _pq_codebooks(sample_vecs: list[list[float]],
+                  centroids: list[list[float]],
+                  m: int, n_codes: int) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the residual sub-vectors of the
+    ``n_codes`` smallest-id sample vectors, one codebook per subspace.
+    Same design trade as the IVF coarse quantizer — a deterministic
+    sample instead of per-subspace k-means, so every build is exactly
+    reproducible by the python mirror (swap in k-means per subspace at
+    warehouse scale; nothing else changes)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    S = np.asarray(sample_vecs, dtype=np.float64)
+    subdim = S.shape[1] // m
+    Sn = np.linalg.norm(S, axis=1)
+    Sn[Sn == 0] = 1.0
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0] = 1.0
+    cos = (S @ C.T) / (Sn[:, None] * Cn[None, :])
+    cid = np.argmax(cos, axis=1)
+    R = S - C[cid]
+    return [
+        [
+            [float(x) for x in R[c, s * subdim:(s + 1) * subdim]]
+            for c in range(n_codes)
+        ]
+        for s in range(m)
+    ]
+
+
+def make_pq_encoder(centroids: list[list[float]],
+                    codebooks: list[list[list[float]]],
+                    id_col: str, vec_col: str):
+    """Arrow-batched PQ encoder kernel for ``mapInPandas``: per batch,
+    one matmul assigns coarse centroids (argmax cosine, first-wins
+    ties) and one distance matrix per subspace picks the nearest code
+    for the residual — all numpy float64, zero per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    CB = np.asarray(codebooks, dtype=np.float64)  # m x n_codes x subdim
+    m, _, subdim = CB.shape
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0] = 1.0
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = np.linalg.norm(V, axis=1)
+            Vn[Vn == 0] = 1.0
+            cos = (V @ C.T) / (Vn[:, None] * Cn[None, :])
+            cid = np.argmax(cos, axis=1)
+            R = V - C[cid]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Rs = R[:, s * subdim:(s + 1) * subdim]
+                d2 = ((Rs[:, None, :] - CB[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cid": cid.astype("int32"),
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    return kernel
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> dict:
+    """IVF-PQ index: coarse centroid partitioning + product-quantized
+    residual codes, NO stored vectors.
+
+    This is the memory story at 100 TB: a 64-dim float64 vector is 512
+    bytes; its PQ row is ``m`` one-byte-range codes (m=8 here) + id —
+    a ~50x shrink, which is what lets the probe set live in executor
+    memory / page cache when the raw corpus cannot.  Scoring is ADC
+    (asymmetric distance computation, Jégou et al. TPAMI'11): the
+    query builds per-subspace lookup tables against each probed
+    centroid and candidates are scored by ``m`` table lookups — a JVM
+    expression fold over broadcast LUT literals, no Python, no
+    vector-width work per row.
+
+    Layout mirrors :func:`build_ivf_index` (``cid=`` partitioned,
+    frozen quantizer in ``_meta.json``, meta written last)."""
+    sample_n = max(n_centroids, n_codes)
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(sample_n)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    centroids = vecs[:n_centroids]
+    if kmeans_iters:
+        centroids = kmeans_refine(
+            embeddings, centroids, iters=kmeans_iters, vec_col=vec_col
+        )
+    dims = len(centroids[0])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    codebooks = _pq_codebooks(vecs[:n_codes], centroids, m, n_codes)
+    enc = make_pq_encoder(centroids, codebooks, id_col, vec_col)
+    id_type = dict(embeddings.select(id_col, vec_col).dtypes)[id_col]
+    encoded = embeddings.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"cid int, {id_col} {id_type}, codes array<int>"
+    )
+    (
+        encoded.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(out_dir)
+    )
+    meta = {
+        "kind": "ivfpq",
+        "n_centroids": int(n_centroids),
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "centroids": centroids,
+        "codebooks": codebooks,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    (Path(out_dir) / "_meta.json").write_text(json.dumps(meta, indent=1))
+    return meta
+
+
+def ivfpq_query(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+    rerank_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cos) top-k by ADC-approximate cosine within the ``nprobe``
+    nearest centroids' partitions.
+
+    Per probed centroid the driver builds two m x n_codes tables from
+    the frozen codebooks: LUT_dot[s][c] = q_s · (centroid_s + cb[s][c])
+    and LUT_n2[s][c] = ||centroid_s + cb[s][c]||² — the reconstruction
+    dot-product and norm both decompose per subspace, so the
+    approximate cosine is m lookups + one sqrt per candidate.  The
+    tables ride a broadcast join on ``cid``; scoring is a JVM
+    ``aggregate`` fold (no Python per row).
+
+    ``rerank_embeddings``: optional exact re-ranking — the ADC
+    ``shortlist`` (default 4k) broadcast-semi-joins the original
+    embeddings table and exact cosine reorders it; the heavy table is
+    touched only for shortlist ids."""
+    import math
+
+    meta = json.loads((Path(index_dir) / "_meta.json").read_text())
+    id_col = meta["id_col"]
+    cents = meta["centroids"]
+    cbs = meta["codebooks"]
+    m = meta["m"]
+    subdim = len(cents[0]) // m
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+
+    def cos_c(cv):
+        dot = sum(float(a) * float(b) for a, b in zip(cv, query_vec))
+        nc = math.sqrt(sum(float(a) * float(a) for a in cv)) or 1.0
+        return dot / (nc * qn)
+
+    ranked = sorted(
+        ((cos_c(cv), cid) for cid, cv in enumerate(cents)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe = [cid for _, cid in ranked[: max(nprobe, 1)]]
+
+    lut_rows = []
+    for cid in probe:
+        cv = cents[cid]
+        ld, ln = [], []
+        for s in range(m):
+            qs = query_vec[s * subdim:(s + 1) * subdim]
+            row_d, row_n = [], []
+            for code in range(meta["n_codes"]):
+                rec = [
+                    float(cv[s * subdim + j]) + float(cbs[s][code][j])
+                    for j in range(subdim)
+                ]
+                row_d.append(sum(float(a) * b for a, b in zip(qs, rec)))
+                row_n.append(sum(b * b for b in rec))
+            ld.append(row_d)
+            ln.append(row_n)
+        lut_rows.append((cid, ld, ln))
+    lut = spark.createDataFrame(
+        lut_rows,
+        "cid int, ld array<array<double>>, ln array<array<double>>",
+    )
+
+    df = spark.read.parquet(index_dir).filter(F.col("cid").isin(probe))
+    seq = F.sequence(F.lit(1), F.lit(m))
+    dot = F.aggregate(
+        seq,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("ld", s), F.element_at("codes", s) + 1
+        ),
+    )
+    n2 = F.aggregate(
+        seq,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("ln", s), F.element_at("codes", s) + 1
+        ),
+    )
+    scored = df.join(F.broadcast(lut), "cid").select(
+        F.col(id_col).alias("id"),
+        (dot / (F.greatest(F.sqrt(n2), F.lit(1e-300)) * F.lit(qn))).alias(
+            "cos"
+        ),
+    )
+    if rerank_embeddings is None:
+        return scored.orderBy(F.desc("cos"), F.asc("id")).limit(k)
+    sl = shortlist or max(4 * k, k)
+    cand = (
+        scored.orderBy(F.desc("cos"), F.asc("id"))
+        .limit(sl)
+        .select(F.col("id").alias(id_col))
+    )
+    vec_col = meta["vec_col"]
+    exact = rerank_embeddings.join(
+        F.broadcast(cand), id_col, "left_semi"
+    ).select(id_col, vec_col)
+    return cosine_topk(exact, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
 def ann_query(
     spark: SparkSession,
     index_dir: str,

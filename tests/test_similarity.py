@@ -352,3 +352,115 @@ def test_ivf_append_matches_full_build(spark, emb, tmp_path):
     want = AI.ivf_query(spark, d_full, qv, k=10, nprobe=3).collect()
     assert [(r[0], r[1]) for r in got] == [(r[0], r[1]) for r in want]
     assert len(got) == 10
+
+
+@pytest.fixture(scope="module")
+def ivfpq_dir(spark, emb, tmp_path_factory):
+    from katta_spark.ops import ann_index as AI
+
+    d = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    AI.build_ivfpq_index(
+        emb.filter(F.col("vec_id") != 0), d, n_centroids=8, m=8, n_codes=16
+    )
+    return d
+
+
+def test_ivfpq_matches_numpy_mirror(spark, emb, ivfpq_dir):
+    """Full-probe ADC ranking == an independent numpy/python mirror of
+    the entire pipeline (deterministic codebooks, encoding, LUT
+    scoring) — scores compared to 1e-9."""
+    import json
+    import math
+
+    import numpy as np
+
+    from katta_spark.ops import ann_index as AI
+
+    meta = json.loads(open(f"{ivfpq_dir}/_meta.json").read())
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    got = AI.ivfpq_query(
+        spark, ivfpq_dir, q, k=10, nprobe=meta["n_centroids"]
+    ).collect()
+
+    C = np.array(meta["centroids"])
+    CB = np.array(meta["codebooks"])
+    m, subdim = meta["m"], C.shape[1] // meta["m"]
+    rows = corpus.collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    V = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    Vn = np.linalg.norm(V, axis=1)
+    Vn[Vn == 0] = 1.0
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0] = 1.0
+    cid = np.argmax((V @ C.T) / (Vn[:, None] * Cn[None, :]), axis=1)
+    R = V - C[cid]
+    codes = np.stack(
+        [
+            np.argmin(
+                (
+                    (R[:, s * subdim:(s + 1) * subdim][:, None, :]
+                     - CB[s][None, :, :]) ** 2
+                ).sum(-1),
+                axis=1,
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    qn = math.sqrt(sum(x * x for x in q))
+    scores = {}
+    for i, vid in enumerate(ids):
+        cv = C[cid[i]]
+        dot = 0.0
+        n2 = 0.0
+        for s in range(m):
+            rec = cv[s * subdim:(s + 1) * subdim] + CB[s][codes[i, s]]
+            qs = q[s * subdim:(s + 1) * subdim]
+            dot += sum(float(a) * float(b) for a, b in zip(qs, rec))
+            n2 += sum(float(b) * float(b) for b in rec)
+        scores[vid] = dot / (max(math.sqrt(n2), 1e-300) * qn)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["id"], round(r["cos"], 9)) for r in got] == [
+        (i, round(s, 9)) for i, s in want
+    ]
+
+
+def test_ivfpq_rerank_full_shortlist_equals_exact(spark, emb, ivfpq_dir):
+    """ADC shortlist = whole corpus + exact rerank reproduces the
+    exact cosine top-k (plumbing check: the compressed index loses
+    nothing when the shortlist doesn't cut)."""
+    from katta_spark.ops import ann_index as AI
+
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    exact = sim.cosine_topk(corpus, q, k=10).collect()
+    got = AI.ivfpq_query(
+        spark, ivfpq_dir, q, k=10, nprobe=8,
+        shortlist=corpus.count(), rerank_embeddings=corpus,
+    ).collect()
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in got] == [
+        (r["vec_id"], round(r["cos"], 9)) for r in exact
+    ]
+
+
+def test_ivfpq_index_is_compact_and_pruned(spark, emb, ivfpq_dir):
+    """The PQ index stores codes, never vectors, and a 1-probe query
+    plan is partition-pruned on cid."""
+    from katta_spark.ops import ann_index as AI
+
+    cols = spark.read.parquet(ivfpq_dir).columns
+    assert "embedding" not in cols and "codes" in cols
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+    out = AI.ivfpq_query(spark, ivfpq_dir, q, k=5, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
