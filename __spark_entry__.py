@@ -645,6 +645,17 @@ def q_ts_gap_fill(spark, sf_dir):
     )
 
 
+def q_ts_top_events(spark, sf_dir):
+    """Top-3 event types per day — ES 'terms agg in a date histogram'."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.window_top_keys(_events(spark, sf_dir), "ts", "1 day",
+                             "event_type", k=3)
+    return _fmt_ts(out, "win_start", "win").select(
+        "win", "event_type", "n", "rank"
+    )
+
+
 _DM_NOW = "2024-01-25 13:47:33"
 _DM_LO, _DM_HI = "NOW/DAY-7DAYS", "NOW/HOUR+1HOURS"
 
@@ -838,6 +849,15 @@ def q_text_bpe_pairs(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+def q_text_lm_buckets(spark, sf_dir):
+    """CCNet-style per-language LM terciles (head/middle/tail by
+    corpus-unigram typicality)."""
+    from katta_spark.ops import text as T
+
+    return T.lm_buckets(_docs(spark, sf_dir), text_col="text",
+                        lang_col="lang", n_buckets=3)
 
 
 def q_text_pii_scrub(spark, sf_dir):
@@ -1148,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_ngram_top": q_text_ngram_top,
         "text_unigram_lp": q_text_unigram_lp,
+        "text_lm_buckets": q_text_lm_buckets,
         "text_nfc": q_text_nfc,
         "text_code_quality": q_text_code_quality,
         "sketch_kmv_vocab": q_sketch_kmv_vocab,
@@ -1176,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_session_agg": q_ts_session_agg,
         "ts_sliding_window": q_ts_sliding_window,
         "ts_gap_fill": q_ts_gap_fill,
+        "ts_top_events": q_ts_top_events,
         "ts_json": q_ts_json,
         "ts_date_math": q_ts_date_math,
     }
@@ -1342,6 +1364,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_pii_scrub": OO.pii_scrub_sql(),
         "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
         "text_unigram_lp": OO.unigram_lp_sql(),
+        "text_lm_buckets": OO.lm_buckets_sql(3),
         "text_nfc": OO.nfc_sql(),
         "text_code_quality": OO.code_quality_sql(),
         "sketch_kmv_vocab": OO.kmv_vocab_sql(k=256),
@@ -1401,6 +1424,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_session_agg": OO.ts_session_agg_sql(30),
         "ts_sliding_window": OO.ts_sliding_window_sql(7200, 3600),
         "ts_gap_fill": OO.ts_gap_fill_sql("12 hours", "user_id < 3"),
+        "ts_top_events": OO.ts_top_events_sql("1 day", 3),
         "ts_json": OO.ts_json_sql(),
         "ts_date_math": OO.ts_date_math_sql(_DM_NOW, _DM_LO, _DM_HI),
     }

@@ -280,6 +280,33 @@ def unigram_logprob(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     )
 
 
+def lm_buckets(corpus: DataFrame, text_col: str = "content",
+               lang_col: str = "lang", n_buckets: int = 3) -> DataFrame:
+    """(doc_id, lang, avg_logprob, bucket) — CCNet-style per-language
+    LM-score buckets (Wenzek et al., LREC 2020): documents ranked by
+    corpus-unigram typicality WITHIN their language and cut into
+    ``n_buckets`` equal-frequency buckets (1 = head / most typical,
+    ``n_buckets`` = tail).  The curation move downstream is to keep
+    head+middle or re-weight by bucket.
+
+    Scale shape: the LM score reuses :func:`unigram_logprob`'s
+    pre-aggregated one-join plan; the rank window is PARTITIONED BY
+    LANGUAGE (per-key sort state, never a global single-partition
+    sort).  Ranking uses the 6-dp-rounded score with doc_id
+    tie-break, so bucket assignment is deterministic under any
+    partitioning and engine-portable."""
+    from pyspark.sql import Window
+
+    lp = unigram_logprob(corpus, text_col).select("doc_id", "avg_logprob")
+    base = corpus.select("doc_id", lang_col).join(lp, "doc_id")
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    return base.withColumn("bucket", F.ntile(n_buckets).over(w)).select(
+        "doc_id", lang_col, "avg_logprob", "bucket"
+    )
+
+
 def code_quality(corpus: DataFrame, text_col: str = "content",
                  max_line: int = 1000, max_avg_line: float = 200.0,
                  min_alnum: float = 0.25) -> DataFrame:

@@ -195,6 +195,27 @@ def gap_fill(df: DataFrame, ts_col: str, key_col: str,
     )
 
 
+def window_top_keys(df: DataFrame, ts_col: str, duration: str,
+                    key_col: str, k: int = 3) -> DataFrame:
+    """(win_start, key, n, rank) — top-k keys per tumbling window: the
+    Elasticsearch 'terms aggregation inside a date histogram' shape.
+    ONE hash agg keyed on (window, key); the rank window runs over the
+    aggregated counts (cardinality windows x keys, tiny next to the
+    event stream) partitioned per window.  Ties break key-ascending."""
+    from pyspark.sql import Window
+
+    agg = df.groupBy(
+        F.window(F.col(ts_col), duration)["start"].alias("win_start"),
+        F.col(key_col),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("win_start").orderBy(F.desc("n"), F.asc(key_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("win_start", "rank")
+    )
+
+
 def session_agg(df: DataFrame, ts_col: str, key_col: str,
                 gap: str = "30 minutes") -> DataFrame:
     """Per-key session windows (gap-based): (key, session_start, n).

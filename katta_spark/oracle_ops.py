@@ -180,6 +180,17 @@ SELECT d.doc_id,
 FROM {DOCS} d LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
 
+def lm_buckets_sql(n_buckets: int = 3) -> str:
+    """Oracle for ops.text.lm_buckets: ntile per language over the
+    6-dp-rounded unigram LM score (desc), doc_id tie-break."""
+    return f"""WITH lp AS ({unigram_lp_sql()})
+SELECT p.doc_id, d.lang, p.avg_logprob,
+       CAST(ntile({n_buckets}) OVER (
+         PARTITION BY d.lang
+         ORDER BY p.avg_logprob DESC, p.doc_id ASC) AS INT) AS bucket
+FROM lp p JOIN {DOCS} d ON p.doc_id = d.doc_id"""
+
+
 def code_quality_sql(max_line: int = 1000, max_avg_line: float = 200.0,
                      min_alnum: float = 0.25) -> str:
     """Oracle for ops.text.code_quality (StarCoder-style line/alnum
@@ -582,6 +593,25 @@ SELECT g.user_id,
 FROM grid g ASOF JOIN obs o
   ON g.user_id = o.user_id AND g.grid_ts >= o.ts
 ORDER BY 1, 2"""
+
+
+def ts_top_events_sql(unit: str = "1 day", k: int = 3) -> str:
+    """Oracle for ops.timeseries.window_top_keys (tumbling windows,
+    event_type key)."""
+    return f"""
+WITH agg AS (
+  SELECT time_bucket(INTERVAL '{unit}', ts) AS win_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT win_start, event_type, n,
+         CAST(row_number() OVER (
+           PARTITION BY win_start
+           ORDER BY n DESC, event_type ASC) AS INT) AS rank
+  FROM agg)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win,
+       event_type, n, rank
+FROM ranked WHERE rank <= {k} ORDER BY 1, 4"""
 
 
 def ts_session_agg_sql(gap_minutes: int = 30) -> str:

@@ -169,3 +169,24 @@ def test_ngram_top_short_docs(spark):
         for r in text.ngram_top(df, n=2, k=5).collect()
     ]
     assert got == [("alpha beta", 3), ("beta alpha", 1)]
+
+
+def test_lm_buckets_per_lang_terciles(spark):
+    """Buckets are per-language equal-frequency; within a language,
+    every head doc scores >= every tail doc (6-dp rounded)."""
+    from katta_spark.ops.text import lm_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lm_buckets(docs, text_col="text", n_buckets=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append(r)
+    assert sum(len(v) for v in per.values()) == docs.count()
+    for lang, rows in per.items():
+        sizes = [0, 0, 0]
+        for r in rows:
+            sizes[r["bucket"] - 1] += 1
+        assert max(sizes) - min(sizes) <= 1  # ntile balance
+        head = [r["avg_logprob"] for r in rows if r["bucket"] == 1]
+        tail = [r["avg_logprob"] for r in rows if r["bucket"] == 3]
+        assert min(head) >= max(tail)

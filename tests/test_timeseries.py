@@ -240,3 +240,23 @@ def test_gap_fill_locf_matches_naive(spark):
             t_last = max(past)
             vals = [v for t, v in evs if t == t_last]
             assert r["value"] == round(sum(vals) / len(vals), 6)
+
+
+def test_window_top_keys_matches_naive(spark):
+    from collections import Counter, defaultdict
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    got = TS.window_top_keys(e, "ts", "1 day", "event_type", k=2).collect()
+    per = defaultdict(Counter)
+    for r in e.select("ts", "event_type").collect():
+        per[r["ts"].strftime("%Y-%m-%d")][r["event_type"]] += 1
+    want = []
+    for day in sorted(per):
+        top = sorted(per[day].items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for rank, (k_, n) in enumerate(top, 1):
+            want.append((day, k_, n, rank))
+    assert [
+        (r["win_start"].strftime("%Y-%m-%d"), r["event_type"], r["n"],
+         r["rank"])
+        for r in got
+    ] == want
