@@ -1039,6 +1039,14 @@ def q_pipe_sample(spark, sf_dir):
     )
 
 
+def q_pipe_source_report(spark, sf_dir):
+    """Per-source mixing report: docs, chars, language spread,
+    dominant language — the dashboard in front of the quota knobs."""
+    from katta_spark.ops.sampling import source_report
+
+    return source_report(_docs(spark, sf_dir))
+
+
 def q_pipe_top_per_source(spark, sf_dir):
     """Source mixing: best 5 docs per source by quality score
     (rounded to 6 before ranking on BOTH engines so tie geometry is
@@ -1184,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_temperature": q_pipe_temperature,
         "pipe_sample": q_pipe_sample,
         "pipe_top_per_source": q_pipe_top_per_source,
+        "pipe_source_report": q_pipe_source_report,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
@@ -1383,6 +1392,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
                                                       alpha=0.7),
         "pipe_sample": OO.stratified_sample_sql(rate=0.1),
         "pipe_top_per_source": OO.top_per_source_sql(n=5),
+        "pipe_source_report": OO.source_report_sql(),
         "text_token_stats": f"""{ctes}
 SELECT d.doc_id,
        CAST(count(t.term) AS BIGINT) AS n_tokens,

@@ -128,3 +128,66 @@ def pack_texts(
             ).alias("seq"),
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> dict:
+    """Materialize a training dataset as exactly ``n_shards``
+    deterministic parquet shards + a content manifest.
+
+    Shard assignment is a pure function of the row key (md5 bucket,
+    the same family as :mod:`katta_spark.ops.sampling`): re-running
+    the writer over ANY partitioning/ordering of the same rows
+    produces byte-identical shard membership — which
+    ``df.repartition(n)`` alone does NOT guarantee (round-robin is
+    task-layout dependent).  Reproducible shards are what make a
+    training run's data addressable and a resume auditable.
+
+    Plan: one hash shuffle on the shard id, then a ``partitionBy``
+    write so each ``shard=`` directory is one compact file.  The
+    manifest (written LAST = write complete, the same done-marker
+    contract as the index build) records per-shard row counts and an
+    order-insensitive xor-of-xxhash64 content digest, so a reader can
+    verify a shard without re-listing the dataset.
+    """
+    import json
+    from pathlib import Path
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10)
+        .cast("long") % n_shards
+    ).cast("int").alias("shard")
+    out = df.select(shard, "*")
+    (
+        out.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    stats = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(F.xxhash64(F.col(key_col).cast("string")))
+            .alias("digest"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": int(n_shards),
+        "key_col": key_col,
+        "shards": {
+            int(r["shard"]): {"rows": int(r["rows"]),
+                              "digest": int(r["digest"])}
+            for r in stats
+        },
+    }
+    (Path(out_dir) / "_manifest.json").write_text(
+        json.dumps(manifest, indent=1)
+    )
+    return manifest

@@ -188,3 +188,40 @@ def temperature_sample(
         .filter(hash_bucket(F.col(key_col), salt) < F.col("_thr"))
         .drop("_grp", "_tkey", "_thr")
     )
+
+
+def source_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    lang_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """(source, n_docs, total_chars, n_langs, top_lang) — the source
+    mixing budget report every curation pipeline keeps in front of the
+    temperature/quota knobs (:func:`temperature_rates`,
+    :func:`top_n_per_group`).
+
+    ONE hash agg keyed on the (source, lang) pair does all the work;
+    the totals roll up and the dominant language ranks over the
+    aggregated pair counts (cardinality |sources| x |langs| — tiny),
+    so the corpus is scanned exactly once.  Ties break lang-asc."""
+    from pyspark.sql import Window
+
+    pairs = docs.groupBy(group_col, lang_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(size_col).cast("long")).alias("_chars"),
+    )
+    totals = pairs.groupBy(group_col).agg(
+        F.sum("_n").alias("n_docs"),
+        F.sum("_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_n"), F.asc(lang_col)
+    )
+    top = (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(group_col, F.col(lang_col).alias("top_lang"))
+    )
+    return totals.join(top, group_col).orderBy(group_col)

@@ -840,6 +840,28 @@ FROM {DOCS} d JOIN rates r ON CAST(d.{group_col} AS VARCHAR) = r.grp
 WHERE {_bucket_sql("d.doc_id")} < r.thr"""
 
 
+def source_report_sql() -> str:
+    """Oracle for ops.sampling.source_report."""
+    return f"""
+WITH pairs AS (
+  SELECT source, lang, count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM {DOCS} GROUP BY source, lang),
+totals AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS total_chars,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM pairs GROUP BY source),
+top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n DESC, lang ASC) AS r
+    FROM pairs) WHERE r = 1)
+SELECT t.source, t.n_docs, t.total_chars, t.n_langs, p.top_lang
+FROM totals t JOIN top p ON t.source = p.source ORDER BY t.source"""
+
+
 def top_per_source_sql(n: int = 5) -> str:
     """Mirror of ops.sampling.top_n_per_group over the quality score:
     best n docs per source by (quality desc, doc_id asc)."""

@@ -103,3 +103,58 @@ def test_top_n_per_group_matches_python(docs):
         (r["lang"], r["rank"], r["doc_id"], r["len"]) for r in salted.collect()
     )
     assert rows_s == rows
+
+
+def test_source_report_matches_naive(spark):
+    from collections import Counter, defaultdict
+
+    from katta_spark.ops.sampling import source_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["source"]: r for r in source_report(docs).collect()}
+    rows = docs.select("source", "lang", "n_chars").collect()
+    chars = Counter()
+    ndocs = Counter()
+    langs = defaultdict(Counter)
+    for r in rows:
+        ndocs[r["source"]] += 1
+        chars[r["source"]] += r["n_chars"]
+        langs[r["source"]][r["lang"]] += 1
+    assert set(got) == set(ndocs)
+    for s, r in got.items():
+        assert r["n_docs"] == ndocs[s]
+        assert r["total_chars"] == chars[s]
+        assert r["n_langs"] == len(langs[s])
+        want_top = min(langs[s].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r["top_lang"] == want_top
+
+
+def test_write_training_shards_deterministic_and_complete(spark, tmp_path):
+    import json
+
+    from katta_spark.ops.packing import write_training_shards
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = write_training_shards(docs, d1, n_shards=7)
+    # different input layout -> identical shard membership
+    m2 = write_training_shards(docs.repartition(13).sortWithinPartitions(
+        "source"), d2, n_shards=7)
+    assert m1 == m2
+    back = spark.read.parquet(d1)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # manifest matches the files on disk, shard by shard
+    disk = {
+        int(r["shard"]): r["n"]
+        for r in back.groupBy("shard").count().withColumnRenamed(
+            "count", "n").collect()
+    }
+    man = json.loads(open(f"{d1}/_manifest.json").read())
+    assert {int(k): v["rows"] for k, v in man["shards"].items()} == disk
+    # one file per shard directory
+    import glob
+    for sd in glob.glob(f"{d1}/shard=*"):
+        assert len(glob.glob(f"{sd}/*.parquet")) == 1
