@@ -203,6 +203,14 @@ def q_phys_phrase(spark, sf_dir):
     )
 
 
+def q_ft_near(spark, sf_dir):
+    """Unordered proximity (SpanNear inOrder=false): 'merge' and
+    'sort' within a 4-position window, any order."""
+    return _round_score(
+        phys_index(spark, sf_dir).near_topk(["merge", "sort"], slop=2, k=10)
+    )
+
+
 _STOPWORDS = ["data", "row"]
 _STOP_CACHE: dict[str, PhysicalIndex] = {}
 
@@ -1114,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_facet": q_phys_facet,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
+        "ft_near": q_ft_near,
         "ft_phys_snapshot": q_phys_snapshot,
         "ft_phys_highlight": q_phys_highlight,
         "ft_suggest": q_terms_suggest,
@@ -1259,6 +1268,7 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
+        "ft_near": O.near_sql(["merge", "sort"], slop=2, k=10),
         "ft_phys_snapshot": O.topk_sql(
             ["table", "spark"], k=10, docs_where="doc_id % 2 = 0"
         ),

@@ -205,9 +205,25 @@ def _window_match(pos_lists: list[np.ndarray], slop: int) -> bool:
     return False
 
 
+def _unordered_window_match(pos_lists: list[np.ndarray], slop: int) -> bool:
+    """Unordered proximity (Lucene SpanNear inOrder=false): one
+    position per list, any order, span max-min <= (m-1)+slop.
+    Classic minimum-window pointer sweep — O(total positions)."""
+    limit = len(pos_lists) - 1 + slop
+    idx = [0] * len(pos_lists)
+    while True:
+        cur = [int(pl[i]) for pl, i in zip(pos_lists, idx)]
+        if max(cur) - min(cur) <= limit:
+            return True
+        lo = min(range(len(cur)), key=lambda j: cur[j])
+        idx[lo] += 1
+        if idx[lo] >= len(pos_lists[lo]):
+            return False
+
+
 def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
                        k1: float, b: float, block_range: int,
-                       slop: int = 0):
+                       slop: int = 0, ordered: bool = True):
     """Positional phrase kernel: per doc-range group, decode the
     phrase terms' postings + position lists, verify consecutive
     positions (the Lucene .pos proximity merge: cand = pos(t0);
@@ -263,7 +279,16 @@ def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
                 continue
             matched, scores = [], []
             for d in cand_ids:
-                if slop > 0:
+                if not ordered:
+                    plists = []
+                    for t in uterms:
+                        ids_t, _, _, poss_t, _ = per_term[t]
+                        plists.append(
+                            poss_t[int(np.searchsorted(ids_t, d))]
+                        )
+                    if not _unordered_window_match(plists, slop):
+                        continue
+                elif slop > 0:
                     plists = []
                     for t in phrase:
                         ids_t, _, _, poss_t, _ = per_term[t]
@@ -1072,11 +1097,12 @@ class PhysicalIndex:
         return self._phrase_scored_reanalysis(phrase)
 
     def _phrase_scored_positional(self, phrase: list[str],
-                                  slop: int = 0) -> DataFrame:
+                                  slop: int = 0,
+                                  ordered: bool = True) -> DataFrame:
         kern = make_phrase_kernel(
             phrase, float(self.stats["n_docs"]), self.stats["avgdl"],
             self.stats["k1"], self.stats["b"], self.stats["block_range"],
-            slop=slop,
+            slop=slop, ordered=ordered,
         )
         out = self._qblocks(sorted(set(phrase)), positions=True).mapInPandas(
             kern, SCORED_SCHEMA
@@ -1146,6 +1172,43 @@ class PhysicalIndex:
         if offset:
             out = out.offset(offset)
         return out.limit(k).select("doc_id", "score")
+
+    def near_topk(self, terms: list[str], slop: int = 0, k: int = 10,
+                  filters: Filters = None) -> DataFrame:
+        """Unordered proximity top-k (Lucene SpanNearQuery with
+        inOrder=false): docs where ALL (distinct) terms co-occur
+        within a window of ``len(terms)+slop`` token positions, in any
+        order; ranked by the BM25 sum of the terms.
+
+        Executes on the positional postings exactly like
+        :meth:`phrase_topk` — same pruned scan, same doc-range kernel,
+        only the position verifier differs (minimum-window sweep
+        instead of the ordered chain).  Requires positional postings.
+        """
+        qterms = sorted(set(self._strip_stops(terms)))
+        if not qterms:
+            return self.docs.select(
+                "doc_id", F.lit(0.0).alias("score")
+            ).filter(F.lit(False))
+        if len(qterms) == 1:
+            out = self.scored_docs(qterms)
+        else:
+            if not self.stats.get("positions"):
+                raise ValueError(
+                    "near queries need positional postings "
+                    "(build_index(store_positions=True))"
+                )
+            out = self._phrase_scored_positional(
+                qterms, slop=slop, ordered=False
+            )
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            out = out.join(fd, "doc_id", "left_semi")
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
 
     def suggest(self, prefix: str, n: int = 10) -> DataFrame:
         """(term, df) — the ``n`` highest-df content terms with the

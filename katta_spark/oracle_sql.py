@@ -148,6 +148,42 @@ top AS (
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def near_sql(terms: list[str], slop: int = 0, k: int = 10) -> str:
+    """Unordered-proximity top-k oracle: verified = docs with some
+    (m+slop)-position window containing ALL distinct terms (any
+    order); score = BM25 sum of the terms."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    qterms = sorted(set(t.lower() for t in terms))
+    m = len(qterms)
+    limit = m - 1 + slop
+    tlist = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in qterms
+    ) + "]"
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+verified AS (
+  SELECT doc_id FROM tokl
+  WHERE len(list_filter(generate_series(1, len(toks)),
+        i -> list_has_all(list_slice(toks, i, i + {limit}), {tlist}))) > 0
+),
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf
+  JOIN dfv ON tf.term = dfv.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(qterms)}
+  GROUP BY tf.doc_id HAVING count(*) = {m}
+),
+top AS (
+  SELECT s.doc_id, s.score FROM scored s JOIN verified v ON s.doc_id = v.doc_id
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT {k}
+)
+SELECT doc_id, round(score, 6) AS score FROM top"""
+
+
 def field_score_sql(field: str, value_lower: str) -> str:
     """BM25 score of a scored FIELD term (build_index field_cols):
     tf = 1 (one keyword posting per doc), dl = content dl, df = docs

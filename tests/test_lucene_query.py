@@ -528,3 +528,44 @@ def test_regex_query_matches_term_expansion(spark, pindex):
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
         (r["doc_id"], round(r["score"], 9)) for r in want
     ]
+
+
+def test_near_topk_unordered_matches_brute_force(pindex, row_map):
+    """Unordered NEAR (SpanNear inOrder=false): doc matches iff some
+    window of m+slop positions contains all distinct terms, any
+    order — vs a brute-force mirror; and the ordered match set is a
+    subset of the unordered one at equal slop."""
+    from itertools import product
+
+    def brute(words, slop):
+        out = set()
+        limit = len(words) - 1 + slop
+        for d, r in row_map.items():
+            toks = py_tokenize(r["content"])
+            plists = [
+                [i for i, t in enumerate(toks) if t == w] for w in words
+            ]
+            if any(not p for p in plists):
+                continue
+            for combo in product(*plists):
+                if max(combo) - min(combo) <= limit:
+                    out.add(d)
+                    break
+        return out
+
+    for words, slop in (
+        (["parse", "request"], 2),
+        (["read", "chunk"], 3),
+        (["parse", "http", "request"], 1),
+    ):
+        qt = sorted(set(words))
+        got = {
+            r["doc_id"]
+            for r in pindex.near_topk(words, slop=slop, k=10**6).collect()
+        }
+        assert got == brute(qt, slop) and got
+        ordered = {
+            r["doc_id"]
+            for r in pindex.phrase_scored(qt, slop=slop).collect()
+        }
+        assert ordered <= got
