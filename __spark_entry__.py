@@ -472,6 +472,16 @@ def q_sim_cosine_topk(spark, sf_dir):
     return _round_score(out.select("vec_id", "cos"), col="cos")
 
 
+def q_sim_project(spark, sf_dir):
+    """JL random projection 64 -> 4 dims (deterministic seedless
+    planes), exploded to scalar rows for engine-portable comparison."""
+    from katta_spark.ops.similarity import random_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = random_project(emb, dims=64, out_dims=4)
+    return p.select("vec_id", F.posexplode("projected").alias("dim", "val"))
+
+
 def ann_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_ann") -> str:
     """Signature-partitioned ANN index over the embeddings table
     (minus the query vector 0), built once per sf dir."""
@@ -1203,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_top_per_source": q_pipe_top_per_source,
         "pipe_source_report": q_pipe_source_report,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_project": q_sim_project,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
         "sim_ivf_batch": q_sim_ivf_batch,
@@ -1431,6 +1442,7 @@ c AS (
 SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "sim_lsh_ann": OO.lsh_ann_sql(dims=64, n_planes=12, k=10),
+        "sim_project": OO.random_project_sql(64, 4),
         "sim_ivf_ann": OO.ivf_ann_sql(n_centroids=16, nprobe=2, k=10),
         "sim_ivf_batch": OO.ivf_batch_sql(query_ids=[0, 1], n_centroids=16,
                                           nprobe=2, k=10),

@@ -135,9 +135,16 @@ def write_training_shards(
     out_dir: str,
     n_shards: int,
     key_col: str = "doc_id",
+    shuffle: bool = False,
 ) -> dict:
     """Materialize a training dataset as exactly ``n_shards``
     deterministic parquet shards + a content manifest.
+
+    With ``shuffle=True`` rows are additionally SORTED inside each
+    shard by a salted md5 of the key — a deterministic global
+    pseudo-random training order (read shards in shard order, rows in
+    file order) that no ``df.orderBy(rand())`` can reproduce across
+    reruns.
 
     Shard assignment is a pure function of the row key (md5 bucket,
     the same family as :mod:`katta_spark.ops.sampling`): re-running
@@ -163,9 +170,18 @@ def write_training_shards(
         .cast("long") % n_shards
     ).cast("int").alias("shard")
     out = df.select(shard, "*")
+    writer = out.repartition(n_shards, "shard")
+    if shuffle:
+        # the sort must LEAD with the partition column: FileFormatWriter
+        # re-sorts any task whose rows aren't ordered by the partition
+        # cols (non-stable — it would scramble a bare md5 order), but
+        # recognizes an existing (shard, ...) sort prefix and keeps it
+        writer = writer.sortWithinPartitions(
+            F.col("shard"),
+            F.md5(F.concat(F.lit("shuf:"), F.col(key_col).cast("string"))),
+        )
     (
-        out.repartition(n_shards, "shard")
-        .write.mode("overwrite")
+        writer.write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir)
     )

@@ -233,3 +233,48 @@ def lsh_tables_ann(
         c = sig == q_sig
         cond = c if cond is None else (cond | c)
     return cosine_topk(embeddings.filter(cond), query_vec, k, id_col, vec_col)
+
+
+def random_project(
+    embeddings: DataFrame,
+    dims: int,
+    out_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: bool = True,
+) -> DataFrame:
+    """(id, projected) — Johnson–Lindenstrauss random projection to
+    ``out_dims`` using the same deterministic seedless coefficient
+    family as the LSH planes (cos(1 + j*dims + d)), so the projection
+    is reproducible by any engine with a cosine — no stored matrix, no
+    RNG state.
+
+    The workhorse in front of ANN at 100 TB: shrink 768-dim encoder
+    outputs to 64 dims once (narrow, zero shuffle — each row computes
+    ``out_dims`` JVM dot-product folds), then index/query the small
+    vectors.  With ``scale`` the output is multiplied by
+    sqrt(dims/out_dims), the JL scaling that keeps expected norms
+    comparable.  Components rounded to 6 dp for engine-portable
+    comparison."""
+    import math as _m
+
+    fac = _m.sqrt(dims / out_dims) if scale else 1.0
+    comps = [
+        F.round(
+            _dot(
+                F.col(vec_col),
+                F.array(
+                    *[
+                        F.lit(_m.cos(1.0 + j * dims + d))
+                        for d in range(dims)
+                    ]
+                ),
+            )
+            * F.lit(fac),
+            6,
+        )
+        for j in range(out_dims)
+    ]
+    return embeddings.select(
+        F.col(id_col), F.array(*comps).alias("projected")
+    )

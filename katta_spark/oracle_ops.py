@@ -311,6 +311,28 @@ def _sig_sql(col: str, dims: int, n_planes: int,
     return "(" + " + ".join(terms) + ")"
 
 
+def random_project_sql(dims: int = 64, out_dims: int = 4,
+                       scale: bool = True) -> str:
+    """Oracle for ops.similarity.random_project, exploded to
+    (vec_id, dim, val) scalar rows — same cos(1 + j*dims + d)
+    coefficient family as the LSH planes."""
+    import math
+
+    fac = math.sqrt(dims / out_dims) if scale else 1.0
+    comps = []
+    for j in range(out_dims):
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dims}), "
+            f"i -> CAST(embedding[i] AS DOUBLE)"
+            f" * cos(1.0 + {j * dims} + (i - 1))))"
+        )
+        comps.append(
+            f"SELECT vec_id, {j} AS dim, round({dot} * {fac!r}, 6) AS val "
+            f"FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(comps)
+
+
 def lsh_ann_sql(dims: int = 64, n_planes: int = 12, k: int = 10) -> str:
     """Single-probe LSH-bucketed ANN: exact cosine within the query's
     hyperplane-signature bucket."""

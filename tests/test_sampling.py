@@ -158,3 +158,51 @@ def test_write_training_shards_deterministic_and_complete(spark, tmp_path):
     import glob
     for sd in glob.glob(f"{d1}/shard=*"):
         assert len(glob.glob(f"{sd}/*.parquet")) == 1
+
+
+def test_write_training_shards_shuffle_order_deterministic(spark, tmp_path):
+    import hashlib
+
+    from katta_spark.ops.packing import write_training_shards
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    d = str(tmp_path / "s")
+    write_training_shards(docs, d, n_shards=4, shuffle=True)
+    back = spark.read.parquet(f"{d}/shard=0")
+    ids = [r["doc_id"] for r in back.collect()]
+    want = sorted(
+        ids,
+        key=lambda i: hashlib.md5(f"shuf:{i}".encode()).hexdigest(),
+    )
+    assert ids == want and len(ids) > 1
+
+
+def test_random_project_matches_python_and_preserves_geometry(spark):
+    import math
+
+    from katta_spark.ops.similarity import random_project
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(50)
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    out = {
+        r["vec_id"]: list(r["projected"])
+        for r in random_project(emb, dims=64, out_dims=8).collect()
+    }
+    fac = math.sqrt(64 / 8)
+
+    def proj(v, j):
+        acc = 0.0
+        for d in range(64):
+            acc = acc + v[d] * math.cos(1.0 + j * 64 + d)
+        return round(acc * fac, 6)
+
+    for vid, v in rows.items():
+        assert out[vid] == [proj(v, j) for j in range(8)]
+    # JL sanity: self-cosine is 1, and projected norms are finite
+    for vid, p in out.items():
+        assert all(math.isfinite(x) for x in p)
