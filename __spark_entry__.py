@@ -1080,6 +1080,53 @@ def q_pipe_top_per_source(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ts_asof(spark, sf_dir):
+    """AS-OF join: every click event carries the latest purchase
+    value at-or-before it for the same user (union + per-key ordered
+    window — one shuffle, never a range self-join)."""
+    from katta_spark.ops import timeseries as TS
+
+    ev = _events(spark, sf_dir)
+    out = TS.asof_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "ts", "user_id", "value",
+    )
+    return (
+        _fmt_ts(out, "ts", "ts")
+        .select(
+            "event_id", "user_id", "ts",
+            F.round("asof_value", 6).alias("asof_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_pipe_rollup(spark, sf_dir):
+    """Hierarchical corpus budget: (lang, source) counts + subtotals
+    at every rollup level in one pass (Spark native rollup)."""
+    from katta_spark.ops.sampling import rollup_report
+
+    return rollup_report(_docs(spark, sf_dir), ["lang", "source"])
+
+
+def q_pipe_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis priorities from the md5 hash-uniform):
+    25 docs, weight = n_chars."""
+    from katta_spark.ops.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), 25, "n_chars").select(
+        "doc_id", "es_key"
+    )
+
+
+def q_text_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution (nats) —
+    low entropy flags repetitive/boilerplate text."""
+    return text.token_entropy(_docs(spark, sf_dir), text_col="text")
+
+
 def q_ft_dismax(spark, sf_dir):
     """DisjunctionMax (Solr dismax qf): the same query searched as a
     content term AND a scored field posting; best clause wins, the
@@ -1195,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_ngram_top": q_text_ngram_top,
         "text_unigram_lp": q_text_unigram_lp,
+        "text_entropy": q_text_entropy,
         "text_lm_buckets": q_text_lm_buckets,
         "text_nfc": q_text_nfc,
         "text_code_quality": q_text_code_quality,
@@ -1212,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_sample": q_pipe_sample,
         "pipe_top_per_source": q_pipe_top_per_source,
         "pipe_source_report": q_pipe_source_report,
+        "pipe_rollup": q_pipe_rollup,
+        "pipe_weighted_sample": q_pipe_weighted_sample,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_project": q_sim_project,
         "sim_lsh_ann": q_sim_lsh_ann,
@@ -1226,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_session_agg": q_ts_session_agg,
         "ts_sliding_window": q_ts_sliding_window,
         "ts_gap_fill": q_ts_gap_fill,
+        "ts_asof": q_ts_asof,
         "ts_top_events": q_ts_top_events,
         "ts_json": q_ts_json,
         "ts_date_math": q_ts_date_math,
@@ -1394,6 +1445,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_pii_scrub": OO.pii_scrub_sql(),
         "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
         "text_unigram_lp": OO.unigram_lp_sql(),
+        "text_entropy": OO.token_entropy_sql(),
         "text_lm_buckets": OO.lm_buckets_sql(3),
         "text_nfc": OO.nfc_sql(),
         "text_code_quality": OO.code_quality_sql(),
@@ -1414,6 +1466,8 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "pipe_sample": OO.stratified_sample_sql(rate=0.1),
         "pipe_top_per_source": OO.top_per_source_sql(n=5),
         "pipe_source_report": OO.source_report_sql(),
+        "pipe_rollup": OO.rollup_report_sql(("lang", "source")),
+        "pipe_weighted_sample": OO.weighted_sample_sql(25),
         "text_token_stats": f"""{ctes}
 SELECT d.doc_id,
        CAST(count(t.term) AS BIGINT) AS n_tokens,
@@ -1456,6 +1510,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_session_agg": OO.ts_session_agg_sql(30),
         "ts_sliding_window": OO.ts_sliding_window_sql(7200, 3600),
         "ts_gap_fill": OO.ts_gap_fill_sql("12 hours", "user_id < 3"),
+        "ts_asof": OO.ts_asof_sql("click", "purchase"),
         "ts_top_events": OO.ts_top_events_sql("1 day", 3),
         "ts_json": OO.ts_json_sql(),
         "ts_date_math": OO.ts_date_math_sql(_DM_NOW, _DM_LO, _DM_HI),

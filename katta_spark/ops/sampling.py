@@ -225,3 +225,66 @@ def source_report(
         .select(group_col, F.col(lang_col).alias("top_lang"))
     )
     return totals.join(top, group_col).orderBy(group_col)
+
+
+def rollup_report(
+    docs: DataFrame,
+    cols: list[str],
+    size_col: str = "n_chars",
+    all_label: str = "(all)",
+) -> DataFrame:
+    """Hierarchical corpus totals with subtotals at every prefix level
+    (lang, source, ...) -> (lang, (all)) -> ((all), (all)): the
+    GROUP BY ROLLUP report a curation pipeline prints before choosing
+    mixing weights.  Spark's native ``rollup`` computes every level in
+    ONE pass with partial (map-side) aggregation — never one job per
+    level.  Subtotal positions are labelled ``all_label`` via
+    ``F.grouping`` so they can't be confused with genuine NULL keys."""
+    agg = docs.rollup(*cols).agg(
+        *[F.grouping(c).alias(f"_g_{c}") for c in cols],
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(size_col).cast("long")).alias("total_chars"),
+    )
+    sel = [
+        F.when(F.col(f"_g_{c}") == 1, F.lit(all_label))
+        .otherwise(F.col(c)).alias(c)
+        for c in cols
+    ]
+    return agg.select(*sel, "n_docs", "total_chars").orderBy(*cols)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, the A-ES one-pass reduction): each
+    row draws u = hash-uniform(0,1) from md5(salt || key) and keeps
+    priority ``-ln(u) / w``; the global n smallest priorities are the
+    sample.  Inclusion probability is proportional to weight, and the
+    draw is a pure function of (salt, key) — partition/rerun/engine
+    invariant, unlike ``rand()``.
+
+    Plan: narrow priority computation + TakeOrderedAndProject (per-
+    partition top-n, then a tiny merge) — no global sort of the
+    corpus.  Rows with non-positive weight are excluded (never
+    sampled), matching the A-ES domain.  Returns the sampled rows
+    with their priority as ``es_key`` (rounded; ties break key-asc)."""
+    # u in (0, 1]: (h32 + 1) / 2^32 over the first 32 md5 bits
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("es_key", F.round(pri, 6))
+        .orderBy(F.asc("es_key"), F.asc(key_col))
+        .limit(n)
+    )

@@ -280,6 +280,46 @@ def unigram_logprob(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     )
 
 
+def token_entropy(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, n_tokens, entropy) — Shannon entropy (nats) of each
+    document's own token distribution: H = -sum p ln p over the doc's
+    distinct tokens.  Low entropy flags repetitive/boilerplate text
+    (a standard Gopher-family quality signal complementing
+    :func:`repetition_ratio`, which looks at adjacency, not the
+    distribution).
+
+    Scale shape: explode -> (doc, term) count with map-side combine,
+    then ONE hash agg back to doc_id — shuffle is O(distinct doc-term
+    pairs), never the token stream, and nothing is corpus-global (no
+    catalog join).  Empty docs report entropy 0."""
+    tf = (
+        corpus.select("doc_id", F.explode(tokens_array(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.log("tf")).alias("_sum_flogf"),
+    )
+    # H = ln(N) - (1/N) * sum f ln f  (exact algebra; one pass)
+    ent = per.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.log("n_tokens") - F.col("_sum_flogf") / F.col("n_tokens"), 6
+        ).alias("entropy"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
 def lm_buckets(corpus: DataFrame, text_col: str = "content",
                lang_col: str = "lang", n_buckets: int = 3) -> DataFrame:
     """(doc_id, lang, avg_logprob, bucket) — CCNet-style per-language

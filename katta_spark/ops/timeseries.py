@@ -195,6 +195,48 @@ def gap_fill(df: DataFrame, ts_col: str, key_col: str,
     )
 
 
+def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
+              key_col: str, value_col: str = "value",
+              out_col: str = "asof_value") -> DataFrame:
+    """AS-OF join: every ``left`` row gains the most recent ``right``
+    value at-or-before its timestamp, per key (the kdb+/QuestDB
+    ``asof join``, DuckDB ``ASOF JOIN``).  Left rows with no prior
+    right observation keep NULL — left-outer semantics.
+
+    Plan shape: never a range self-join (O(n·m) worst case).  Right
+    observations at the same (key, ts) are averaged first so the
+    carried value is deterministic, then both sides union into ONE
+    stream and a per-key ordered window carries the last non-null
+    right value forward — one shuffle on ``key_col``, window state
+    partitioned per key, linear in rows.  This is the shape that
+    survives 100 TB: the sort is per-key and the right side is
+    pre-aggregated, so no reducer ever materializes a cross product.
+
+    Ties at one timestamp: the right observation sorts BEFORE the
+    left row (``_side`` 0 < 1), so "at-or-before" is inclusive —
+    identical to DuckDB's ``ON l.ts >= r.ts``.
+    """
+    from pyspark.sql import Window
+
+    robs = (
+        right.groupBy(key_col, ts_col)
+        .agg(F.avg(value_col).alias("_rv"))
+        .withColumn("_side", F.lit(0))
+    )
+    l2 = left.withColumn("_side", F.lit(1))
+    u = l2.unionByName(robs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_rv", "_side")
+    )
+
+
 def window_top_keys(df: DataFrame, ts_col: str, duration: str,
                     key_col: str, k: int = 3) -> DataFrame:
     """(win_start, key, n, rank) — top-k keys per tumbling window: the

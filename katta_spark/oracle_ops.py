@@ -1087,3 +1087,74 @@ SELECT l.doc_id, l.n_tokens,
        round(coalesce(c.dup_tokens, 0)
              / greatest(l.n_tokens, 1), 6) AS dup_frac
 FROM lens l LEFT JOIN covered c ON l.doc_id = c.doc_id"""
+
+
+def ts_asof_sql(left_type: str = "click", right_type: str = "purchase"
+                ) -> str:
+    """Oracle for ops.timeseries.asof_join: DuckDB native ASOF LEFT
+    JOIN (largest right ts <= left ts per key; same-ts right rows
+    averaged first, exactly as the engine does)."""
+    return f"""
+WITH l AS (SELECT * FROM events WHERE event_type = '{left_type}'),
+r AS (SELECT user_id, ts, avg(value) AS rv
+      FROM events WHERE event_type = '{right_type}' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(r.rv, 6) AS asof_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""
+
+
+def rollup_report_sql(cols: tuple = ("lang", "source"),
+                      all_label: str = "(all)") -> str:
+    """Oracle for ops.sampling.rollup_report (GROUP BY ROLLUP with
+    GROUPING() disambiguating subtotal rows from genuine NULLs)."""
+    sel = ", ".join(
+        f"CASE WHEN GROUPING({c}) = 1 THEN '{all_label}' ELSE {c} END AS {c}"
+        for c in cols
+    )
+    clist = ", ".join(cols)
+    return f"""
+SELECT {sel},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM {DOCS}
+GROUP BY ROLLUP({clist})
+ORDER BY {clist}"""
+
+
+def token_entropy_sql() -> str:
+    """Oracle for ops.text.token_entropy: H = ln N - (sum f ln f)/N
+    over each doc's token counts (same one-pass algebra as the
+    engine, so float summation shapes match)."""
+    from katta_spark.oracle_sql import index_ctes
+
+    return f"""{index_ctes()},
+per AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         sum(tf * ln(CAST(tf AS DOUBLE))) AS sf
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(round(ln(CAST(p.n_tokens AS DOUBLE))
+                      - p.sf / p.n_tokens, 6), 0.0) AS entropy
+FROM {DOCS} d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
+def weighted_sample_sql(n: int, weight_expr: str = "n_chars",
+                        key_col: str = "doc_id", salt: str = "") -> str:
+    """Oracle for ops.sampling.weighted_sample (Efraimidis-Spirakis
+    priorities from the repo-standard md5 hash-uniform)."""
+    h32 = _H32.format(x=f"concat('{salt}', CAST({key_col} AS VARCHAR))")
+    return f"""
+SELECT * FROM (
+  SELECT doc_id,
+         round(-ln((CAST({h32} AS DOUBLE) + 1.0) / 4294967296.0)
+               / CAST({weight_expr} AS DOUBLE), 6) AS es_key
+  FROM {DOCS}
+  WHERE CAST({weight_expr} AS DOUBLE) > 0)
+ORDER BY es_key ASC, {key_col} ASC
+LIMIT {n}"""

@@ -206,3 +206,63 @@ def test_random_project_matches_python_and_preserves_geometry(spark):
     # JL sanity: self-cosine is 1, and projected norms are finite
     for vid, p in out.items():
         assert all(math.isfinite(x) for x in p)
+
+
+def test_rollup_report_levels_consistent(spark):
+    """Leaf counts sum to each lang subtotal, subtotals to the grand
+    total, and subtotal rows are labelled '(all)'."""
+    from katta_spark.ops.sampling import rollup_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = rollup_report(docs, ["lang", "source"], size_col="n_chars").collect()
+    leaves = [r for r in rows if r["lang"] != "(all)" and r["source"] != "(all)"]
+    langs = [r for r in rows if r["lang"] != "(all)" and r["source"] == "(all)"]
+    grand = [r for r in rows if r["lang"] == "(all)"]
+    assert len(grand) == 1 and grand[0]["source"] == "(all)"
+    assert grand[0]["n_docs"] == sum(r["n_docs"] for r in leaves)
+    assert grand[0]["total_chars"] == sum(r["total_chars"] for r in leaves)
+    for lr in langs:
+        got_n = sum(r["n_docs"] for r in leaves if r["lang"] == lr["lang"])
+        assert lr["n_docs"] == got_n
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """Same (salt, keys) -> same sample regardless of partitioning;
+    heavier rows are overrepresented vs a uniform draw."""
+    import hashlib
+    import math
+
+    from katta_spark.ops.sampling import weighted_sample
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "n_chars")
+    a = [r["doc_id"] for r in weighted_sample(d, 50, "n_chars").collect()]
+    b = [r["doc_id"]
+         for r in weighted_sample(d.repartition(13), 50, "n_chars").collect()]
+    assert a == b and len(a) == 50
+
+    # python mirror of the A-ES priority
+    rows = {r["doc_id"]: r["n_chars"] for r in d.collect()}
+
+    def pri(did, w):
+        h = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 2**32
+        return (round(-math.log(u) / w, 6), did)
+
+    want = sorted((pri(k, w) for k, w in rows.items() if w > 0))[:50]
+    assert a == [did for _, did in want]
+    # weight bias: mean weight of the sample exceeds the corpus mean
+    mean_all = sum(rows.values()) / len(rows)
+    mean_s = sum(rows[i] for i in a) / len(a)
+    assert mean_s > mean_all
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from katta_spark.ops.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], ["doc_id", "w"]
+    )
+    got = [r["doc_id"] for r in weighted_sample(df, 10, "w").collect()]
+    assert got == [3]

@@ -190,3 +190,27 @@ def test_lm_buckets_per_lang_terciles(spark):
         head = [r["avg_logprob"] for r in rows if r["bucket"] == 1]
         tail = [r["avg_logprob"] for r in rows if r["bucket"] == 3]
         assert min(head) >= max(tail)
+
+
+def test_token_entropy_matches_python(docs):
+    """Engine entropy equals the python mirror over the same tokens;
+    uniform docs have H = ln(n_distinct), constant docs H = 0."""
+    import math
+    from collections import Counter
+
+    from katta_spark.ops.text import token_entropy
+    from katta_spark.tokenizer import py_tokenize
+
+    sample = docs.limit(80)
+    got = {r["doc_id"]: (r["n_tokens"], r["entropy"])
+           for r in token_entropy(sample, text_col="content").collect()}
+    for r in sample.select("doc_id", "content").collect():
+        toks = py_tokenize(r["content"])
+        n = len(toks)
+        if n == 0:
+            assert got[r["doc_id"]] == (0, 0.0)
+            continue
+        cnt = Counter(toks)
+        h = math.log(n) - sum(f * math.log(f) for f in cnt.values()) / n
+        assert got[r["doc_id"]][0] == n
+        assert abs(got[r["doc_id"]][1] - round(h, 6)) <= 1e-6

@@ -260,3 +260,45 @@ def test_window_top_keys_matches_naive(spark):
          r["rank"])
         for r in got
     ] == want
+
+
+def test_asof_join_matches_naive(spark):
+    """Every click carries the latest purchase value at-or-before it
+    per user (inclusive at equal timestamps); clicks before any
+    purchase stay NULL."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in TS.asof_join(
+            e.filter(F.col("event_type") == "click"),
+            e.filter(F.col("event_type") == "purchase"),
+            "ts", "user_id", "value",
+        ).collect()
+    }
+    clicks = e.filter(F.col("event_type") == "click").collect()
+    purch = {}
+    for r in e.filter(F.col("event_type") == "purchase").collect():
+        purch.setdefault(r["user_id"], []).append((r["ts"], r["value"]))
+    assert len(out) == len(clicks)
+    for c in clicks:
+        cands = [
+            (t, v) for (t, v) in purch.get(c["user_id"], [])
+            if t <= c["ts"]
+        ]
+        if not cands:
+            assert out[c["event_id"]] is None
+        else:
+            best_t = max(t for t, _ in cands)
+            vals = [v for t, v in cands if t == best_t]
+            assert abs(out[c["event_id"]] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_asof_join_preserves_left_columns_and_count(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    left = e.filter(F.col("event_type") == "view")
+    out = TS.asof_join(
+        left, e.filter(F.col("event_type") == "signup"),
+        "ts", "user_id", "value", out_col="last_signup_value",
+    )
+    assert set(left.columns) | {"last_signup_value"} == set(out.columns)
+    assert out.count() == left.count()
