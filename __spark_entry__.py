@@ -1080,6 +1080,21 @@ def q_pipe_top_per_source(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ft_sort_func(spark, sf_dir):
+    """Function-query sort (Solr sort=abs(sub(n_chars,250)) asc):
+    matches of 'scan' ordered by distance from 250 chars."""
+    expr = F.abs(F.col("n_chars").cast("long") - F.lit(250))
+    return phys_index(spark, sf_dir).sorted_by_func(
+        ["scan"], expr, ["doc_id", "n_chars"], 15
+    )
+
+
+def q_ft_ngroups(spark, sf_dir):
+    """Solr group.ngroups: distinct source groups among matches of
+    'table', beside the raw hit count."""
+    return phys_index(spark, sf_dir).ngroups(["table"], "source")
+
+
 def q_ts_asof(spark, sf_dir):
     """AS-OF join: every click event carries the latest purchase
     value at-or-before it for the same user (union + per-key ordered
@@ -1204,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_elevate": q_ft_elevate,
         "ft_get": q_ft_get,
         "ft_sig_terms": q_ft_sig_terms,
+        "ft_sort_func": q_ft_sort_func,
+        "ft_ngroups": q_ft_ngroups,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
         #     LuceneServer.parse, LuceneServer.java:1314-1353) ---
@@ -1220,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_q_slop": _q_qstr('"window stream"~3'),
         "ft_q_fuzzy": _q_qstr("batc~2"),
         "ft_q_regex": _q_qstr("/tab(le)?[0-9]*/"),
+        "ft_q_const": _q_qstr("(dup OR key)^=1.5 OR table"),
         "ft_q_synonym": q_synonym,
         "ft_stop_and": q_stop_and,
         # --- training-data pipeline ops ---
@@ -1395,6 +1413,19 @@ FROM documents WHERE doc_id IN (3, 7, 11)""",
         "ft_q_phrase": O.phrase_sql(["key", "agg"], k=10),
         "ft_q_wildcard": O.lucene_topk_sql([], like_patterns=["s%"]),
         "ft_q_boost": O.lucene_topk_sql([("table", 2.0), ("spark", 1.0)]),
+        "ft_sort_func": f"""{ctes}{O.matched_sql(["scan"])}
+SELECT doc_id, n_chars, sortv FROM (
+  SELECT d.doc_id, d.n_chars, abs(CAST(d.n_chars AS BIGINT) - 250) AS sortv
+  FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+  ORDER BY sortv ASC, d.doc_id ASC LIMIT 15)""",
+        "ft_ngroups": f"""{ctes}{O.matched_sql(["table"])}
+SELECT CAST(count(DISTINCT d.source) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id""",
+        "ft_q_const": O.lucene_topk_sql(
+            [("table", 1.0)],
+            const_parts=[(O.term_docs_sql(["dup", "key"], "or"), 1.5)],
+        ),
         "ft_q_must": O.lucene_topk_sql(
             [("table", 1.0), ("spark", 1.0)],
             must_doc_sql=[O.term_docs_sql(["table"])],

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from katta_spark.fulltext.qparse import (
     Bool,
+    ConstScore,
     Fuzzy,
     MatchAll,
     Node,
@@ -156,6 +157,11 @@ class LuceneEvaluator:
                 must=must, should=should, must_not=must_not,
                 boost=node.boost,
             )
+        if isinstance(node, ConstScore):
+            kept = self._strip_stops(node.child)
+            if kept is None:
+                return None
+            return ConstScore(kept, node.value)
         return node
 
     # ------------------------------------------------------------- nodes
@@ -178,6 +184,12 @@ class LuceneEvaluator:
         if isinstance(node, MatchAll):
             return self.idx.docs.select(
                 "doc_id", F.lit(1.0).alias("score")
+            )
+        if isinstance(node, ConstScore):
+            # ConstantScoreQuery: keep the child's match SET, replace
+            # every score with the constant (inner scoring discarded)
+            return self._eval(node.child).select(
+                "doc_id", F.lit(float(node.value)).alias("score")
             )
         raise TypeError(f"unknown query node {node!r}")
 

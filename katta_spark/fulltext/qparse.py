@@ -16,6 +16,7 @@ engine evaluates (katta_spark/fulltext/luceval.py):
              | term                        # analyzed term
              | wild*card | wild?card       # wildcard (not analyzed)
              | term~N | term~              # fuzzy (levenshtein <= N, ~ = 2)
+             | atom^=N                     # constant score (all hits score N)
              | *:*                         # match-all
 
 Binary semantics (the practical classic-Lucene reading): ``AND``
@@ -123,7 +124,19 @@ class Bool:
     boost: float = 1.0
 
 
-Node = Term | Phrase | Wildcard | Fuzzy | Regex | RangeQ | MatchAll | Bool
+@dataclass
+class ConstScore:
+    """``atom^=N`` — Lucene constant-score operator (LUCENE-6224 /
+    classic ConstantScoreQuery): the wrapped query keeps its MATCH
+    set but every hit scores exactly ``value`` — tf/idf and inner
+    boosts are discarded, not multiplied."""
+
+    child: object
+    value: float = 1.0
+
+
+Node = (Term | Phrase | Wildcard | Fuzzy | Regex | RangeQ | MatchAll | Bool
+        | ConstScore)
 
 # ----------------------------------------------------------------- lexer
 
@@ -141,6 +154,9 @@ _TOKEN_RE = re.compile(
 
 _RANGE_BODY_RE = re.compile(r"^\s*(\S+)\s+TO\s+(\S+)\s*$", re.IGNORECASE)
 _BOOST_RE = re.compile(r"^(?P<body>.*?)\^(?P<boost>\d+(?:\.\d+)?)$")
+# constant score attached to the word itself (term^=2); checked
+# BEFORE _BOOST_RE so '^=' never half-matches as a boost
+_CONST_RE = re.compile(r"^(?P<body>.*?)\^=(?P<val>\d+(?:\.\d+)?)$")
 # fuzzy suffix on a WORD (never a bare "~N" token — those are phrase
 # slop, consumed by _boosted): body~ (=2), body~0, body~1, body~2
 _FUZZY_RE = re.compile(r"^(?P<body>.+?)~(?P<dist>[012])?$")
@@ -269,6 +285,17 @@ class _Parser:
             )
         if kind != "word":
             return None
+        # constant score attached to the word itself (term^=2,
+        # field:val^=2): parse the body as its own one-word atom,
+        # then wrap — inner scoring is discarded at eval time
+        cm = _CONST_RE.match(text)
+        if cm and cm.group("body"):
+            inner = _Parser([("word", cm.group("body"))]).parse_atom(
+                default_field
+            )
+            if inner is None:
+                return None
+            return ConstScore(inner, float(cm.group("val")))
         # boost attached to the word itself (term^2)
         boost = 1.0
         bm = _BOOST_RE.match(text)
@@ -303,6 +330,9 @@ class _Parser:
                 if m.group(2):
                     node = self._apply_boost(node, float(m.group(2)))
                 nxt = self.peek()
+        if nxt and nxt[0] == "word" and re.match(r"^\^=\d+(\.\d+)?$", nxt[1]):
+            self.next()
+            return ConstScore(node, float(nxt[1][2:]))
         if nxt and nxt[0] == "word" and re.match(r"^\^\d+(\.\d+)?$", nxt[1]):
             self.next()
             return self._apply_boost(node, float(nxt[1][1:]))
@@ -314,6 +344,9 @@ class _Parser:
             return node
         if isinstance(node, (Term, Phrase, Wildcard, Fuzzy, Regex, Bool)):
             node.boost = node.boost * boost
+        elif isinstance(node, ConstScore):
+            # boosting a constant-score query scales the constant
+            node.value = node.value * boost
         return node
 
     def _field_value(self, fld: str, rest: str) -> Node | None:

@@ -1063,6 +1063,41 @@ class PhysicalIndex:
             out = out.offset(offset)
         return out.limit(limit).select(*fields)
 
+    def sorted_by_func(self, qterms: list[str], expr: Column,
+                       fields: list[str], limit: int,
+                       ascending: bool = True, mode: str = "or",
+                       filters: Filters = None) -> DataFrame:
+        """Top-``limit`` matches ordered by a FUNCTION of stored
+        fields (Solr function-query sort, ``sort=abs(sub(n_chars,
+        250)) asc``): the computed value is appended as ``sortv`` so
+        rankings are auditable.  Same plan shape as
+        :meth:`sorted_query` — semi-join the match set into the docs
+        scan, then TakeOrderedAndProject (per-partition top-k +
+        tiny merge; never a global sort)."""
+        m = self.matched_docs(qterms, mode, filters)
+        out = (
+            self.docs.join(m, "doc_id", "left_semi")
+            .withColumn("sortv", expr)
+        )
+        order = [F.asc("sortv") if ascending else F.desc("sortv"),
+                 F.asc("doc_id")]
+        return out.orderBy(*order).limit(limit).select(*fields, "sortv")
+
+    def ngroups(self, qterms: list[str], group_field: str,
+                mode: str = "or", filters: Filters = None) -> DataFrame:
+        """One row (n_groups, n_hits) — Solr ``group.ngroups=true``:
+        the number of distinct groups among the matches, next to the
+        raw hit count.  One aggregate over the semi-joined match
+        set."""
+        m = self.matched_docs(qterms, mode, filters)
+        return (
+            self.docs.join(m, "doc_id", "left_semi")
+            .agg(
+                F.countDistinct(group_field).alias("n_groups"),
+                F.count(F.lit(1)).alias("n_hits"),
+            )
+        )
+
     def fetch_details(self, hits: DataFrame, fields: list[str]) -> DataFrame:
         cols = ["doc_id", *[f for f in fields if f != "doc_id"]]
         return F.broadcast(hits).join(self.docs.select(*cols), "doc_id")

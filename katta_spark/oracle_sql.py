@@ -209,6 +209,7 @@ def lucene_topk_sql(
     like_patterns: list[str] = (),
     edit_patterns: list[tuple[str, int]] = (),
     regex_patterns: list[str] = (),
+    const_parts: list[tuple[str, float]] = (),
     require_all: bool = False,
     must_doc_sql: list[str] = (),
     not_doc_sql: list[str] = (),
@@ -229,6 +230,9 @@ def lucene_topk_sql(
     ``regex_patterns`` RegexpQuery clauses — every content term the
                        regex FULLY matches scores (keep patterns in
                        the Java/RE2-portable subset).
+    ``const_parts``    constant-score clauses (doc_id SELECT, value):
+                       every doc in the set contributes exactly
+                       ``value`` (Lucene ``atom^=N``).
     ``require_all``    flat-AND: every terms/field_terms clause must
                        match (wildcards excluded from the count).
     ``must_doc_sql``   list of SELECTs yielding doc_id sets the doc
@@ -272,8 +276,13 @@ def lucene_topk_sql(
   FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats WHERE regexp_full_match(tf.term, '{pq}')"""
         )
+    for dsql, val in const_parts:
+        parts.append(
+            f"""  SELECT doc_id, {float(val)!r} AS s, 1 AS is_clause
+  FROM ({dsql}) GROUP BY doc_id"""
+        )
     union = "\nUNION ALL\n".join(parts)
-    n_clauses = len(terms) + len(field_terms)
+    n_clauses = len(terms) + len(field_terms) + len(const_parts)
     having = (
         f"HAVING sum(is_clause) = {n_clauses}"
         if require_all and n_clauses > 1

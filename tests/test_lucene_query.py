@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from katta_spark.fulltext.qparse import (
     Bool,
+    ConstScore,
     Fuzzy,
     MatchAll,
     Phrase,
@@ -192,6 +193,10 @@ def _py_eval(node, oracle: PyBM25, rows: dict[int, dict]) -> dict[int, float]:
         return out
     if isinstance(node, MatchAll):
         return {d: 1.0 for d in rows}
+    if isinstance(node, ConstScore):
+        return {
+            d: node.value for d in _py_eval(node.child, oracle, rows)
+        }
     assert isinstance(node, Bool)
     must = [_py_eval(n, oracle, rows) for n in node.must]
     should = [_py_eval(n, oracle, rows) for n in node.should]
@@ -241,6 +246,10 @@ QUERIES = [
     "nebul~1^2 import",
     "lang:pythn~1 AND import",
     "+import -nebul~1",
+    "import^=2",
+    "(nebula OR quark)^=1.5 import",
+    "import^=3 OR chunk",
+    '"parse http request"^=2.5 OR nebula',
 ]
 
 
@@ -569,3 +578,18 @@ def test_near_topk_unordered_matches_brute_force(pindex, row_map):
             for r in pindex.phrase_scored(qt, slop=slop).collect()
         }
         assert ordered <= got
+
+
+def test_parse_const_score_forms():
+    n = parse_lucene("import^=2")
+    assert isinstance(n, ConstScore) and n.value == 2.0
+    assert isinstance(n.child, Term) and n.child.text == "import"
+    n = parse_lucene("(nebula OR quark)^=1.5")
+    assert isinstance(n, ConstScore) and n.value == 1.5
+    assert isinstance(n.child, Bool) and len(n.child.should) == 2
+    n = parse_lucene("lang:python^=4")
+    assert isinstance(n, ConstScore) and n.value == 4.0
+    assert isinstance(n.child, Term) and n.child.field == "lang"
+    # ^= binds eagerly; a plain boost still parses as boost
+    b = parse_lucene("import^2")
+    assert isinstance(b, Term) and b.boost == 2.0

@@ -306,3 +306,32 @@ def test_significant_terms_matches_python(pindex, py_oracle, pandas_docs):
     ]
     assert got == want
     assert all(r[3] > 1.0 for r in got[:3])  # head terms are enriched
+
+
+def test_sorted_by_func_matches_python(pindex, py_oracle):
+    """Function-query sort: matches of 'import' ordered by |dl-50|
+    asc equals the python mirror (doc_id tie-break)."""
+    from pyspark.sql import functions as F
+
+    got = [
+        (r["doc_id"], r["sortv"])
+        for r in pindex.sorted_by_func(
+            ["import"], F.abs(F.col("dl") - F.lit(50)),
+            ["doc_id"], 12,
+        ).collect()
+    ]
+    want = sorted(
+        ((d, abs(py_oracle.dl[d] - 50)) for d in py_oracle.matches(["import"])),
+        key=lambda x: (x[1], x[0]),
+    )[:12]
+    assert got == want
+
+
+def test_ngroups_counts_distinct_groups(pindex, py_oracle, pandas_docs):
+    langs = {
+        int(r.doc_id): r.lang for r in pandas_docs.itertuples(index=False)
+    }
+    m = py_oracle.matches(["import"])
+    row = pindex.ngroups(["import"], "lang").collect()[0]
+    assert row["n_hits"] == len(m)
+    assert row["n_groups"] == len({langs[d] for d in m})
