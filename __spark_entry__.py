@@ -1117,6 +1117,36 @@ def q_ts_asof(spark, sf_dir):
     )
 
 
+def q_ts_zscore(spark, sf_dir):
+    """Per-event-type standard score (anomaly signal): one hash agg
+    for the moments, broadcast back over the stream."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.zscore(_events(spark, sf_dir), "event_type", "value")
+    return out.select("event_id", "event_type", "z").orderBy("event_id")
+
+
+def q_ts_running(spark, sf_dir):
+    """Per-user running sum/count ordered by (ts, event_id) — the
+    odometer view; one shuffle on user_id."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.running_agg(
+        _events(spark, sf_dir), "ts", "user_id", "value",
+        order_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "run_sum", "run_n").orderBy(
+        "event_id"
+    )
+
+
+def q_text_pmi(spark, sf_dir):
+    """Top bigram collocations by pointwise mutual information
+    (min_count=5) — multi-word-expression mining."""
+    return text.pmi_top(_docs(spark, sf_dir), k=20, min_count=5,
+                        text_col="text")
+
+
 def q_pipe_rollup(spark, sf_dir):
     """Hierarchical corpus budget: (lang, source) counts + subtotals
     at every rollup level in one pass (Spark native rollup)."""
@@ -1261,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_top": q_text_ngram_top,
         "text_unigram_lp": q_text_unigram_lp,
         "text_entropy": q_text_entropy,
+        "text_pmi": q_text_pmi,
         "text_lm_buckets": q_text_lm_buckets,
         "text_nfc": q_text_nfc,
         "text_code_quality": q_text_code_quality,
@@ -1295,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sliding_window": q_ts_sliding_window,
         "ts_gap_fill": q_ts_gap_fill,
         "ts_asof": q_ts_asof,
+        "ts_zscore": q_ts_zscore,
+        "ts_running": q_ts_running,
         "ts_top_events": q_ts_top_events,
         "ts_json": q_ts_json,
         "ts_date_math": q_ts_date_math,
@@ -1477,6 +1510,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
         "text_unigram_lp": OO.unigram_lp_sql(),
         "text_entropy": OO.token_entropy_sql(),
+        "text_pmi": OO.pmi_top_sql(20, 5),
         "text_lm_buckets": OO.lm_buckets_sql(3),
         "text_nfc": OO.nfc_sql(),
         "text_code_quality": OO.code_quality_sql(),
@@ -1542,6 +1576,8 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_sliding_window": OO.ts_sliding_window_sql(7200, 3600),
         "ts_gap_fill": OO.ts_gap_fill_sql("12 hours", "user_id < 3"),
         "ts_asof": OO.ts_asof_sql("click", "purchase"),
+        "ts_zscore": OO.ts_zscore_sql(),
+        "ts_running": OO.ts_running_sql(),
         "ts_top_events": OO.ts_top_events_sql("1 day", 3),
         "ts_json": OO.ts_json_sql(),
         "ts_date_math": OO.ts_date_math_sql(_DM_NOW, _DM_LO, _DM_HI),

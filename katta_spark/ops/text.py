@@ -419,3 +419,71 @@ def nfc_normalize(corpus: DataFrame, text_col: str = "content") -> DataFrame:
         nfc.alias("text_nfc"),
         (nfc != F.col(text_col)).alias("changed"),
     )
+
+
+def pmi_top(corpus: DataFrame, k: int = 20, min_count: int = 5,
+            text_col: str = "content") -> DataFrame:
+    """(ngram, n_ab, pmi) — top-k bigram collocations by pointwise
+    mutual information: pmi = ln( p(ab) / (p(a)·p(b)) ) with MLE
+    probabilities over the corpus (the classic Church & Hanks
+    association measure; data-curation pipelines use it to mine
+    multi-word expressions / boilerplate phrases).
+
+    Scale shape: bigram and unigram counts each hash-aggregate with
+    map-side combine (shuffle O(vocab), not O(token occurrences));
+    the two unigram joins key on the term (AQE handles skewed hot
+    words); corpus totals are one-row broadcasts.  ``min_count``
+    suppresses the unstable low-frequency tail; ties break ngram asc
+    (total order)."""
+    t = tokens_array(text_col)
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(t, i), F.get(t, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        corpus.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        corpus.select(F.explode(t).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_t"))
+    )
+    n_tok = uni.agg(F.sum("n_t").alias("_n_tok"))
+    n_big = (
+        corpus.select(
+            F.greatest(F.size(t) - 1, F.lit(0)).alias("_nb")
+        ).agg(F.sum("_nb").alias("_n_big"))
+    )
+    a = F.split(F.col("ngram"), " ")[0]
+    b = F.split(F.col("ngram"), " ")[1]
+    joined = (
+        big.withColumn("_a", a).withColumn("_b", b)
+        .join(uni.select(F.col("term").alias("_a"),
+                         F.col("n_t").alias("n_a")), "_a")
+        .join(uni.select(F.col("term").alias("_b"),
+                         F.col("n_t").alias("n_b")), "_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+    )
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.col("_n_big"))
+        / (
+            (F.col("n_a").cast("double") / F.col("_n_tok"))
+            * (F.col("n_b").cast("double") / F.col("_n_tok"))
+        )
+    )
+    return (
+        joined.select(
+            "ngram", "n_ab", F.round(pmi, 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), F.asc("ngram"))
+        .limit(k)
+    )

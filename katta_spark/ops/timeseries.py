@@ -286,3 +286,50 @@ def json_props(df: DataFrame, json_col: str, field: str,
         f"prop_{field}",
         F.get_json_object(F.col(json_col), f"$.{field}").cast(out_type),
     )
+
+
+def zscore(df: DataFrame, key_col: str, value_col: str = "value",
+           out_col: str = "z") -> DataFrame:
+    """Per-group standard score: z = (value − mean_g) / std_g with
+    sample stddev per ``key_col`` group — the basic anomaly signal
+    over an event stream.  ONE hash agg for the per-group moments,
+    broadcast back into a narrow pass over the stream (group
+    cardinality is tiny next to the events).  Mean/std are rounded
+    to 6dp BEFORE the z computation so independently-summed engines
+    agree exactly; single-row groups (std 0/NULL) yield NULL z."""
+    stats = df.groupBy(key_col).agg(
+        F.round(F.avg(value_col), 6).alias("_mu"),
+        F.round(F.stddev_samp(value_col), 6).alias("_sd"),
+    )
+    z = F.when(
+        F.col("_sd") > 0,
+        F.round((F.col(value_col) - F.col("_mu")) / F.col("_sd"), 6),
+    )
+    return (
+        df.join(F.broadcast(stats), key_col)
+        .withColumn(out_col, z)
+        .drop("_mu", "_sd")
+    )
+
+
+def running_agg(df: DataFrame, ts_col: str, key_col: str,
+                value_col: str = "value",
+                order_cols: list[str] | None = None) -> DataFrame:
+    """Per-key running (cumulative) sum and count ordered by time —
+    the balance/odometer view of an event stream.  One shuffle on
+    ``key_col``; window state is per-key and streamed in order, so
+    no reducer materializes more than a key's partition.
+    ``order_cols`` extends the sort key for a total order under
+    timestamp ties (pass a unique id!)."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("run_sum", F.round(F.sum(value_col).over(w), 6))
+        .withColumn("run_n", F.count(F.lit(1)).over(w))
+    )

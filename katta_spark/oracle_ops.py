@@ -1158,3 +1158,59 @@ SELECT * FROM (
   WHERE CAST({weight_expr} AS DOUBLE) > 0)
 ORDER BY es_key ASC, {key_col} ASC
 LIMIT {n}"""
+
+
+def pmi_top_sql(k: int = 20, min_count: int = 5) -> str:
+    """Oracle for ops.text.pmi_top (Church & Hanks PMI over corpus
+    bigrams; identical expression tree so float rounding matches)."""
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    return f"""WITH tokl AS ({tokl}),
+g AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        THEN list_transform(generate_series(1, len(toks) - 1),
+             i -> concat_ws(' ', toks[i], toks[i+1])) ELSE [] END) AS ngram
+      FROM tokl),
+big AS (SELECT ngram, count(*) AS n_ab FROM g
+        GROUP BY ngram HAVING count(*) >= {min_count}),
+unic AS (SELECT term, count(*) AS n_t
+         FROM (SELECT unnest(toks) AS term FROM tokl) GROUP BY term),
+tot AS (SELECT CAST(sum(n_t) AS DOUBLE) AS n_tok FROM unic),
+totb AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_big
+         FROM tokl)
+SELECT big.ngram, CAST(big.n_ab AS BIGINT) AS n_ab,
+       round(ln((CAST(big.n_ab AS DOUBLE) / totb.n_big)
+             / ((CAST(a.n_t AS DOUBLE) / tot.n_tok)
+                * (CAST(b.n_t AS DOUBLE) / tot.n_tok))), 6) AS pmi
+FROM big
+JOIN unic a ON a.term = string_split(big.ngram, ' ')[1]
+JOIN unic b ON b.term = string_split(big.ngram, ' ')[2]
+CROSS JOIN tot CROSS JOIN totb
+ORDER BY pmi DESC, big.ngram ASC LIMIT {k}"""
+
+
+def ts_zscore_sql() -> str:
+    """Oracle for ops.timeseries.zscore over (event_type, value):
+    per-group moments rounded to 6dp BEFORE the z computation,
+    exactly as the engine does."""
+    return """
+WITH stats AS (
+  SELECT event_type, round(avg(value), 6) AS mu,
+         round(stddev_samp(value), 6) AS sd
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CASE WHEN s.sd > 0
+            THEN round((e.value - s.mu) / s.sd, 6) END AS z
+FROM events e JOIN stats s USING (event_type)
+ORDER BY e.event_id"""
+
+
+def ts_running_sql() -> str:
+    """Oracle for ops.timeseries.running_agg: per-user cumulative
+    sum/count ordered by (ts, event_id)."""
+    return """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS run_sum,
+       CAST(count(*) OVER w AS BIGINT) AS run_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY event_id"""

@@ -214,3 +214,35 @@ def test_token_entropy_matches_python(docs):
         h = math.log(n) - sum(f * math.log(f) for f in cnt.values()) / n
         assert got[r["doc_id"]][0] == n
         assert abs(got[r["doc_id"]][1] - round(h, 6)) <= 1e-6
+
+
+def test_pmi_top_matches_python(spark):
+    """PMI top-k equals an exact python mirror over the same corpus
+    (real documents table; min_count filters the unstable tail)."""
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from katta_spark.ops.text import pmi_top
+
+    got = [
+        (r["ngram"], r["n_ab"], r["pmi"])
+        for r in pmi_top(docs, k=15, min_count=5, text_col="text").collect()
+    ]
+    uni, big = Counter(), Counter()
+    n_big = 0
+    for r in docs.select("text").collect():
+        toks = py_tokenize(r["text"])
+        uni.update(toks)
+        big.update(" ".join(p) for p in zip(toks, toks[1:]))
+        n_big += max(len(toks) - 1, 0)
+    n_tok = sum(uni.values())
+    rows = []
+    for g, nab in big.items():
+        if nab < 5:
+            continue
+        a, b = g.split(" ")
+        pmi = math.log((nab / n_big) / ((uni[a] / n_tok) * (uni[b] / n_tok)))
+        rows.append((g, nab, round(pmi, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    assert got == rows[:15]

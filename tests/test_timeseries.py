@@ -1,6 +1,7 @@
 """Time-series op tests incl. batch/stream parity of the tumbling
 window (same expression, Structured Streaming + watermark)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from katta_spark.ops import timeseries as TS
@@ -302,3 +303,34 @@ def test_asof_join_preserves_left_columns_and_count(spark):
     )
     assert set(left.columns) | {"last_signup_value"} == set(out.columns)
     assert out.count() == left.count()
+
+
+def test_zscore_matches_python(spark):
+    import statistics
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r["event_id"]: r["z"]
+           for r in TS.zscore(e, "event_type", "value").collect()}
+    rows = e.select("event_id", "event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for r in rows:
+        vs = by_type[r["event_type"]]
+        mu = round(sum(vs) / len(vs), 6)
+        sd = round(statistics.stdev(vs), 6)
+        want = round((r["value"] - mu) / sd, 6) if sd > 0 else None
+        assert got[r["event_id"]] == pytest.approx(want, abs=2e-6)
+
+
+def test_running_agg_is_cumulative(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    out = TS.running_agg(e, "ts", "user_id", "value",
+                         order_cols=["event_id"]).collect()
+    per_user = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        acc, n = per_user.get(r["user_id"], (0.0, 0))
+        acc, n = acc + r["value"], n + 1
+        per_user[r["user_id"]] = (acc, n)
+        assert r["run_n"] == n
+        assert r["run_sum"] == pytest.approx(round(acc, 6), abs=2e-6)
