@@ -281,6 +281,7 @@ def build_index(
     field_analyzers: dict[str, str] | None = None,
     stopwords: list[str] | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    token_filters: list[str] | None = None,
     store_positions: bool = True,
     n_groups: int = 4,
     commit: str = "c0",
@@ -315,6 +316,16 @@ def build_index(
         k.lower(): sorted({s.lower() for s in v})
         for k, v in (synonyms or {}).items()
     }
+    # token filters (ASCIIFoldingFilter / EnglishMinimalStemFilter
+    # parity) are index-side invariants like stopwords: they change
+    # the stored token arrays and dl, so later commits inherit them.
+    # Order is fixed: fold (pre-tokenize) -> stop -> stem.
+    from katta_spark.tokenizer import TOKEN_FILTERS
+
+    token_filters = list(token_filters or [])
+    unknown = set(token_filters) - set(TOKEN_FILTERS)
+    if unknown:
+        raise ValueError(f"unknown token filters {sorted(unknown)!r}")
     if stats_path.exists():
         # block geometry is an index-wide invariant (decode + group
         # lineage depend on it) — later commits inherit the original;
@@ -325,6 +336,7 @@ def build_index(
         # would leave phrase execution half-blind)
         store_positions = bool(_prev_stats.get("positions", False))
         stopwords = _prev_stats.get("stopwords", [])
+        token_filters = _prev_stats.get("token_filters", [])
         synonyms = {**synonyms, **_prev_stats.get("synonyms", {})}
         indexed_fields = sorted(
             set(indexed_fields) | set(_prev_stats.get("indexed_fields", []))
@@ -368,7 +380,15 @@ def build_index(
             docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(prev_n))
         # analyzer runs ONCE per document, here; every later pass
         # (posting groups, rebuilds, resume) reads the stored arrays
-        toks_expr = tokens_array("content")
+        if "ascii_fold" in token_filters:
+            # ASCIIFoldingFilter parity — runs on the TEXT (the
+            # identifier regex is ASCII-only, so folding after
+            # tokenization would be too late)
+            from katta_spark.tokenizer import fold_text_col
+
+            toks_expr = tokens_array(fold_text_col(F.col("content")))
+        else:
+            toks_expr = tokens_array("content")
         if stopwords:
             # StopFilter: removed BEFORE positions are assigned, so
             # the surviving tokens renumber densely ("a the b" indexes
@@ -378,6 +398,12 @@ def build_index(
             toks_expr = F.filter(
                 toks_expr, lambda t: ~t.isin(*stopwords)
             )
+        if "stem_plural" in token_filters:
+            # EnglishMinimalStemFilter parity — per token, after the
+            # StopFilter (the classic Lucene chain order)
+            from katta_spark.tokenizer import stem_token_col
+
+            toks_expr = F.transform(toks_expr, stem_token_col)
         docs = docs.withColumn("toks", toks_expr).withColumn(
             "dl", F.size("toks").cast("long")
         )
@@ -584,6 +610,7 @@ def build_index(
         "indexed_fields": indexed_fields,
         "field_analyzers": fanalyzers,
         "stopwords": stopwords,
+        "token_filters": token_filters,
         "synonyms": synonyms,
         "positions": store_positions,
         "commits": sorted({m["commit"] for m in load_manifest(index_dir)}),

@@ -568,16 +568,30 @@ class PhysicalIndex:
     # ---------------------------------------------------------- plumbing
 
     def _strip_stops(self, qterms: list[str]) -> list[str]:
-        """Query-side StopFilter: terms the index dropped at build
-        time are removed from queries too (Lucene's query analyzer
-        symmetry) — an AND containing a stopword degrades to the
-        conjunction of the remaining terms instead of matching
-        nothing."""
+        """Query-side analyzer-chain symmetry (Lucene's query
+        analyzer = index analyzer): stopwords the index dropped at
+        build time are removed from queries too — an AND containing a
+        stopword degrades to the conjunction of the remaining terms —
+        and token filters (ascii_fold / stem_plural) transform query
+        terms exactly as they transformed index tokens.  Chain order
+        matches the build: fold -> stop -> stem.  (Fold applies
+        per-TERM here; accented text inside a raw q string still
+        tokenizes ASCII-only — pass pre-folded terms or fold the
+        string before parse for that case.)"""
+        filters = self.stats.get("token_filters") or []
+        if "ascii_fold" in filters:
+            from katta_spark.tokenizer import py_fold_text
+
+            qterms = [py_fold_text(t).lower() for t in qterms]
         stops = self.stats.get("stopwords") or []
-        if not stops:
-            return list(qterms)
-        s = set(stops)
-        return [t for t in qterms if t not in s]
+        if stops:
+            s = set(stops)
+            qterms = [t for t in qterms if t not in s]
+        if "stem_plural" in filters:
+            from katta_spark.tokenizer import py_stem_token
+
+            qterms = [py_stem_token(t) for t in qterms]
+        return list(qterms)
 
     def _qblocks(self, qterms: list[str] | Column,
                  positions: bool = False) -> DataFrame:

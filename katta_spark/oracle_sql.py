@@ -15,7 +15,8 @@ DOCS = "documents"
 
 
 def index_ctes(stopwords: list[str] = (),
-               docs_where: str | None = None) -> str:
+               docs_where: str | None = None,
+               token_filters: list[str] = ()) -> str:
     """Shared CTE prefix: tok / tf / dl / stats / dfv over documents —
     the SQL mirror of :class:`katta_spark.fulltext.analysis.LogicalIndex`.
     ``stopwords`` mirrors build_index(stopwords=...): dropped from tok
@@ -26,12 +27,24 @@ def index_ctes(stopwords: list[str] = (),
     docs_src = (
         f"(SELECT * FROM {DOCS} WHERE {docs_where})" if docs_where else DOCS
     )
-    tok = duckdb_tokens_sql(docs_src, "doc_id", "text")
+    text_expr = "text"
+    if "ascii_fold" in token_filters:
+        from katta_spark.tokenizer import fold_text_sql
+
+        text_expr = fold_text_sql("text")
+    tok = duckdb_tokens_sql(docs_src, "doc_id", text_expr)
     if stopwords:
         stops = ", ".join(
             "'" + s.replace("'", "''") + "'" for s in sorted(set(stopwords))
         )
         tok = f"SELECT * FROM ({tok}) WHERE term NOT IN ({stops})"
+    if "stem_plural" in token_filters:
+        from katta_spark.tokenizer import stem_token_sql
+
+        tok = (
+            f"SELECT doc_id, {stem_token_sql('term')} AS term "
+            f"FROM ({tok})"
+        )
     return f"""WITH tok AS ({tok}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT d.doc_id, count(t.term) AS dl

@@ -37,6 +37,68 @@ MIN_TOKEN_LEN = 2
 # fields with a word-delimiter chain; see schema.xml:112-147)
 PATH_SEP_RE = r"[/._\-]+"
 
+# ------------------------------------------------ analyzer token filters
+#
+# Optional chain stages mirroring Lucene's ASCIIFoldingFilter and
+# EnglishMinimalStemFilter (schema.xml analyzer plug points).  Each
+# has the same three identical implementations as the tokenizer.
+#
+# ascii_fold runs BEFORE tokenization (the identifier regex is
+# ASCII-only, so an unfolded 'café' would tokenize as 'caf');
+# stem_plural runs per token AFTER tokenization (and after any
+# StopFilter).  Both are restricted to the dialect-portable subset:
+# translate() and a lookbehind-free regex exist identically in Spark
+# (Java), Python, and DuckDB (RE2).
+
+#: Latin-1 accent fold map (both cases — folding precedes lowercasing)
+FOLD_SRC = ("ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîï"
+            "ÒÓÔÕÖòóôõöÙÚÛÜùúûüÇçÑñÝýÿ")
+FOLD_DST = ("AAAAAAaaaaaaEEEEeeeeIIIIiiii"
+            "OOOOOoooooUUUUuuuuCcNnYyy")
+assert len(FOLD_SRC) == len(FOLD_DST)
+
+#: Harman S-stemmer first rule, portable subset: strip one final 's'
+#: when the token is longer than 3 chars and the preceding char is
+#: not s/u/i (keeps 'class', 'status', 'basis'; 'tables' -> 'table').
+#: No lookbehind (RE2 has none): the preceding char is captured.
+STEM_PLURAL_RE = r"^([a-z0-9_]*[abcdefghjklmnopqrtvwxyz0-9_])s$"
+TOKEN_FILTERS = ("ascii_fold", "stem_plural")
+
+
+def fold_text_col(text: Column) -> Column:
+    return F.translate(text, FOLD_SRC, FOLD_DST)
+
+
+def stem_token_col(tok: Column) -> Column:
+    return F.when(
+        F.length(tok) > 3,
+        F.regexp_replace(tok, STEM_PLURAL_RE, r"$1"),
+    ).otherwise(tok)
+
+
+_FOLD_TABLE = str.maketrans(FOLD_SRC, FOLD_DST)
+_stem_pat = re.compile(STEM_PLURAL_RE)
+
+
+def py_fold_text(text: str) -> str:
+    return (text or "").translate(_FOLD_TABLE)
+
+
+def py_stem_token(tok: str) -> str:
+    return _stem_pat.sub(r"\1", tok) if len(tok) > 3 else tok
+
+
+def fold_text_sql(expr: str) -> str:
+    return f"translate({expr}, '{FOLD_SRC}', '{FOLD_DST}')"
+
+
+def stem_token_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length({expr}) > 3 THEN "
+        f"regexp_replace({expr}, '{STEM_PLURAL_RE}', '\\1') "
+        f"ELSE {expr} END"
+    )
+
 
 # ---------------------------------------------------------------- Spark
 

@@ -161,3 +161,117 @@ def test_index_default_synonyms_and_incremental_inherit(
         for r in idx2.docs.select("doc_id", "dl").collect()
     }
     assert dls[10] == 1
+
+
+# --------------------------- token filters (fold + minimal stem)
+
+
+@pytest.fixture(scope="module")
+def filtered_index(spark, tmp_path_factory):
+    rows = [
+        (0, "café tables naïve merge"),
+        (1, "cafe table merge status"),
+        (2, "classes class pass"),
+        (3, "bus buses status basis windows"),
+        (4, "Señor résumé values value"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path_factory.mktemp("katta_filt") / "idx")
+    build_index(
+        spark,
+        df.withColumn("repo", F.lit("r")).withColumn(
+            "path", F.concat(F.lit("p"), F.col("doc_id"))
+        ).withColumn("commit", F.lit("c")),
+        d,
+        n_groups=1,
+        block_range=64,
+        token_filters=["ascii_fold", "stem_plural"],
+    )
+    return PhysicalIndex(spark, d), {i: t for i, t in rows}
+
+
+def _py_chain(text):
+    from katta_spark.tokenizer import py_fold_text, py_stem_token
+
+    return [py_stem_token(t) for t in py_tokenize(py_fold_text(text))]
+
+
+def test_token_filters_fold_and_stem_index_terms(filtered_index):
+    idx, rows = filtered_index
+    terms = {r["term"] for r in idx.terms.collect()}
+    # folded: café -> cafe (not 'caf'); señor -> senor; naïve -> naive
+    assert {"cafe", "senor", "naive", "resume"} <= terms
+    assert "caf" not in terms
+    # stemmed: tables/values/windows lose the plural s; classes -> classe
+    # (the minimal stemmer strips ONE final s after a non-s/u/i char);
+    # status/basis/bus survive untouched
+    assert {"table", "value", "window", "classe"} <= terms
+    assert {"status", "basis", "bus"} <= terms
+    assert "tables" not in terms and "values" not in terms
+
+
+def test_token_filters_query_symmetry_and_rank_identity(filtered_index):
+    idx, rows = filtered_index
+    oracle = PyBM25([(d, " ".join(_py_chain(c))) for d, c in rows.items()])
+    # query with the accented plural form: folds + stems to 'table'
+    got = [(r["doc_id"], r["score"]) for r in idx.topk(["tablés"], k=10).collect()]
+    want = oracle.topk(["table"], k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d, s), (_, ws) in zip(got, want):
+        assert s == pytest.approx(ws, abs=1e-9)
+    # stopword-free AND across both filters
+    got = [r["doc_id"] for r in idx.topk(["cafés", "merges"], mode="and").collect()]
+    assert got == [d for d, _ in oracle.topk(["cafe", "merge"], mode="and")]
+
+
+def test_token_filters_inherited_by_later_commits(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("katta_filt2") / "idx")
+    base = spark.createDataFrame(
+        [(0, "tables windows")], "doc_id long, content string"
+    ).withColumn("repo", F.lit("r")).withColumn("path", F.lit("p0")).withColumn(
+        "commit", F.lit("c")
+    )
+    more = spark.createDataFrame(
+        [(1, "tables merge")], "doc_id long, content string"
+    ).withColumn("repo", F.lit("r")).withColumn("path", F.lit("p1")).withColumn(
+        "commit", F.lit("c")
+    )
+    build_index(spark, base, d, n_groups=1, block_range=64,
+                token_filters=["stem_plural"])
+    # second commit passes NO filters — must inherit stem_plural
+    build_index(spark, more, d, n_groups=1, block_range=64, commit="c1")
+    idx = PhysicalIndex(spark, d)
+    assert idx.stats["token_filters"] == ["stem_plural"]
+    got = sorted(r["doc_id"] for r in idx.topk(["table"], k=10).collect())
+    assert got == [0, 1]
+
+
+def test_token_filter_oracle_sql_matches_python_chain(tmp_path):
+    """The DuckDB mirror (index_ctes(token_filters=...)) produces the
+    same token multiset as the python chain — the oracle path for any
+    folded/stemmed index."""
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+
+    from katta_spark.oracle_sql import index_ctes
+
+    rows = [
+        (0, "café tables naïve merge"),
+        (1, "Señor résumé values class classes bus status"),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    sql = (
+        index_ctes(token_filters=["ascii_fold", "stem_plural"])
+        + "\nSELECT doc_id, term, tf FROM tf ORDER BY doc_id, term"
+    )
+    got = {(d, t): n for d, t, n in con.execute(sql).fetchall()}
+    want = {}
+    for d, text in rows:
+        for t, n in Counter(_py_chain(text)).items():
+            want[(d, t)] = n
+    assert got == want
