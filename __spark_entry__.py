@@ -1147,6 +1147,22 @@ def q_text_pmi(spark, sf_dir):
                         text_col="text")
 
 
+def q_ts_percentiles(spark, sf_dir):
+    """Exact per-type value percentiles (ES percentiles-agg shape)."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.percentiles(_events(spark, sf_dir), "event_type", "value")
+
+
+def q_text_chunks(spark, sf_dir):
+    """Overlapping token-window chunks (RAG splitter): 24-token
+    chunks, stride 16, over the first docs (bounded output)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return text.chunk_texts(d, size=24, stride=16, text_col="text").orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def q_pipe_rollup(spark, sf_dir):
     """Hierarchical corpus budget: (lang, source) counts + subtotals
     at every rollup level in one pass (Spark native rollup)."""
@@ -1292,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lp": q_text_unigram_lp,
         "text_entropy": q_text_entropy,
         "text_pmi": q_text_pmi,
+        "text_chunks": q_text_chunks,
         "text_lm_buckets": q_text_lm_buckets,
         "text_nfc": q_text_nfc,
         "text_code_quality": q_text_code_quality,
@@ -1327,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_fill": q_ts_gap_fill,
         "ts_asof": q_ts_asof,
         "ts_zscore": q_ts_zscore,
+        "ts_percentiles": q_ts_percentiles,
         "ts_running": q_ts_running,
         "ts_top_events": q_ts_top_events,
         "ts_json": q_ts_json,
@@ -1511,6 +1529,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_unigram_lp": OO.unigram_lp_sql(),
         "text_entropy": OO.token_entropy_sql(),
         "text_pmi": OO.pmi_top_sql(20, 5),
+        "text_chunks": OO.chunk_texts_sql(24, 16, docs_where="doc_id < 50"),
         "text_lm_buckets": OO.lm_buckets_sql(3),
         "text_nfc": OO.nfc_sql(),
         "text_code_quality": OO.code_quality_sql(),
@@ -1577,6 +1596,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_gap_fill": OO.ts_gap_fill_sql("12 hours", "user_id < 3"),
         "ts_asof": OO.ts_asof_sql("click", "purchase"),
         "ts_zscore": OO.ts_zscore_sql(),
+        "ts_percentiles": OO.ts_percentiles_sql(),
         "ts_running": OO.ts_running_sql(),
         "ts_top_events": OO.ts_top_events_sql("1 day", 3),
         "ts_json": OO.ts_json_sql(),

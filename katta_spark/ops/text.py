@@ -487,3 +487,38 @@ def pmi_top(corpus: DataFrame, k: int = 20, min_count: int = 5,
         .orderBy(F.desc("pmi"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def chunk_texts(corpus: DataFrame, size: int = 32, stride: int = 24,
+                text_col: str = "content") -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk) — overlapping token-window
+    chunks (the RAG/embedding-pipeline splitter): chunk k covers
+    tokens [k·stride, k·stride + size).  ``stride < size`` gives
+    sliding overlap; the final chunk may be shorter; empty docs yield
+    no chunks.
+
+    Narrow column algebra end to end (tokenize once, ``sequence`` for
+    the starts, ``slice`` + explode) — zero shuffle, a pure map stage
+    at any corpus size; chunk identity is a pure function of the doc,
+    so reruns and repartitions emit identical chunks."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    t = tokens_array(text_col)
+    starts = F.when(
+        F.size(t) > 0,
+        F.sequence(F.lit(0), F.size(t) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.slice(t, s + 1, size).alias("_toks"),
+        ),
+    )
+    ex = corpus.select("doc_id", F.explode(chunks).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c._toks").cast("long").alias("n_tokens"),
+        F.array_join("c._toks", " ").alias("chunk"),
+    )

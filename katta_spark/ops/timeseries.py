@@ -333,3 +333,21 @@ def running_agg(df: DataFrame, ts_col: str, key_col: str,
         df.withColumn("run_sum", F.round(F.sum(value_col).over(w), 6))
         .withColumn("run_n", F.count(F.lit(1)).over(w))
     )
+
+
+def percentiles(df: DataFrame, key_col: str, value_col: str = "value",
+                probs: tuple = (0.5, 0.95, 0.99)) -> DataFrame:
+    """(key, n, p50, p95, ...) — exact linear-interpolation percentiles
+    per group (the ES percentiles-agg shape, but exact rather than
+    t-digest: reproducible across engines and reruns).  Spark's
+    ``percentile`` is a sort-based exact aggregate; state is per
+    (group, distinct value), fine for event-stream value domains.  At
+    100 TB swap in ``percentile_approx`` — documented trade, the
+    call-site shape is identical."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in probs:
+        name = f"p{str(p).replace('0.', '')}"
+        aggs.append(
+            F.round(F.percentile(F.col(value_col), F.lit(p)), 6).alias(name)
+        )
+    return df.groupBy(key_col).agg(*aggs).orderBy(key_col)

@@ -1214,3 +1214,35 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)
 ORDER BY event_id"""
+
+
+def ts_percentiles_sql(probs: tuple = (0.5, 0.95, 0.99)) -> str:
+    """Oracle for ops.timeseries.percentiles: DuckDB quantile_cont is
+    the same exact linear-interpolation definition as Spark's
+    percentile."""
+    cols = ", ".join(
+        f"round(quantile_cont(value, {p}), 6) AS p{str(p).replace('0.', '')}"
+        for p in probs
+    )
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, {cols}
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def chunk_texts_sql(size: int = 32, stride: int = 24,
+                    docs_where: str | None = None) -> str:
+    """Oracle for ops.text.chunk_texts (token-window chunker)."""
+    src = f"(SELECT * FROM {DOCS} WHERE {docs_where})" if docs_where else DOCS
+    tokl = duckdb_tokens_list_sql(src, "doc_id", "text")
+    return f"""WITH tokl AS ({tokl}),
+st AS (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) > 0
+                THEN generate_series(0, len(toks) - 1, {stride})
+                ELSE [] END) AS s
+  FROM tokl)
+SELECT doc_id,
+       CAST(s / {stride} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, s + 1, s + {size})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, s + 1, s + {size}), ' ') AS chunk
+FROM st ORDER BY doc_id, chunk_id"""

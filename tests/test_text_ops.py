@@ -246,3 +246,31 @@ def test_pmi_top_matches_python(spark):
         rows.append((g, nab, round(pmi, 6)))
     rows.sort(key=lambda r: (-r[2], r[0]))
     assert got == rows[:15]
+
+
+def test_chunk_texts_tile_with_overlap(spark):
+    """Chunks tile each doc: chunk k starts at k·stride, length
+    min(size, n−start); reconstructing from stride-prefixes gives the
+    token stream back."""
+    from katta_spark.ops.text import chunk_texts
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(40)
+    out = {}
+    for r in chunk_texts(docs, size=10, stride=6, text_col="text").collect():
+        out.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["n_tokens"], r["chunk"]
+        )
+    for r in docs.select("doc_id", "text").collect():
+        toks = py_tokenize(r["text"])
+        chunks = out.get(r["doc_id"], {})
+        if not toks:
+            assert chunks == {}
+            continue
+        n_expected = (len(toks) - 1) // 6 + 1
+        assert sorted(chunks) == list(range(n_expected))
+        for k, (nt, ch) in chunks.items():
+            want = toks[k * 6 : k * 6 + 10]
+            assert nt == len(want)
+            assert ch == " ".join(want)

@@ -334,3 +334,27 @@ def test_running_agg_is_cumulative(spark):
         per_user[r["user_id"]] = (acc, n)
         assert r["run_n"] == n
         assert r["run_sum"] == pytest.approx(round(acc, 6), abs=2e-6)
+
+
+def test_percentiles_match_python(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r["event_type"]: (r["n"], r["p5"], r["p95"])
+           for r in TS.percentiles(e, "event_type", "value",
+                                   probs=(0.5, 0.95)).collect()}
+    rows = e.select("event_type", "value").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], []).append(r["value"])
+
+    def q(vs, p):
+        vs = sorted(vs)
+        pos = p * (len(vs) - 1)
+        lo, f = int(pos), pos - int(pos)
+        hi = min(lo + 1, len(vs) - 1)
+        return round(vs[lo] + f * (vs[hi] - vs[lo]), 6)
+
+    for k, vs in by.items():
+        n, p50, p95 = got[k]
+        assert n == len(vs)
+        assert p50 == pytest.approx(q(vs, 0.5), abs=2e-6)
+        assert p95 == pytest.approx(q(vs, 0.95), abs=2e-6)
