@@ -266,3 +266,19 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     got = [r["doc_id"] for r in weighted_sample(df, 10, "w").collect()]
     assert got == [3]
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark):
+    """A-ES selection compiles to TakeOrderedAndProject (per-partition
+    heap + tiny merge), never a full Exchange+Sort of the corpus."""
+    from katta_spark.ops.sampling import weighted_sample
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "n_chars")
+    plan = (
+        weighted_sample(d, 50, "n_chars")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

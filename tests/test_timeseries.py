@@ -358,3 +358,34 @@ def test_percentiles_match_python(spark):
         assert n == len(vs)
         assert p50 == pytest.approx(q(vs, 0.5), abs=2e-6)
         assert p95 == pytest.approx(q(vs, 0.95), abs=2e-6)
+
+
+def test_asof_join_plan_single_shuffle_no_range_join(spark):
+    """The AS-OF plan is union + per-key window: exactly one exchange
+    on the key for the window (plus the right side's pre-aggregation
+    exchange on the same key), and NEVER a cartesian/broadcast range
+    join that would blow up at scale."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    out = TS.asof_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        "ts", "user_id", "value",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "Window" in plan
+
+
+def test_zscore_plan_broadcasts_moments(spark):
+    """Group moments come back as a BROADCAST hash join — the event
+    stream is never shuffled for the z computation."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    plan = (
+        TS.zscore(e, "event_type", "value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
