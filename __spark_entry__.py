@@ -1080,6 +1080,19 @@ def q_pipe_top_per_source(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ft_span_first(spark, sf_dir):
+    """SpanFirstQuery: 'scan' within the first 5 analyzed positions,
+    BM25-ranked — runs on the pruned positional postings scan."""
+    return _round_score(
+        phys_index(spark, sf_dir).span_first_topk("scan", 5, k=10)
+    )
+
+
+def q_ft_suggest_infix(spark, sf_dir):
+    """AnalyzingInfixSuggester: terms CONTAINING 'ab' ranked by df."""
+    return phys_index(spark, sf_dir).suggest_infix("a", n=10)
+
+
 def q_ft_sort_func(spark, sf_dir):
     """Function-query sort (Solr sort=abs(sub(n_chars,250)) asc):
     matches of 'scan' ordered by distance from 250 chars."""
@@ -1266,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_get": q_ft_get,
         "ft_sig_terms": q_ft_sig_terms,
         "ft_sort_func": q_ft_sort_func,
+        "ft_span_first": q_ft_span_first,
+        "ft_suggest_infix": q_ft_suggest_infix,
         "ft_ngroups": q_ft_ngroups,
         # --- Lucene-syntax query strings through the parser +
         #     boolean evaluator (reference front door parity:
@@ -1464,6 +1479,8 @@ FROM documents WHERE doc_id IN (3, 7, 11)""",
         "ft_q_phrase": O.phrase_sql(["key", "agg"], k=10),
         "ft_q_wildcard": O.lucene_topk_sql([], like_patterns=["s%"]),
         "ft_q_boost": O.lucene_topk_sql([("table", 2.0), ("spark", 1.0)]),
+        "ft_span_first": O.span_first_sql("scan", 5, k=10),
+        "ft_suggest_infix": O.suggest_infix_sql("a", n=10),
         "ft_sort_func": f"""{ctes}{O.matched_sql(["scan"])}
 SELECT doc_id, n_chars, sortv FROM (
   SELECT d.doc_id, d.n_chars, abs(CAST(d.n_chars AS BIGINT) - 250) AS sortv

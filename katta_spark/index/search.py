@@ -336,6 +336,50 @@ def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
     return kernel
 
 
+def make_span_first_kernel(term: str, end: int, n_docs: float,
+                           avgdl: float, k1: float, b: float,
+                           block_range: int):
+    """SpanFirstQuery kernel (Lucene SpanFirstQuery(term, end)): docs
+    whose FIRST occurrence of ``term`` is before analyzed position
+    ``end`` (0-based, i.e. within the first ``end`` tokens), scored
+    single-term BM25.  Runs on the pruned positional postings scan —
+    position lists are delta-encoded ascending, so the first position
+    of each posting is one gather, no per-position loop."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for g in _iter_block_groups(batches):
+            bid = int(g["block_id"].iloc[0])
+            for row in g.itertuples(index=False):
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_gaps, row.tfs, row.dls, bid, block_range
+                )
+                lens, flat = codec.decode_positions(
+                    row.pos_lens, row.pos_deltas
+                )
+                if not len(lens):
+                    continue
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                firsts = flat[starts]
+                mask = firsts < end
+                if not mask.any():
+                    continue
+                s = codec.bm25_idf(float(row.df), n_docs) * codec.bm25_tfnorm(
+                    tfs[mask], dls[mask], avgdl, k1, b
+                )
+                yield pd.DataFrame(
+                    {"doc_id": ids[mask].astype(np.int64),
+                     "score": s.astype(np.float64),
+                     "nt": np.ones(int(mask.sum()), dtype=np.int32)}
+                )
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "nt": pd.Series(dtype="int32")}
+        )
+
+    return kernel
+
+
 def make_multi_kernel(qmap: list[tuple[str, list[str], str]],
                       n_docs: float, avgdl: float, k1: float, b: float,
                       k: int, block_range: int):
@@ -1221,6 +1265,58 @@ class PhysicalIndex:
         if offset:
             out = out.offset(offset)
         return out.limit(k).select("doc_id", "score")
+
+    def span_first_topk(self, term: str, end: int, k: int = 10,
+                        filters: Filters = None) -> DataFrame:
+        """(doc_id, score) top-k — Lucene SpanFirstQuery(term, end):
+        docs whose first occurrence of ``term`` falls within the first
+        ``end`` analyzed positions, BM25-ranked.  Same pruned
+        positional scan as :meth:`phrase_topk`; requires positional
+        postings."""
+        ts = self._strip_stops([term])
+        if not ts:
+            return self.docs.select(
+                "doc_id", F.lit(0.0).alias("score")
+            ).filter(F.lit(False))
+        if not self.stats.get("positions"):
+            raise ValueError(
+                "span_first_topk requires positional postings "
+                "(build_index(store_positions=True))"
+            )
+        kern = make_span_first_kernel(
+            ts[0], int(end), float(self.stats["n_docs"]),
+            self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+            self.stats["block_range"],
+        )
+        out = self._qblocks(ts, positions=True).mapInPandas(
+            kern, SCORED_SCHEMA
+        ).select("doc_id", "score")
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            out = out.join(fd, "doc_id", "left_semi")
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score")
+        )
+
+    def suggest_infix(self, fragment: str, n: int = 10) -> DataFrame:
+        """(term, df) — the ``n`` highest-df content terms CONTAINING
+        the fragment: Lucene AnalyzingInfixSuggester parity (the
+        search-as-you-type suggester that matches inside terms, not
+        just prefixes).  One catalog scan with a Contains filter
+        pushed to the term-sorted parquet."""
+        frag = fragment.lower()
+        cond = F.col("term").contains(frag)
+        if ":" not in frag:
+            cond = cond & ~F.col("term").contains(":")
+        return (
+            self.terms.filter(cond)
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
 
     def near_topk(self, terms: list[str], slop: int = 0, k: int = 10,
                   filters: Filters = None) -> DataFrame:

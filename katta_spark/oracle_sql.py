@@ -852,3 +852,35 @@ def join_topk_sql(terms: list[str], from_field: str, to_field: str,
         f"(SELECT doc_id FROM tf WHERE term IN {_term_list(inner_terms)} {having}))"
     )
     return topk_sql(terms, k=k, mode=mode, filter_sql=filter_sql)
+
+
+def suggest_infix_sql(fragment: str, n: int = 10) -> str:
+    """AnalyzingInfixSuggester oracle: top-n content terms by df
+    CONTAINING the fragment, tie-break term asc."""
+    f = fragment.lower().replace("'", "''")
+    return f"""{index_ctes()}
+SELECT term, df FROM dfv WHERE term LIKE '%{f}%'
+ORDER BY df DESC, term ASC LIMIT {n}"""
+
+
+def span_first_sql(term: str, end: int, k: int = 10) -> str:
+    """SpanFirstQuery oracle: BM25 top-k over docs whose first
+    occurrence of ``term`` lies within the first ``end`` analyzed
+    positions (list_position is 1-based: pos0 < end <=> 1-based <=
+    end)."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    tq = term.replace("'", "''")
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+fp AS (SELECT doc_id, coalesce(list_position(toks, '{tq}'), 0) AS fp
+       FROM tokl),
+scored AS (
+  SELECT tf.doc_id, {score_sql()} AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats WHERE tf.term = '{tq}')
+SELECT doc_id, round(score, 6) AS score
+FROM scored JOIN fp USING (doc_id)
+WHERE fp.fp BETWEEN 1 AND {int(end)}
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""

@@ -335,3 +335,45 @@ def test_ngroups_counts_distinct_groups(pindex, py_oracle, pandas_docs):
     row = pindex.ngroups(["import"], "lang").collect()[0]
     assert row["n_hits"] == len(m)
     assert row["n_groups"] == len({langs[d] for d in m})
+
+
+def test_span_first_matches_python(pindex, py_oracle, pandas_docs):
+    """SpanFirst(import, end): exactly the docs whose first 'import'
+    falls in the first `end` analyzed positions, BM25-ranked."""
+    from katta_spark.tokenizer import py_tokenize
+
+    end = 4
+    got = [(r["doc_id"], r["score"])
+           for r in pindex.span_first_topk("import", end, k=200).collect()]
+    want = []
+    for r in pandas_docs.itertuples(index=False):
+        toks = py_tokenize(r.content)
+        if "import" in toks[:end]:
+            want.append((int(r.doc_id), py_oracle.score(int(r.doc_id),
+                                                        ["import"])))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert [d for d, _ in got] == [d for d, _ in want[:200]]
+    for (d, s), (_, ws) in zip(got, want):
+        assert s == pytest.approx(ws, abs=1e-9)
+
+
+def test_span_first_is_monotone_in_end(pindex, py_oracle):
+    """Matches grow monotonically with the window and never exceed
+    the unconstrained term match set ('import' leads most synthetic
+    files, so the first-window set is large by construction — the
+    position filter is exercised by test_span_first_matches_python,
+    which pins exact membership per doc)."""
+    allm = set(py_oracle.matches(["import"]))
+    big = 10**6
+    m1 = {r["doc_id"] for r in pindex.span_first_topk("import", 1, k=big).collect()}
+    m3 = {r["doc_id"] for r in pindex.span_first_topk("import", 3, k=big).collect()}
+    assert m1 <= m3 <= allm and m1
+
+
+def test_suggest_infix_contains_and_ranks(pindex, py_oracle):
+    got = [(r["term"], r["df"]) for r in pindex.suggest_infix("ar", n=8).collect()]
+    want = sorted(
+        ((t, df) for t, df in py_oracle.df.items() if "ar" in t),
+        key=lambda x: (-x[1], x[0]),
+    )[:8]
+    assert got == want
