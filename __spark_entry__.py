@@ -1093,6 +1093,19 @@ def q_ft_suggest_infix(spark, sf_dir):
     return phys_index(spark, sf_dir).suggest_infix("a", n=10)
 
 
+def q_ft_percolate_lucene(spark, sf_dir):
+    """Percolation with full Lucene-syntax standing queries (AND,
+    phrase, NOT) — stateless Column conditions, no index."""
+    from katta_spark.streaming.percolate import percolate_lucene
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    out = percolate_lucene(
+        d, {"q_and": "table AND scan", "q_phrase": '"key agg"',
+            "q_not": "batch -stream"},
+    )
+    return out.orderBy("doc_id", "qid")
+
+
 def q_ft_sort_func(spark, sf_dir):
     """Function-query sort (Solr sort=abs(sub(n_chars,250)) asc):
     matches of 'scan' ordered by distance from 250 chars."""
@@ -1265,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_mlt": q_mlt,
         "ft_multi_topk": q_multi_topk,
         "ft_percolate": q_percolate,
+        "ft_percolate_lucene": q_ft_percolate_lucene,
         "ft_cursor": q_ft_cursor,
         "ft_min_match": q_ft_min_match,
         "ft_pivot_facet": q_ft_pivot_facet,
@@ -1479,6 +1493,7 @@ FROM documents WHERE doc_id IN (3, 7, 11)""",
         "ft_q_phrase": O.phrase_sql(["key", "agg"], k=10),
         "ft_q_wildcard": O.lucene_topk_sql([], like_patterns=["s%"]),
         "ft_q_boost": O.lucene_topk_sql([("table", 2.0), ("spark", 1.0)]),
+        "ft_percolate_lucene": O.percolate_lucene_sql(),
         "ft_span_first": O.span_first_sql("scan", 5, k=10),
         "ft_suggest_infix": O.suggest_infix_sql("a", n=10),
         "ft_sort_func": f"""{ctes}{O.matched_sql(["scan"])}

@@ -884,3 +884,24 @@ SELECT doc_id, round(score, 6) AS score
 FROM scored JOIN fp USING (doc_id)
 WHERE fp.fp BETWEEN 1 AND {int(end)}
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def percolate_lucene_sql() -> str:
+    """Oracle for the ft_percolate_lucene driver query: three
+    standing Lucene queries (AND, phrase, NOT) against every doc."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    return f"""WITH tokl AS ({tokl}),
+m AS (
+  SELECT doc_id, 'q_and' AS qid FROM tokl
+  WHERE list_contains(toks, 'table') AND list_contains(toks, 'scan')
+  UNION ALL
+  SELECT doc_id, 'q_phrase' FROM tokl
+  WHERE len(toks) >= 2 AND len(list_filter(
+          generate_series(1, len(toks) - 1),
+          i -> toks[i] = 'key' AND toks[i+1] = 'agg')) > 0
+  UNION ALL
+  SELECT doc_id, 'q_not' FROM tokl
+  WHERE list_contains(toks, 'batch') AND NOT list_contains(toks, 'stream'))
+SELECT doc_id, qid FROM m ORDER BY doc_id, qid"""

@@ -46,3 +46,109 @@ def percolate(docs: DataFrame, queries: dict[str, list[str]],
     ]
     matched = F.filter(F.array(*cases), lambda x: x.isNotNull())
     return docs.select(F.col(id_col), F.explode(matched).alias("qid"))
+
+
+def _lucene_cond(node, toks: Column, row) -> Column:
+    """Compile a parsed Lucene AST node into a STATELESS match
+    Column over the analyzed token array (MATCH-only — the Lucene
+    percolator contract has no scores).  ``row`` resolves stored
+    fields for field clauses."""
+    from functools import reduce
+
+    from katta_spark.fulltext.qparse import (
+        Bool, ConstScore, Fuzzy, MatchAll, Phrase, RangeQ, Regex, Term,
+        Wildcard,
+    )
+
+    def rec(n) -> Column:
+        if isinstance(n, Term):
+            if n.field is None:
+                return F.array_contains(toks, n.text)
+            return F.lower(row(n.field).cast("string")) == n.text
+        if isinstance(n, Phrase):
+            if n.field is not None:
+                return F.lower(row(n.field).cast("string")) == n.words[0]
+            m = len(n.words)
+            want = F.array(*[F.lit(w) for w in n.words])
+            return (F.size(toks) >= m) & F.exists(
+                F.sequence(F.lit(1), F.size(toks) - m + 1),
+                lambda i: F.slice(toks, i, m) == want,
+            )
+        if isinstance(n, Wildcard):
+            pat = n.pattern.replace("%", r"\%").replace("_", r"\_")
+            pat = pat.replace("*", "%").replace("?", "_")
+            if n.field is None:
+                return F.exists(toks, lambda t: t.like(pat))
+            return F.lower(row(n.field).cast("string")).like(pat)
+        if isinstance(n, Fuzzy):
+            if n.field is None:
+                return F.exists(
+                    toks,
+                    lambda t: F.levenshtein(t, F.lit(n.text)) <= n.max_edits,
+                )
+            return (
+                F.levenshtein(
+                    F.lower(row(n.field).cast("string")), F.lit(n.text)
+                ) <= n.max_edits
+            )
+        if isinstance(n, Regex):
+            anchored = f"^(?:{n.pattern})$"
+            if n.field is None:
+                return F.exists(toks, lambda t: t.rlike(anchored))
+            return F.lower(row(n.field).cast("string")).rlike(anchored)
+        if isinstance(n, RangeQ):
+            c = row(n.field).cast("double")
+            cond = F.lit(True)
+            if n.lo is not None:
+                cond = cond & (c >= float(n.lo) if n.incl_lo
+                               else c > float(n.lo))
+            if n.hi is not None:
+                cond = cond & (c <= float(n.hi) if n.incl_hi
+                               else c < float(n.hi))
+            return cond
+        if isinstance(n, MatchAll):
+            return F.lit(True)
+        if isinstance(n, ConstScore):
+            return rec(n.child)
+        assert isinstance(n, Bool)
+        conds = []
+        if n.must:
+            conds.append(reduce(lambda a, b: a & b, map(rec, n.must)))
+        if n.should and not n.must:
+            # pure-SHOULD: at least one optional clause must match
+            conds.append(reduce(lambda a, b: a | b, map(rec, n.should)))
+        for mn in n.must_not:
+            conds.append(~rec(mn))
+        if not conds:
+            return F.lit(False)
+        from functools import reduce as red
+
+        return red(lambda a, b: a & b, conds)
+
+    return rec(node)
+
+
+def percolate_lucene(docs: DataFrame, queries: dict[str, str],
+                     text_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id_col, qid) — percolation with FULL Lucene-syntax standing
+    queries (the reference front-door grammar: boolean nesting,
+    NOT/±, phrases, wildcards, fuzzy, regex, ranges, field clauses).
+    Each query string parses once (driver-side) and compiles to a
+    stateless Column condition over the analyzed token array — the
+    same zero-state append-mode shape as :func:`percolate`, so it
+    runs identically on batch and readStream inputs.  Match-only
+    (no scores), per the Lucene percolator contract."""
+    from katta_spark.fulltext.qparse import parse_lucene
+
+    toks = tokens_array(text_col)
+
+    def row(field: str) -> Column:
+        return F.col(field)
+
+    cases = [
+        F.when(_lucene_cond(parse_lucene(q), toks, row), F.lit(qid))
+        for qid, q in sorted(queries.items())
+    ]
+    matched = F.filter(F.array(*cases), lambda x: x.isNotNull())
+    return docs.select(F.col(id_col), F.explode(matched).alias("qid"))

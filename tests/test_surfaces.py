@@ -162,3 +162,69 @@ def test_streaming_ingest_commits(spark, tmp_path, docs):
     assert sidx.stats["n_docs"] == 400
     got = [r["doc_id"] for r in sidx.topk(["import"], k=5).collect()]
     assert len(got) == 5 and all(d < 400 for d in got)
+
+
+def test_percolate_lucene_matches_evaluator(spark, pindex, docs):
+    """Lucene-string percolation matches the INDEX evaluator's match
+    sets query-for-query (the percolator is the dual of search: same
+    grammar, same semantics, no index)."""
+    from katta_spark.streaming.percolate import percolate_lucene
+
+    queries = {
+        "q_and": "parse AND request",
+        "q_not": "import -chunk",
+        "q_phrase": '"parse http request"',
+        "q_wild": "xylo*",
+        "q_nested": "(nebula OR quark) AND import",
+        "q_range": "import AND dl:[40 TO 60]",
+    }
+    from pyspark.sql import functions as F
+
+    from katta_spark.tokenizer import tokens_array
+
+    src = docs.select(
+        "doc_id", "content",
+        F.size(tokens_array("content")).cast("long").alias("dl"),
+    )
+    got: dict = {}
+    for r in percolate_lucene(src, queries).collect():
+        got.setdefault(r["qid"], set()).add(r["doc_id"])
+    for qid, q in queries.items():
+        want = {
+            r["doc_id"]
+            for r in pindex.query_scored(q).collect()
+        }
+        assert got.get(qid, set()) == want, qid
+
+
+def test_percolate_lucene_stream_append(spark, tmp_path, docs):
+    """The compiled conditions are stateless Column exprs — the same
+    plan runs in streaming append mode with no state store."""
+    from katta_spark.streaming.percolate import percolate_lucene
+
+    queries = {"pr": "parse AND request", "imp": "import -chunk"}
+    src_docs = docs.select("doc_id", "content").limit(300)
+    batch = {
+        (r["doc_id"], r["qid"])
+        for r in percolate_lucene(src_docs, queries).collect()
+    }
+    d = tmp_path / "perc_luc"
+    d.mkdir()
+    src_docs.write.mode("overwrite").parquet(str(d / "docs.parquet"))
+    stream = spark.readStream.schema(src_docs.schema).parquet(
+        str(d / "docs.parquet")
+    )
+    q = (
+        percolate_lucene(stream, queries)
+        .writeStream.format("memory")
+        .queryName("perc_luc_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r["doc_id"], r["qid"])
+        for r in spark.sql("SELECT * FROM perc_luc_out").collect()
+    }
+    assert streamed == batch and batch
