@@ -226,6 +226,31 @@ def main() -> None:
         lambda: text.unigram_logprob(docs, text_col="text").count(),
         repeats=1,
     )
+    from katta_spark.ops import timeseries as TSOPS
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    queries["op_asof_join"] = timed(
+        lambda: TSOPS.asof_join(
+            events.filter(F.col("event_type") == "click"),
+            events.filter(F.col("event_type") == "purchase"),
+            "ts", "user_id", "value",
+        ).count(),
+        repeats=1,
+    )
+    queries["op_percentiles"] = timed(
+        lambda: TSOPS.percentiles(events, "event_type", "value").count(),
+        repeats=1,
+    )
+    queries["op_pmi_top"] = timed(
+        lambda: text.pmi_top(docs, k=20, min_count=5,
+                             text_col="text").count(),
+        repeats=1,
+    )
+    queries["op_chunk_texts"] = timed(
+        lambda: text.chunk_texts(docs, size=64, stride=48,
+                                 text_col="text").count(),
+        repeats=1,
+    )
     # persisted ANN index: build once, then partition-pruned probes
     from katta_spark.ops import ann_index as AI
 

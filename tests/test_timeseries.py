@@ -389,3 +389,49 @@ def test_zscore_plan_broadcasts_moments(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stream_batch_session_parity(spark, tmp_path):
+    """The identical session_window expression over readStream +
+    watermark produces the same sessions as the batch run — Spark's
+    native stateful sessionization, exercised in BOTH modes."""
+    import shutil
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    batch = {
+        (r["user_id"], r["session_start"]): r["n"]
+        for r in TS.session_agg(e, "ts", "user_id",
+                                gap="30 minutes").collect()
+    }
+    src = tmp_path / "ev_sess"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+    stream = spark.readStream.schema(e.schema).parquet(str(src))
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window")["start"].alias("session_start"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n"]
+        for r in spark.sql("SELECT * FROM sess_parity").collect()
+    }
+    assert got == batch and batch
