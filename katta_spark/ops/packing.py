@@ -136,6 +136,7 @@ def write_training_shards(
     n_shards: int,
     key_col: str = "doc_id",
     shuffle: bool = False,
+    data_format: str = "parquet",
 ) -> dict:
     """Materialize a training dataset as exactly ``n_shards``
     deterministic parquet shards + a content manifest.
@@ -153,6 +154,12 @@ def write_training_shards(
     ``df.repartition(n)`` alone does NOT guarantee (round-robin is
     task-layout dependent).  Reproducible shards are what make a
     training run's data addressable and a resume auditable.
+
+    ``data_format`` selects the on-disk encoding: ``parquet``
+    (default) or ``json`` — JSON-Lines, one object per row, the
+    interchange format most LLM training loaders ingest directly.
+    Shard membership, ordering, and the manifest digest are
+    format-independent (computed from the rows, not the bytes).
 
     Plan: one hash shuffle on the shard id, then a ``partitionBy``
     write so each ``shard=`` directory is one compact file.  The
@@ -180,11 +187,13 @@ def write_training_shards(
             F.col("shard"),
             F.md5(F.concat(F.lit("shuf:"), F.col(key_col).cast("string"))),
         )
-    (
-        writer.write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out_dir)
-    )
+    if data_format not in ("parquet", "json"):
+        raise ValueError(f"unknown data_format {data_format!r}")
+    w = writer.write.mode("overwrite").partitionBy("shard")
+    if data_format == "json":
+        w.json(out_dir)  # JSON-Lines: one object per line
+    else:
+        w.parquet(out_dir)
     stats = (
         out.groupBy("shard")
         .agg(
@@ -196,6 +205,7 @@ def write_training_shards(
     )
     manifest = {
         "n_shards": int(n_shards),
+        "format": data_format,
         "key_col": key_col,
         "shards": {
             int(r["shard"]): {"rows": int(r["rows"]),

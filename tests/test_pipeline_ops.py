@@ -403,3 +403,30 @@ def test_trim_duplicate_spans_fuzz_no_dup_windows_remain(spark):
         assert got[d]["n_tokens"] == len(t)
         assert got[d]["n_removed"] == len(cut[d])
         assert got[d]["text_kept"] == " ".join(want)
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    """JSONL shards: same deterministic membership as parquet, one
+    object per line, manifest digest format-independent."""
+    import json
+    from pathlib import Path
+
+    from katta_spark.ops.packing import write_training_shards
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    dp = str(tmp_path / "shards_pq")
+    dj = str(tmp_path / "shards_js")
+    mp = write_training_shards(df, dp, 4)
+    mj = write_training_shards(df, dj, 4, data_format="json")
+    assert mj["format"] == "json"
+    assert {k: v for k, v in mp["shards"].items()} == mj["shards"]
+    # readable JSONL, rows match per shard
+    for s, info in mj["shards"].items():
+        files = list(Path(dj).glob(f"shard={s}/*.json"))
+        assert files
+        lines = [json.loads(x) for f in files
+                 for x in f.read_text().splitlines()]
+        assert len(lines) == info["rows"]
+        assert all("doc_id" in r and "lang" in r for r in lines)

@@ -435,3 +435,28 @@ def test_stream_batch_session_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_parity").collect()
     }
     assert got == batch and batch
+
+
+def test_asof_join_tie_and_dup_semantics(spark):
+    """Crafted edges: (a) right row at EXACTLY the left ts is taken
+    (at-or-before is inclusive); (b) multiple right rows at one
+    (key, ts) are averaged before the carry; (c) a later right row is
+    invisible."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(2)), (3, 20, t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(5), 4.0), (10, t(5), 6.0), (10, t(3), 1.0),
+         (20, t(10), 99.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {r["event_id"]: r["asof_value"]
+           for r in TS.asof_join(left, right, "ts", "user_id",
+                                 "value").collect()}
+    assert got[1] == pytest.approx(5.0)   # tie at t5: avg(4,6), not t3
+    assert got[2] is None                 # t2 precedes every right row
+    assert got[3] is None                 # t10 is in the future
