@@ -1173,6 +1173,23 @@ def q_text_pmi(spark, sf_dir):
                         text_col="text")
 
 
+def q_ts_cardinality(spark, sf_dir):
+    """Exact distinct users per event type (ES cardinality agg)."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.distinct_cardinality(_events(spark, sf_dir), "event_type",
+                                   "user_id")
+
+
+def q_ts_top_hits(spark, sf_dir):
+    """Top-3 events by value per type (ES top_hits agg)."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.top_hits(_events(spark, sf_dir), "event_type", 3,
+                      order_col="value", id_col="event_id")
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def q_ts_percentiles(spark, sf_dir):
     """Exact per-type value percentiles (ES percentiles-agg shape)."""
     from katta_spark.ops import timeseries as TS
@@ -1374,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof": q_ts_asof,
         "ts_zscore": q_ts_zscore,
         "ts_percentiles": q_ts_percentiles,
+        "ts_cardinality": q_ts_cardinality,
+        "ts_top_hits": q_ts_top_hits,
         "ts_running": q_ts_running,
         "ts_top_events": q_ts_top_events,
         "ts_json": q_ts_json,
@@ -1629,6 +1648,8 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_asof": OO.ts_asof_sql("click", "purchase"),
         "ts_zscore": OO.ts_zscore_sql(),
         "ts_percentiles": OO.ts_percentiles_sql(),
+        "ts_cardinality": OO.ts_cardinality_sql(),
+        "ts_top_hits": OO.ts_top_hits_sql(3),
         "ts_running": OO.ts_running_sql(),
         "ts_top_events": OO.ts_top_events_sql("1 day", 3),
         "ts_json": OO.ts_json_sql(),

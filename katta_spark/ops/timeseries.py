@@ -351,3 +351,40 @@ def percentiles(df: DataFrame, key_col: str, value_col: str = "value",
             F.round(F.percentile(F.col(value_col), F.lit(p)), 6).alias(name)
         )
     return df.groupBy(key_col).agg(*aggs).orderBy(key_col)
+
+
+def distinct_cardinality(df: DataFrame, key_col: str,
+                         value_col: str) -> DataFrame:
+    """(key, n_events, n_distinct) — exact per-group distinct count
+    (the ES cardinality agg, exact rather than HLL: reproducible).
+    One hash agg; Spark expands countDistinct into a two-phase
+    partial-distinct plan automatically.  At 100 TB swap in
+    ``approx_count_distinct`` — same call-site shape."""
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(value_col).alias("n_distinct"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def top_hits(df: DataFrame, key_col: str, n: int,
+             order_col: str = "value",
+             id_col: str = "event_id") -> DataFrame:
+    """(key, id, value, rank) — the n best rows per group by
+    ``order_col`` desc (the ES top_hits agg inside a terms agg).
+    One shuffle on the group key; rank window ties break id-asc
+    (total order, engine-independent)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(key_col, id_col, order_col, "rank")
+        .orderBy(key_col, "rank")
+    )

@@ -1246,3 +1246,23 @@ SELECT doc_id,
        CAST(len(list_slice(toks, s + 1, s + {size})) AS BIGINT) AS n_tokens,
        array_to_string(list_slice(toks, s + 1, s + {size}), ' ') AS chunk
 FROM st ORDER BY doc_id, chunk_id"""
+
+
+def ts_cardinality_sql() -> str:
+    """Oracle for ops.timeseries.distinct_cardinality over
+    (event_type, user_id)."""
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def ts_top_hits_sql(n: int = 3) -> str:
+    """Oracle for ops.timeseries.top_hits over events by value."""
+    return f"""
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id ASC) AS INT) AS rank
+  FROM events)
+WHERE rank <= {n} ORDER BY event_type, rank"""

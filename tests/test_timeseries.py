@@ -460,3 +460,24 @@ def test_asof_join_tie_and_dup_semantics(spark):
     assert got[1] == pytest.approx(5.0)   # tie at t5: avg(4,6), not t3
     assert got[2] is None                 # t2 precedes every right row
     assert got[3] is None                 # t10 is in the future
+
+
+def test_distinct_cardinality_and_top_hits_match_python(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    rows = e.select("event_id", "event_type", "user_id", "value").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], []).append(r)
+    card = {r["event_type"]: (r["n_events"], r["n_distinct"])
+            for r in TS.distinct_cardinality(e, "event_type",
+                                             "user_id").collect()}
+    for t, rs in by.items():
+        assert card[t] == (len(rs), len({x["user_id"] for x in rs}))
+    hits = {}
+    for r in TS.top_hits(e, "event_type", 2, "value", "event_id").collect():
+        hits.setdefault(r["event_type"], []).append(
+            (r["rank"], r["event_id"])
+        )
+    for t, rs in by.items():
+        want = sorted(rs, key=lambda x: (-x["value"], x["event_id"]))[:2]
+        assert hits[t] == [(i + 1, w["event_id"]) for i, w in enumerate(want)]
