@@ -1106,6 +1106,18 @@ def q_ft_percolate_lucene(spark, sf_dir):
     return out.orderBy("doc_id", "qid")
 
 
+def q_ft_explain(spark, sf_dir):
+    """Score explanation (Solr debugQuery / Lucene Explanation):
+    per-term BM25 breakdown for doc 7 on a two-term query."""
+    out = phys_index(spark, sf_dir).explain_score(7, ["table", "scan"])
+    return out.select(
+        "term", "tf", "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("tfnorm", 6).alias("tfnorm"),
+        F.round("part", 6).alias("part"),
+    )
+
+
 def q_ft_sort_func(spark, sf_dir):
     """Function-query sort (Solr sort=abs(sub(n_chars,250)) asc):
     matches of 'scan' ordered by distance from 250 chars."""
@@ -1311,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sig_terms": q_ft_sig_terms,
         "ft_sort_func": q_ft_sort_func,
         "ft_span_first": q_ft_span_first,
+        "ft_explain": q_ft_explain,
         "ft_suggest_infix": q_ft_suggest_infix,
         "ft_ngroups": q_ft_ngroups,
         # --- Lucene-syntax query strings through the parser +
@@ -1514,6 +1527,7 @@ FROM documents WHERE doc_id IN (3, 7, 11)""",
         "ft_q_boost": O.lucene_topk_sql([("table", 2.0), ("spark", 1.0)]),
         "ft_percolate_lucene": O.percolate_lucene_sql(),
         "ft_span_first": O.span_first_sql("scan", 5, k=10),
+        "ft_explain": O.explain_sql(7, ["table", "scan"]),
         "ft_suggest_infix": O.suggest_infix_sql("a", n=10),
         "ft_sort_func": f"""{ctes}{O.matched_sql(["scan"])}
 SELECT doc_id, n_chars, sortv FROM (

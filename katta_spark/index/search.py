@@ -1301,6 +1301,73 @@ class PhysicalIndex:
             .limit(k).select("doc_id", "score")
         )
 
+    def explain_score(self, doc_id: int, qterms: list[str]) -> DataFrame:
+        """(term, tf, df, idf, tfnorm, part) — per-term BM25 score
+        breakdown for one document: Solr ``debugQuery=true`` /
+        Lucene ``Explanation`` parity.  ``sum(part)`` equals the
+        document's score in :meth:`topk` /:meth:`query_scored` for
+        the same terms (tested).  One pushed-id docs probe joined to
+        the broadcast catalog — no postings scan."""
+        ts = sorted(set(self._strip_stops(qterms)))
+        st = self.stats
+        d = self.docs.filter(F.col("doc_id") == int(doc_id)).select(
+            "doc_id", "toks", F.col("dl").cast("double").alias("_dl")
+        )
+        qcol = F.explode(F.array(*[F.lit(t) for t in ts])).alias("term")
+        per = d.select("doc_id", qcol, "toks", "_dl").withColumn(
+            "tf",
+            F.size(F.filter(F.col("toks"), lambda x: x == F.col("term")))
+            .cast("double"),
+        ).filter(F.col("tf") > 0).drop("toks")
+        cat = self.terms.select("term", F.col("df").cast("double").alias("_df"))
+        n_docs, avgdl = float(st["n_docs"]), float(st["avgdl"])
+        k1, b = float(st["k1"]), float(st["b"])
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("_df") + F.lit(0.5))
+            / (F.col("_df") + F.lit(0.5))
+        )
+        tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl))
+        )
+        return (
+            per.join(F.broadcast(cat), "term")
+            .select(
+                "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("_df").cast("long").alias("df"),
+                idf.alias("idf"),
+                tfnorm.alias("tfnorm"),
+                (idf * tfnorm).alias("part"),
+            )
+            .orderBy("term")
+        )
+
+    def segments_info(self) -> DataFrame:
+        """One row per built (commit, group) segment with lineage and
+        size metrics from the build manifest — the Solr admin/Luke
+        'segments' surface.  Pure manifest read, no Spark job over
+        the index."""
+        from katta_spark.index.build import load_manifest
+
+        rows = [
+            {
+                "commit": m["commit"],
+                "group": int(m["group"]),
+                "status": m["status"],
+                "n_blocks": int(m.get("n_blocks") or 0),
+                "n_postings": int(m.get("n_postings") or 0),
+                "bytes": int(m.get("bytes") or 0),
+            }
+            for m in load_manifest(self.index_dir)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "commit string, group int, status string, n_blocks long, "
+            "n_postings long, bytes long",
+        ).orderBy("commit", "group")
+
     def suggest_infix(self, fragment: str, n: int = 10) -> DataFrame:
         """(term, df) — the ``n`` highest-df content terms CONTAINING
         the fragment: Lucene AnalyzingInfixSuggester parity (the

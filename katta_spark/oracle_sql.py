@@ -905,3 +905,24 @@ m AS (
   SELECT doc_id, 'q_not' FROM tokl
   WHERE list_contains(toks, 'batch') AND NOT list_contains(toks, 'stream'))
 SELECT doc_id, qid FROM m ORDER BY doc_id, qid"""
+
+
+def explain_sql(doc_id: int, terms: list[str]) -> str:
+    """debugQuery oracle: per-term BM25 breakdown for one doc."""
+    idf = (
+        "ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfv.df AS DOUBLE)"
+        " + 0.5) / (CAST(dfv.df AS DOUBLE) + 0.5))"
+    )
+    tfn = (
+        f"(CAST(tf.tf AS DOUBLE) * {K1 + 1.0!r}) / (CAST(tf.tf AS DOUBLE)"
+        f" + {K1!r} * ({1.0 - B!r} + {B!r} * CAST(dl.dl AS DOUBLE)"
+        f" / stats.avgdl))"
+    )
+    return f"""{index_ctes()}
+SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(dfv.df AS BIGINT) AS df,
+       round({idf}, 6) AS idf, round({tfn}, 6) AS tfnorm,
+       round({idf} * {tfn}, 6) AS part
+FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+WHERE tf.doc_id = {int(doc_id)} AND tf.term IN {_term_list(terms)}
+ORDER BY tf.term"""

@@ -377,3 +377,26 @@ def test_suggest_infix_contains_and_ranks(pindex, py_oracle):
         key=lambda x: (-x[1], x[0]),
     )[:8]
     assert got == want
+
+
+def test_explain_score_parts_sum_to_query_score(pindex, py_oracle):
+    """debugQuery parity: per-term parts sum to the engine's BM25
+    score for the doc, and tf/df match the python oracle."""
+    terms = ["import", "parse"]
+    hit = pindex.topk(terms, k=1).collect()[0]
+    parts = pindex.explain_score(hit["doc_id"], terms).collect()
+    assert abs(sum(p["part"] for p in parts) - hit["score"]) < 1e-9
+    for p in parts:
+        assert p["df"] == py_oracle.df[p["term"]]
+        assert p["part"] == pytest.approx(
+            py_oracle.score(hit["doc_id"], [p["term"]]), abs=1e-9
+        )
+
+
+def test_segments_info_matches_manifest(pindex):
+    rows = pindex.segments_info().collect()
+    assert rows and all(r["status"] == "done" for r in rows)
+    assert sum(r["n_postings"] for r in rows) > 0
+    assert {(r["commit"], r["group"]) for r in rows} == {
+        ("c0", g) for g in range(len(rows))
+    }
