@@ -472,6 +472,33 @@ def q_sim_cosine_topk(spark, sf_dir):
     return _round_score(out.select("vec_id", "cos"), col="cos")
 
 
+_KNN_Q = None
+
+
+def _knn_qvec():
+    """Deterministic literal query vector (dims=64): cos(1+i) — the
+    repo's seedless-constant convention, identical in the oracle."""
+    global _KNN_Q
+    if _KNN_Q is None:
+        import math
+
+        _KNN_Q = [math.cos(1 + i) for i in range(64)]
+    return _KNN_Q
+
+
+def q_sim_knn_dot(spark, sf_dir):
+    """Exact MIPS top-k (inner product) — the unnormalized-embedding
+    metric; one narrow JVM fold pass + TakeOrderedAndProject."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.knn_topk(emb, _knn_qvec(), k=10, metric="dot")
+
+
+def q_sim_knn_l2(spark, sf_dir):
+    """Exact euclidean top-k (lower = closer, ranked asc)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.knn_topk(emb, _knn_qvec(), k=10, metric="euclidean")
+
+
 def q_sim_project(spark, sf_dir):
     """JL random projection 64 -> 4 dims (deterministic seedless
     planes), exploded to scalar rows for engine-portable comparison."""
@@ -1389,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_weighted_sample": q_pipe_weighted_sample,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_project": q_sim_project,
+        "sim_knn_dot": q_sim_knn_dot,
+        "sim_knn_l2": q_sim_knn_l2,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
         "sim_ivf_batch": q_sim_ivf_batch,
@@ -1594,6 +1623,13 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_unigram_lp": OO.unigram_lp_sql(),
         "text_entropy": OO.token_entropy_sql(),
         "text_pmi": OO.pmi_top_sql(20, 5),
+        "sim_knn_dot": OO.knn_topk_sql(
+            [__import__("math").cos(1 + i) for i in range(64)], 10, "dot"
+        ),
+        "sim_knn_l2": OO.knn_topk_sql(
+            [__import__("math").cos(1 + i) for i in range(64)], 10,
+            "euclidean"
+        ),
         "text_chunks": OO.chunk_texts_sql(24, 16, docs_where="doc_id < 50"),
         "text_lm_buckets": OO.lm_buckets_sql(3),
         "text_nfc": OO.nfc_sql(),

@@ -278,3 +278,55 @@ def random_project(
     return embeddings.select(
         F.col(id_col), F.array(*comps).alias("projected")
     )
+
+
+def knn_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, score) exact top-k under a chosen metric — the
+    generalization of :func:`cosine_topk` for embedding spaces where
+    vectors are NOT length-normalized:
+
+    - ``cosine``    — angle similarity (higher = closer);
+    - ``dot``       — inner product / MIPS (higher = closer);
+    - ``euclidean`` — L2 distance (LOWER = closer; ranked asc).
+
+    Same plan as the cosine baseline: one narrow pass (JVM fold per
+    row, no Python), TakeOrderedAndProject top-k — the exact-scan
+    yardstick every ANN variant is validated against."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col)
+    if metric == "cosine":
+        import math as _m
+
+        qn = _m.sqrt(sum(x * x for x in query_vec)) or 1.0
+        score = _dot(v, q) / (_norm(v) * F.lit(qn))
+        asc = False
+    elif metric == "dot":
+        score = _dot(v, q)
+        asc = False
+    elif metric == "euclidean":
+        score = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    v, q,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        asc = True
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    out = embeddings.select(
+        F.col(id_col), F.round(score, 6).alias("score")
+    )
+    order = [F.asc("score") if asc else F.desc("score"), F.asc(id_col)]
+    return out.orderBy(*order).limit(k)

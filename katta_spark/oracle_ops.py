@@ -1266,3 +1266,27 @@ SELECT event_type, event_id, value, rank FROM (
               ORDER BY value DESC, event_id ASC) AS INT) AS rank
   FROM events)
 WHERE rank <= {n} ORDER BY event_type, rank"""
+
+
+def knn_topk_sql(query_vec: list[float], k: int = 10,
+                 metric: str = "dot") -> str:
+    """Oracle for ops.similarity.knn_topk (dot / euclidean): manual
+    list algebra mirroring the engine's fold shape, not DuckDB's
+    built-in distance functions, so summation order matches."""
+    qs = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    if metric == "dot":
+        expr = (f"list_sum(list_transform(generate_series(1, len(embedding)),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * ({qs})[i]))")
+        order = "score DESC"
+    elif metric == "euclidean":
+        expr = (f"sqrt(list_sum(list_transform("
+                f"generate_series(1, len(embedding)),"
+                f" i -> (CAST(embedding[i] AS DOUBLE) - ({qs})[i])"
+                f" * (CAST(embedding[i] AS DOUBLE) - ({qs})[i]))))")
+        order = "score ASC"
+    else:
+        raise ValueError(metric)
+    return f"""
+SELECT vec_id, round({expr}, 6) AS score
+FROM embeddings
+ORDER BY {order}, vec_id ASC LIMIT {k}"""

@@ -464,3 +464,36 @@ def test_ivfpq_index_is_compact_and_pruned(spark, emb, ivfpq_dir):
     out = AI.ivfpq_query(spark, ivfpq_dir, q, k=5, nprobe=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_knn_topk_metrics_match_numpy(spark):
+    """dot / euclidean / cosine exact top-k vs a numpy mirror (order
+    and 6dp scores)."""
+    import math
+
+    import numpy as np
+
+    from katta_spark.ops.similarity import knn_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    q = np.array([math.cos(1 + i) for i in range(64)])
+    for metric, score_fn, asc in (
+        ("dot", lambda v: float(v @ q), False),
+        ("euclidean", lambda v: float(np.sqrt(((v - q) ** 2).sum())), True),
+        ("cosine",
+         lambda v: float((v @ q) / (np.linalg.norm(v) * np.linalg.norm(q))),
+         False),
+    ):
+        got = [(r["vec_id"], r["score"])
+               for r in knn_topk(emb, list(q), k=8, metric=metric).collect()]
+        want = sorted(
+            ((i, round(score_fn(v), 6)) for i, v in rows.items()),
+            key=lambda x: (x[1] if asc else -x[1], x[0]),
+        )[:8]
+        assert [i for i, _ in got] == [i for i, _ in want], metric
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, abs=2e-6)
