@@ -400,3 +400,13 @@ def test_segments_info_matches_manifest(pindex):
     assert {(r["commit"], r["group"]) for r in rows} == {
         ("c0", g) for g in range(len(rows))
     }
+
+
+def test_span_first_plan_pruned_positional_no_docs(pindex):
+    """SpanFirst reads ONLY the pruned positional postings scan: the
+    term filter is pushed, position columns are read, and the docs
+    table (toks/content) appears nowhere in the plan."""
+    df = pindex.span_first_topk("import", 4, k=10)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "pos_lens" in plan
+    assert "toks" not in plan and "content" not in plan
