@@ -1133,6 +1133,16 @@ def q_ft_percolate_lucene(spark, sf_dir):
     return out.orderBy("doc_id", "qid")
 
 
+def q_ft_q_fq(spark, sf_dir):
+    """q + fq front door (LuceneServer.parse: every fq ANDs into the
+    main query): q='table', fq=['lang:en', 'n_chars:[100 TO 400]']."""
+    return _round_score(
+        phys_index(spark, sf_dir).query(
+            "table", fq=["lang:en", "n_chars:[100 TO 400]"]
+        )
+    )
+
+
 def q_ft_explain(spark, sf_dir):
     """Score explanation (Solr debugQuery / Lucene Explanation):
     per-term BM25 breakdown for doc 7 on a two-term query."""
@@ -1351,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_func": q_ft_sort_func,
         "ft_span_first": q_ft_span_first,
         "ft_explain": q_ft_explain,
+        "ft_q_fq": q_ft_q_fq,
         "ft_suggest_infix": q_ft_suggest_infix,
         "ft_ngroups": q_ft_ngroups,
         # --- Lucene-syntax query strings through the parser +
@@ -1557,6 +1568,15 @@ FROM documents WHERE doc_id IN (3, 7, 11)""",
         "ft_percolate_lucene": O.percolate_lucene_sql(),
         "ft_span_first": O.span_first_sql("scan", 5, k=10),
         "ft_explain": O.explain_sql(7, ["table", "scan"]),
+        "ft_q_fq": O.lucene_topk_sql(
+            [("table", 1.0)],
+            field_terms=[("lang", "en", 1.0)],
+            require_all=True,
+            filter_sql=(
+                "CAST(n_chars AS DOUBLE) >= 100"
+                " AND CAST(n_chars AS DOUBLE) <= 400"
+            ),
+        ),
         "ft_suggest_infix": O.suggest_infix_sql("a", n=10),
         "ft_sort_func": f"""{ctes}{O.matched_sql(["scan"])}
 SELECT doc_id, n_chars, sortv FROM (
