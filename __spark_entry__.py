@@ -571,6 +571,54 @@ def q_sim_ivf_ann(spark, sf_dir):
     return _round_score(out, col="cos")
 
 
+_IVF_FILT_CACHE: dict[str, str] = {}
+
+
+def ivf_filt_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_ivf_filt"
+                       ) -> str:
+    """IVF index carrying the label metadata column (meta_cols) so
+    filtered vector search pushes its predicate into the probe scan."""
+    import json
+    import shutil
+
+    from katta_spark.ops import ann_index as AI
+
+    d = _IVF_FILT_CACHE.get(sf_dir)
+    if d:
+        return d
+    d = f"{cache_root}/{Path(sf_dir).name}"
+    src_meta = _source_fingerprint(sf_dir, "embeddings.parquet")
+    meta_p = Path(f"{d}/_source_meta.json")
+    if not (
+        Path(f"{d}/_meta.json").exists()
+        and meta_p.exists()
+        and json.loads(meta_p.read_text()) == src_meta
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") != 0
+        )
+        AI.build_ivf_index(emb, d, n_centroids=16, meta_cols=["label"])
+        meta_p.write_text(json.dumps(src_meta))
+    _IVF_FILT_CACHE[sf_dir] = d
+    return d
+
+
+def q_sim_ivf_filtered(spark, sf_dir):
+    """Filtered vector search: metadata predicate (label = 2) applied
+    INSIDE the probed partition scan, before any distance math."""
+    from katta_spark.ops import ann_index as AI
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x)
+          for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = AI.ivf_query(
+        spark, ivf_filt_index_dir(spark, sf_dir), qv, k=10, nprobe=4,
+        where=F.col("label") == 2,
+    )
+    return _round_score(out, col="cos")
+
+
 def q_sim_ivf_batch(spark, sf_dir):
     """Batched ANN: two query vectors answered by ONE partition-pruned
     scan of the IVF index (union of probes; per-qid rank window) —
@@ -1432,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_ann": q_sim_ivf_ann,
         "sim_ivf_batch": q_sim_ivf_batch,
+        "sim_ivf_filtered": q_sim_ivf_filtered,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1703,6 +1752,9 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "sim_lsh_ann": OO.lsh_ann_sql(dims=64, n_planes=12, k=10),
         "sim_project": OO.random_project_sql(64, 4),
         "sim_ivf_ann": OO.ivf_ann_sql(n_centroids=16, nprobe=2, k=10),
+        "sim_ivf_filtered": OO.ivf_ann_sql(
+            n_centroids=16, nprobe=4, k=10, filter_sql="label = 2"
+        ),
         "sim_ivf_batch": OO.ivf_batch_sql(query_ids=[0, 1], n_centroids=16,
                                           nprobe=2, k=10),
         "dedup_embed_cosine": OO.cosine_dup_sql(

@@ -195,6 +195,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    meta_cols: list[str] | None = None,
 ) -> dict:
     """IVF-flat index: vectors partitioned by nearest-centroid id.
 
@@ -206,7 +207,13 @@ def build_ivf_index(
     argmax-cosine with tie-break centroid_id asc, computed per row as
     a JVM expression fold over the broadcast centroid literals — no
     shuffle, no cross join, no Python.  The write is partitioned by
-    ``cid`` so a probe reads only its centroid's directories."""
+    ``cid`` so a probe reads only its centroid's directories.
+
+    ``meta_cols`` carries metadata columns (labels, timestamps,
+    source tags) into the index files so FILTERED vector search
+    (:func:`ivf_query` ``where=``) pushes its predicate straight into
+    the probed parquet scan — the standard vector-DB metadata-filter
+    feature, with no post-hoc join back to a side table."""
     cents = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
@@ -228,6 +235,7 @@ def build_ivf_index(
         _assign_cid(F.col(vec_col), centroids).alias("cid"),
         F.col(id_col),
         F.col(vec_col),
+        *[F.col(c) for c in (meta_cols or [])],
     )
     (
         assigned.repartition("cid")
@@ -241,6 +249,7 @@ def build_ivf_index(
         "centroids": centroids,
         "id_col": id_col,
         "vec_col": vec_col,
+        "meta_cols": sorted(meta_cols or []),
     }
     (Path(out_dir) / "_meta.json").write_text(json.dumps(meta, indent=1))
     return meta
@@ -275,12 +284,20 @@ def ivf_query(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 2,
+    where=None,
 ) -> DataFrame:
     """(id, cos) top-k by exact cosine within the ``nprobe`` nearest
     centroids' partitions.  Centroid ranking is a driver-side handful
     of flops over the stored centroid list (sequential float64 sums,
     ordering cos desc / cid asc); the data read is partition-pruned to
-    the probed ``cid=`` directories."""
+    the probed ``cid=`` directories.
+
+    ``where`` (a Column over index columns, e.g. ``F.col("label") ==
+    3`` when the index was built with ``meta_cols=["label"]``) is a
+    metadata pre-filter: it applies INSIDE the probed scan — Catalyst
+    pushes it to the parquet files alongside the partition pruning —
+    so candidates are filtered before any distance math (filtered
+    vector search, not post-filtering of the top-k)."""
     import math
 
     meta = json.loads((Path(index_dir) / "_meta.json").read_text())
@@ -300,6 +317,8 @@ def ivf_query(
     )
     probe = [cid for _, cid in ranked[: max(nprobe, 1)]]
     df = spark.read.parquet(index_dir).filter(F.col("cid").isin(probe))
+    if where is not None:
+        df = df.filter(where)
     return cosine_topk(
         df.select(meta["id_col"], meta["vec_col"]),
         query_vec,
@@ -390,6 +409,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    meta_cols: list[str] | None = None,
 ) -> dict:
     """IVF-PQ index: coarse centroid partitioning + product-quantized
     residual codes, NO stored vectors.

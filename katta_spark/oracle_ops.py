@@ -359,12 +359,15 @@ SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT {k})"""
 
 
-def ivf_ann_sql(n_centroids: int = 16, nprobe: int = 2, k: int = 10) -> str:
+def ivf_ann_sql(n_centroids: int = 16, nprobe: int = 2, k: int = 10,
+                filter_sql: str | None = None) -> str:
     """IVF-flat ANN oracle — mirror of ops.ann_index.build_ivf_index /
     ivf_query: coarse quantizer = the ``n_centroids`` smallest-id
     vectors, assignment = argmax cosine (tie-break cid asc), probe =
     the ``nprobe`` centroids nearest the query, exact rerank within
-    the probed partitions."""
+    the probed partitions.  ``filter_sql`` (over embeddings columns,
+    e.g. ``label = 2``) mirrors the engine's metadata pre-filter:
+    applied to the candidate rows BEFORE the rerank."""
 
     def cos(a: str, b: str) -> str:
         dot = (
@@ -381,6 +384,10 @@ def ivf_ann_sql(n_centroids: int = 16, nprobe: int = 2, k: int = 10) -> str:
         )
         return f"{dot} / ({na} * {nb})"
 
+    flt = (
+        f"\n    AND a.vec_id IN (SELECT vec_id FROM embeddings"
+        f" WHERE {filter_sql})" if filter_sql else ""
+    )
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 cents AS (
@@ -408,7 +415,7 @@ assign AS (
 rer AS (
   SELECT a.vec_id, {cos('a.embedding', 'q.qv')} AS cos
   FROM assign a CROSS JOIN q
-  WHERE a.cid IN (SELECT cid FROM probe)
+  WHERE a.cid IN (SELECT cid FROM probe){flt}
 )
 SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM rer ORDER BY cos DESC, vec_id ASC LIMIT {k})"""

@@ -497,3 +497,40 @@ def test_knn_topk_metrics_match_numpy(spark):
         assert [i for i, _ in got] == [i for i, _ in want], metric
         for (_, a), (_, b) in zip(got, want):
             assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_ivf_filtered_query_pushes_predicate_and_is_exact(spark, tmp_path):
+    """Filtered vector search: (a) results equal brute-force cosine
+    over the label-filtered corpus restricted to the probed
+    centroids; (b) the label predicate appears in the parquet scan's
+    PushedFilters — filtering happens in the scan, not post-top-k."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from katta_spark.ops import ann_index as AI
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    d = str(tmp_path / "ivf_filt")
+    AI.build_ivf_index(corpus, d, n_centroids=8, meta_cols=["label"])
+    qv = [float(x)
+          for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = AI.ivf_query(spark, d, qv, k=5, nprobe=8,
+                       where=F.col("label") == 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "label" in plan and "PushedFilters" in plan
+    got = [(r["vec_id"], round(r["cos"], 6)) for r in out.collect()]
+    # nprobe=8 == n_centroids -> probe set is the whole corpus, so the
+    # expected set is exact brute force over label==1
+    rows = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64),
+                          r["label"])
+            for r in corpus.collect()}
+    q = np.array(qv)
+    want = sorted(
+        ((i, round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6))
+         for i, (v, lb) in rows.items() if lb == 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [i for i, _ in got] == [i for i, _ in want]
