@@ -598,6 +598,7 @@ def ivf_query_batch(
     queries: dict[str, list[float]],
     k: int = 10,
     nprobe: int = 2,
+    where=None,
 ) -> DataFrame:
     """(qid, id, cos): N ANN queries answered by ONE partition-pruned
     scan — the batched dual of :func:`ivf_query`, the same collapse
@@ -639,6 +640,9 @@ def ivf_query_batch(
     union_cids = sorted({r[1] for r in rows})
 
     df = spark.read.parquet(index_dir).filter(F.col("cid").isin(union_cids))
+    if where is not None:
+        # metadata pre-filter (see ivf_query): pushed into the scan
+        df = df.filter(where)
     v = F.col(vec_col)
     dot = F.aggregate(
         F.zip_with(v, F.col("qvec"),

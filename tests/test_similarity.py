@@ -534,3 +534,22 @@ def test_ivf_filtered_query_pushes_predicate_and_is_exact(spark, tmp_path):
         key=lambda x: (-x[1], x[0]),
     )[:5]
     assert [i for i, _ in got] == [i for i, _ in want]
+
+
+def test_ivf_query_batch_where_filters(spark, tmp_path):
+    """Batched probes honor the same metadata pre-filter."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.ops import ann_index as AI
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    d = str(tmp_path / "ivf_fb")
+    AI.build_ivf_index(corpus, d, n_centroids=8, meta_cols=["label"])
+    qs = {str(r["vec_id"]): [float(x) for x in r["embedding"]]
+          for r in emb.filter(F.col("vec_id").isin([0, 1])).collect()}
+    out = AI.ivf_query_batch(spark, d, qs, k=5, nprobe=8,
+                             where=F.col("label") == 1)
+    ids = [r["id"] for r in out.collect()]
+    labels = {r["vec_id"]: r["label"] for r in corpus.collect()}
+    assert ids and all(labels[i] == 1 for i in ids)
