@@ -114,3 +114,18 @@ def test_dup_clusters_chain_and_star(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_parser_const_score_malformed_forms():
+    """^= fuzz: malformed constant-score inputs parse to SOMETHING
+    sane (no crash) and well-formed ones round-trip."""
+    from katta_spark.fulltext.qparse import ConstScore, parse_lucene
+
+    for q in ("^=2", "term^=", "term^=x", "a^=1^=2", "()^=3", '"a b"^=',
+              "f:^=2", "term^= 2"):
+        parse_lucene(q)  # must not raise
+    n = parse_lucene("term^=2.5")
+    assert isinstance(n, ConstScore) and n.value == 2.5
+    # boost-of-const scales the constant (Lucene semantics)
+    b = parse_lucene("(term^=2)^3")
+    assert isinstance(b, ConstScore) and b.value == 6.0

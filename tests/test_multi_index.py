@@ -167,3 +167,18 @@ def test_open_many_phrase_rank_identity(spark, split_dirs):
     assert len(got) > 0  # the phrase actually occurs in the corpus
     for g, w in zip(got, want):
         assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_open_many_lucene_front_door(spark, split_dirs):
+    """The full Lucene query string surface works on a multi-index
+    handle: rank identity vs the union-built single index for a
+    nested boolean, a NOT, and a wildcard."""
+    root, da, db, du = split_dirs
+    multi = PhysicalIndex.open_many(spark, f"{root}/part_*")
+    union = PhysicalIndex(spark, du)
+    for q in ("(parse AND request) OR merge", "import -chunk", "xylo*"):
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in multi.query(q, k=12).collect()]
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in union.query(q, k=12).collect()]
+        assert got == want, q
