@@ -1181,6 +1181,16 @@ def q_ft_percolate_lucene(spark, sf_dir):
     return out.orderBy("doc_id", "qid")
 
 
+def q_ft_expand(spark, sf_dir):
+    """ExpandComponent: next-2 hidden members of each collapsed
+    source group for 'table' (same scored pass as the collapse)."""
+    return _round_score(
+        phys_index(spark, sf_dir).expand_topk(
+            ["table"], "source", k=5, n_expand=2
+        )
+    )
+
+
 def q_ft_q_fq(spark, sf_dir):
     """q + fq front door (LuceneServer.parse: every fq ANDs into the
     main query): q='table', fq=['lang:en', 'n_chars:[100 TO 400]']."""
@@ -1410,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_first": q_ft_span_first,
         "ft_explain": q_ft_explain,
         "ft_q_fq": q_ft_q_fq,
+        "ft_expand": q_ft_expand,
         "ft_suggest_infix": q_ft_suggest_infix,
         "ft_ngroups": q_ft_ngroups,
         # --- Lucene-syntax query strings through the parser +
@@ -1617,6 +1628,7 @@ FROM documents WHERE doc_id IN (3, 7, 11)""",
         "ft_percolate_lucene": O.percolate_lucene_sql(),
         "ft_span_first": O.span_first_sql("scan", 5, k=10),
         "ft_explain": O.explain_sql(7, ["table", "scan"]),
+        "ft_expand": O.expand_sql(["table"], "source", k=5, n_expand=2),
         "ft_q_fq": O.lucene_topk_sql(
             [("table", 1.0)],
             field_terms=[("lang", "en", 1.0)],

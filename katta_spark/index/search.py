@@ -1578,6 +1578,51 @@ class PhysicalIndex:
             .select(group_field, "doc_id", "score", "rank")
         )
 
+    def expand_topk(self, qterms: list[str], collapse_field: str,
+                    k: int = 10, n_expand: int = 2, mode: str = "or",
+                    filters: Filters = None) -> DataFrame:
+        """(group value, doc_id, score, exp_rank) — Solr
+        ExpandComponent (``expand=true&expand.rows=n``): for each
+        group whose head made the collapsed top-``k``
+        (:meth:`collapse_topk`), the next ``n_expand`` members of
+        that group, score-ranked (exp_rank 1 = best hidden member).
+
+        Plan shape: the SAME single scored pass and group window as
+        the collapse — heads (rank 1) pick the groups, ranks
+        2..n+1 are the expand rows; the head set is tiny (<= k) and
+        broadcast into the ranked rows, so expand adds no second
+        corpus pass."""
+        from pyspark.sql import Window
+
+        scored = self.scored_docs(sorted(set(qterms)), mode)
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        joined = scored.join(
+            self.docs.select("doc_id", collapse_field), "doc_id"
+        )
+        w = Window.partitionBy(collapse_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = joined.withColumn("_rn", F.row_number().over(w))
+        heads = (
+            ranked.filter(F.col("_rn") == 1)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select(collapse_field)
+        )
+        return (
+            ranked.join(F.broadcast(heads), collapse_field, "left_semi")
+            .filter((F.col("_rn") >= 2) & (F.col("_rn") <= n_expand + 1))
+            .select(
+                collapse_field,
+                "doc_id",
+                "score",
+                (F.col("_rn") - 1).cast("int").alias("exp_rank"),
+            )
+            .orderBy(collapse_field, "exp_rank")
+        )
+
     def collapse_topk(self, qterms: list[str], collapse_field: str,
                       k: int = 10, mode: str = "or",
                       filters: Filters = None) -> DataFrame:

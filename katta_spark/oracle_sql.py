@@ -926,3 +926,36 @@ FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
 CROSS JOIN stats
 WHERE tf.doc_id = {int(doc_id)} AND tf.term IN {_term_list(terms)}
 ORDER BY tf.term"""
+
+
+def expand_sql(terms: list[str], collapse_field: str, k: int = 10,
+               n_expand: int = 2, mode: str = "or") -> str:
+    """ExpandComponent oracle: for each group whose head made the
+    collapsed top-k, the next n_expand members, score-ranked."""
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+),
+ranked AS (
+  SELECT s.doc_id, s.score, d.{collapse_field},
+         row_number() OVER (PARTITION BY d.{collapse_field}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
+),
+heads AS (
+  SELECT {collapse_field} FROM ranked WHERE rn = 1
+  ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+)
+SELECT r.{collapse_field}, r.doc_id, round(r.score, 6) AS score,
+       CAST(r.rn - 1 AS INT) AS exp_rank
+FROM ranked r JOIN heads h USING ({collapse_field})
+WHERE r.rn BETWEEN 2 AND {int(n_expand) + 1}
+ORDER BY r.{collapse_field}, exp_rank"""

@@ -430,3 +430,28 @@ def test_write_training_shards_jsonl(spark, tmp_path):
                  for x in f.read_text().splitlines()]
         assert len(lines) == info["rows"]
         assert all("doc_id" in r and "lang" in r for r in lines)
+
+
+def test_verify_shards_detects_tamper(spark, tmp_path):
+    """The manifest verifier passes a fresh write and fails after a
+    shard file is tampered with."""
+    import shutil
+    from pathlib import Path
+
+    from katta_spark.ops.packing import write_training_shards
+    from tools.verify_shards import verify
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    d = str(tmp_path / "shards_v")
+    write_training_shards(df, d, 3)
+    assert verify(d, spark)["ok"]
+    # tamper: replace shard 1's file with a copy of shard 0's (new
+    # file name so sizes stay self-consistent for the reader)
+    victim = next(Path(d).glob("shard=1/*.parquet"))
+    donor = next(Path(d).glob("shard=0/*.parquet"))
+    shutil.copy(donor, victim.parent / ("x" + donor.name))
+    victim.unlink()
+    res = verify(d, spark)
+    assert not res["ok"] and 0 not in res["mismatched"]

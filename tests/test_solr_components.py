@@ -259,3 +259,31 @@ def test_facet_stats_per_bucket(pindex, py_oracle, pandas_docs):
         assert r["min_v"] == min(vals)
         assert r["max_v"] == max(vals)
         assert r["mean_v"] == pytest.approx(sum(vals) / len(vals), abs=1e-6)
+
+
+def test_expand_topk_members_follow_collapsed_heads(pindex, py_oracle,
+                                                    pandas_docs):
+    """Expand rows are exactly ranks 2..n+1 of each head group from
+    the collapsed top-k (python mirror)."""
+    field = "lang"
+    meta = {int(r.doc_id): getattr(r, field)
+            for r in pandas_docs.itertuples(index=False)}
+    terms = ["import"]
+    by_group: dict = {}
+    for d in py_oracle.matches(terms):
+        by_group.setdefault(meta[d], []).append(
+            (-py_oracle.score(d, terms), d)
+        )
+    heads = sorted(
+        (min(v), g) for g, v in by_group.items()
+    )[:3]
+    want = []
+    for (_, _), g in [((0, 0), g) for _, g in heads]:
+        members = sorted(by_group[g])[1:3]
+        want += [(g, d, round(-s, 6), i + 1)
+                 for i, (s, d) in enumerate(members)]
+    want.sort(key=lambda x: (x[0], x[3]))
+    got = [(r[field], r["doc_id"], round(r["score"], 6), r["exp_rank"])
+           for r in pindex.expand_topk(terms, field, k=3,
+                                       n_expand=2).collect()]
+    assert got == want
