@@ -1181,6 +1181,21 @@ def q_ft_percolate_lucene(spark, sf_dir):
     return out.orderBy("doc_id", "qid")
 
 
+def q_ft_sort_score_field(spark, sf_dir):
+    """Composite sort (Solr sort=score desc, n_chars asc): one scored
+    pass joined to the stored sort field, TakeOrderedAndProject."""
+    out = phys_index(spark, sf_dir).topk_sorted(
+        ["scan"], [("n_chars", "asc")], k=12
+    )
+    return _round_score(out)
+
+
+def q_ft_suggest_regex(spark, sf_dir):
+    """TermsComponent terms.regex: catalog terms fully matching
+    (s|b).* ranked by df."""
+    return phys_index(spark, sf_dir).suggest_regex("(s|b).*", n=10)
+
+
 def q_ft_expand(spark, sf_dir):
     """ExpandComponent: next-2 hidden members of each collapsed
     source group for 'table' (same scored pass as the collapse)."""
@@ -1332,6 +1347,13 @@ def q_pipe_weighted_sample(spark, sf_dir):
     )
 
 
+def q_text_curate(spark, sf_dir):
+    """End-to-end curation verdict: quality + repetition + PII +
+    language signals composed into one keep/drop column — the
+    filter stage every training pipeline runs before dedup."""
+    return text.curate(_docs(spark, sf_dir), text_col="text")
+
+
 def q_text_entropy(spark, sf_dir):
     """Per-doc Shannon entropy of the token distribution (nats) —
     low entropy flags repetitive/boilerplate text."""
@@ -1421,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain": q_ft_explain,
         "ft_q_fq": q_ft_q_fq,
         "ft_expand": q_ft_expand,
+        "ft_sort_score_field": q_ft_sort_score_field,
+        "ft_suggest_regex": q_ft_suggest_regex,
         "ft_suggest_infix": q_ft_suggest_infix,
         "ft_ngroups": q_ft_ngroups,
         # --- Lucene-syntax query strings through the parser +
@@ -1463,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_top": q_text_ngram_top,
         "text_unigram_lp": q_text_unigram_lp,
         "text_entropy": q_text_entropy,
+        "text_curate": q_text_curate,
         "text_pmi": q_text_pmi,
         "text_chunks": q_text_chunks,
         "text_lm_buckets": q_text_lm_buckets,
@@ -1629,6 +1654,20 @@ FROM documents WHERE doc_id IN (3, 7, 11)""",
         "ft_span_first": O.span_first_sql("scan", 5, k=10),
         "ft_explain": O.explain_sql(7, ["table", "scan"]),
         "ft_expand": O.expand_sql(["table"], "source", k=5, n_expand=2),
+        "ft_sort_score_field": f"""{O.index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({O.score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats WHERE tf.term = 'scan' GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score, n_chars FROM (
+  SELECT s.doc_id, s.score, d.n_chars
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  ORDER BY s.score DESC, d.n_chars ASC, s.doc_id ASC LIMIT 12)""",
+        "ft_suggest_regex": f"""{O.index_ctes()}
+SELECT term, df FROM dfv
+WHERE regexp_full_match(term, '(s|b).*') AND NOT contains(term, ':')
+ORDER BY df DESC, term ASC LIMIT 10""",
         "ft_q_fq": O.lucene_topk_sql(
             [("table", 1.0)],
             field_terms=[("lang", "en", 1.0)],
@@ -1703,6 +1742,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
         "text_unigram_lp": OO.unigram_lp_sql(),
         "text_entropy": OO.token_entropy_sql(),
+        "text_curate": OO.curate_sql(),
         "text_pmi": OO.pmi_top_sql(20, 5),
         "sim_knn_dot": OO.knn_topk_sql(
             [__import__("math").cos(1 + i) for i in range(64)], 10, "dot"

@@ -1368,6 +1368,41 @@ class PhysicalIndex:
             "n_postings long, bytes long",
         ).orderBy("commit", "group")
 
+    def topk_sorted(self, qterms: list[str], secondary: list[tuple[str, str]],
+                    k: int = 10, mode: str = "or",
+                    filters: Filters = None) -> DataFrame:
+        """(doc_id, score, fields...) top-k under a COMPOSITE sort
+        ``score desc, field1 dir, ..., doc_id asc`` — Solr's
+        ``sort=score desc, price asc`` form.  One scored pass joined
+        to the stored sort fields, TakeOrderedAndProject merge."""
+        scored = self.scored_docs(sorted(set(self._strip_stops(qterms))), mode)
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        cols = [c for c, _ in secondary]
+        joined = scored.join(self.docs.select("doc_id", *cols), "doc_id")
+        order = [F.desc("score")] + [
+            F.asc(c) if d == "asc" else F.desc(c) for c, d in secondary
+        ] + [F.asc("doc_id")]
+        return joined.orderBy(*order).limit(k).select(
+            "doc_id", "score", *cols
+        )
+
+    def suggest_regex(self, pattern: str, n: int = 10) -> DataFrame:
+        """(term, df) — Solr TermsComponent ``terms.regex``: content
+        terms FULLY matching the regex (Lucene whole-term anchoring),
+        ranked by df.  One catalog scan."""
+        anchored = f"^(?:{pattern.lower()})$"
+        cond = F.col("term").rlike(anchored)
+        if ":" not in pattern:
+            cond = cond & ~F.col("term").contains(":")
+        return (
+            self.terms.filter(cond)
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
     def suggest_infix(self, fragment: str, n: int = 10) -> DataFrame:
         """(term, df) — the ``n`` highest-df content terms CONTAINING
         the fragment: Lucene AnalyzingInfixSuggester parity (the

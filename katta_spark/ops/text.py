@@ -522,3 +522,46 @@ def chunk_texts(corpus: DataFrame, size: int = 32, stride: int = 24,
         F.size("c._toks").cast("long").alias("n_tokens"),
         F.array_join("c._toks", " ").alias("chunk"),
     )
+
+
+#: default curation thresholds (each documented at its source op)
+CURATE_DEFAULTS = {
+    "min_quality": 0.3,
+    "max_dup_line_ratio": 0.5,
+    "max_pii": 0,
+    "langs": None,  # None = any predicted language
+}
+
+
+def curate(corpus: DataFrame, text_col: str = "content",
+           min_quality: float = 0.3, max_dup_line_ratio: float = 0.5,
+           max_pii: int = 0, langs: list[str] | None = None) -> DataFrame:
+    """(doc_id, quality, dup_line_ratio, n_pii, lang_pred, keep) —
+    the standard curation verdict: one document survives iff its
+    quality score, line-repetition ratio, PII count, and (optionally)
+    predicted language all pass.  This is the composition every
+    training-data pipeline runs in front of dedup/packing — expressed
+    as ONE narrow plan (all four signals are column algebra over the
+    same row; Catalyst collapses them into a single map stage, the
+    corpus is scanned once)."""
+    q = quality_score(corpus, text_col=text_col).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    r = repetition_ratio(corpus, text_col=text_col).select(
+        "doc_id", F.round("dup_line_ratio", 6).alias("dup_line_ratio")
+    )
+    p = pii_scrub(corpus, text_col=text_col).select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+        .cast("long").alias("n_pii"),
+    )
+    lid = langid(corpus, text_col=text_col).select("doc_id", "lang_pred")
+    out = q.join(r, "doc_id").join(p, "doc_id").join(lid, "doc_id")
+    keep = (
+        (F.col("quality") >= min_quality)
+        & (F.col("dup_line_ratio") <= max_dup_line_ratio)
+        & (F.col("n_pii") <= max_pii)
+    )
+    if langs:
+        keep = keep & F.col("lang_pred").isin([str(x) for x in langs])
+    return out.withColumn("keep", keep).orderBy("doc_id")

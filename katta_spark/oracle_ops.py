@@ -1297,3 +1297,22 @@ def knn_topk_sql(query_vec: list[float], k: int = 10,
 SELECT vec_id, round({expr}, 6) AS score
 FROM embeddings
 ORDER BY {order}, vec_id ASC LIMIT {k}"""
+
+
+def curate_sql(min_quality: float = 0.3, max_dup_line_ratio: float = 0.5,
+               max_pii: int = 0) -> str:
+    """Oracle for ops.text.curate: the four component oracles
+    composed exactly as the engine composes the four ops (each
+    signal 6dp-rounded before the keep comparison)."""
+    return f"""
+SELECT q.doc_id, q.quality, r.dup_line_ratio,
+       CAST(p.n_email + p.n_ipv4 + p.n_phone AS BIGINT) AS n_pii,
+       l.lang_pred,
+       (q.quality >= {min_quality!r}
+        AND r.dup_line_ratio <= {max_dup_line_ratio!r}
+        AND p.n_email + p.n_ipv4 + p.n_phone <= {int(max_pii)}) AS keep
+FROM ({quality_sql()}) q
+JOIN ({repetition_sql()}) r ON q.doc_id = r.doc_id
+JOIN ({pii_scrub_sql()}) p ON q.doc_id = p.doc_id
+JOIN ({langid_sql()}) l ON q.doc_id = l.doc_id
+ORDER BY q.doc_id"""

@@ -410,3 +410,31 @@ def test_span_first_plan_pruned_positional_no_docs(pindex):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "pos_lens" in plan
     assert "toks" not in plan and "content" not in plan
+
+
+def test_topk_sorted_composite_matches_python(pindex, py_oracle, pandas_docs):
+    """sort=score desc, dl asc: composite order with doc_id final
+    tie-break matches the python mirror."""
+    dls = {int(r.doc_id): py_oracle.dl[int(r.doc_id)]
+           for r in pandas_docs.itertuples(index=False)}
+    got = [(r["doc_id"], r["dl"])
+           for r in pindex.topk_sorted(["import"], [("dl", "asc")],
+                                       k=15).collect()]
+    want = sorted(
+        ((d, dls[d]) for d in py_oracle.matches(["import"])),
+        key=lambda x: (-py_oracle.score(x[0], ["import"]), x[1], x[0]),
+    )[:15]
+    assert got == want
+
+
+def test_suggest_regex_whole_term_anchored(pindex, py_oracle):
+    import re
+
+    got = [(r["term"], r["df"])
+           for r in pindex.suggest_regex("im.*t|pa.s.*", n=10).collect()]
+    pat = re.compile(r"^(?:im.*t|pa.s.*)$")
+    want = sorted(
+        ((t, df) for t, df in py_oracle.df.items() if pat.match(t)),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == want and got

@@ -274,3 +274,26 @@ def test_chunk_texts_tile_with_overlap(spark):
             want = toks[k * 6 : k * 6 + 10]
             assert nt == len(want)
             assert ch == " ".join(want)
+
+
+def test_curate_verdict_composes_signals(spark):
+    """keep is exactly the AND of the four component thresholds
+    (recomputed from the component ops themselves)."""
+    from katta_spark.ops.text import (
+        curate, langid, pii_scrub, quality_score, repetition_ratio,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    out = {r["doc_id"]: r for r in curate(docs, text_col="text").collect()}
+    q = {r["doc_id"]: round(r["quality"], 6)
+         for r in quality_score(docs, text_col="text").collect()}
+    rr = {r["doc_id"]: round(r["dup_line_ratio"], 6)
+          for r in repetition_ratio(docs, text_col="text").collect()}
+    pii = {r["doc_id"]: r["n_email"] + r["n_ipv4"] + r["n_phone"]
+           for r in pii_scrub(docs, text_col="text").collect()}
+    for d, row in out.items():
+        want = q[d] >= 0.3 and rr[d] <= 0.5 and pii[d] <= 0
+        assert row["keep"] == want
+    assert any(r["keep"] for r in out.values())
