@@ -68,3 +68,58 @@ def update_docs(
     )
     report["tombstoned"] = n_tombstoned
     return report
+
+
+#: engine-derived columns the build recomputes — never copied into a
+#: replacement row (doc_id in particular MUST be dropped: the old id
+#: is tombstoned, so the new version needs a fresh one)
+ENGINE_COLS = ("doc_id", "toks", "dl", "content_sha256", "ptoks", "ftoks")
+
+
+def update_fields(
+    spark: SparkSession,
+    index_dir: str,
+    changes: DataFrame,
+    match_col: str = "path",
+    **build_kwargs,
+) -> dict:
+    """Solr ATOMIC update (``{"id": X, "field": {"set": v}}``): merge
+    the given columns over the live documents' stored values, leave
+    every other field (including the indexed text) untouched, and
+    replace via the delete-then-add path (:func:`update_docs`).
+
+    ``changes`` = one row per key: ``match_col`` + the columns to
+    set.  Keys with no live match are ignored (Solr errors there;
+    ignoring is the idempotent batch behavior).  Scale shape: one
+    broadcast semi-join to pick the live rows, one broadcast join to
+    overlay the new values — the stored docs are scanned once."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.index.delete import load_tombstones
+
+    set_cols = [c for c in changes.columns if c != match_col]
+    if not set_cols:
+        raise ValueError("changes must carry at least one column to set")
+    docs = spark.read.option(
+        "basePath", f"{index_dir}/docs"
+    ).parquet(f"{index_dir}/docs/commit=*")
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None:
+        docs = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+    keep = [c for c in docs.columns if c not in ENGINE_COLS]
+    ren = changes.select(
+        match_col, *[F.col(c).alias(f"_set_{c}") for c in set_cols]
+    )
+    merged = (
+        docs.select(*keep)
+        .join(F.broadcast(ren), match_col, "inner")
+        .select(
+            *[
+                F.col(f"_set_{c}").alias(c) if c in set_cols else F.col(c)
+                for c in keep
+            ]
+        )
+    )
+    return update_docs(
+        spark, index_dir, merged, match_col=match_col, **build_kwargs
+    )

@@ -72,3 +72,40 @@ def test_update_twice_uses_fresh_commit_names(spark, upd_dir):
     # only the latest version is live
     assert idx.topk(["zzversion"], k=5).count() == 1
     assert idx.topk(["three"], k=5).count() == 1
+
+
+def test_update_fields_atomic_set(spark, tmp_path):
+    """Solr atomic update: set ONE stored field; text/scores
+    untouched, old version tombstoned, corpus size unchanged."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.index import PhysicalIndex, build_index
+    from katta_spark.index.update import update_fields
+
+    rows = [
+        (0, "p0", "parse request value", "python"),
+        (1, "p1", "parse merge value", "java"),
+        (2, "p2", "merge sorted chunk", "python"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, path string, content string, lang string"
+    ).withColumn("repo", F.lit("r")).withColumn("commit", F.lit("c"))
+    d = str(tmp_path / "idx_setf")
+    build_index(spark, df, d, n_groups=1, block_range=64)
+    before = PhysicalIndex(spark, d)
+    before_hits = {r["doc_id"] for r in before.topk(["parse"], k=10).collect()}
+    assert len(before_hits) == 2
+
+    changes = spark.createDataFrame([("p1", "go")], "path string, lang string")
+    rep = update_fields(spark, d, changes, match_col="path")
+    assert rep["tombstoned"] == 1
+
+    after = PhysicalIndex(spark, d)
+    live = {r["path"]: r["lang"]
+            for r in after.docs.join(
+                F.broadcast(after.tombstones), "doc_id", "left_anti"
+            ).select("path", "lang").collect()} if after.tombstones is not None else {}
+    assert live["p1"] == "go" and live["p0"] == "python"
+    assert len(live) == 3
+    # the indexed text is untouched: 'parse' still matches two docs
+    assert after.count(["parse"]).collect()[0]["n_hits"] == 2
