@@ -209,7 +209,11 @@ def ngram_top(
     shuffle), so shuffle volume is O(distinct n-grams), not O(token
     occurrences); the final top-k is a TakeOrderedAndProject merge —
     no global sort."""
-    t = tokens_array(text_col)
+    # tokenize ONCE into a named column: referencing the tokenizer
+    # expression inside the transform lambda would re-evaluate the
+    # whole regex pipeline per array element (O(tokens^2) per doc)
+    base = corpus.select(tokens_array(text_col).alias("_toks"))
+    t = F.col("_toks")
     grams = F.when(
         F.size(t) >= n,
         F.transform(
@@ -220,7 +224,7 @@ def ngram_top(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        corpus.select(F.explode(grams).alias("ngram"))
+        base.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
@@ -435,7 +439,10 @@ def pmi_top(corpus: DataFrame, k: int = 20, min_count: int = 5,
     words); corpus totals are one-row broadcasts.  ``min_count``
     suppresses the unstable low-frequency tail; ties break ngram asc
     (total order)."""
-    t = tokens_array(text_col)
+    # tokenize ONCE into a named column (see ngram_top: the tokenizer
+    # expression inside a transform lambda re-evaluates per element)
+    base = corpus.select(tokens_array(text_col).alias("_toks"))
+    t = F.col("_toks")
     grams = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -446,19 +453,19 @@ def pmi_top(corpus: DataFrame, k: int = 20, min_count: int = 5,
         ),
     ).otherwise(F.array().cast("array<string>"))
     big = (
-        corpus.select(F.explode(grams).alias("ngram"))
+        base.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_count)
     )
     uni = (
-        corpus.select(F.explode(t).alias("term"))
+        base.select(F.explode(t).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n_t"))
     )
     n_tok = uni.agg(F.sum("n_t").alias("_n_tok"))
     n_big = (
-        corpus.select(
+        base.select(
             F.greatest(F.size(t) - 1, F.lit(0)).alias("_nb")
         ).agg(F.sum("_nb").alias("_n_big"))
     )
@@ -503,7 +510,8 @@ def chunk_texts(corpus: DataFrame, size: int = 32, stride: int = 24,
     so reruns and repartitions emit identical chunks."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    t = tokens_array(text_col)
+    base = corpus.select("doc_id", tokens_array(text_col).alias("_toks"))
+    t = F.col("_toks")
     starts = F.when(
         F.size(t) > 0,
         F.sequence(F.lit(0), F.size(t) - 1, F.lit(stride)),
@@ -515,7 +523,7 @@ def chunk_texts(corpus: DataFrame, size: int = 32, stride: int = 24,
             F.slice(t, s + 1, size).alias("_toks"),
         ),
     )
-    ex = corpus.select("doc_id", F.explode(chunks).alias("c"))
+    ex = base.select("doc_id", F.explode(chunks).alias("c"))
     return ex.select(
         "doc_id",
         F.col("c.chunk_id").alias("chunk_id"),

@@ -39,13 +39,17 @@ def percolate(docs: DataFrame, queries: dict[str, list[str]],
     DataFrame (stateless narrow plan → append mode); batch/stream
     parity is tested.  ``mode`` applies to every query: "or" = any
     term present, "and" = all terms present."""
-    toks = tokens_array(text_col)
+    # tokenize ONCE into a named column: the tokenizer expression
+    # would otherwise re-evaluate per standing query (and, for phrase
+    # windows, per position)
+    base = docs.withColumn("__toks", tokens_array(text_col))
+    toks = F.col("__toks")
     cases = [
         F.when(_match_cond(toks, terms, mode), F.lit(qid))
         for qid, terms in sorted(queries.items())
     ]
     matched = F.filter(F.array(*cases), lambda x: x.isNotNull())
-    return docs.select(F.col(id_col), F.explode(matched).alias("qid"))
+    return base.select(F.col(id_col), F.explode(matched).alias("qid"))
 
 
 def _lucene_cond(node, toks: Column, row) -> Column:
@@ -141,7 +145,9 @@ def percolate_lucene(docs: DataFrame, queries: dict[str, str],
     (no scores), per the Lucene percolator contract."""
     from katta_spark.fulltext.qparse import parse_lucene
 
-    toks = tokens_array(text_col)
+    base = docs.withColumn("__toks", tokens_array(text_col))
+    toks = F.col("__toks")  # named: evaluated once per row, not per
+    # query / per phrase position (see percolate)
 
     def row(field: str) -> Column:
         return F.col(field)
@@ -151,4 +157,4 @@ def percolate_lucene(docs: DataFrame, queries: dict[str, str],
         for qid, q in sorted(queries.items())
     ]
     matched = F.filter(F.array(*cases), lambda x: x.isNotNull())
-    return docs.select(F.col(id_col), F.explode(matched).alias("qid"))
+    return base.select(F.col(id_col), F.explode(matched).alias("qid"))
