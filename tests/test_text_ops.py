@@ -297,3 +297,30 @@ def test_curate_verdict_composes_signals(spark):
         want = q[d] >= 0.3 and rr[d] <= 0.5 and pii[d] <= 0
         assert row["keep"] == want
     assert any(r["keep"] for r in out.values())
+
+
+def test_tokenizer_evaluated_once_not_per_lambda_element(spark):
+    """Regression pin for the O(tokens^2) bug: the tokenizer regex
+    must appear ONCE in each op's optimized plan — never inside the
+    per-element transform lambda (which re-runs it per window/chunk/
+    bigram)."""
+    from katta_spark.ops.dedup import duplicate_spans
+    from katta_spark.ops.text import chunk_texts, ngram_top, pmi_top
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(20)
+
+    def audit(df, max_evals):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the fix materializes the array as a named _toks column; the
+        # buggy shape inlines the tokenizer into the window lambda
+        assert "_toks" in plan
+        assert plan.count("regexp_extract_all") <= max_evals
+
+    audit(chunk_texts(docs, size=8, stride=4, text_col="text"), 1)
+    audit(ngram_top(docs, n=2, text_col="text"), 1)
+    audit(duplicate_spans(
+        docs.withColumnRenamed("text", "content"), width=4), 3)
+    # pmi: bigram/unigram/total branches, one LINEAR eval each
+    audit(pmi_top(docs, k=5, min_count=1, text_col="text"), 5)
