@@ -65,6 +65,27 @@ def bpe_token_estimate(corpus: DataFrame, text_col: str = "content",
     )
 
 
+def _quality_exprs(txt, toks) -> dict:
+    """Quality-signal Columns over (text, token-array) — shared by
+    :func:`quality_score` and the one-pass :func:`curate`."""
+    n = F.length(txt)
+    alnum = F.length(F.regexp_replace(txt, r"[^A-Za-z0-9 ]", ""))
+    stops = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    stop_ratio = n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
+    alpha_ratio = alnum.cast("double") / F.greatest(n, F.lit(1))
+    quality = F.greatest(
+        F.least(alpha_ratio * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))), F.lit(1.0)),
+        F.lit(0.0),
+    )
+    return {
+        "len_chars": n.cast("long"),
+        "alpha_ratio": alpha_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
 def quality_score(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     """(doc_id, len_chars, alpha_ratio, stop_ratio, quality) —
     heuristic curation score in [0,1]:
@@ -72,35 +93,22 @@ def quality_score(corpus: DataFrame, text_col: str = "content") -> DataFrame:
       - stop_ratio: fraction of tokens in the english stopword list;
       - quality = alpha_ratio * (1 - |stop_ratio - 0.4|) clamped.
     """
-    txt = F.col(text_col)
-    n = F.length(txt)
-    alnum = F.length(F.regexp_replace(txt, r"[^A-Za-z0-9 ]", ""))
-    t = tokens_array(text_col)
-    stops = F.array(*[F.lit(s) for s in LANG_PROFILES["en"]])
-    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stops, x)))
-    stop_ratio = n_stop.cast("double") / F.greatest(F.size(t), F.lit(1))
-    alpha_ratio = alnum.cast("double") / F.greatest(n, F.lit(1))
-    quality = F.greatest(
-        F.least(alpha_ratio * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))), F.lit(1.0)),
-        F.lit(0.0),
+    base = corpus.select(
+        "doc_id", F.col(text_col).alias("_txt"),
+        tokens_array(text_col).alias("_toks"),
     )
-    return corpus.select(
-        "doc_id",
-        n.cast("long").alias("len_chars"),
-        alpha_ratio.alias("alpha_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        quality.alias("quality"),
+    cols = _quality_exprs(F.col("_txt"), F.col("_toks"))
+    return base.select(
+        "doc_id", *[c.alias(a) for a, c in cols.items()]
     )
 
 
-def langid(corpus: DataFrame, text_col: str = "content") -> DataFrame:
-    """(doc_id, lang_pred, lang_hits) — argmax of per-language keyword
-    hits; deterministic tie-break by language code asc."""
-    t = tokens_array(text_col)
-    # sort by (-hits, code) asc: max hits first, ties -> smallest code
+def _langid_exprs(toks) -> dict:
+    """(lang_pred, lang_hits) Columns over a token array — argmax of
+    per-language keyword hits, tie-break language code asc."""
     def _hits(kws: list[str]):
         arr = F.array(*[F.lit(k) for k in kws])
-        return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
     scores = F.array(
         *[
@@ -109,10 +117,21 @@ def langid(corpus: DataFrame, text_col: str = "content") -> DataFrame:
         ]
     )
     top = F.array_sort(scores)[0]
-    return corpus.select(
-        "doc_id",
-        top["code"].alias("lang_pred"),
-        (-top["neg_hits"]).cast("long").alias("lang_hits"),
+    return {
+        "lang_pred": top["code"],
+        "lang_hits": (-top["neg_hits"]).cast("long"),
+    }
+
+
+def langid(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — argmax of per-language keyword
+    hits; deterministic tie-break by language code asc.  The token
+    array materializes ONCE (named column) and the five profile
+    filters share it."""
+    base = corpus.select("doc_id", tokens_array(text_col).alias("_toks"))
+    cols = _langid_exprs(F.col("_toks"))
+    return base.select(
+        "doc_id", *[c.alias(a) for a, c in cols.items()]
     )
 
 
@@ -138,28 +157,37 @@ def repetition_ratio(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     non-blank lines that are duplicates of an earlier line, and the
     fraction of tokens that repeat.  Empty docs score 0.0 (nothing
     repeats), not 1.0.  Narrow array algebra, zero shuffle."""
+    base = corpus.select(
+        "doc_id", F.col(text_col).alias("_txt"),
+        tokens_array(text_col).alias("_toks"),
+    )
+    cols = _repetition_exprs(F.col("_txt"), F.col("_toks"))
+    return base.select(
+        "doc_id", *[c.alias(a) for a, c in cols.items()]
+    )
+
+
+def _repetition_exprs(txt, toks) -> dict:
     lines = F.filter(
-        F.split(F.col(text_col), "\n"),
+        F.split(txt, "\n"),
         lambda x: F.length(F.trim(x)) > 0,
     )
-    t = tokens_array(text_col)
     n_lines = F.size(lines)
     nd_lines = F.size(F.array_distinct(lines))
-    n_toks = F.size(t)
-    nd_toks = F.size(F.array_distinct(t))
+    n_toks = F.size(toks)
+    nd_toks = F.size(F.array_distinct(toks))
 
     def ratio(n, nd):
         return F.when(n == 0, F.lit(0.0)).otherwise(
             F.lit(1.0) - nd.cast("double") / n.cast("double")
         )
 
-    return corpus.select(
-        "doc_id",
-        n_lines.cast("long").alias("n_lines"),
-        nd_lines.cast("long").alias("n_distinct_lines"),
-        ratio(n_lines, nd_lines).alias("dup_line_ratio"),
-        ratio(n_toks, nd_toks).alias("dup_token_ratio"),
-    )
+    return {
+        "n_lines": n_lines.cast("long"),
+        "n_distinct_lines": nd_lines.cast("long"),
+        "dup_line_ratio": ratio(n_lines, nd_lines),
+        "dup_token_ratio": ratio(n_toks, nd_toks),
+    }
 
 
 #: PII patterns in scrub order (earlier replacements feed later
@@ -185,16 +213,23 @@ def pii_scrub(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     Narrow JVM column algebra (regexp_extract_all + regexp_replace,
     codegen) — a pure map stage, zero shuffle, zero Python at any
     corpus size."""
-    cur = F.col(text_col)
-    counts = []
+    scrubbed, counts = _pii_exprs(F.col(text_col))
+    return corpus.select(
+        "doc_id", scrubbed.alias("scrubbed"),
+        *[c.alias(a) for a, c in counts.items()],
+    )
+
+
+def _pii_exprs(txt) -> tuple:
+    """(scrubbed Column, {n_<class>: Column}) over a text Column."""
+    cur = txt
+    counts = {}
     for name, pat, rep in PII_PATTERNS:
-        counts.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
-            .cast("long")
-            .alias(f"n_{name}")
-        )
+        counts[f"n_{name}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0))
+        ).cast("long")
         cur = F.regexp_replace(cur, pat, rep)
-    return corpus.select("doc_id", cur.alias("scrubbed"), *counts)
+    return cur, counts
 
 
 def ngram_top(
@@ -548,23 +583,28 @@ def curate(corpus: DataFrame, text_col: str = "content",
     the standard curation verdict: one document survives iff its
     quality score, line-repetition ratio, PII count, and (optionally)
     predicted language all pass.  This is the composition every
-    training-data pipeline runs in front of dedup/packing — expressed
-    as ONE narrow plan (all four signals are column algebra over the
-    same row; Catalyst collapses them into a single map stage, the
-    corpus is scanned once)."""
-    q = quality_score(corpus, text_col=text_col).select(
-        "doc_id", F.round("quality", 6).alias("quality")
+    training-data pipeline runs in front of dedup/packing — ONE
+    narrow map stage: the four signals are built from the SAME shared
+    expression builders as the standalone ops (single source of
+    truth) and evaluated in one select over one text/token
+    projection — the corpus is scanned exactly once, no self-joins."""
+    base = corpus.select(
+        "doc_id", F.col(text_col).alias("_txt"),
+        tokens_array(text_col).alias("_toks"),
     )
-    r = repetition_ratio(corpus, text_col=text_col).select(
-        "doc_id", F.round("dup_line_ratio", 6).alias("dup_line_ratio")
-    )
-    p = pii_scrub(corpus, text_col=text_col).select(
+    txt, toks = F.col("_txt"), F.col("_toks")
+    quality = F.round(_quality_exprs(txt, toks)["quality"], 6)
+    dup_line = F.round(_repetition_exprs(txt, toks)["dup_line_ratio"], 6)
+    _, pii_counts = _pii_exprs(txt)
+    n_pii = sum(pii_counts.values(), F.lit(0)).cast("long")
+    lang_pred = _langid_exprs(toks)["lang_pred"]
+    sig = base.select(
         "doc_id",
-        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
-        .cast("long").alias("n_pii"),
+        quality.alias("quality"),
+        dup_line.alias("dup_line_ratio"),
+        n_pii.alias("n_pii"),
+        lang_pred.alias("lang_pred"),
     )
-    lid = langid(corpus, text_col=text_col).select("doc_id", "lang_pred")
-    out = q.join(r, "doc_id").join(p, "doc_id").join(lid, "doc_id")
     keep = (
         (F.col("quality") >= min_quality)
         & (F.col("dup_line_ratio") <= max_dup_line_ratio)
@@ -572,4 +612,4 @@ def curate(corpus: DataFrame, text_col: str = "content",
     )
     if langs:
         keep = keep & F.col("lang_pred").isin([str(x) for x in langs])
-    return out.withColumn("keep", keep).orderBy("doc_id")
+    return sig.withColumn("keep", keep).orderBy("doc_id")

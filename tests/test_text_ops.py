@@ -324,3 +324,12 @@ def test_tokenizer_evaluated_once_not_per_lambda_element(spark):
         docs.withColumnRenamed("text", "content"), width=4), 3)
     # pmi: bigram/unigram/total branches, one LINEAR eval each
     audit(pmi_top(docs, k=5, min_count=1, text_col="text"), 5)
+
+
+def test_curate_plan_is_single_scan_no_joins(spark):
+    from katta_spark.ops.text import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (curate(docs, text_col="text")
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("Relation [") == 1 and "Join" not in plan
