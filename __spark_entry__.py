@@ -1351,7 +1351,9 @@ def q_text_curate(spark, sf_dir):
     """End-to-end curation verdict: quality + repetition + PII +
     language signals composed into one keep/drop column — the
     filter stage every training pipeline runs before dedup."""
-    return text.curate(_docs(spark, sf_dir), text_col="text")
+    return text.curate(_docs(spark, sf_dir), text_col="text").orderBy(
+        "doc_id"
+    )
 
 
 def q_text_entropy(spark, sf_dir):

@@ -612,4 +612,6 @@ def curate(corpus: DataFrame, text_col: str = "content",
     )
     if langs:
         keep = keep & F.col("lang_pred").isin([str(x) for x in langs])
-    return sig.withColumn("keep", keep).orderBy("doc_id")
+    # no orderBy here: the verdict is a stateless narrow plan that
+    # must also run under readStream append mode (callers sort)
+    return sig.withColumn("keep", keep)

@@ -228,3 +228,32 @@ def test_percolate_lucene_stream_append(spark, tmp_path, docs):
         for r in spark.sql("SELECT * FROM perc_luc_out").collect()
     }
     assert streamed == batch and batch
+
+
+def test_curate_batch_stream_parity(spark, tmp_path):
+    """The one-pass curation verdict is a stateless narrow plan —
+    identical output on a readStream of the same rows (the filter
+    stage of a streaming ingest pipeline)."""
+    from katta_spark.ops.text import curate
+
+    src_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200).select("doc_id", "text")
+    batch = {(r["doc_id"], r["keep"])
+             for r in curate(src_docs, text_col="text").collect()}
+    d = tmp_path / "curate_src"
+    d.mkdir()
+    src_docs.write.mode("overwrite").parquet(str(d / "docs.parquet"))
+    stream = spark.readStream.schema(src_docs.schema).parquet(
+        str(d / "docs.parquet")
+    )
+    q = (
+        curate(stream, text_col="text")
+        .writeStream.format("memory").queryName("curate_out")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {(r["doc_id"], r["keep"])
+                for r in spark.sql("SELECT * FROM curate_out").collect()}
+    assert streamed == batch and any(k for _, k in batch)
