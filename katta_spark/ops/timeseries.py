@@ -220,20 +220,20 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
 
     robs = (
         right.groupBy(key_col, ts_col)
-        .agg(F.avg(value_col).alias("_rv"))
-        .withColumn("_side", F.lit(0))
+        .agg(F.avg(value_col).alias("__asof_rv"))
+        .withColumn("__asof_side", F.lit(0))
     )
-    l2 = left.withColumn("_side", F.lit(1))
+    l2 = left.withColumn("__asof_side", F.lit(1))
     u = l2.unionByName(robs, allowMissingColumns=True)
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, "_side")
+        .orderBy(ts_col, "__asof_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        u.withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
-        .drop("_rv", "_side")
+        u.withColumn(out_col, F.last("__asof_rv", ignorenulls=True).over(w))
+        .filter(F.col("__asof_side") == 1)
+        .drop("__asof_rv", "__asof_side")
     )
 
 
