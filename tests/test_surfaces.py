@@ -257,3 +257,17 @@ def test_curate_batch_stream_parity(spark, tmp_path):
     streamed = {(r["doc_id"], r["keep"])
                 for r in spark.sql("SELECT * FROM curate_out").collect()}
     assert streamed == batch and any(k for _, k in batch)
+
+
+def test_percolate_lucene_short_docs_phrase_edge(spark):
+    """Docs shorter than the phrase never error (window sequence /
+    slice index edge) and never match."""
+    from katta_spark.streaming.percolate import percolate_lucene
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "key agg value")],
+        "doc_id long, content string",
+    )
+    rows = percolate_lucene(df, {"p": '"key agg value extra"',
+                                 "q": '"key agg"'}).collect()
+    assert {(r["doc_id"], r["qid"]) for r in rows} == {(3, "q")}
