@@ -1132,7 +1132,7 @@ class PhysicalIndex:
         :meth:`sorted_query` — semi-join the match set into the docs
         scan, then TakeOrderedAndProject (per-partition top-k +
         tiny merge; never a global sort)."""
-        m = self.matched_docs(qterms, mode, filters)
+        m = self.matched_docs(self._strip_stops(qterms), mode, filters)
         out = (
             self.docs.join(m, "doc_id", "left_semi")
             .withColumn("sortv", expr)
@@ -1147,7 +1147,7 @@ class PhysicalIndex:
         the number of distinct groups among the matches, next to the
         raw hit count.  One aggregate over the semi-joined match
         set."""
-        m = self.matched_docs(qterms, mode, filters)
+        m = self.matched_docs(self._strip_stops(qterms), mode, filters)
         return (
             self.docs.join(m, "doc_id", "left_semi")
             .agg(
