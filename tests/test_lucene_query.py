@@ -593,3 +593,21 @@ def test_parse_const_score_forms():
     # ^= binds eagerly; a plain boost still parses as boost
     b = parse_lucene("import^2")
     assert isinstance(b, Term) and b.boost == 2.0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_QALPHA = 'ab c()[]{}"~^:*?/+-=.0123456789ANDORNOT\\'
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet=_QALPHA, min_size=1, max_size=48))
+def test_parser_fuzz_never_raises(q):
+    """Property: ANY string over the grammar alphabet parses to a
+    node (or a harmless empty Bool) — the parser is total except for
+    blank input (reference parity: LuceneServer rejects blank q)."""
+    if not q.strip():
+        return
+    node = parse_lucene(q)
+    assert node is not None

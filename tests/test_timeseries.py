@@ -481,3 +481,43 @@ def test_distinct_cardinality_and_top_hits_match_python(spark):
     for t, rs in by.items():
         want = sorted(rs, key=lambda x: (-x["value"], x["event_id"]))[:2]
         assert hits[t] == [(i + 1, w["event_id"]) for i, w in enumerate(want)]
+
+
+def test_asof_join_property_fuzz(spark):
+    """Property fuzz (deterministic cases): random-ish event streams
+    derived from index arithmetic — AS-OF output always equals the
+    python mirror (inclusive ties, averaged duplicates, null before
+    first right row)."""
+    import datetime as dt
+
+    rows_l, rows_r = [], []
+    for i in range(300):
+        u = i % 7
+        tl = dt.datetime(2026, 2, 1) + dt.timedelta(minutes=(i * 37) % 997)
+        rows_l.append((i, u, tl))
+        if i % 3 == 0:
+            tr = dt.datetime(2026, 2, 1) + dt.timedelta(
+                minutes=(i * 53) % 997
+            )
+            rows_r.append((u, tr, float((i * 11) % 29)))
+            if i % 9 == 0:  # duplicate (key, ts) on the right
+                rows_r.append((u, tr, float((i * 13) % 31)))
+    left = spark.createDataFrame(
+        rows_l, "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        rows_r, "user_id long, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r["asof_value"]
+           for r in TS.asof_join(left, right, "ts", "user_id",
+                                 "value").collect()}
+    per = {}
+    for u, t, v in rows_r:
+        per.setdefault(u, {}).setdefault(t, []).append(v)
+    for i, u, tl in rows_l:
+        cands = [t for t in per.get(u, {}) if t <= tl]
+        if not cands:
+            assert got[i] is None, i
+        else:
+            vs = per[u][max(cands)]
+            assert got[i] == pytest.approx(sum(vs) / len(vs), abs=1e-9), i
