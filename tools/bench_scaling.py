@@ -129,8 +129,12 @@ def run_level(cpus: int, n_docs: int, reps: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=200_000)
-    ap.add_argument("--levels", default="8,32")
+    # defaults reproduce the canonical BENCH/BASELINE.md headline:
+    # 1M docs on the 2->8 core step (the only 4x step this VM grants
+    # reliably — see the Level-choice section of the generated doc).
+    # NOTE: running this tool OVERWRITES BENCH/BASELINE.md.
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--levels", default="2,8")
     ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
