@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--q", help="query string, e.g. 'parse AND request lang:py'")
     ap.add_argument("--op", default="topk",
                     choices=["topk", "count", "group", "facet", "range_facet",
-                             "sorted", "export"])
+                             "sorted", "export", "suggest", "explain"])
     ap.add_argument("--mode", default="or", choices=["or", "and"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--offset", type=int, default=0)
@@ -44,23 +44,32 @@ def main() -> None:
     ap.add_argument("--fetch", action="store_true",
                     help="join top-k hits back to stored fields")
     ap.add_argument("--no-wand", action="store_true")
+    ap.add_argument("--doc", type=int, help="doc_id for --op explain")
     args = ap.parse_args()
 
     spark = get_spark(app_name="katta-search")
     idx = PhysicalIndex(spark, args.index)
     filters = dict(f.split("=", 1) for f in args.filter) or None
-    if args.q:
+    terms = [t for t in (args.terms or "").split(",") if t]
+    if args.q and args.op != "topk":
+        # non-topk ops take pre-analyzed terms; run the legacy flat
+        # parse for its terms/filters
         from katta_spark.fulltext.qparse import parse_query
 
         p = parse_query(args.q, args.mode)
         terms, args.mode = p.terms, p.mode
         filters = {**(filters or {}), **p.filters} or None
-    else:
-        terms = [t for t in (args.terms or "").split(",") if t]
 
     if args.op == "topk":
-        out = idx.topk(terms, k=args.k, mode=args.mode, filters=filters,
-                       offset=args.offset, use_wand=not args.no_wand)
+        if args.q:
+            # full Lucene grammar front door (NOT, ranges, phrases,
+            # wildcards, fuzzy, boosts, ^=, fields) — parity with the
+            # reference's q+fq parse
+            out = idx.query(args.q, k=args.k, offset=args.offset)
+        else:
+            out = idx.topk(terms, k=args.k, mode=args.mode,
+                           filters=filters, offset=args.offset,
+                           use_wand=not args.no_wand)
         if args.fetch:
             out = idx.fetch_details(out, args.fields.split(","))
     elif args.op == "count":
@@ -74,6 +83,10 @@ def main() -> None:
         start, end, gap = (float(x) for x in args.range.split(","))
         out = idx.range_facet(terms, args.field, start, end, gap,
                               mode=args.mode, filters=filters)
+    elif args.op == "suggest":
+        out = idx.suggest(terms[0] if terms else "", n=args.k)
+    elif args.op == "explain":
+        out = idx.explain_score(args.doc, terms)
     elif args.op == "export":
         out = idx.export(terms, args.fields.split(","), mode=args.mode,
                          filters=filters)
