@@ -110,9 +110,17 @@ print("RESULT " + json.dumps({{
 
 def run_level(cpus: int, n_docs: int, reps: int) -> dict:
     code = WORKER.format(repo=str(REPO))
+    import os
+
+    env = dict(os.environ)
+    # representative executor sizing for the default 1M-doc corpus:
+    # the 8 GB default GC-throttles the 4M-key posting hash-agg (see
+    # BENCH/BASELINE.md "8 GB default heap"); override via
+    # SPARK_GRAFT_DRIVER_MEM
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), str(n_docs), str(reps)],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=3600, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
