@@ -1386,6 +1386,18 @@ def q_ft_boost_func(spark, sf_dir):
     )
 
 
+def q_ft_rerank(spark, sf_dir):
+    """Solr ReRankQParser: top-40 by the main query rescored by a
+    second query (combined = main + 1.5*rerank), reordered, top-10.
+    Stage 2 decodes only candidate blocks (doc-range pruned)."""
+    return _round_score(
+        phys_index(spark, sf_dir).rerank_topk(
+            ["table"], ["spark", "data"],
+            rerank_docs=40, weight=1.5, k=10,
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- fulltext query engine (Katta parity; SURVEY.md §2) ---
@@ -1433,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_spellcheck": q_ft_spellcheck,
         "ft_boost_func": q_ft_boost_func,
         "ft_dismax": q_ft_dismax,
+        "ft_rerank": q_ft_rerank,
         "ft_facet_query": q_ft_facet_query,
         "ft_collapse": q_ft_collapse,
         "ft_join": q_ft_join,
@@ -1618,6 +1631,9 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
         ),
         "ft_dismax": O.dismax_sql(
             ["table"], [("lang", "en")], tie=0.3, k=10
+        ),
+        "ft_rerank": O.rerank_sql(
+            ["table"], ["spark", "data"], rerank_docs=40, weight=1.5, k=10
         ),
         "ft_facet_query": O.facet_queries_sql(_MULTI_Q),
         "ft_collapse": O.collapse_topk_sql(["table"], "lang", k=10),

@@ -1571,6 +1571,71 @@ class PhysicalIndex:
             .limit(k)
         )
 
+    def rerank_topk(self, qterms: list[str], rq_terms: list[str],
+                    rerank_docs: int = 60, weight: float = 2.0,
+                    k: int = 10, mode: str = "or",
+                    rq_mode: str = "or") -> DataFrame:
+        """Solr ReRankQParser (``rq={!rerank reRankQuery=$rrq
+        reRankDocs=N reRankWeight=W}``): the main query's top-N
+        candidates are rescored by the rerank query and reordered by
+        ``combined = main + W * rerank``; docs outside the top-N
+        window are untouched (they can never enter the reranked set),
+        and candidates the rerank query does not match keep their
+        main score — Solr's additive combine, exactly.
+
+        Scale shape: stage 2 never rescans the corpus.  The rerank
+        postings scan is pruned twice — by TERM (parquet DataFilters
+        on the rerank terms) and by DOC-RANGE (broadcast join on the
+        candidates' block ids, so only posting blocks containing a
+        candidate are decoded) — then the per-doc combine is a
+        broadcast join against the <=N-row candidate set.  Stage-2
+        cost is O(rerank-term postings within candidate blocks),
+        independent of corpus size and of how many docs the rerank
+        query matches globally."""
+        cand = self.topk(qterms, k=rerank_docs, mode=mode)
+        br = int(self.stats["block_range"])
+        cand_blocks = cand.select(
+            (F.col("doc_id") / br).cast("long").alias("block_id")
+        ).distinct()
+        rr_terms = sorted(set(self._strip_stops(rq_terms)))
+        cols = ["term", "block_id", "max_tf", "min_dl",
+                "doc_gaps", "tfs", "dls"]
+        cat = self.terms.filter(F.col("term").isin(rr_terms)).select(
+            "term", "df"
+        )
+        blocks = (
+            self.postings.filter(F.col("term").isin(rr_terms)).select(*cols)
+            .join(F.broadcast(cand_blocks), "block_id")
+            .join(F.broadcast(cat), "term")
+            .repartition("block_id")
+            .sortWithinPartitions("block_id", "term")
+        )
+        kern = make_exhaustive_kernel(
+            float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], br,
+        )
+        rr = blocks.mapInPandas(kern, SCORED_SCHEMA)
+        if rq_mode == "and" and len(rr_terms) > 1:
+            rr = rr.filter(F.col("nt") == len(rr_terms))
+        # block pruning is a superset filter (boundary blocks hold
+        # neighbours too): keep only true candidates before combine
+        rr = rr.join(
+            F.broadcast(cand.select("doc_id")), "doc_id", "left_semi"
+        ).select("doc_id", F.col("score").alias("_rr"))
+        return (
+            cand.join(F.broadcast(rr), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("score")
+                    + F.lit(float(weight))
+                    * F.coalesce(F.col("_rr"), F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def field_stats(self, qterms: list[str], field: str, mode: str = "or",
                     filters: Filters = None) -> DataFrame:
         """One-row numeric summary of ``field`` over the matching docs

@@ -808,6 +808,42 @@ SELECT doc_id, round(score, 6) AS score
 FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {int(k)})"""
 
 
+def rerank_sql(main_terms: list[str], rq_terms: list[str],
+               rerank_docs: int = 60, weight: float = 2.0,
+               k: int = 10, mode: str = "or") -> str:
+    """ReRank oracle (mirror of PhysicalIndex.rerank_topk): main
+    query's top-``rerank_docs`` candidates, combined = main +
+    weight * rerank (0 for candidates the rerank query misses),
+    reordered, top-k."""
+    having = (
+        f"HAVING count(*) = {len(set(main_terms))}"
+        if mode == "and" and len(set(main_terms)) > 1
+        else ""
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(main_terms)}
+  GROUP BY tf.doc_id {having}
+),
+cand AS (SELECT * FROM scored ORDER BY score DESC, doc_id ASC
+         LIMIT {int(rerank_docs)}),
+rr AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS rscore
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(rq_terms)}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT c.doc_id AS doc_id,
+         c.score + {float(weight)!r} * coalesce(rr.rscore, 0.0) AS score
+  FROM cand c LEFT JOIN rr ON c.doc_id = rr.doc_id
+  ORDER BY score DESC, c.doc_id ASC LIMIT {int(k)})"""
+
+
 def min_match_topk_sql(terms: list[str], min_match: int, k: int = 10) -> str:
     """Minimum-should-match oracle: OR-scored docs matching at least
     ``min_match`` distinct query terms (Solr dismax mm), top-k."""

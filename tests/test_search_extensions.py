@@ -438,3 +438,54 @@ def test_suggest_regex_whole_term_anchored(pindex, py_oracle):
         key=lambda x: (-x[1], x[0]),
     )[:10]
     assert got == want and got
+
+
+# --------------------------------------------------------------- rerank
+
+def test_rerank_matches_python(pindex, py_oracle):
+    """Solr ReRankQParser parity against the pure-Python oracle:
+    top-N candidates by the main query, combined = main + W*rerank
+    (0 when the rerank query misses the candidate), reordered, k.
+    Non-vacuity asserted: the rerank must actually reorder the
+    candidate prefix AND at least one candidate must be missed by
+    the rerank query (exercising the coalesce-to-main branch)."""
+    main, rq, n, w, k = ["import", "table"], ["parse", "scan"], 25, 2.0, 10
+    cand = py_oracle.topk(main, k=n)
+    rset = set(py_oracle.matches(rq))
+    want = sorted(
+        (
+            (d, s + (w * py_oracle.score(d, rq) if d in rset else s * 0.0))
+            for d, s in cand
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+    got = pindex.rerank_topk(main, rq, rerank_docs=n, weight=w, k=k).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+    # non-vacuous: reordering happened and some candidate missed rq
+    assert [d for d, _ in want] != [d for d, _ in cand[:k]]
+    assert any(d not in rset for d, _ in cand)
+
+
+def test_rerank_window_is_closed(pindex, py_oracle):
+    """Docs outside the top-N window can never enter the reranked
+    result (Solr reRankDocs semantics) — even when a doc just past
+    the cutoff would outscore everything under the combined score."""
+    main, rq = ["import", "table"], ["parse", "scan"]
+    small = pindex.rerank_topk(main, rq, rerank_docs=5, weight=50.0,
+                               k=5).collect()
+    cand_ids = {d for d, _ in py_oracle.topk(main, k=5)}
+    assert {r["doc_id"] for r in small} <= cand_ids
+
+
+def test_rerank_stage2_plan_prunes_blocks(pindex):
+    """Scale pin: stage 2's postings scan must carry BOTH pruning
+    joins — term DataFilters AND the broadcast block_id join — so the
+    rerank never decodes blocks without a candidate."""
+    plan = pindex.rerank_topk(
+        ["import"], ["parse"], rerank_docs=10, k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    # two broadcast joins on the stage-2 side: block_id prune + combine
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "block_id" in plan
