@@ -1163,6 +1163,17 @@ def q_ft_span_first(spark, sf_dir):
     )
 
 
+def q_ft_span_not(spark, sf_dir):
+    """SpanNotQuery: 'scan' occurrences with no 'table' within 2
+    positions either side; tf = surviving spans, BM25-rescored —
+    positional exclusion on the pruned postings scan."""
+    return _round_score(
+        phys_index(spark, sf_dir).span_not_topk(
+            "scan", "table", pre=2, post=2, k=10
+        )
+    )
+
+
 def q_ft_suggest_infix(spark, sf_dir):
     """AnalyzingInfixSuggester: terms CONTAINING 'ab' ranked by df."""
     return phys_index(spark, sf_dir).suggest_infix("a", n=10)
@@ -1455,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sig_terms": q_ft_sig_terms,
         "ft_sort_func": q_ft_sort_func,
         "ft_span_first": q_ft_span_first,
+        "ft_span_not": q_ft_span_not,
         "ft_explain": q_ft_explain,
         "ft_q_fq": q_ft_q_fq,
         "ft_expand": q_ft_expand,
@@ -1670,6 +1682,7 @@ FROM documents WHERE doc_id IN (3, 7, 11)""",
         "ft_q_boost": O.lucene_topk_sql([("table", 2.0), ("spark", 1.0)]),
         "ft_percolate_lucene": O.percolate_lucene_sql(),
         "ft_span_first": O.span_first_sql("scan", 5, k=10),
+        "ft_span_not": O.span_not_sql("scan", "table", pre=2, post=2, k=10),
         "ft_explain": O.explain_sql(7, ["table", "scan"]),
         "ft_expand": O.expand_sql(["table"], "source", k=5, n_expand=2),
         "ft_sort_score_field": f"""{O.index_ctes()},

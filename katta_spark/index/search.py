@@ -380,6 +380,88 @@ def make_span_first_kernel(term: str, end: int, n_docs: float,
     return kernel
 
 
+def make_span_not_kernel(include: str, exclude: str, pre: int, post: int,
+                         n_docs: float, avgdl: float, k1: float, b: float,
+                         block_range: int):
+    """SpanNotQuery kernel (Lucene SpanNotQuery(include, exclude,
+    pre, post)): positions ``p`` of ``include`` survive unless some
+    position ``q`` of ``exclude`` falls in ``[p-pre, p+post]``.  A doc
+    matches when any position survives; its score is single-term BM25
+    with tf replaced by the SURVIVING-span count — Lucene's span
+    scoring, where freq is the number of matching spans, with idf/df
+    taken from the included term (SpanWeight builds its scorer from
+    the include term's stats).  Runs on the pruned positional scan;
+    per doc the exclusion test is one vectorized searchsorted over
+    the exclude positions, no per-position Python loop."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for g in _iter_block_groups(batches):
+            bid = int(g["block_id"].iloc[0])
+            acc: dict[str, list] = {}
+            for row in g.itertuples(index=False):
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_gaps, row.tfs, row.dls, bid, block_range
+                )
+                lens, flat = codec.decode_positions(
+                    row.pos_lens, row.pos_deltas
+                )
+                poss = np.split(flat, np.cumsum(lens)[:-1])
+                acc.setdefault(row.term, []).append(
+                    (ids, dls, poss, float(row.df))
+                )
+            if include not in acc:
+                continue
+            per: dict[str, tuple] = {}
+            for t, runs in acc.items():
+                if len(runs) == 1:
+                    per[t] = runs[0]
+                    continue
+                ids = np.concatenate([r[0] for r in runs])
+                order = np.argsort(ids, kind="mergesort")
+                allp = [p for r in runs for p in r[2]]
+                per[t] = (
+                    ids[order],
+                    np.concatenate([r[1] for r in runs])[order],
+                    [allp[i] for i in order],
+                    runs[0][3],
+                )
+            inc_ids, inc_dls, inc_pos, inc_df = per[include]
+            exc = per.get(exclude)
+            matched, survs, dlout = [], [], []
+            for j, d in enumerate(inc_ids):
+                p = inc_pos[j]
+                if exc is not None:
+                    je = int(np.searchsorted(exc[0], d))
+                    if je < len(exc[0]) and exc[0][je] == d:
+                        q = exc[2][je]
+                        # survive iff no q in [p-pre, p+post]:
+                        # searchsorted window emptiness, vectorized
+                        lo = np.searchsorted(q, p - pre, side="left")
+                        hi = np.searchsorted(q, p + post, side="right")
+                        p = p[lo == hi]
+                if p.size:
+                    matched.append(int(d))
+                    survs.append(p.size)
+                    dlout.append(inc_dls[j])
+            if matched:
+                s = codec.bm25_idf(inc_df, n_docs) * codec.bm25_tfnorm(
+                    np.asarray(survs, dtype=np.float64),
+                    np.asarray(dlout, dtype=np.float64), avgdl, k1, b
+                )
+                yield pd.DataFrame(
+                    {"doc_id": np.asarray(matched, dtype=np.int64),
+                     "score": s.astype(np.float64),
+                     "nt": np.ones(len(matched), dtype=np.int32)}
+                )
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "nt": pd.Series(dtype="int32")}
+        )
+
+    return kernel
+
+
 def make_multi_kernel(qmap: list[tuple[str, list[str], str]],
                       n_docs: float, avgdl: float, k1: float, b: float,
                       k: int, block_range: int):
@@ -1289,6 +1371,48 @@ class PhysicalIndex:
             self.stats["block_range"],
         )
         out = self._qblocks(ts, positions=True).mapInPandas(
+            kern, SCORED_SCHEMA
+        ).select("doc_id", "score")
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            out = out.join(fd, "doc_id", "left_semi")
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score")
+        )
+
+    def span_not_topk(self, include: str, exclude: str, k: int = 10,
+                      pre: int = 0, post: int = 0,
+                      filters: Filters = None) -> DataFrame:
+        """(doc_id, score) top-k — Lucene SpanNotQuery: occurrences of
+        ``include`` with no ``exclude`` within ``pre`` positions
+        before / ``post`` after (pre=post=0 excludes only co-located
+        duplicates — pass e.g. pre=1 to drop bigram contexts like
+        "error handler" from an "error" query).  Scored single-term
+        BM25 with tf = surviving-span count; docs whose every
+        occurrence is excluded do not match.  One pruned positional
+        scan over BOTH terms' postings — the docs table is never
+        read."""
+        ts = self._strip_stops([include, exclude])
+        if len(ts) < 2:
+            raise ValueError("span_not_topk terms must survive the "
+                             "analyzer chain (stopword in query?)")
+        inc, exc = ts
+        if inc == exc:
+            raise ValueError("include and exclude must differ")
+        if not self.stats.get("positions"):
+            raise ValueError(
+                "span_not_topk requires positional postings "
+                "(build_index(store_positions=True))"
+            )
+        kern = make_span_not_kernel(
+            inc, exc, int(pre), int(post), float(self.stats["n_docs"]),
+            self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+            self.stats["block_range"],
+        )
+        out = self._qblocks([inc, exc], positions=True).mapInPandas(
             kern, SCORED_SCHEMA
         ).select("doc_id", "score")
         if self.tombstones is not None:

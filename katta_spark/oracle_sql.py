@@ -197,6 +197,49 @@ top AS (
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def span_not_sql(include: str, exclude: str, pre: int = 0, post: int = 0,
+                 k: int = 10) -> str:
+    """SpanNot oracle (mirror of PhysicalIndex.span_not_topk):
+    surviving positions of ``include`` = those with no ``exclude``
+    token in the window [p-pre, p+post]; score = single-term BM25
+    with tf = surviving count, idf from the include term's df."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    a = include.lower().replace("'", "''")
+    x = exclude.lower().replace("'", "''")
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    idf = (
+        "ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfv.df AS DOUBLE)"
+        " + 0.5) / (CAST(dfv.df AS DOUBLE) + 0.5))"
+    )
+    tfn = (
+        f"(CAST(s.tfp AS DOUBLE) * {K1 + 1.0!r}) / (CAST(s.tfp AS DOUBLE)"
+        f" + {K1!r} * ({1.0 - B!r} + {B!r} * CAST(dl.dl AS DOUBLE)"
+        " / stats.avgdl))"
+    )
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+surv AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(toks)),
+             p -> toks[p] = '{a}'
+                  AND NOT list_contains(
+                        list_slice(toks, greatest(1, p - {int(pre)}),
+                                   p + {int(post)}), '{x}'))) AS tfp
+  FROM tokl
+),
+scored AS (
+  SELECT s.doc_id, {idf} * {tfn} AS score
+  FROM surv s
+  JOIN dl ON s.doc_id = dl.doc_id
+  JOIN dfv ON dfv.term = '{a}'
+  CROSS JOIN stats
+  WHERE s.tfp > 0
+)
+SELECT doc_id, round(score, 6) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {int(k)})"""
+
+
 def field_score_sql(field: str, value_lower: str) -> str:
     """BM25 score of a scored FIELD term (build_index field_cols):
     tf = 1 (one keyword posting per doc), dl = content dl, df = docs

@@ -489,3 +489,63 @@ def test_rerank_stage2_plan_prunes_blocks(pindex):
     # two broadcast joins on the stage-2 side: block_id prune + combine
     assert plan.count("BroadcastHashJoin") >= 3
     assert "block_id" in plan
+
+
+# -------------------------------------------------------------- span not
+
+def _py_span_not(py_oracle, pandas_docs, include, exclude, pre, post, k):
+    from katta_spark.tokenizer import py_tokenize
+    from katta_spark.fulltext.analysis import B, K1
+
+    out = []
+    for r in pandas_docs.itertuples(index=False):
+        toks = py_tokenize(r.text if hasattr(r, "text") else r.content)
+        inc_pos = [i for i, t in enumerate(toks) if t == include]
+        exc_pos = {i for i, t in enumerate(toks) if t == exclude}
+        surv = sum(
+            1
+            for p in inc_pos
+            if not any(q in exc_pos for q in range(p - pre, p + post + 1))
+        )
+        if surv:
+            dl = py_oracle.dl[int(r.doc_id)]
+            tfn = surv * (K1 + 1.0) / (
+                surv + K1 * (1.0 - B + B * dl / py_oracle.avgdl)
+            )
+            out.append((int(r.doc_id), py_oracle.idf(include) * tfn))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_span_not_matches_python(pindex, py_oracle, pandas_docs):
+    """SpanNot parity vs a positional python mirror; non-vacuity:
+    the exclusion must reduce the surviving-span count (and hence
+    the score) of at least one matching doc vs the plain term query."""
+    got = pindex.span_not_topk("import", "sys", pre=2, post=2,
+                               k=12).collect()
+    want = _py_span_not(py_oracle, pandas_docs, "import", "sys", 2, 2, 12)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+    plain = dict(py_oracle.topk(["import"], k=10**6))
+    surv_all = dict(
+        _py_span_not(py_oracle, pandas_docs, "import", "sys", 2, 2, 10**6)
+    )
+    assert any(
+        d in plain and s < plain[d] - 1e-12 for d, s in surv_all.items()
+    )  # exclusion really fired (reduced tf somewhere)
+
+
+def test_span_not_zero_window_equals_plain_topk(pindex):
+    """pre=post=0 excludes only same-position overlap, which distinct
+    terms never have — must equal the single-term top-k exactly."""
+    a = pindex.span_not_topk("scan", "table", pre=0, post=0, k=10).collect()
+    b = pindex.topk(["scan"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_span_not_rejects_same_term(pindex):
+    with pytest.raises(ValueError):
+        pindex.span_not_topk("scan", "scan")
