@@ -636,6 +636,18 @@ def q_sim_ivf_batch(spark, sf_dir):
     return _round_score(out, col="cos")
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    within-cluster cosine pairs >= 0.3 drop the higher id — the
+    quadratic compare confined inside clusters, never all-pairs."""
+    from katta_spark.ops.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_centroids=8, threshold=0.3).orderBy(
+        "vec_id"
+    )
+
+
 def q_dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH bucket-join candidates +
     exact cosine verify (threshold picked for a non-trivial result on
@@ -1545,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_batch": q_sim_ivf_batch,
         "sim_ivf_filtered": q_sim_ivf_filtered,
         "dedup_embed_cosine": q_dedup_embed_cosine,
+        "dedup_semantic": q_dedup_semantic,
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
         # --- time-series ops over the events table ---
@@ -1842,6 +1855,9 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
                                           nprobe=2, k=10),
         "dedup_embed_cosine": OO.cosine_dup_sql(
             threshold=0.25, dims=64, n_planes=4, n_tables=2
+        ),
+        "dedup_semantic": OO.semantic_dedup_sql(
+            n_centroids=8, threshold=0.3
         ),
         "mm_image_meta": OO.mm_image_meta_sql(),
         "mm_frame_sample": OO.mm_frames_sql(every=4, max_frames=3),

@@ -555,3 +555,71 @@ def dup_span_stats(corpus: DataFrame, width: int = 8,
             ).alias("dup_frac"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    kmeans_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings with k-means, compare pairs ONLY within a cluster, and
+    drop every row whose cosine to some LOWER-id row of its cluster
+    reaches ``threshold`` — the deterministic keep-lowest-id variant
+    of the paper's keep-one-per-duplicate-group policy.
+
+    Returns (id, cid, keep) for every input row.
+
+    The 100 TB shape — the paper's exact scaling trick: centroid
+    assignment is a narrow JVM expression fold (no shuffle, no
+    Python), ONE hash shuffle on ``cid`` co-locates each cluster, and
+    the quadratic comparison is confined within clusters, so total
+    pair work is O(sum |c_i|^2) with |c_i| ~ N/k — never an all-pairs
+    join, nothing driver-side.  Centroid count scales with N to keep
+    clusters bounded.  Coarse quantizer: smallest-id sample, optional
+    Lloyd refinement (ops.ann_index.kmeans_refine) — identical
+    machinery to the IVF index, so assignment semantics stay
+    oracle-checkable."""
+    from katta_spark.ops.ann_index import _assign_cid, kmeans_refine
+
+    cents = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(n_centroids))
+        .collect()  # bounded: n_centroids rows, same as build_ivf_index
+    )
+    centroids = [list(map(float, r[vec_col])) for r in cents]
+    if kmeans_iters:
+        centroids = kmeans_refine(
+            embeddings, centroids, iters=kmeans_iters, vec_col=vec_col
+        )
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign_cid(F.col(vec_col), centroids).alias("cid"),
+    )
+    from katta_spark.ops.similarity import _dot, _norm
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        _norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(drops, id_col, "left")
+        .select(
+            id_col,
+            "cid",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

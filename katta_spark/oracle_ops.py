@@ -421,6 +421,54 @@ SELECT vec_id, round(cos, 6) AS cos
 FROM (SELECT * FROM rer ORDER BY cos DESC, vec_id ASC LIMIT {k})"""
 
 
+def semantic_dedup_sql(n_centroids: int = 16,
+                       threshold: float = 0.95) -> str:
+    """SemDeDup oracle (mirror of ops.dedup.semantic_dedup):
+    smallest-id centroids, argmax-cosine assignment (tie cid asc),
+    drop rows with a >= threshold cosine to a lower-id row of the
+    same cluster."""
+
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+        na = (
+            f"sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        )
+        nb = (
+            f"sqrt(list_sum(list_transform(generate_series(1, len({b})), "
+            f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+        )
+        return f"{dot} / ({na} * {nb})"
+
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id ASC LIMIT {int(n_centroids)})
+),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE {cos('a.embedding', 'b.embedding')} >= {float(threshold)!r}
+)
+SELECT a.vec_id AS vec_id, a.cid AS cid,
+       a.vec_id NOT IN (SELECT vec_id FROM drops) AS keep
+FROM assign a ORDER BY 1"""
+
+
 def ivf_batch_sql(query_ids: list[int] = (0, 1), n_centroids: int = 16,
                   nprobe: int = 2, k: int = 10) -> str:
     """Oracle for ops.ann_index.ivf_query_batch over the same index

@@ -553,3 +553,54 @@ def test_ivf_query_batch_where_filters(spark, tmp_path):
     ids = [r["id"] for r in out.collect()]
     labels = {r["vec_id"]: r["label"] for r in corpus.collect()}
     assert ids and all(labels[i] == 1 for i in ids)
+
+
+# ------------------------------------------------------------ semdedup
+
+def test_semantic_dedup_matches_numpy(spark):
+    """SemDeDup parity vs a numpy mirror at sf0.001: identical
+    centroid assignment (argmax cosine, tie cid asc) and identical
+    keep/drop verdicts; non-vacuity: both classes present."""
+    import numpy as np
+
+    from katta_spark.ops.dedup import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["cid"], r["keep"])
+        for r in semantic_dedup(e, n_centroids=8, threshold=0.3).collect()
+    }
+    rows = sorted(
+        ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+         for r in e.collect()),
+        key=lambda x: x[0],
+    )
+    cents = np.stack([v for _, v in rows[:8]])
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    ids = np.array([i for i, _ in rows])
+    vecs = np.stack([v for _, v in rows])
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cid = np.argmax(vn @ cn.T, axis=1)  # ties -> lowest index, same rule
+    keep = np.ones(len(ids), dtype=bool)
+    for c in range(8):
+        members = np.where(cid == c)[0]
+        sub = vn[members] @ vn[members].T
+        for a in range(1, len(members)):
+            if (sub[a, :a] >= 0.3).any():
+                keep[members[a]] = False
+    for j, i in enumerate(ids):
+        assert got[int(i)] == (int(cid[j]), bool(keep[j])), i
+    assert keep.all() is not True and keep.any()
+
+
+def test_semantic_dedup_kmeans_refine_still_partitions(spark):
+    """kmeans_iters>0 path: verdicts stay a full partition of the
+    input (every row classified exactly once, keep column boolean)."""
+    from katta_spark.ops.dedup import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(e, n_centroids=4, threshold=0.3,
+                         kmeans_iters=2).collect()
+    assert len(out) == e.count()
+    assert len({r["vec_id"] for r in out}) == len(out)
+    assert {r["keep"] for r in out} == {True, False}
