@@ -996,6 +996,13 @@ def q_text_unigram_lp(spark, sf_dir):
     return text.unigram_logprob(_docs(spark, sf_dir), text_col="text")
 
 
+def q_text_keywords(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (document tagging): tf
+    pre-aggregated before the df join, per-doc rank over the
+    aggregated pair table."""
+    return text.keywords_tfidf(_docs(spark, sf_dir), m=5, text_col="text")
+
+
 def q_text_code_quality(spark, sf_dir):
     """StarCoder-style source-file quality signals (line lengths,
     comment/blank ratios, alphanumeric fraction) + keep flag —
@@ -1525,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_ngram_top": q_text_ngram_top,
         "text_unigram_lp": q_text_unigram_lp,
+        "text_keywords": q_text_keywords,
         "text_entropy": q_text_entropy,
         "text_curate": q_text_curate,
         "text_pmi": q_text_pmi,
@@ -1785,6 +1793,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_pii_scrub": OO.pii_scrub_sql(),
         "text_ngram_top": OO.ngram_top_sql(n=2, k=20),
         "text_unigram_lp": OO.unigram_lp_sql(),
+        "text_keywords": OO.keywords_sql(m=5),
         "text_entropy": OO.token_entropy_sql(),
         "text_curate": OO.curate_sql(),
         "text_pmi": OO.pmi_top_sql(20, 5),

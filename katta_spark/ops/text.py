@@ -615,3 +615,46 @@ def curate(corpus: DataFrame, text_col: str = "content",
     # no orderBy here: the verdict is a stateless narrow plan that
     # must also run under readStream append mode (callers sort)
     return sig.withColumn("keep", keep)
+
+
+def keywords_tfidf(corpus: DataFrame, m: int = 5,
+                   text_col: str = "content") -> DataFrame:
+    """(doc_id, term, tf, score, rank) — the top-``m`` TF-IDF
+    keywords of every document (classic keyword extraction /
+    document-tagging op; the smooth idf = ln(1 + N/df) keeps
+    singleton terms finite).  Ties break term asc for determinism.
+
+    Scale shape: per-(doc, term) tf aggregates BEFORE the df-catalog
+    join (map-side combine); the per-doc rank is a window over that
+    already-aggregated pair table partitioned by doc_id — rows per
+    partition = distinct terms of one doc, never the token stream."""
+    from pyspark.sql import Window
+
+    tok = corpus.select(
+        "doc_id", F.explode(tokens_array(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfv = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = corpus.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfv, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            (
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("_n") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(m))
+        .select("doc_id", "term", "tf",
+                F.round("score", 6).alias("score"), "rank")
+    )

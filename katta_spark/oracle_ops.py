@@ -180,6 +180,29 @@ SELECT d.doc_id,
 FROM {DOCS} d LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
 
+def keywords_sql(m: int = 5) -> str:
+    """Oracle for ops.text.keywords_tfidf (per-doc top-m TF-IDF
+    keywords, smooth idf = ln(1 + N/df), tie term asc)."""
+    from katta_spark.oracle_sql import index_ctes
+
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         tf.tf * ln(1.0 + CAST(stats.n_docs AS DOUBLE)
+                          / CAST(dfv.df AS DOUBLE)) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term CROSS JOIN stats
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= {int(m)}"""
+
+
 def lm_buckets_sql(n_buckets: int = 3) -> str:
     """Oracle for ops.text.lm_buckets: ntile per language over the
     6-dp-rounded unigram LM score (desc), doc_id tie-break."""

@@ -333,3 +333,33 @@ def test_curate_plan_is_single_scan_no_joins(spark):
     plan = (curate(docs, text_col="text")
             ._jdf.queryExecution().optimizedPlan().toString())
     assert plan.count("Relation [") == 1 and "Join" not in plan
+
+
+def test_keywords_tfidf_matches_python(docs):
+    """Top-m TF-IDF keyword extraction vs a pure-python mirror:
+    identical (doc, term, tf, rank) sets and scores."""
+    import math
+    from collections import Counter
+
+    from katta_spark.ops.text import keywords_tfidf
+    from katta_spark.tokenizer import py_tokenize
+
+    rows = docs.select("doc_id", "content").collect()
+    tfs = {int(r["doc_id"]): Counter(py_tokenize(r["content"]))
+           for r in rows}
+    n = len(tfs)
+    dfc = Counter(t for c in tfs.values() for t in c)
+    want = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            ((t, tf, tf * math.log(1.0 + n / dfc[t])) for t, tf in c.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:4]
+        for rk, (t, tf, s) in enumerate(scored, 1):
+            want[(d, rk)] = (t, tf, s)
+    got = keywords_tfidf(docs, m=4).collect()
+    assert len(got) == len(want)
+    for r in got:
+        t, tf, s = want[(r["doc_id"], r["rank"])]
+        assert r["term"] == t and r["tf"] == tf
+        assert r["score"] == pytest.approx(round(s, 6), abs=1e-9)
