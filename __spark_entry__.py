@@ -420,6 +420,14 @@ def q_phys_facet(spark, sf_dir):
     return phys_index(spark, sf_dir).facet(["table"], "lang", n=5)
 
 
+def q_phys_facet_index(spark, sf_dir):
+    """facet.sort=index (Solr): buckets in value order, not count
+    order — same one hash-agg shuffle, different merge order."""
+    return phys_index(spark, sf_dir).facet(
+        ["table"], "source", n=10, sort="index"
+    )
+
+
 def q_phys_fetch(spark, sf_dir):
     idx = phys_index(spark, sf_dir)
     return _round_score(idx.fetch_details(idx.topk(["dup"], k=5), ["lang", "source"]))
@@ -1454,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_paginate": _q_phys_topk(["batch"], k=20, offset=60),
         "ft_phys_count": q_phys_count,
         "ft_phys_facet": q_phys_facet,
+        "ft_facet_index": q_phys_facet_index,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
         "ft_near": q_ft_near,
@@ -1631,6 +1640,10 @@ SELECT count(*) AS n_hits FROM matched""",
 SELECT lang, count(*) AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
+        "ft_facet_index": f"""{ctes}{O.matched_sql(["table"])}
+SELECT source, count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY source ORDER BY source ASC LIMIT 10""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
         "ft_near": O.near_sql(["merge", "sort"], slop=2, k=10),

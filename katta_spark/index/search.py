@@ -1004,15 +1004,28 @@ class PhysicalIndex:
         return self.docs.join(m, "doc_id", "left_semi").select(field).distinct()
 
     def facet(self, qterms: list[str], field: str, n: int = 10,
-              mode: str = "or", filters: Filters = None) -> DataFrame:
+              mode: str = "or", filters: Filters = None,
+              missing: bool = False, sort: str = "count") -> DataFrame:
+        """Value facet (Solr facet.field).  ``sort``: "count" (count
+        desc, value asc — Solr default) or "index" (value asc —
+        facet.sort=index).  ``missing=True`` adds the NULL bucket
+        (Solr facet.missing), reported last within its sort position
+        (nulls last); by default missing values are excluded, Solr's
+        behavior."""
         m = self.matched_docs(qterms, mode, filters)
-        return (
+        agg = (
             self.docs.join(m, "doc_id", "left_semi")
             .groupBy(field)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc(field))
-            .limit(n)
         )
+        if not missing:
+            agg = agg.filter(F.col(field).isNotNull())
+        order = (
+            [F.asc_nulls_last(field)]
+            if sort == "index"
+            else [F.desc("cnt"), F.asc_nulls_last(field)]
+        )
+        return agg.orderBy(*order).limit(n)
 
     def range_facet(self, qterms: list[str], field: str, start: float,
                     end: float, gap: float, min_count: int = 1,

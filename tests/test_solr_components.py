@@ -287,3 +287,35 @@ def test_expand_topk_members_follow_collapsed_heads(pindex, py_oracle,
            for r in pindex.expand_topk(terms, field, k=3,
                                        n_expand=2).collect()]
     assert got == want
+
+
+def test_facet_missing_and_sort_index(spark, tmp_path):
+    """facet.missing adds the NULL bucket; facet.sort=index orders
+    buckets by value (Solr FacetComponent semantics) — on a corpus
+    where some docs have no value for the facet field."""
+    from katta_spark.index import PhysicalIndex, build_index
+
+    rows = [
+        (i, f"alpha beta doc{i}", None if i % 3 == 0 else f"g{i % 2}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, grp string")
+    d = str(tmp_path / "facet_idx")
+    build_index(spark, df, d, n_groups=2, block_range=64,
+                store_positions=False)
+    idx = PhysicalIndex(spark, d)
+
+    default = idx.facet(["alpha"], "grp", n=10).collect()
+    assert all(r["grp"] is not None for r in default)
+    assert {(r["grp"], r["cnt"]) for r in default} == {("g0", 4), ("g1", 4)}
+
+    with_missing = idx.facet(["alpha"], "grp", n=10, missing=True).collect()
+    assert {(r["grp"], r["cnt"]) for r in with_missing} == {
+        ("g0", 4), ("g1", 4), (None, 4)
+    }
+    # nulls last within the ordering
+    assert with_missing[-1]["grp"] is None
+
+    by_index = idx.facet(["alpha"], "grp", n=10, sort="index",
+                         missing=True).collect()
+    assert [r["grp"] for r in by_index] == ["g0", "g1", None]
