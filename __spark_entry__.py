@@ -1312,6 +1312,21 @@ def q_ts_zscore(spark, sf_dir):
     return out.select("event_id", "event_type", "z").orderBy("event_id")
 
 
+def q_ts_rate(spark, sf_dir):
+    """Per-user discrete derivative (delta and per-second rate)
+    between consecutive events — the PromQL-style gauge derivative;
+    one shuffle on user_id, two-row-deep window state."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.rate(
+        _events(spark, sf_dir), "ts", "user_id", "value",
+        order_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "delta", "rate_per_s").orderBy(
+        "event_id"
+    )
+
+
 def q_ts_running(spark, sf_dir):
     """Per-user running sum/count ordered by (ts, event_id) — the
     odometer view; one shuffle on user_id."""
@@ -1589,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cardinality": q_ts_cardinality,
         "ts_top_hits": q_ts_top_hits,
         "ts_running": q_ts_running,
+        "ts_rate": q_ts_rate,
         "ts_top_events": q_ts_top_events,
         "ts_json": q_ts_json,
         "ts_date_math": q_ts_date_math,
@@ -1894,6 +1910,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_cardinality": OO.ts_cardinality_sql(),
         "ts_top_hits": OO.ts_top_hits_sql(3),
         "ts_running": OO.ts_running_sql(),
+        "ts_rate": OO.ts_rate_sql(),
         "ts_top_events": OO.ts_top_events_sql("1 day", 3),
         "ts_json": OO.ts_json_sql(),
         "ts_date_math": OO.ts_date_math_sql(_DM_NOW, _DM_LO, _DM_HI),

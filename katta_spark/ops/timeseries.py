@@ -388,3 +388,35 @@ def top_hits(df: DataFrame, key_col: str, n: int,
         .select(key_col, id_col, order_col, "rank")
         .orderBy(key_col, "rank")
     )
+
+
+def rate(df: DataFrame, ts_col: str, key_col: str,
+         value_col: str = "value",
+         order_cols: list[str] | None = None) -> DataFrame:
+    """Per-key discrete derivative between consecutive events: delta
+    = value - lag(value), rate = delta / seconds elapsed (the
+    PromQL-style derivative of a gauge; telemetry's second most
+    common transform after the running sum).  The first event of
+    each key has NULL delta/rate; zero-elapsed pairs (duplicate
+    timestamps) yield NULL rate rather than inf.
+
+    Scale shape: ONE shuffle on ``key_col``, lag windows stream each
+    key's partition in time order — state is two rows deep, no
+    whole-partition buffering.  ``order_cols`` appends tie-breaks
+    for deterministic ordering under duplicate timestamps."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_v = F.lag(value_col).over(w)
+    # microsecond-exact fractional seconds (unix_timestamp truncates;
+    # NTZ won't cast to double — go through unix_micros, tz-invariant
+    # for differences)
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    elapsed = sec - F.lag(sec).over(w)
+    delta = F.col(value_col) - prev_v
+    return df.withColumn("delta", F.round(delta, 6)).withColumn(
+        "rate_per_s", F.round(F.when(elapsed > 0, delta / elapsed), 6)
+    )

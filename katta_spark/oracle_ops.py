@@ -1281,6 +1281,22 @@ FROM events e JOIN stats s USING (event_type)
 ORDER BY e.event_id"""
 
 
+def ts_rate_sql() -> str:
+    """Oracle for ops.timeseries.rate: per-user delta and per-second
+    rate between consecutive events (ts, event_id order); epoch math
+    in microsecond-exact double seconds, as the engine computes."""
+    sec = "(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)"
+    return f"""
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 6) AS delta,
+       round(CASE WHEN {sec} - lag({sec}) OVER w > 0
+             THEN (value - lag(value) OVER w)
+                  / ({sec} - lag({sec}) OVER w) END, 6) AS rate_per_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id"""
+
+
 def ts_running_sql() -> str:
     """Oracle for ops.timeseries.running_agg: per-user cumulative
     sum/count ordered by (ts, event_id)."""

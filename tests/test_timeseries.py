@@ -521,3 +521,41 @@ def test_asof_join_property_fuzz(spark):
         else:
             vs = per[u][max(cands)]
             assert got[i] == pytest.approx(sum(vs) / len(vs), abs=1e-9), i
+
+
+def test_rate_matches_python(spark):
+    """Per-key delta/rate vs a python mirror; first event per key has
+    NULL delta and rate; zero-elapsed pairs yield NULL rate."""
+    from katta_spark.ops.timeseries import rate
+
+    events_df = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        r["event_id"]: (r["delta"], r["rate_per_s"])
+        for r in rate(events_df, "ts", "user_id", "value",
+                      order_cols=["event_id"]).collect()
+    }
+    rows = sorted(
+        events_df.collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    prev = {}
+    n_null = n_val = 0
+    for r in rows:
+        k = r["user_id"]
+        if k not in prev:
+            want = (None, None)
+            n_null += 1
+        else:
+            pv, pt = prev[k]
+            d = round(r["value"] - pv, 6)
+            el = (r["ts"] - pt).total_seconds()
+            want = (d, round((r["value"] - pv) / el, 6) if el > 0 else None)
+            n_val += 1
+        g = got[r["event_id"]]
+        assert g[0] == (want[0] if want[0] is not None else None)
+        if want[1] is None:
+            assert g[1] is None
+        else:
+            assert g[1] == pytest.approx(want[1], abs=1e-6)
+        prev[k] = (r["value"], r["ts"])
+    assert n_null > 0 and n_val > 0
