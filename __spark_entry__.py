@@ -1201,6 +1201,18 @@ def q_ft_span_not(spark, sf_dir):
     )
 
 
+def q_ft_multi_phrase(spark, sf_dir):
+    """Lucene MultiPhraseQuery: '"(order|batch) scan"' — slot 1
+    accepts either alternative (synonym-expanded phrase), positional
+    verify on the pruned postings scan, BM25 sum over present
+    alternatives."""
+    return _round_score(
+        phys_index(spark, sf_dir).multi_phrase_topk(
+            [["order", "batch"], ["scan"]], k=10
+        )
+    )
+
+
 def q_ft_suggest_infix(spark, sf_dir):
     """AnalyzingInfixSuggester: terms CONTAINING 'ab' ranked by df."""
     return phys_index(spark, sf_dir).suggest_infix("a", n=10)
@@ -1480,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_index": q_phys_facet_index,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
+        "ft_multi_phrase": q_ft_multi_phrase,
         "ft_near": q_ft_near,
         "ft_phys_snapshot": q_phys_snapshot,
         "ft_phys_highlight": q_phys_highlight,
@@ -1662,6 +1675,9 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY source ORDER BY source ASC LIMIT 10""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
+        "ft_multi_phrase": O.multi_phrase_sql(
+            [["order", "batch"], ["scan"]], k=10
+        ),
         "ft_near": O.near_sql(["merge", "sort"], slop=2, k=10),
         "ft_phys_snapshot": O.topk_sql(
             ["table", "spark"], k=10, docs_where="doc_id % 2 = 0"

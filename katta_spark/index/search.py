@@ -221,6 +221,52 @@ def _unordered_window_match(pos_lists: list[np.ndarray], slop: int) -> bool:
             return False
 
 
+def _decode_positional_group(g: pd.DataFrame, bid: int,
+                             block_range: int) -> dict[str, tuple]:
+    """Decode one doc-range group's positional postings into
+    ``term -> (doc_ids, tfs, dls, position_lists, df)``.  Boundary
+    blocks — a (term, block_id) spanning commits (see
+    index/compact.py) — are merged doc-id-sorted."""
+    acc: dict[str, list] = {}
+    for row in g.itertuples(index=False):
+        ids, tfs, dls = codec.decode_block(
+            row.doc_gaps, row.tfs, row.dls, bid, block_range
+        )
+        lens, flat = codec.decode_positions(row.pos_lens, row.pos_deltas)
+        poss = np.split(flat, np.cumsum(lens)[:-1])
+        acc.setdefault(row.term, []).append(
+            (ids, tfs, dls, poss, float(row.df))
+        )
+    per_term: dict[str, tuple] = {}
+    for t, runs in acc.items():
+        if len(runs) == 1:
+            per_term[t] = runs[0]
+            continue
+        ids = np.concatenate([r[0] for r in runs])
+        order = np.argsort(ids, kind="mergesort")
+        per_term[t] = (
+            ids[order],
+            np.concatenate([r[1] for r in runs])[order],
+            np.concatenate([r[2] for r in runs])[order],
+            [[p for r in runs for p in r[3]][i] for i in order],
+            runs[0][4],
+        )
+    return per_term
+
+
+def _doc_positions(per_term: dict[str, tuple], t: str,
+                   d: int) -> np.ndarray | None:
+    """Position list of term ``t`` in doc ``d``, or None if absent."""
+    entry = per_term.get(t)
+    if entry is None:
+        return None
+    ids_t = entry[0]
+    j = int(np.searchsorted(ids_t, d))
+    if j < ids_t.size and ids_t[j] == d:
+        return entry[3][j]
+    return None
+
+
 def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
                        k1: float, b: float, block_range: int,
                        slop: int = 0, ordered: bool = True):
@@ -236,37 +282,7 @@ def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for g in _iter_block_groups(batches):
             bid = int(g["block_id"].iloc[0])
-            acc: dict[str, list] = {}
-            for row in g.itertuples(index=False):
-                ids, tfs, dls = codec.decode_block(
-                    row.doc_gaps, row.tfs, row.dls, bid, block_range
-                )
-                lens, flat = codec.decode_positions(
-                    row.pos_lens, row.pos_deltas
-                )
-                poss = np.split(flat, np.cumsum(lens)[:-1])
-                acc.setdefault(row.term, []).append(
-                    (ids, tfs, dls, poss, float(row.df))
-                )
-            per_term: dict[str, tuple] = {}
-            for t, runs in acc.items():
-                if len(runs) == 1:
-                    per_term[t] = runs[0]
-                    continue
-                # boundary blocks: a (term, block_id) can span commits
-                # (see index/compact.py) — merge runs doc-id-sorted
-                ids = np.concatenate([r[0] for r in runs])
-                order = np.argsort(ids, kind="mergesort")
-                per_term[t] = (
-                    ids[order],
-                    np.concatenate([r[1] for r in runs])[order],
-                    np.concatenate([r[2] for r in runs])[order],
-                    [
-                        [p for r in runs for p in r[3]][i]
-                        for i in order
-                    ],
-                    runs[0][4],
-                )
+            per_term = _decode_positional_group(g, bid, block_range)
             if any(t not in per_term for t in uterms):
                 continue
             # candidate docs: present in every phrase term's postings
@@ -326,6 +342,98 @@ def make_phrase_kernel(phrase: list[str], n_docs: float, avgdl: float,
                     {"doc_id": np.asarray(matched, dtype=np.int64),
                      "score": np.asarray(scores, dtype=np.float64),
                      "nt": np.full(len(matched), len(uterms), dtype=np.int32)}
+                )
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "nt": pd.Series(dtype="int32")}
+        )
+
+    return kernel
+
+
+def make_multi_phrase_kernel(slots: list[list[str]], n_docs: float,
+                             avgdl: float, k1: float, b: float,
+                             block_range: int):
+    """Lucene MultiPhraseQuery kernel: position slot ``i`` of the
+    phrase accepts ANY of ``slots[i]`` (synonym phrases — the shape
+    query-time synonym expansion produces;
+    org.apache.lucene.search.MultiPhraseQuery).  Verification chains
+    ``cand = intersect(cand + 1, union(slot term positions))`` — the
+    .pos proximity merge of :func:`make_phrase_kernel` with a
+    positional UNION per slot.  Score = BM25 sum over every query
+    alternative present in the doc (terms absent from the doc
+    contribute 0), which mirrors 1:1 to ``sum WHERE term IN
+    all_terms`` in the SQL oracle.  Runs entirely on the pruned
+    positional postings scan — no docs-table access."""
+    all_terms = sorted({t for s in slots for t in s})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for g in _iter_block_groups(batches):
+            bid = int(g["block_id"].iloc[0])
+            per_term = _decode_positional_group(g, bid, block_range)
+            # candidate docs: >=1 alternative of EVERY slot present
+            cand_ids = None
+            dead = False
+            for s in slots:
+                present = [per_term[t][0] for t in s if t in per_term]
+                if not present:
+                    dead = True
+                    break
+                ids = present[0]
+                for arr in present[1:]:
+                    ids = np.union1d(ids, arr)
+                cand_ids = ids if cand_ids is None else np.intersect1d(
+                    cand_ids, ids, assume_unique=True
+                )
+                if not cand_ids.size:
+                    dead = True
+                    break
+            if dead or cand_ids is None or not cand_ids.size:
+                continue
+            matched, scores = [], []
+            for d in cand_ids:
+                candp = None
+                ok = True
+                for s in slots:
+                    ps = [
+                        p
+                        for p in (_doc_positions(per_term, t, d) for t in s)
+                        if p is not None
+                    ]
+                    if not ps:
+                        ok = False
+                        break
+                    pos = ps[0]
+                    for extra in ps[1:]:
+                        pos = np.union1d(pos, extra)
+                    candp = pos if candp is None else np.intersect1d(
+                        candp + 1, pos, assume_unique=True
+                    )
+                    if not candp.size:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                sc = 0.0
+                for t in all_terms:  # sorted order: rank-identity
+                    entry = per_term.get(t)
+                    if entry is None:
+                        continue
+                    ids_t, tfs_t, dls_t, _, df_t = entry
+                    j = int(np.searchsorted(ids_t, d))
+                    if j >= ids_t.size or ids_t[j] != d:
+                        continue
+                    sc += codec.bm25_idf(df_t, n_docs) * codec.bm25_tfnorm(
+                        tfs_t[j : j + 1], dls_t[j : j + 1], avgdl, k1, b
+                    )[0]
+                matched.append(d)
+                scores.append(sc)
+            if matched:
+                yield pd.DataFrame(
+                    {"doc_id": np.asarray(matched, dtype=np.int64),
+                     "score": np.asarray(scores, dtype=np.float64),
+                     "nt": np.full(len(matched), len(slots), dtype=np.int32)}
                 )
         yield pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"),
@@ -1360,6 +1468,53 @@ class PhysicalIndex:
         if offset:
             out = out.offset(offset)
         return out.limit(k).select("doc_id", "score")
+
+    def multi_phrase_topk(self, slots: list[list[str]], k: int = 10,
+                          filters: Filters = None) -> DataFrame:
+        """Lucene MultiPhraseQuery top-k: an exact phrase where each
+        position slot accepts any of ``slots[i]`` — e.g.
+        ``[["fast", "quick"], ["scan"]]`` matches "fast scan" OR
+        "quick scan" (synonym-expanded phrases,
+        MultiPhraseQuery.add(Term[])).  Ranked by the BM25 sum of
+        every present alternative (tie-break score desc, doc_id asc).
+        Requires positional postings; one pruned positional scan over
+        all alternatives' postings, no docs-table access.
+
+        Slot terms pass the same analyzer chain as :meth:`phrase_topk`
+        — a stopword alternative can never match (it was never
+        indexed) and a slot whose every alternative is a stopword is
+        dropped, mirroring the single-phrase stopword-slot collapse."""
+        norm: list[list[str]] = []
+        for s in slots:
+            alts = sorted({t for a in s for t in self._strip_stops([a])})
+            if alts:
+                norm.append(alts)
+        if not norm:
+            return self.docs.select(
+                "doc_id", F.lit(0.0).alias("score")
+            ).filter(F.lit(False))
+        if not self.stats.get("positions"):
+            raise ValueError(
+                "multi_phrase_topk requires positional postings "
+                "(build_index(store_positions=True))"
+            )
+        kern = make_multi_phrase_kernel(
+            norm, float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+        )
+        all_terms = sorted({t for s in norm for t in s})
+        out = self._qblocks(all_terms, positions=True).mapInPandas(
+            kern, SCORED_SCHEMA
+        ).select("doc_id", "score")
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            out = out.join(fd, "doc_id", "left_semi")
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score")
+        )
 
     def span_first_topk(self, term: str, end: int, k: int = 10,
                         filters: Filters = None) -> DataFrame:

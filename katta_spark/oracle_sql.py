@@ -161,6 +161,51 @@ top AS (
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def multi_phrase_sql(slots: list[list[str]], k: int = 10) -> str:
+    """MultiPhraseQuery top-k oracle: verified = docs whose ordered
+    token list contains, consecutively, one alternative from every
+    slot; score = BM25 sum over every alternative present in the doc
+    (no HAVING — absent alternatives contribute 0), mirroring
+    make_multi_phrase_kernel."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    m = len(slots)
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+
+    def slot_cond(d: int, alts: list[str]) -> str:
+        vals = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in sorted(set(alts))
+        )
+        if len(set(alts)) == 1:
+            return f"toks[i + {d}] = {vals}"
+        return f"toks[i + {d}] IN ({vals})"
+
+    conj = " AND ".join(slot_cond(d, s) for d, s in enumerate(slots))
+    all_terms = sorted({t for s in slots for t in s})
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+verified AS (
+  SELECT doc_id FROM tokl
+  WHERE len(toks) >= {m}
+    AND len(list_filter(generate_series(1, len(toks) - {m - 1}),
+                        i -> {conj})) > 0
+),
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf
+  JOIN dfv ON tf.term = dfv.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(all_terms)}
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT s.doc_id, s.score FROM scored s JOIN verified v ON s.doc_id = v.doc_id
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT {k}
+)
+SELECT doc_id, round(score, 6) AS score FROM top"""
+
+
 def near_sql(terms: list[str], slop: int = 0, k: int = 10) -> str:
     """Unordered-proximity top-k oracle: verified = docs with some
     (m+slop)-position window containing ALL distinct terms (any

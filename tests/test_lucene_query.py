@@ -611,3 +611,44 @@ def test_parser_fuzz_never_raises(q):
         return
     node = parse_lucene(q)
     assert node is not None
+
+
+def test_multi_phrase_matches_brute_force(pindex, py_oracle, row_map):
+    """MultiPhraseQuery: match set == union over the per-combination
+    exact phrases (brute-force python mirror over the stored text),
+    and each hit's score == the BM25 sum of its PRESENT alternatives
+    (absent alternatives contribute 0)."""
+
+    def brute(slots):
+        out = set()
+        m = len(slots)
+        for d, r in row_map.items():
+            toks = py_tokenize(r["content"])
+            for i in range(len(toks) - m + 1):
+                if all(toks[i + j] in s for j, s in enumerate(slots)):
+                    out.add(d)
+                    break
+        return out
+
+    for slots in (
+        [["parse", "read"], ["http", "file"]],
+        [["merge", "scan"], ["sorted", "posting"]],
+        [["parse", "scan"], ["http", "posting"], ["request", "list"]],
+    ):
+        rows = pindex.multi_phrase_topk(slots, k=10**6).collect()
+        got = {r["doc_id"] for r in rows}
+        assert got == brute([set(s) for s in slots]) and got
+        all_terms = sorted({t for s in slots for t in s})
+        for r in rows:
+            toks = set(py_tokenize(row_map[r["doc_id"]]["content"]))
+            present = [t for t in all_terms if t in toks]
+            assert r["score"] == pytest.approx(
+                py_oracle.score(r["doc_id"], present), abs=1e-9
+            )
+    # single-alternative slots degenerate to the exact phrase
+    mp = {r["doc_id"]
+          for r in pindex.multi_phrase_topk([["parse"], ["http"]],
+                                            k=10**6).collect()}
+    ph = {r["doc_id"]
+          for r in pindex.phrase_scored(["parse", "http"]).collect()}
+    assert mp == ph and mp
