@@ -428,6 +428,16 @@ def q_phys_facet_index(spark, sf_dir):
     )
 
 
+def q_phys_facet_prefix(spark, sf_dir):
+    """facet.prefix + facet.mincount (Solr): only buckets whose value
+    starts with 'src1' and holds >= 2 matches — the prefix prunes
+    BEFORE the hash agg, so the shuffle carries only candidate
+    buckets."""
+    return phys_index(spark, sf_dir).facet(
+        ["table"], "source", n=20, prefix="src1", mincount=2
+    )
+
+
 def q_phys_fetch(spark, sf_dir):
     idx = phys_index(spark, sf_dir)
     return _round_score(idx.fetch_details(idx.topk(["dup"], k=5), ["lang", "source"]))
@@ -1490,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_count": q_phys_count,
         "ft_phys_facet": q_phys_facet,
         "ft_facet_index": q_phys_facet_index,
+        "ft_facet_prefix": q_phys_facet_prefix,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
         "ft_multi_phrase": q_ft_multi_phrase,
@@ -1673,6 +1684,12 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 5""",
 SELECT source, count(*) AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY source ORDER BY source ASC LIMIT 10""",
+        "ft_facet_prefix": f"""{ctes}{O.matched_sql(["table"])}
+SELECT source, count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+WHERE d.source LIKE 'src1%'
+GROUP BY source HAVING count(*) >= 2
+ORDER BY cnt DESC, source ASC LIMIT 20""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
         "ft_multi_phrase": O.multi_phrase_sql(

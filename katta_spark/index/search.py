@@ -1113,21 +1113,27 @@ class PhysicalIndex:
 
     def facet(self, qterms: list[str], field: str, n: int = 10,
               mode: str = "or", filters: Filters = None,
-              missing: bool = False, sort: str = "count") -> DataFrame:
+              missing: bool = False, sort: str = "count",
+              prefix: str | None = None, mincount: int = 0) -> DataFrame:
         """Value facet (Solr facet.field).  ``sort``: "count" (count
         desc, value asc — Solr default) or "index" (value asc —
         facet.sort=index).  ``missing=True`` adds the NULL bucket
         (Solr facet.missing), reported last within its sort position
         (nulls last); by default missing values are excluded, Solr's
-        behavior."""
+        behavior.  ``prefix`` keeps only buckets whose value starts
+        with it (Solr facet.prefix — applied BEFORE the aggregate, so
+        it prunes the shuffle, not just the output; the NULL bucket
+        never survives a prefix, as in Solr).  ``mincount`` drops
+        buckets below that count (Solr facet.mincount)."""
         m = self.matched_docs(qterms, mode, filters)
-        agg = (
-            self.docs.join(m, "doc_id", "left_semi")
-            .groupBy(field)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+        scope = self.docs.join(m, "doc_id", "left_semi")
+        if prefix is not None:
+            scope = scope.filter(F.col(field).startswith(prefix))
+        agg = scope.groupBy(field).agg(F.count(F.lit(1)).alias("cnt"))
         if not missing:
             agg = agg.filter(F.col(field).isNotNull())
+        if mincount > 0:
+            agg = agg.filter(F.col("cnt") >= F.lit(int(mincount)))
         order = (
             [F.asc_nulls_last(field)]
             if sort == "index"

@@ -319,3 +319,39 @@ def test_facet_missing_and_sort_index(spark, tmp_path):
     by_index = idx.facet(["alpha"], "grp", n=10, sort="index",
                          missing=True).collect()
     assert [r["grp"] for r in by_index] == ["g0", "g1", None]
+
+
+def test_facet_prefix_and_mincount(spark, tmp_path):
+    """facet.prefix keeps only buckets starting with the prefix (and
+    never the NULL bucket, as in Solr); facet.mincount drops buckets
+    below the count floor."""
+    from katta_spark.index import PhysicalIndex, build_index
+
+    rows = [
+        (0, "alpha one", "apple"), (1, "alpha two", "apricot"),
+        (2, "alpha three", "apple"), (3, "alpha four", "banana"),
+        (4, "alpha five", "banana"), (5, "alpha six", "ap"),
+        (6, "alpha seven", None), (7, "beta eight", "apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, grp string")
+    d = str(tmp_path / "facet_prefix_idx")
+    build_index(spark, df, d, n_groups=2, block_range=64,
+                store_positions=False)
+    idx = PhysicalIndex(spark, d)
+
+    got = idx.facet(["alpha"], "grp", n=10, prefix="ap").collect()
+    assert {(r["grp"], r["cnt"]) for r in got} == {
+        ("apple", 2), ("apricot", 1), ("ap", 1)
+    }
+    # prefix composes with missing=True but NULL never matches a prefix
+    got = idx.facet(["alpha"], "grp", n=10, prefix="ap",
+                    missing=True).collect()
+    assert all(r["grp"] is not None for r in got)
+
+    got = idx.facet(["alpha"], "grp", n=10, mincount=2).collect()
+    assert {(r["grp"], r["cnt"]) for r in got} == {
+        ("apple", 2), ("banana", 2)
+    }
+    got = idx.facet(["alpha"], "grp", n=10, prefix="ap",
+                    mincount=2).collect()
+    assert {(r["grp"], r["cnt"]) for r in got} == {("apple", 2)}
