@@ -737,6 +737,18 @@ def q_ts_window_agg(spark, sf_dir):
     )
 
 
+def q_ts_ohlc(spark, sf_dir):
+    """OHLC candlestick bars per (hour, event_type): one min_by/max_by
+    hash agg — open/close tie-broken by event_id, shuffle O(buckets)."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.ohlc_bars(_events(spark, sf_dir), "ts", "1 hour",
+                       key_col="event_type", id_col="event_id")
+    return _fmt_ts(out, "win_start", "win").select(
+        "win", "event_type", "n", "open", "high", "low", "close"
+    )
+
+
 def q_ts_session_agg(spark, sf_dir):
     from katta_spark.ops import timeseries as TS
 
@@ -1619,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- time-series ops over the events table ---
         "ts_date_facet": q_ts_date_facet,
         "ts_window_agg": q_ts_window_agg,
+        "ts_ohlc": q_ts_ohlc,
         "ts_session_agg": q_ts_session_agg,
         "ts_sliding_window": q_ts_sliding_window,
         "ts_gap_fill": q_ts_gap_fill,
@@ -1934,6 +1947,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "mm_frame_sample": OO.mm_frames_sql(every=4, max_frames=3),
         "ts_date_facet": OO.ts_date_facet_sql("day"),
         "ts_window_agg": OO.ts_window_agg_sql(1),
+        "ts_ohlc": OO.ts_ohlc_sql(1),
         "ts_session_agg": OO.ts_session_agg_sql(30),
         "ts_sliding_window": OO.ts_sliding_window_sql(7200, 3600),
         "ts_gap_fill": OO.ts_gap_fill_sql("12 hours", "user_id < 3"),

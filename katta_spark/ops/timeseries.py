@@ -116,6 +116,39 @@ def window_agg(df: DataFrame, ts_col: str, duration: str,
     )
 
 
+def ohlc_bars(df: DataFrame, ts_col: str, duration: str,
+              value_col: str = "value", key_col: str | None = None,
+              id_col: str | None = None) -> DataFrame:
+    """OHLC downsampling bars (the TSDB candlestick rollup: open /
+    high / low / close of ``value_col`` per epoch-aligned window
+    [and key]).
+
+    Plan shape: ONE hash aggregation — ``min_by``/``max_by`` carry
+    (value, order-key) partial states through the map-side combine,
+    so the shuffle is O(buckets), never a sort or a per-bucket window
+    function over the raw events.  ``id_col`` breaks equal-timestamp
+    ties so open/close are deterministic under duplicate timestamps
+    (rerun/partitioning invariant)."""
+    ordk = F.struct(
+        F.col(ts_col), *([F.col(id_col)] if id_col else [])
+    )
+    keys = [F.window(F.col(ts_col), duration)["start"].alias("win_start")]
+    if key_col:
+        keys.append(F.col(key_col))
+    v = F.col(value_col)
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by(v, ordk), 6).alias("open"),
+            F.round(F.max(v), 6).alias("high"),
+            F.round(F.min(v), 6).alias("low"),
+            F.round(F.max_by(v, ordk), 6).alias("close"),
+        )
+        .orderBy(*[k for k in ["win_start", key_col] if k is not None])
+    )
+
+
 def sliding_window_agg(df: DataFrame, ts_col: str, width: str, hop: str,
                        value_col: str = "value") -> DataFrame:
     """Hopping-window aggregate (win_start, n, sum_value, avg_value):

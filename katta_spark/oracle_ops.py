@@ -644,6 +644,23 @@ SELECT strftime(date_trunc('{unit}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
 FROM events GROUP BY 1 ORDER BY 1"""
 
 
+def ts_ohlc_sql(hours: int = 1) -> str:
+    """Oracle for ops.timeseries.ohlc_bars: open/close via arg_min /
+    arg_max on a zero-padded (epoch_us, event_id) varchar key — the
+    scalar mirror of the engine's struct(ts, event_id) ordering (both
+    non-negative here, so lexicographic == numeric order)."""
+    ordk = "printf('%020d%020d', epoch_us(ts), event_id)"
+    return f"""
+SELECT strftime(time_bucket(INTERVAL '{hours} hour', ts), '%Y-%m-%d %H:%M:%S') AS win,
+       event_type,
+       count(*) AS n,
+       round(arg_min(value, {ordk}), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, {ordk}), 6) AS close
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def ts_window_agg_sql(hours: int = 1) -> str:
     return f"""
 SELECT strftime(time_bucket(INTERVAL '{hours} hour', ts), '%Y-%m-%d %H:%M:%S') AS win,

@@ -559,3 +559,37 @@ def test_rate_matches_python(spark):
             assert g[1] == pytest.approx(want[1], abs=1e-6)
         prev[k] = (r["value"], r["ts"])
     assert n_null > 0 and n_val > 0
+
+
+def test_ohlc_bars_match_python(spark):
+    """OHLC bars vs a naive python mirror: open/close picked by
+    (ts, event_id) order, high/low are extrema, per (hour, type)."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        (r["win_start"], r["event_type"]):
+            (r["n"], r["open"], r["high"], r["low"], r["close"])
+        for r in TS.ohlc_bars(e, "ts", "1 hour", key_col="event_type",
+                              id_col="event_id").collect()
+    }
+    rows = e.select("ts", "event_type", "value", "event_id").collect()
+    buckets: dict = {}
+    for r in rows:
+        win = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets.setdefault((win, r["event_type"]), []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    assert len(got) == len(buckets)
+    for key, evs in buckets.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        want = (len(evs), round(evs[0][2], 6), round(max(vals), 6),
+                round(min(vals), 6), round(evs[-1][2], 6))
+        assert got[key] == want
+    # duplicate-timestamp determinism: id breaks the tie
+    dup = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:01", 5.0), (1, "2024-01-01 00:00:01", 9.0),
+         (2, "2024-01-01 00:30:00", 7.0)],
+        "event_id long, ts_s string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "value")
+    row = TS.ohlc_bars(dup, "ts", "1 hour", id_col="event_id").collect()[0]
+    assert (row["open"], row["close"]) == (5.0, 7.0)
