@@ -737,6 +737,16 @@ def q_ts_window_agg(spark, sf_dir):
     )
 
 
+def q_ts_corr(spark, sf_dir):
+    """Per-event-type Pearson correlation between value and the
+    props.k JSON property: one six-moment hash agg, closed formula
+    on rounded moments."""
+    from katta_spark.ops import timeseries as TS
+
+    e = TS.json_props(_events(spark, sf_dir), "props", "k")
+    return TS.group_corr(e, "event_type", "value", "prop_k")
+
+
 def q_ts_ohlc(spark, sf_dir):
     """OHLC candlestick bars per (hour, event_type): one min_by/max_by
     hash agg — open/close tie-broken by event_id, shuffle O(buckets)."""
@@ -1632,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_date_facet": q_ts_date_facet,
         "ts_window_agg": q_ts_window_agg,
         "ts_ohlc": q_ts_ohlc,
+        "ts_corr": q_ts_corr,
         "ts_session_agg": q_ts_session_agg,
         "ts_sliding_window": q_ts_sliding_window,
         "ts_gap_fill": q_ts_gap_fill,
@@ -1948,6 +1959,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_date_facet": OO.ts_date_facet_sql("day"),
         "ts_window_agg": OO.ts_window_agg_sql(1),
         "ts_ohlc": OO.ts_ohlc_sql(1),
+        "ts_corr": OO.ts_corr_sql(),
         "ts_session_agg": OO.ts_session_agg_sql(30),
         "ts_sliding_window": OO.ts_sliding_window_sql(7200, 3600),
         "ts_gap_fill": OO.ts_gap_fill_sql("12 hours", "user_id < 3"),

@@ -321,6 +321,43 @@ def json_props(df: DataFrame, json_col: str, field: str,
     )
 
 
+def group_corr(df: DataFrame, key_col: str, x_col: str, y_col: str,
+               out_col: str = "corr") -> DataFrame:
+    """Per-group Pearson correlation between two numeric columns —
+    the "does metric X track metric Y per segment" diagnostic.
+
+    ONE hash aggregation for the six moments (n, Σx, Σy, Σx², Σy²,
+    Σxy) with map-side combine, then the closed formula.  Moments are
+    rounded to 6dp BEFORE the formula (the :func:`zscore` trick) so
+    engines that sum in different orders agree exactly; groups with
+    zero variance in either series yield NULL.  Rows with a NULL in
+    either column are dropped (pairwise-complete, SQL corr
+    semantics)."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(x), 6).alias("_sx"),
+            F.round(F.sum(y), 6).alias("_sy"),
+            F.round(F.sum(x * x), 6).alias("_sxx"),
+            F.round(F.sum(y * y), 6).alias("_syy"),
+            F.round(F.sum(x * y), 6).alias("_sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    denx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    corr = F.when(
+        (denx > 0) & (deny > 0),
+        F.round(num / F.sqrt(denx * deny), 6),
+    )
+    return agg.select(key_col, "n", corr.alias(out_col)).orderBy(key_col)
+
+
 def zscore(df: DataFrame, key_col: str, value_col: str = "value",
            out_col: str = "z") -> DataFrame:
     """Per-group standard score: z = (value − mean_g) / std_g with

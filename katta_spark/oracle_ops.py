@@ -770,6 +770,31 @@ SELECT CAST(count(*) AS BIGINT) AS n, min(ts) AS first_ts,
 FROM events WHERE ts >= {lo} AND ts < {hi}"""
 
 
+def ts_corr_sql() -> str:
+    """Oracle for ops.timeseries.group_corr over (value, props.k):
+    identical six-moment closed formula on 6dp-rounded moments."""
+    return """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+         round(sum(x * x), 6) AS sxx, round(sum(y * y), 6) AS syy,
+         round(sum(x * y), 6) AS sxy
+  FROM (
+    SELECT event_type, value AS x,
+           CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DOUBLE) AS y
+    FROM events
+  ) WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS corr
+FROM m ORDER BY event_type"""
+
+
 def ts_json_sql() -> str:
     return """
 SELECT event_type,

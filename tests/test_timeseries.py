@@ -593,3 +593,37 @@ def test_ohlc_bars_match_python(spark):
     ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "value")
     row = TS.ohlc_bars(dup, "ts", "1 hour", id_col="event_id").collect()[0]
     assert (row["open"], row["close"]) == (5.0, 7.0)
+
+
+def test_group_corr_matches_python(spark):
+    """Six-moment Pearson corr vs python's statistics.correlation,
+    plus NULL on zero variance."""
+    import statistics
+
+    e = TS.json_props(spark.read.parquet(f"{SF}/events.parquet"),
+                      "props", "k")
+    got = {r["event_type"]: (r["n"], r["corr"])
+           for r in TS.group_corr(e, "event_type", "value",
+                                  "prop_k").collect()}
+    rows = e.select("event_type", "value", "prop_k").collect()
+    groups: dict = {}
+    for r in rows:
+        if r["value"] is not None and r["prop_k"] is not None:
+            groups.setdefault(r["event_type"], []).append(
+                (r["value"], float(r["prop_k"]))
+            )
+    assert set(got) == set(groups)
+    for g, pairs in groups.items():
+        xs, ys = [p[0] for p in pairs], [p[1] for p in pairs]
+        want = statistics.correlation(xs, ys)
+        n, c = got[g]
+        assert n == len(pairs)
+        assert c == pytest.approx(want, abs=1e-4)
+    # zero-variance group -> NULL
+    flat = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 1.0, 3.0), ("b", 1.0, 2.0), ("b", 2.0, 4.0)],
+        "g string, x double, y double",
+    )
+    out = {r["g"]: r["corr"]
+           for r in TS.group_corr(flat, "g", "x", "y").collect()}
+    assert out["a"] is None and out["b"] == pytest.approx(1.0)
