@@ -1107,6 +1107,25 @@ def q_sketch_kmv_vocab(spark, sf_dir):
     return sketch.kmv_distinct(terms, "term", k=256)
 
 
+def q_sketch_bloom(spark, sf_dir):
+    """Vocabulary bloom filter (m=4096 bits, k=3 md5-derived
+    hashes): built as a set-bit position table over the distinct
+    corpus tokens, then probed for a mix of present and absent
+    words — False is definitive absence, True is membership up to
+    the fp rate.  Both build and probe are bit-identical in DuckDB."""
+    from katta_spark.ops import sketch
+    from katta_spark.tokenizer import explode_tokens
+
+    terms = explode_tokens(_docs(spark, sf_dir), "text", [])
+    bloom = sketch.bloom_build(terms, "term", m_bits=4096, k_hashes=3)
+    probes = spark.createDataFrame(
+        [("table",), ("scan",), ("zebrafish",), ("quuxplugh",)],
+        "probe string",
+    )
+    return sketch.bloom_contains(bloom, probes, "probe",
+                                 m_bits=4096, k_hashes=3)
+
+
 def q_sketch_len_quantile(spark, sf_dir):
     """Power-of-two bucket quantiles of document length: exact
     integer bucketing (length(bin(v))), <= 64-row histogram."""
@@ -1611,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nfc": q_text_nfc,
         "text_code_quality": q_text_code_quality,
         "sketch_kmv_vocab": q_sketch_kmv_vocab,
+        "sketch_bloom": q_sketch_bloom,
         "sketch_len_quantile": q_sketch_len_quantile,
         "dedup_spans": q_dedup_spans,
         "dedup_span_stats": q_dedup_span_stats,
@@ -1895,6 +1915,10 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_nfc": OO.nfc_sql(),
         "text_code_quality": OO.code_quality_sql(),
         "sketch_kmv_vocab": OO.kmv_vocab_sql(k=256),
+        "sketch_bloom": OO.bloom_sql(
+            ["table", "scan", "zebrafish", "quuxplugh"],
+            m_bits=4096, k_hashes=3,
+        ),
         "sketch_len_quantile": OO.bit_quantiles_sql((0.5, 0.9, 0.99)),
         "dedup_spans": OO.duplicate_spans_sql(width=8),
         "dedup_span_stats": OO.dup_span_stats_sql(width=8),

@@ -145,3 +145,68 @@ def bit_quantiles(
             "cum_n",
         )
     )
+
+
+def _bloom_positions(col: Column, m_bits: int, k_hashes: int) -> Column:
+    """Array of the value's ``k_hashes`` bloom bit positions: position
+    j = h60("j:" || value) mod m — the repo's engine-portable md5
+    convention, so DuckDB reproduces every bit."""
+    c = col.cast("string")
+    return F.array(
+        *[
+            (h60(F.concat(F.lit(f"{j}:"), c)) % F.lit(int(m_bits)))
+            .cast("long")
+            for j in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 16,
+                k_hashes: int = 3) -> DataFrame:
+    """Bloom filter over ``df[col]`` as its SET-BIT POSITION TABLE —
+    one ``(pos)`` row per set bit (<= min(m_bits, k * distinct
+    values) rows).
+
+    The position-set form is engine-portable (an SQL oracle can
+    reproduce it bit-for-bit) and distributes: build is one narrow
+    hash projection + distinct (shuffle O(set bits), never the
+    corpus); a dense bitmap for export is one
+    ``groupBy(pos div 64) bit_or`` away.  Membership testing never
+    false-negatives; false-positive rate follows the standard
+    ``(1 - e^{-kn/m})^k``."""
+    return (
+        df.select(F.col(col))
+        .filter(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                _bloom_positions(F.col(col), m_bits, k_hashes)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_contains(bloom: DataFrame, probes: DataFrame, probe_col: str,
+                   m_bits: int = 1 << 16, k_hashes: int = 3) -> DataFrame:
+    """``(probe, maybe)`` — bloom membership verdict for every probe
+    (same ``m_bits``/``k_hashes`` as the build).  ``maybe=False`` is
+    definitive absence; ``True`` is presence up to the filter's
+    false-positive rate.
+
+    Plan shape: probes explode to k position rows, one equi-join
+    against the position table (AQE broadcasts whichever side is
+    small — the probe list for lookups, the <= m-row filter when
+    probing a stream), then a per-probe ``bool_and``."""
+    ppos = probes.select(
+        F.col(probe_col).alias("probe"),
+        F.explode(
+            _bloom_positions(F.col(probe_col), m_bits, k_hashes)
+        ).alias("pos"),
+    )
+    hit = bloom.withColumn("_hit", F.lit(True))
+    return (
+        ppos.join(hit, "pos", "left")
+        .groupBy("probe")
+        .agg(F.bool_and(F.coalesce("_hit", F.lit(False))).alias("maybe"))
+        .orderBy("probe")
+    )

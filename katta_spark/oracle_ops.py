@@ -1096,6 +1096,31 @@ SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
 FROM t"""
 
 
+def bloom_sql(probes: list[str], m_bits: int = 4096,
+              k_hashes: int = 3) -> str:
+    """Oracle for ops.sketch.bloom_build + bloom_contains over the
+    corpus vocabulary: identical 60-bit md5 positions ("j:" || value
+    mod m), LEFT JOIN per probe position, bool_and verdict."""
+    tok = duckdb_tokens_sql(DOCS, "doc_id", "text")
+    h = ("CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', "
+         "{v})), 1, 15)) AS BIGINT) % {m}")
+    plist = ", ".join("'" + p.replace("'", "''") + "'" for p in probes)
+    return f"""WITH tok AS ({tok}),
+vals AS (SELECT DISTINCT term AS v FROM tok),
+bloom AS (
+  SELECT DISTINCT {h.format(v='v', m=int(m_bits))} AS pos
+  FROM vals, (SELECT unnest(range({int(k_hashes)})) AS j)
+),
+ppos AS (
+  SELECT probe, {h.format(v='probe', m=int(m_bits))} AS pos
+  FROM (SELECT unnest([{plist}]) AS probe),
+       (SELECT unnest(range({int(k_hashes)})) AS j)
+)
+SELECT p.probe, bool_and(b.pos IS NOT NULL) AS maybe
+FROM ppos p LEFT JOIN bloom b ON p.pos = b.pos
+GROUP BY p.probe ORDER BY p.probe"""
+
+
 def bit_quantiles_sql(qs: tuple = (0.5, 0.9, 0.99),
                       col: str = "n_chars") -> str:
     """Oracle for ops.sketch.bit_quantiles on a non-negative integer

@@ -97,3 +97,32 @@ def test_new_ops_plan_shapes(spark):
     # i.e. nothing shuffles the corpus before the per-partition top-k
     assert p2.index("Exchange") > p2.index("TakeOrderedAndProject")
     assert p2.index("Exchange") < p2.index("MapInPandas")
+
+
+def test_bloom_no_false_negatives_and_detects_absent(spark):
+    """Every inserted value probes True (no false negatives — the
+    bloom invariant); with a roomy m, absent probes come back False;
+    and the set-bit table stays bounded by k * distinct values."""
+    vals = spark.createDataFrame(
+        [(f"v{i}",) for i in range(200)], "v string"
+    )
+    bloom = sketch.bloom_build(vals, "v", m_bits=1 << 14, k_hashes=3)
+    nbits = bloom.count()
+    assert 0 < nbits <= 3 * 200
+
+    present = sketch.bloom_contains(
+        bloom, vals.withColumnRenamed("v", "probe"), "probe",
+        m_bits=1 << 14, k_hashes=3,
+    ).collect()
+    assert all(r["maybe"] for r in present) and len(present) == 200
+
+    absent = spark.createDataFrame(
+        [(f"absent{i}",) for i in range(50)], "probe string"
+    )
+    verdicts = [
+        r["maybe"]
+        for r in sketch.bloom_contains(bloom, absent, "probe",
+                                       m_bits=1 << 14, k_hashes=3).collect()
+    ]
+    # fp rate at n=200, m=16384, k=3 is ~1e-5 — expect all False
+    assert verdicts.count(False) >= 49
