@@ -1404,6 +1404,14 @@ def q_ts_running(spark, sf_dir):
     )
 
 
+def q_text_bigram_lm(spark, sf_dir):
+    """Top-20 add-1 smoothed bigram conditionals (min_count=2): the
+    head of the transition table a distributed n-gram LM trainer
+    materializes — two hash aggs + a one-row vocabulary broadcast."""
+    return text.bigram_lm(_docs(spark, sf_dir), k=20, add_k=1.0,
+                          min_count=2, text_col="text")
+
+
 def q_text_pmi(spark, sf_dir):
     """Top bigram collocations by pointwise mutual information
     (min_count=5) — multi-word-expression mining."""
@@ -1625,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "text_curate": q_text_curate,
         "text_pmi": q_text_pmi,
+        "text_bigram_lm": q_text_bigram_lm,
         "text_chunks": q_text_chunks,
         "text_lm_buckets": q_text_lm_buckets,
         "text_nfc": q_text_nfc,
@@ -1903,6 +1912,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_entropy": OO.token_entropy_sql(),
         "text_curate": OO.curate_sql(),
         "text_pmi": OO.pmi_top_sql(20, 5),
+        "text_bigram_lm": OO.bigram_lm_sql(20, 1.0, 2),
         "sim_knn_dot": OO.knn_topk_sql(
             [__import__("math").cos(1 + i) for i in range(64)], 10, "dot"
         ),

@@ -460,6 +460,60 @@ def nfc_normalize(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     )
 
 
+def bigram_lm(corpus: DataFrame, k: int = 20, add_k: float = 1.0,
+              min_count: int = 1, text_col: str = "content") -> DataFrame:
+    """(w1, w2, n_ab, n_a, logp) — the head of an add-k smoothed
+    bigram language model's transition table: logp = ln((n_ab +
+    add_k) / (n_a + add_k * V)), where n_a counts occurrences of
+    ``w1`` as a bigram history (occurrences not in doc-final
+    position) and V is the unigram vocabulary size — the distributed
+    n-gram LM estimation step (KenLM-style count-then-normalize,
+    without backoff).
+
+    Scale shape: bigram counts hash-aggregate with map-side combine
+    (shuffle O(bigram vocab), never O(token occurrences)); history
+    counts reduce FROM the aggregated bigram table (no second corpus
+    pass); V is a one-row broadcast.  ``min_count`` trims the output
+    head only — smoothing denominators always use the full counts.
+    Top-k by (n_ab desc, w1 asc, w2 asc) — a total order."""
+    base = corpus.select(tokens_array(text_col).alias("_toks"))
+    t = F.col("_toks")
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.get(t, i).alias("w1"),
+                F.get(t, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        base.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    hist = big.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    vocab = (
+        base.select(F.explode(t).alias("term"))
+        .agg(F.count_distinct("term").alias("_v"))
+    )
+    ak = F.lit(float(add_k))
+    logp = F.log(
+        (F.col("n_ab").cast("double") + ak)
+        / (F.col("n_a").cast("double") + ak * F.col("_v").cast("double"))
+    )
+    return (
+        big.filter(F.col("n_ab") >= min_count)
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", "n_ab", "n_a", F.round(logp, 6).alias("logp"))
+        .orderBy(F.desc("n_ab"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
 def pmi_top(corpus: DataFrame, k: int = 20, min_count: int = 5,
             text_col: str = "content") -> DataFrame:
     """(ngram, n_ab, pmi) — top-k bigram collocations by pointwise

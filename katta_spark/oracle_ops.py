@@ -1332,6 +1332,31 @@ CROSS JOIN tot CROSS JOIN totb
 ORDER BY pmi DESC, big.ngram ASC LIMIT {k}"""
 
 
+def bigram_lm_sql(k: int = 20, add_k: float = 1.0,
+                  min_count: int = 1) -> str:
+    """Oracle for ops.text.bigram_lm: add-k smoothed conditional
+    bigram probabilities — history counts reduced from the bigram
+    table, vocabulary = distinct unigrams, identical formula."""
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    return f"""WITH tokl AS ({tokl}),
+g AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        THEN list_transform(generate_series(1, len(toks) - 1),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i+1])) ELSE [] END) AS s
+      FROM tokl),
+big AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n_ab FROM g GROUP BY 1, 2),
+hist AS (SELECT w1, sum(n_ab) AS n_a FROM big GROUP BY w1),
+voc AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+        FROM (SELECT unnest(toks) AS term FROM tokl))
+SELECT big.w1, big.w2, CAST(big.n_ab AS BIGINT) AS n_ab,
+       CAST(hist.n_a AS BIGINT) AS n_a,
+       round(ln((CAST(big.n_ab AS DOUBLE) + {float(add_k)!r})
+                / (CAST(hist.n_a AS DOUBLE) + {float(add_k)!r} * voc.v)),
+             6) AS logp
+FROM big JOIN hist USING (w1) CROSS JOIN voc
+WHERE big.n_ab >= {int(min_count)}
+ORDER BY n_ab DESC, w1 ASC, w2 ASC LIMIT {int(k)}"""
+
+
 def ts_zscore_sql() -> str:
     """Oracle for ops.timeseries.zscore over (event_type, value):
     per-group moments rounded to 6dp BEFORE the z computation,

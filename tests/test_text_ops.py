@@ -363,3 +363,40 @@ def test_keywords_tfidf_matches_python(docs):
         t, tf, s = want[(r["doc_id"], r["rank"])]
         assert r["term"] == t and r["tf"] == tf
         assert r["score"] == pytest.approx(round(s, 6), abs=1e-9)
+
+
+def test_bigram_lm_matches_python(spark):
+    """Smoothed bigram conditionals vs a naive python mirror: counts,
+    history totals, vocabulary size, and the add-k formula."""
+    import math
+
+    from katta_spark.tokenizer import py_tokenize
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, "a cat sat"),
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = text.bigram_lm(df, k=100, add_k=0.5, min_count=1).collect()
+
+    big: dict = {}
+    vocab = set()
+    for _, txt in rows:
+        toks = py_tokenize(txt)
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    hist: dict = {}
+    for (a, _), c in big.items():
+        hist[a] = hist.get(a, 0) + c
+    assert len(got) == len(big)
+    for r in got:
+        key = (r["w1"], r["w2"])
+        assert r["n_ab"] == big[key] and r["n_a"] == hist[r["w1"]]
+        want = math.log((big[key] + 0.5) / (hist[r["w1"]] + 0.5 * len(vocab)))
+        assert r["logp"] == pytest.approx(want, abs=1e-6)
+    # ordering: n_ab desc then (w1, w2) asc
+    keys = [(-r["n_ab"], r["w1"], r["w2"]) for r in got]
+    assert keys == sorted(keys)
