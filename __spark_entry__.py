@@ -1390,6 +1390,20 @@ def q_ts_rate(spark, sf_dir):
     )
 
 
+def q_ts_counter_rate(spark, sf_dir):
+    """PromQL counter rate with reset handling: a per-user decrease
+    counts as a restart (increase = the new value), same two-row
+    lag-window plan as ts_rate."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.counter_rate(
+        _events(spark, sf_dir), "ts", "user_id", "value",
+        order_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "increase",
+                      "rate_per_s").orderBy("event_id")
+
+
 def q_ts_running(spark, sf_dir):
     """Per-user running sum/count ordered by (ts, event_id) — the
     odometer view; one shuffle on user_id."""
@@ -1682,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_top_hits": q_ts_top_hits,
         "ts_running": q_ts_running,
         "ts_rate": q_ts_rate,
+        "ts_counter_rate": q_ts_counter_rate,
         "ts_top_events": q_ts_top_events,
         "ts_json": q_ts_json,
         "ts_date_math": q_ts_date_math,
@@ -2004,6 +2019,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_top_hits": OO.ts_top_hits_sql(3),
         "ts_running": OO.ts_running_sql(),
         "ts_rate": OO.ts_rate_sql(),
+        "ts_counter_rate": OO.ts_counter_rate_sql(),
         "ts_top_events": OO.ts_top_events_sql("1 day", 3),
         "ts_json": OO.ts_json_sql(),
         "ts_date_math": OO.ts_date_math_sql(_DM_NOW, _DM_LO, _DM_HI),

@@ -321,6 +321,38 @@ def json_props(df: DataFrame, json_col: str, field: str,
     )
 
 
+def counter_rate(df: DataFrame, ts_col: str, key_col: str,
+                 value_col: str = "value",
+                 order_cols: list[str] | None = None) -> DataFrame:
+    """Per-key COUNTER derivative with reset handling (PromQL
+    ``rate()`` over a monotone counter): increase = value - lag, but
+    a decrease means the counter reset to ~0 and restarted, so the
+    increase is the new value itself — Prometheus's exact reset rule.
+    First event per key: NULL; duplicate timestamps: NULL rate.
+
+    Same plan as :func:`rate` — ONE shuffle on ``key_col``, two-row
+    lag-window state, never whole-partition buffering."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_v = F.lag(value_col).over(w)
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    elapsed = sec - F.lag(sec).over(w)
+    raw = F.col(value_col) - prev_v
+    increase = F.when(prev_v.isNull(), F.lit(None).cast("double")).when(
+        raw < 0, F.col(value_col).cast("double")
+    ).otherwise(raw)
+    return df.withColumn(
+        "increase", F.round(increase, 6) + F.lit(0.0)
+    ).withColumn(
+        "rate_per_s",
+        F.round(F.when(elapsed > 0, increase / elapsed), 6) + F.lit(0.0),
+    )
+
+
 def group_corr(df: DataFrame, key_col: str, x_col: str, y_col: str,
                out_col: str = "corr") -> DataFrame:
     """Per-group Pearson correlation between two numeric columns —
@@ -487,6 +519,9 @@ def rate(df: DataFrame, ts_col: str, key_col: str,
     sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
     elapsed = sec - F.lag(sec).over(w)
     delta = F.col(value_col) - prev_v
-    return df.withColumn("delta", F.round(delta, 6)).withColumn(
-        "rate_per_s", F.round(F.when(elapsed > 0, delta / elapsed), 6)
+    # + 0.0 collapses IEEE -0.0 to +0.0 (engines disagree on the
+    # sign of a rounded-to-zero result; the value hash must not)
+    return df.withColumn("delta", F.round(delta, 6) + F.lit(0.0)).withColumn(
+        "rate_per_s",
+        F.round(F.when(elapsed > 0, delta / elapsed), 6) + F.lit(0.0),
     )

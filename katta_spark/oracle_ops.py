@@ -1380,10 +1380,28 @@ def ts_rate_sql() -> str:
     sec = "(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)"
     return f"""
 SELECT event_id, user_id,
-       round(value - lag(value) OVER w, 6) AS delta,
+       round(value - lag(value) OVER w, 6) + 0.0 AS delta,
        round(CASE WHEN {sec} - lag({sec}) OVER w > 0
              THEN (value - lag(value) OVER w)
-                  / ({sec} - lag({sec}) OVER w) END, 6) AS rate_per_s
+                  / ({sec} - lag({sec}) OVER w) END, 6) + 0.0 AS rate_per_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id"""
+
+
+def ts_counter_rate_sql() -> str:
+    """Oracle for ops.timeseries.counter_rate: PromQL reset rule — a
+    decrease means restart, increase = new value itself."""
+    sec = "(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)"
+    inc = ("CASE WHEN lag(value) OVER w IS NULL THEN NULL "
+           "WHEN value - lag(value) OVER w < 0 THEN value "
+           "ELSE value - lag(value) OVER w END")
+    return f"""
+SELECT event_id, user_id,
+       round({inc}, 6) + 0.0 AS increase,
+       round(CASE WHEN {sec} - lag({sec}) OVER w > 0
+             THEN ({inc}) / ({sec} - lag({sec}) OVER w) END, 6) + 0.0
+           AS rate_per_s
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id"""

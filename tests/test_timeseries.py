@@ -627,3 +627,27 @@ def test_group_corr_matches_python(spark):
     out = {r["g"]: r["corr"]
            for r in TS.group_corr(flat, "g", "x", "y").collect()}
     assert out["a"] is None and out["b"] == pytest.approx(1.0)
+
+
+def test_counter_rate_reset_semantics(spark):
+    """PromQL reset rule: decreases restart the counter (increase =
+    new value); monotone segments behave like plain rate."""
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, 10.0),
+        (1, "2024-01-01 00:00:10", 1, 25.0),   # +15 over 10s
+        (2, "2024-01-01 00:00:20", 1, 3.0),    # reset -> increase 3
+        (3, "2024-01-01 00:00:30", 1, 3.0),    # +0
+        (4, "2024-01-01 00:00:05", 2, 7.0),    # other key, first
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "value")
+    got = {r["event_id"]: (r["increase"], r["rate_per_s"])
+           for r in TS.counter_rate(df, "ts", "user_id", "value",
+                                    order_cols=["event_id"]).collect()}
+    assert got[0] == (None, None)
+    assert got[1] == (15.0, 1.5)
+    assert got[2] == (3.0, 0.3)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (None, None)
