@@ -1404,6 +1404,19 @@ def q_ts_counter_rate(spark, sf_dir):
                       "rate_per_s").orderBy("event_id")
 
 
+def q_ts_ewma(spark, sf_dir):
+    """Per-user EWMA smoothing (ES moving_fn ewma): pandas C-loop
+    recurrence per key group, one shuffle, recursive-CTE oracle."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.ewma(
+        _events(spark, sf_dir), "ts", "user_id", "value",
+        alpha=0.3, order_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "value",
+                      "ewma").orderBy("event_id")
+
+
 def q_ts_running(spark, sf_dir):
     """Per-user running sum/count ordered by (ts, event_id) — the
     odometer view; one shuffle on user_id."""
@@ -1695,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cardinality": q_ts_cardinality,
         "ts_top_hits": q_ts_top_hits,
         "ts_running": q_ts_running,
+        "ts_ewma": q_ts_ewma,
         "ts_rate": q_ts_rate,
         "ts_counter_rate": q_ts_counter_rate,
         "ts_top_events": q_ts_top_events,
@@ -2018,6 +2032,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_cardinality": OO.ts_cardinality_sql(),
         "ts_top_hits": OO.ts_top_hits_sql(3),
         "ts_running": OO.ts_running_sql(),
+        "ts_ewma": OO.ts_ewma_sql(0.3),
         "ts_rate": OO.ts_rate_sql(),
         "ts_counter_rate": OO.ts_counter_rate_sql(),
         "ts_top_events": OO.ts_top_events_sql("1 day", 3),

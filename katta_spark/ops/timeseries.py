@@ -353,6 +353,41 @@ def counter_rate(df: DataFrame, ts_col: str, key_col: str,
     )
 
 
+def ewma(df: DataFrame, ts_col: str, key_col: str,
+         value_col: str = "value", alpha: float = 0.3,
+         order_cols: list[str] | None = None,
+         out_col: str = "ewma") -> DataFrame:
+    """Per-key exponentially weighted moving average (the ES
+    ``moving_fn`` ewma / PromQL smoothing shape): ``y_0 = x_0``,
+    ``y_i = (1-alpha)*y_{i-1} + alpha*x_i`` — the pandas
+    ``adjust=False`` recurrence, which is bit-identical to the naive
+    double recurrence (verified by test), so a recursive-CTE SQL
+    oracle reproduces it exactly.
+
+    Scale shape: ONE shuffle on ``key_col``; the recurrence is
+    inherently sequential per key, so each key's series lands in one
+    Arrow group and runs through pandas' C ewm loop (no per-row
+    Python).  A telemetry key's series fits an executor; for
+    unbounded series, segment and carry ``(weight, value)`` tail
+    state — the recurrence composes over segments."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order_by = [ts_col] + list(order_cols or [])
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, DoubleType())]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        y = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        # + 0.0 collapses IEEE -0.0 (cross-engine hash hazard)
+        pdf[out_col] = y.round(6) + 0.0
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(kernel, out_schema)
+
+
 def group_corr(df: DataFrame, key_col: str, x_col: str, y_col: str,
                out_col: str = "corr") -> DataFrame:
     """Per-group Pearson correlation between two numeric columns —

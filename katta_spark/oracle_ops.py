@@ -1407,6 +1407,31 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id"""
 
 
+def ts_ewma_sql(alpha: float = 0.3) -> str:
+    """Oracle for ops.timeseries.ewma: the adjust=False recurrence
+    replayed exactly by a recursive CTE (bit-identical arithmetic:
+    (1-a)*y + a*x in double on both engines)."""
+    a = repr(float(alpha))
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT event_id, user_id, value, rn, value AS y
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.value, o.rn,
+         (1 - {a}) * r.y + {a} * o.value
+  FROM ordered o JOIN rec r
+    ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id, value, round(y, 6) + 0.0 AS ewma
+FROM rec ORDER BY event_id"""
+
+
 def ts_running_sql() -> str:
     """Oracle for ops.timeseries.running_agg: per-user cumulative
     sum/count ordered by (ts, event_id)."""

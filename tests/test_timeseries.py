@@ -629,6 +629,31 @@ def test_group_corr_matches_python(spark):
     assert out["a"] is None and out["b"] == pytest.approx(1.0)
 
 
+def test_ewma_matches_naive_recurrence(spark):
+    """pandas ewm(adjust=False) must equal the double recurrence
+    y = (1-a)y + ax exactly — the property the recursive-CTE oracle
+    relies on."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}",
+             int(i % 3), float(v))
+            for i, v in enumerate(rng.normal(50, 20, 120))]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "value")
+    got = {r["event_id"]: r["ewma"]
+           for r in TS.ewma(df, "ts", "user_id", "value", alpha=0.3,
+                            order_cols=["event_id"]).collect()}
+    a = 0.3
+    state: dict[int, float] = {}
+    for i, _, u, v in rows:
+        y = v if u not in state else (1 - a) * state[u] + a * v
+        state[u] = y
+        assert got[i] == round(y, 6) + 0.0, i
+
+
 def test_counter_rate_reset_semantics(spark):
     """PromQL reset rule: decreases restart the counter (increase =
     new value); monotone segments behave like plain rate."""
