@@ -1126,6 +1126,25 @@ def q_sketch_bloom(spark, sf_dir):
                                  m_bits=4096, k_hashes=3)
 
 
+_CMS_PROBES = ["table", "scan", "zebrafish", "quuxplugh"]
+
+
+def q_sketch_cms(spark, sf_dir):
+    """Count-min sketch of corpus token frequencies (width=512,
+    depth=3): bounded (row, cell, cnt) counter table from ONE
+    map-side-combined hash agg, probed with min-over-rows estimates
+    — never underestimates, bit-identical md5 cells in DuckDB."""
+    from katta_spark.ops import sketch
+    from katta_spark.tokenizer import explode_tokens
+
+    terms = explode_tokens(_docs(spark, sf_dir), "text", [])
+    cms = sketch.cms_build(terms, "term", width=512, depth=3)
+    probes = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "probe string"
+    )
+    return sketch.cms_query(cms, probes, "probe", width=512, depth=3)
+
+
 def q_sketch_len_quantile(spark, sf_dir):
     """Power-of-two bucket quantiles of document length: exact
     integer bucketing (length(bin(v))), <= 64-row histogram."""
@@ -1667,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_quality": q_text_code_quality,
         "sketch_kmv_vocab": q_sketch_kmv_vocab,
         "sketch_bloom": q_sketch_bloom,
+        "sketch_cms": q_sketch_cms,
         "sketch_len_quantile": q_sketch_len_quantile,
         "dedup_spans": q_dedup_spans,
         "dedup_span_stats": q_dedup_span_stats,
@@ -1958,6 +1978,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
             ["table", "scan", "zebrafish", "quuxplugh"],
             m_bits=4096, k_hashes=3,
         ),
+        "sketch_cms": OO.cms_sql(_CMS_PROBES, width=512, depth=3),
         "sketch_len_quantile": OO.bit_quantiles_sql((0.5, 0.9, 0.99)),
         "dedup_spans": OO.duplicate_spans_sql(width=8),
         "dedup_span_stats": OO.dup_span_stats_sql(width=8),

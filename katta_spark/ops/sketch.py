@@ -147,6 +147,76 @@ def bit_quantiles(
     )
 
 
+def cms_build(df: DataFrame, col: str, width: int = 1024,
+              depth: int = 4, weight_col: str | None = None) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) over ``df[col]``
+    as its COUNTER TABLE — one ``(row, cell, cnt)`` row per nonzero
+    counter (<= depth * width rows, regardless of input size).
+
+    Cell for hash row j = h60("j:" || value) mod width — the repo's
+    engine-portable md5 convention, so an SQL oracle reproduces every
+    counter exactly.  ``weight_col`` supports weighted counts (e.g.
+    tf instead of 1).
+
+    Scale shape: ONE hash agg with map-side combine over an
+    explode(depth) projection; the result is bounded and
+    broadcastable.  Merging sketches from two corpora = union +
+    re-agg on (row, cell) — the sketch is a linear projection."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    c = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (h60(F.concat(F.lit(f"{j}:"), c)) % F.lit(int(width)))
+                .cast("long")
+                .alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("rc"), w.alias("_w"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_query(cms: DataFrame, probes: DataFrame, probe_col: str,
+              width: int = 1024, depth: int = 4) -> DataFrame:
+    """``(probe, est)`` — count-min frequency estimate for every
+    probe: min over the probe's ``depth`` counters (missing counter =
+    0).  Never underestimates; overestimate probability shrinks
+    geometrically with depth.
+
+    Plan shape: probes explode to depth ``(row, cell)`` rows, one
+    equi-join against the bounded counter table (AQE broadcasts the
+    small side), then a per-probe ``min``."""
+    c = F.col(probe_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (h60(F.concat(F.lit(f"{j}:"), c)) % F.lit(int(width)))
+                .cast("long")
+                .alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+    ppos = probes.select(
+        F.col(probe_col).alias("probe"), F.explode(cells).alias("rc")
+    ).select("probe", F.col("rc.row").alias("row"),
+             F.col("rc.cell").alias("cell"))
+    return (
+        ppos.join(cms, ["row", "cell"], "left")
+        .groupBy("probe")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .orderBy("probe")
+    )
+
+
 def _bloom_positions(col: Column, m_bits: int, k_hashes: int) -> Column:
     """Array of the value's ``k_hashes`` bloom bit positions: position
     j = h60("j:" || value) mod m — the repo's engine-portable md5

@@ -1121,6 +1121,31 @@ FROM ppos p LEFT JOIN bloom b ON p.pos = b.pos
 GROUP BY p.probe ORDER BY p.probe"""
 
 
+def cms_sql(probes: list[str], width: int = 512, depth: int = 3) -> str:
+    """Oracle for ops.sketch.cms_build + cms_query over corpus token
+    occurrences: identical 60-bit md5 cells ("j:" || value mod width),
+    bounded counter table, min over depth counters per probe."""
+    tok = duckdb_tokens_sql(DOCS, "doc_id", "text")
+    h = ("CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', "
+         "{v})), 1, 15)) AS BIGINT) % {w}")
+    plist = ", ".join("'" + p.replace("'", "''") + "'" for p in probes)
+    return f"""WITH tok AS ({tok}),
+cms AS (
+  SELECT j AS row, {h.format(v='term', w=int(width))} AS cell,
+         count(*) AS cnt
+  FROM tok, (SELECT unnest(range({int(depth)})) AS j)
+  GROUP BY 1, 2
+),
+ppos AS (
+  SELECT probe, j AS row, {h.format(v='probe', w=int(width))} AS cell
+  FROM (SELECT unnest([{plist}]) AS probe),
+       (SELECT unnest(range({int(depth)})) AS j)
+)
+SELECT p.probe, min(coalesce(c.cnt, 0)) AS est
+FROM ppos p LEFT JOIN cms c ON p.row = c.row AND p.cell = c.cell
+GROUP BY p.probe ORDER BY p.probe"""
+
+
 def bit_quantiles_sql(qs: tuple = (0.5, 0.9, 0.99),
                       col: str = "n_chars") -> str:
     """Oracle for ops.sketch.bit_quantiles on a non-negative integer

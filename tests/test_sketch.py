@@ -126,3 +126,37 @@ def test_bloom_no_false_negatives_and_detects_absent(spark):
     ]
     # fp rate at n=200, m=16384, k=3 is ~1e-5 — expect all False
     assert verdicts.count(False) >= 49
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    """CMS estimates are >= true counts always; with width >> distinct
+    values collisions are rare, so most estimates are exact."""
+    rows = [(f"v{i % 40}",) for i in range(400)]   # v0..v39, 10 each
+    df = spark.createDataFrame(rows, "v string")
+    cms = sketch.cms_build(df, "v", width=1 << 12, depth=3)
+    probes = spark.createDataFrame(
+        [(f"v{i}",) for i in range(40)] + [("missing",)], "probe string"
+    )
+    est = {r["probe"]: r["est"]
+           for r in sketch.cms_query(cms, probes, "probe",
+                                     width=1 << 12, depth=3).collect()}
+    assert all(est[f"v{i}"] >= 10 for i in range(40))
+    assert sum(est[f"v{i}"] == 10 for i in range(40)) >= 38
+    assert est["missing"] == 0
+
+
+def test_cms_is_linear_under_union(spark):
+    """Merging two sketches (union + re-agg) equals the sketch of the
+    union — the property incremental 100 TB builds rely on."""
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "v string")
+    b = spark.createDataFrame([("x",)] * 4 + [("z",)] * 5, "v string")
+    merged = (
+        sketch.cms_build(a, "v", width=64, depth=2)
+        .unionByName(sketch.cms_build(b, "v", width=64, depth=2))
+        .groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = sketch.cms_build(a.unionByName(b), "v", width=64, depth=2)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
