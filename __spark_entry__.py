@@ -1506,6 +1506,18 @@ def q_pipe_rollup(spark, sf_dir):
     return rollup_report(_docs(spark, sf_dir), ["lang", "source"])
 
 
+def q_pipe_composite(spark, sf_dir):
+    """ES composite aggregation page: next 15 (event_type, user_id)
+    groups strictly after the ('error', 50) key tuple — the keyset
+    predicate prunes already-paged groups BEFORE the shuffle."""
+    from katta_spark.ops.sampling import composite_page
+
+    return composite_page(
+        _events(spark, sf_dir), ["event_type", "user_id"], 15,
+        after=("error", 50), value_col="value",
+    )
+
+
 def q_pipe_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (Efraimidis-Spirakis priorities from the md5 hash-uniform):
@@ -1701,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_top_per_source": q_pipe_top_per_source,
         "pipe_source_report": q_pipe_source_report,
         "pipe_rollup": q_pipe_rollup,
+        "pipe_composite": q_pipe_composite,
         "pipe_weighted_sample": q_pipe_weighted_sample,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_project": q_sim_project,
@@ -1996,6 +2009,9 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "pipe_top_per_source": OO.top_per_source_sql(n=5),
         "pipe_source_report": OO.source_report_sql(),
         "pipe_rollup": OO.rollup_report_sql(("lang", "source")),
+        "pipe_composite": OO.composite_page_sql(
+            ("event_type", "user_id"), 15, ("error", 50), "value"
+        ),
         "pipe_weighted_sample": OO.weighted_sample_sql(25),
         "text_token_stats": f"""{ctes}
 SELECT d.doc_id,

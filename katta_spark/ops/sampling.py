@@ -253,6 +253,46 @@ def rollup_report(
     return agg.select(*sel, "n_docs", "total_chars").orderBy(*cols)
 
 
+def composite_page(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    after: tuple | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """One page of an ES composite aggregation: paginate a grouped
+    aggregation by KEYSET (``after`` = the last key tuple of the
+    previous page), never by offset.  Returns the next ``n`` groups in
+    key order with ``n_rows`` (+ ``sum_value`` when ``value_col``).
+
+    Scale shape: the keyset predicate is applied to the RAW rows
+    BEFORE the aggregation — group keys partition rows, so
+    ``(k1,k2) > after`` drops already-paged groups pre-shuffle and
+    deep pages get cheaper, not costlier (offset pagination re-aggs
+    and discards).  One hash agg + TakeOrdered per page; the tuple
+    compare is a struct comparison pushed into the scan."""
+    out = df
+    if after is not None:
+        # struct comparison requires identical field names AND types
+        cur = F.struct(*[F.col(c) for c in key_cols])
+        aft = F.struct(
+            *[
+                F.lit(v).cast(df.schema[c].dataType).alias(c)
+                for c, v in zip(key_cols, after)
+            ]
+        )
+        out = out.filter(cur > aft)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col:
+        aggs.append(
+            (F.round(F.sum(value_col), 6) + F.lit(0.0)).alias("sum_value")
+        )
+    return (
+        out.groupBy(*key_cols).agg(*aggs)
+        .orderBy(*[F.col(c).asc() for c in key_cols]).limit(n)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     n: int,

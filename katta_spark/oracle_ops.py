@@ -1146,6 +1146,23 @@ FROM ppos p LEFT JOIN cms c ON p.row = c.row AND p.cell = c.cell
 GROUP BY p.probe ORDER BY p.probe"""
 
 
+def composite_page_sql(key_cols: tuple, n: int, after: tuple,
+                       value_col: str = "value") -> str:
+    """Oracle for ops.sampling.composite_page on events: keyset
+    (row-value) pagination over a grouped aggregation."""
+    keys = ", ".join(key_cols)
+    lits = ", ".join(
+        "'" + v.replace("'", "''") + "'" if isinstance(v, str) else repr(v)
+        for v in after
+    )
+    return f"""
+SELECT {keys}, count(*) AS n_rows,
+       round(sum({value_col}), 6) + 0.0 AS sum_value
+FROM events
+WHERE ({keys}) > ({lits})
+GROUP BY {keys} ORDER BY {keys} LIMIT {int(n)}"""
+
+
 def bit_quantiles_sql(qs: tuple = (0.5, 0.9, 0.99),
                       col: str = "n_chars") -> str:
     """Oracle for ops.sketch.bit_quantiles on a non-negative integer

@@ -282,3 +282,24 @@ def test_weighted_sample_plan_is_topk_not_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_composite_page_chain_covers_all_groups(spark):
+    """Chaining pages by after_key enumerates every group exactly
+    once, in key order, with correct counts."""
+    from katta_spark.ops.sampling import composite_page
+
+    rows = [(f"t{i % 4}", i % 7, float(i)) for i in range(84)]
+    df = spark.createDataFrame(rows, "k string, u long, value double")
+    seen = []
+    after = None
+    while True:
+        page = composite_page(df, ["k", "u"], 5, after=after,
+                              value_col="value").collect()
+        if not page:
+            break
+        seen.extend((r["k"], r["u"], r["n_rows"]) for r in page)
+        after = (page[-1]["k"], page[-1]["u"])
+    assert len(seen) == 28                       # 4 x 7 groups
+    assert seen == sorted(seen)
+    assert all(n == 3 for _, _, n in seen)       # 84 / 28
