@@ -1489,6 +1489,14 @@ def q_ts_percentiles(spark, sf_dir):
     return TS.percentiles(_events(spark, sf_dir), "event_type", "value")
 
 
+def q_ts_mad(spark, sf_dir):
+    """Per-type median + median absolute deviation (robust anomaly
+    baseline): two keyed percentile aggs, AQE-broadcast median join."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.mad(_events(spark, sf_dir), "event_type", "value")
+
+
 def q_text_chunks(spark, sf_dir):
     """Overlapping token-window chunks (RAG splitter): 24-token
     chunks, stride 16, over the first docs (bounded output)."""
@@ -1738,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof": q_ts_asof,
         "ts_zscore": q_ts_zscore,
         "ts_percentiles": q_ts_percentiles,
+        "ts_mad": q_ts_mad,
         "ts_cardinality": q_ts_cardinality,
         "ts_top_hits": q_ts_top_hits,
         "ts_running": q_ts_running,
@@ -2066,6 +2075,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_asof": OO.ts_asof_sql("click", "purchase"),
         "ts_zscore": OO.ts_zscore_sql(),
         "ts_percentiles": OO.ts_percentiles_sql(),
+        "ts_mad": OO.ts_mad_sql(),
         "ts_cardinality": OO.ts_cardinality_sql(),
         "ts_top_hits": OO.ts_top_hits_sql(3),
         "ts_running": OO.ts_running_sql(),

@@ -490,6 +490,38 @@ def percentiles(df: DataFrame, key_col: str, value_col: str = "value",
     return df.groupBy(key_col).agg(*aggs).orderBy(key_col)
 
 
+def mad(df: DataFrame, key_col: str,
+        value_col: str = "value") -> DataFrame:
+    """(key, n, med, mad) — per-group median and median absolute
+    deviation, the robust anomaly baseline (|x - med| > k*MAD flags
+    outliers without the mean's sensitivity to the outliers
+    themselves).  Exact linear-interpolation medians, reproducible
+    across engines; the flagging predicate is a narrow comparison the
+    caller composes.
+
+    Plan shape: one exact-percentile hash agg for the medians, the
+    per-key median row (one row per key) joined back — AQE broadcasts
+    it — then a second percentile agg over the deviations.  Two
+    shuffles total, both keyed on ``key_col``.  At 100 TB swap
+    ``percentile`` for ``percentile_approx`` — same call-site
+    shape."""
+    med = df.groupBy(key_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(med, key_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    return (
+        dev.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("_med"), 6).alias("med"),
+            F.round(F.percentile(F.col("_adev"), F.lit(0.5)), 6).alias("mad"),
+        )
+        .orderBy(key_col)
+    )
+
+
 def distinct_cardinality(df: DataFrame, key_col: str,
                          value_col: str) -> DataFrame:
     """(key, n_events, n_distinct) — exact per-group distinct count

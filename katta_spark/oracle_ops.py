@@ -1500,6 +1500,21 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n, {cols}
 FROM events GROUP BY event_type ORDER BY event_type"""
 
 
+def ts_mad_sql() -> str:
+    """Oracle for ops.timeseries.mad: per-group median + median
+    absolute deviation (quantile_cont = Spark percentile)."""
+    return """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(first(m.m), 6) AS med,
+       round(quantile_cont(abs(e.value - m.m), 0.5), 6) AS mad
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type"""
+
+
 def chunk_texts_sql(size: int = 32, stride: int = 24,
                     docs_where: str | None = None) -> str:
     """Oracle for ops.text.chunk_texts (token-window chunker)."""

@@ -676,3 +676,18 @@ def test_counter_rate_reset_semantics(spark):
     assert got[2] == (3.0, 0.3)
     assert got[3] == (0.0, 0.0)
     assert got[4] == (None, None)
+
+
+def test_mad_matches_python(spark):
+    """Median/MAD agree with a numpy mirror (linear interpolation)."""
+    import numpy as np
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 100]] + \
+           [("b", float(v)) for v in [10, 10, 10]]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r["event_type"]: (r["n"], r["med"], r["mad"])
+           for r in TS.mad(df, "event_type", "value").collect()}
+    for k, vals in [("a", [1, 2, 3, 4, 100]), ("b", [10, 10, 10])]:
+        m = float(np.percentile(vals, 50))
+        d = float(np.percentile(np.abs(np.array(vals) - m), 50))
+        assert got[k] == (len(vals), round(m, 6), round(d, 6))
