@@ -438,6 +438,14 @@ def q_phys_facet_prefix(spark, sf_dir):
     )
 
 
+def q_phys_rare_terms(spark, sf_dir):
+    """ES rare_terms: long-tail source buckets (cnt <= 18) among docs
+    matching 'scan' — exact single hash agg, count-asc order."""
+    return phys_index(spark, sf_dir).rare_terms(
+        ["scan"], "source", max_count=18, n=10
+    )
+
+
 def q_phys_fetch(spark, sf_dir):
     idx = phys_index(spark, sf_dir)
     return _round_score(idx.fetch_details(idx.topk(["dup"], k=5), ["lang", "source"]))
@@ -1616,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_facet": q_phys_facet,
         "ft_facet_index": q_phys_facet_index,
         "ft_facet_prefix": q_phys_facet_prefix,
+        "ft_rare_terms": q_phys_rare_terms,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
         "ft_multi_phrase": q_ft_multi_phrase,
@@ -1814,6 +1823,12 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 WHERE d.source LIKE 'src1%'
 GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
+        "ft_rare_terms": f"""{ctes}{O.matched_sql(["scan"])}
+SELECT source, count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+WHERE d.source IS NOT NULL
+GROUP BY source HAVING count(*) <= 18
+ORDER BY cnt ASC, source ASC LIMIT 10""",
         "ft_phys_fetch": O.topk_fetch_sql(["dup"], k=5, fields=["lang", "source"]),
         "ft_phys_phrase": O.phrase_sql(["order", "fast"], k=10),
         "ft_multi_phrase": O.multi_phrase_sql(

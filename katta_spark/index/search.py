@@ -1141,6 +1141,28 @@ class PhysicalIndex:
         )
         return agg.orderBy(*order).limit(n)
 
+    def rare_terms(self, qterms: list[str], field: str,
+                   max_count: int = 1, n: int = 10, mode: str = "or",
+                   filters: Filters = None) -> DataFrame:
+        """ES ``rare_terms`` aggregation: the LONG TAIL of a field —
+        buckets among the matched docs with ``cnt <= max_count``,
+        ordered count asc then value (the inverse of facet's
+        most-common-first).  ES approximates this with a CuckooFilter
+        to avoid a full agg per shard; on Spark the exact distributed
+        hash agg IS the scale path (same single shuffle as facet —
+        map-side partials shrink common buckets before they move), so
+        the exact answer costs no more than the sketch."""
+        m = self.matched_docs(qterms, mode, filters)
+        return (
+            self.docs.join(m, "doc_id", "left_semi")
+            .filter(F.col(field).isNotNull())
+            .groupBy(field)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") <= F.lit(int(max_count)))
+            .orderBy(F.asc("cnt"), F.asc(field))
+            .limit(n)
+        )
+
     def range_facet(self, qterms: list[str], field: str, start: float,
                     end: float, gap: float, min_count: int = 1,
                     mode: str = "or", filters: Filters = None) -> DataFrame:

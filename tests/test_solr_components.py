@@ -355,3 +355,21 @@ def test_facet_prefix_and_mincount(spark, tmp_path):
     got = idx.facet(["alpha"], "grp", n=10, prefix="ap",
                     mincount=2).collect()
     assert {(r["grp"], r["cnt"]) for r in got} == {("apple", 2)}
+
+
+def test_rare_terms_is_the_facet_tail(pindex, py_oracle, pandas_docs):
+    """rare_terms returns exactly the buckets with cnt <= max_count,
+    count-ascending — the complement of facet's head."""
+    langs = {
+        int(r.doc_id): r.lang for r in pandas_docs.itertuples(index=False)
+    }
+    counts: dict[str, int] = {}
+    for d in py_oracle.matches(["quark"]):
+        counts[langs[d]] = counts.get(langs[d], 0) + 1
+    for mc in (1, 2, 10**6):
+        got = [(r[0], r["cnt"])
+               for r in pindex.rare_terms(["quark"], "lang",
+                                          max_count=mc, n=50).collect()]
+        want = sorted(((v, c) for v, c in counts.items() if c <= mc),
+                      key=lambda x: (x[1], x[0]))
+        assert got == want, mc
