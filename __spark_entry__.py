@@ -438,6 +438,17 @@ def q_phys_facet_prefix(spark, sf_dir):
     )
 
 
+def q_phys_common_terms(spark, sf_dir):
+    """Lucene CommonTermsQuery: 'dup' (rare) must match, 'table'
+    (common, df ~78% of N) only boosts scores of those candidates —
+    the common term's posting list never floods the match set."""
+    return _round_score(
+        phys_index(spark, sf_dir).common_terms_topk(
+            ["table", "dup"], k=10, max_df_frac=0.1
+        )
+    )
+
+
 def q_phys_rare_terms(spark, sf_dir):
     """ES rare_terms: long-tail source buckets (cnt <= 18) among docs
     matching 'scan' — exact single hash agg, count-asc order."""
@@ -1625,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_index": q_phys_facet_index,
         "ft_facet_prefix": q_phys_facet_prefix,
         "ft_rare_terms": q_phys_rare_terms,
+        "ft_common_terms": q_phys_common_terms,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
         "ft_multi_phrase": q_ft_multi_phrase,
@@ -1823,6 +1835,9 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 WHERE d.source LIKE 'src1%'
 GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
+        "ft_common_terms": O.common_terms_sql(
+            ["table", "dup"], k=10, max_df_frac=0.1
+        ),
         "ft_rare_terms": f"""{ctes}{O.matched_sql(["scan"])}
 SELECT source, count(*) AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id

@@ -1009,6 +1009,54 @@ class PhysicalIndex:
             out = out.offset(offset)
         return out.limit(k).select("doc_id", "score")
 
+    def common_terms_topk(self, qterms: list[str], k: int = 10,
+                          max_df_frac: float = 0.1,
+                          filters: Filters = None) -> DataFrame:
+        """Lucene ``CommonTermsQuery`` (lowFreqOccur=SHOULD): query
+        terms are split by document frequency at ``max_df_frac``
+        (fraction of N, or an absolute df when >= 1).  LOW-frequency
+        terms drive matching — a doc must contain at least one — and
+        HIGH-frequency terms only contribute to the scores of docs
+        already matched, so a stop-word-ish term never floods the
+        result set with its posting list.  If every term is
+        high-frequency, the high group becomes required (Lucene's
+        fallback), i.e. plain OR.
+
+        Plan: the low/high split is IN-PLAN — a window over the
+        <= |q|-row catalog slice computes the any-low fallback flag,
+        no driver collect.  Candidates come from a postings scan
+        pruned to the required terms only (the cheap, short posting
+        lists); the scoring scan over all query terms is semi-joined
+        to the candidates.  Score = BM25 sum over every query term
+        present in the doc, identical tie-break to :meth:`topk`."""
+        from pyspark.sql import Window
+
+        terms = sorted(set(self._strip_stops(qterms)))
+        cutoff = float(max_df_frac)
+        if cutoff < 1.0:
+            cutoff = cutoff * float(self.stats["n_docs"])
+        qcat = (
+            self.terms.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .withColumn("_low", F.col("df").cast("double") <= F.lit(cutoff))
+        )
+        w = Window.partitionBy()  # <= |q| rows — single tiny partition
+        required = qcat.withColumn(
+            "_any_low", F.max(F.col("_low").cast("int")).over(w)
+        ).filter(F.col("_low") | (F.col("_any_low") == 0)).select("term", "df")
+        cand = self._scored_from_catalog(required).select("doc_id")
+        scored = self.scored_docs(terms, "or").join(
+            cand, "doc_id", "left_semi"
+        )
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
     def multi_topk(self, queries_map: dict[str, list[str]], k: int = 10,
                    mode: str = "or") -> DataFrame:
         """(qid, doc_id, score) — BM25 top-k for MANY queries in ONE

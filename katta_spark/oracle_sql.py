@@ -410,6 +410,40 @@ top AS (SELECT * FROM scored {where}
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def common_terms_sql(terms: list[str], k: int = 10,
+                     max_df_frac: float = 0.1) -> str:
+    """Oracle for PhysicalIndex.common_terms_topk: low-df terms drive
+    matching, high-df terms only add score; all-high falls back to
+    plain OR (the NOT EXISTS branch)."""
+    if max_df_frac >= 1.0:
+        cut = repr(float(max_df_frac))
+    else:
+        cut = (f"({float(max_df_frac)!r}"
+               " * (SELECT CAST(n_docs AS DOUBLE) FROM stats))")
+    return f"""{index_ctes()},
+qdf AS (SELECT term, CAST(df AS DOUBLE) AS df FROM dfv
+        WHERE term IN {_term_list(terms)}),
+req AS (
+  SELECT term FROM qdf
+  WHERE df <= {cut}
+     OR NOT EXISTS (SELECT 1 FROM qdf WHERE df <= {cut})
+),
+cand AS (SELECT DISTINCT doc_id FROM tf
+         WHERE term IN (SELECT term FROM req)),
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf
+  JOIN dfv ON tf.term = dfv.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+    AND tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"""
+
+
 def term_docs_sql(terms: list[str], mode: str = "or") -> str:
     """SELECT of doc_ids matching the terms — a must/not constraint
     fragment for :func:`lucene_topk_sql`."""

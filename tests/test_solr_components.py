@@ -373,3 +373,33 @@ def test_rare_terms_is_the_facet_tail(pindex, py_oracle, pandas_docs):
         want = sorted(((v, c) for v, c in counts.items() if c <= mc),
                       key=lambda x: (x[1], x[0]))
         assert got == want, mc
+
+
+def test_common_terms_low_df_drives_matching(pindex, py_oracle):
+    """CommonTermsQuery: pick a (rare, common) pair from the corpus
+    df table; candidates = rare-term docs only, scores include the
+    common term's contribution; all-common falls back to plain OR."""
+    items = sorted(py_oracle.df.items(), key=lambda x: x[1])
+    rare = next(t for t, d in items if 0 < d <= py_oracle.n * 0.1)
+    common = next(t for t, d in reversed(items)
+                  if d > py_oracle.n * 0.1 and not t.startswith("path:"))
+    got = [(r["doc_id"], r["score"])
+           for r in pindex.common_terms_topk([common, rare], k=10,
+                                             max_df_frac=0.1).collect()]
+    cand = set(py_oracle.matches([rare]))
+    want = sorted(((d, py_oracle.score(d, [common, rare])) for d in cand),
+                  key=lambda x: (-x[1], x[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-6)
+
+    # all terms common -> fallback: identical to plain OR topk
+    c2 = next(t for t, d in reversed(items)
+              if d > py_oracle.n * 0.1 and t != common
+              and not t.startswith("path:"))
+    fb = [(r["doc_id"], round(r["score"], 6))
+          for r in pindex.common_terms_topk([common, c2], k=10,
+                                            max_df_frac=0.1).collect()]
+    plain = [(r["doc_id"], round(r["score"], 6))
+             for r in pindex.topk([common, c2], k=10).collect()]
+    assert fb == plain
