@@ -438,6 +438,17 @@ def q_phys_facet_prefix(spark, sf_dir):
     )
 
 
+def q_phys_cross_fields(spark, sf_dir):
+    """ES cross_fields / Lucene BlendedTermQuery: 'table' and 'src1'
+    each searched across content + source with per-word blended df,
+    best-field score per word, words summed."""
+    return _round_score(
+        phys_index(spark, sf_dir).cross_fields_topk(
+            ["table", "src1"], ["content", "source"], k=10
+        )
+    )
+
+
 def q_phys_common_terms(spark, sf_dir):
     """Lucene CommonTermsQuery: 'dup' (rare) must match, 'table'
     (common, df ~78% of N) only boosts scores of those candidates —
@@ -1637,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_prefix": q_phys_facet_prefix,
         "ft_rare_terms": q_phys_rare_terms,
         "ft_common_terms": q_phys_common_terms,
+        "ft_cross_fields": q_phys_cross_fields,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
         "ft_multi_phrase": q_ft_multi_phrase,
@@ -1837,6 +1849,9 @@ GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
         "ft_common_terms": O.common_terms_sql(
             ["table", "dup"], k=10, max_df_frac=0.1
+        ),
+        "ft_cross_fields": O.cross_fields_sql(
+            ["table", "src1"], ["content", "source"], k=10
         ),
         "ft_rare_terms": f"""{ctes}{O.matched_sql(["scan"])}
 SELECT source, count(*) AS cnt

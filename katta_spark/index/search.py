@@ -1939,6 +1939,68 @@ class PhysicalIndex:
             .limit(k)
         )
 
+    def cross_fields_topk(self, words: list[str], fields: list[str],
+                          k: int = 10) -> DataFrame:
+        """ES ``multi_match type=cross_fields`` / Lucene
+        ``BlendedTermQuery``: each WORD is looked up in every listed
+        field (variant ``f:w``; the bare content token for
+        ``"content"``), the per-field document frequencies are
+        BLENDED into one df per word (max over the word's variants —
+        ES's blending), so a word common in one field and rare in
+        another scores with a single consistent IDF.  Per doc, each
+        word contributes its best variant's score (dismax per word);
+        words sum.
+
+        Plan: a <= |words|x|fields|-row catalog slice; blended df via
+        a window max over the word group (in-plan, no driver
+        collect); broadcast back into the term-pruned postings scan;
+        the clause kernel emits per-variant scores and both combines
+        (word max, doc sum) are JVM hash aggs — one postings scan,
+        one shuffle more than plain OR at any scale."""
+        from pyspark.sql import Window
+
+        variants: list[str] = []
+        for wd in sorted({w.lower() for w in words}):
+            for f in fields:
+                variants.append(wd if f == "content" else f"{f}:{wd}")
+        cat = self.terms.filter(F.col("term").isin(variants)).select(
+            "term", "df"
+        )
+        word = F.substring_index(F.col("term"), ":", -1)
+        cat2 = cat.select(
+            "term",
+            F.max("df").over(Window.partitionBy(word)).alias("df"),
+        )
+        cols = ["term", "block_id", "max_tf", "min_dl",
+                "doc_gaps", "tfs", "dls"]
+        blocks = (
+            self.postings.select(*cols)
+            .join(F.broadcast(cat2), "term")
+            .repartition("block_id")
+            .sortWithinPartitions("block_id", "term")
+        )
+        kern = make_clause_kernel(
+            float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+        )
+        per = blocks.mapInPandas(
+            kern, "doc_id long, term string, score double"
+        )
+        if self.tombstones is not None:
+            per = per.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        agg = (
+            per.withColumn("word", F.substring_index("term", ":", -1))
+            .groupBy("doc_id", "word")
+            .agg(F.max("score").alias("_s"))
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+        )
+        return (
+            agg.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
     def rerank_topk(self, qterms: list[str], rq_terms: list[str],
                     rerank_docs: int = 60, weight: float = 2.0,
                     k: int = 10, mode: str = "or",

@@ -410,6 +410,61 @@ top AS (SELECT * FROM scored {where}
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def cross_fields_sql(words: list[str], fields: list[str],
+                     k: int = 10) -> str:
+    """Oracle for PhysicalIndex.cross_fields_topk: per-word blended
+    df (greatest over the word's variants), per-variant BM25 with the
+    blended IDF, per-word max, per-doc sum."""
+    def fdf(f: str, w: str) -> str:
+        return (f"(SELECT count(*) FROM {DOCS} "
+                f"WHERE lower(CAST({f} AS VARCHAR)) = '{w}')")
+
+    def cdf(w: str) -> str:
+        return f"(SELECT coalesce(max(df), 0) FROM dfv WHERE term = '{w}')"
+
+    parts = []
+    for w in sorted({x.lower().replace("'", "''") for x in words}):
+        dfs = [cdf(w) if f == "content" else fdf(f, w) for f in fields]
+        bdf = ("greatest(" + ", ".join(dfs) + ")") if len(dfs) > 1 else dfs[0]
+        idf = (
+            f"ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST({bdf} AS DOUBLE)"
+            f" + 0.5) / (CAST({bdf} AS DOUBLE) + 0.5))"
+        )
+        for f in fields:
+            tfn_field = (
+                f"(1.0 * {K1 + 1.0!r}) / (1.0 + {K1!r} * ({1.0 - B!r}"
+                f" + {B!r} * CAST(dl.dl AS DOUBLE) / stats.avgdl))"
+            )
+            if f == "content":
+                tfn = (
+                    f"(CAST(tf.tf AS DOUBLE) * {K1 + 1.0!r})"
+                    f" / (CAST(tf.tf AS DOUBLE) + {K1!r} * ({1.0 - B!r}"
+                    f" + {B!r} * CAST(dl.dl AS DOUBLE) / stats.avgdl))"
+                )
+                parts.append(
+                    f"SELECT tf.doc_id, '{w}' AS word, {idf} * {tfn} AS s\n"
+                    f"  FROM tf JOIN dl ON tf.doc_id = dl.doc_id"
+                    f" CROSS JOIN stats WHERE tf.term = '{w}'"
+                )
+            else:
+                parts.append(
+                    f"SELECT d.doc_id, '{w}' AS word,"
+                    f" {idf} * {tfn_field} AS s\n"
+                    f"  FROM {DOCS} d JOIN dl ON d.doc_id = dl.doc_id"
+                    f" CROSS JOIN stats"
+                    f" WHERE lower(CAST(d.{f} AS VARCHAR)) = '{w}'"
+                )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""{index_ctes()},
+vs AS (
+{union}
+),
+wmax AS (SELECT doc_id, word, max(s) AS s FROM vs GROUP BY doc_id, word),
+scored AS (SELECT doc_id, sum(s) AS score FROM wmax GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"""
+
+
 def common_terms_sql(terms: list[str], k: int = 10,
                      max_df_frac: float = 0.1) -> str:
     """Oracle for PhysicalIndex.common_terms_topk: low-df terms drive

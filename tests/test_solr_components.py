@@ -403,3 +403,48 @@ def test_common_terms_low_df_drives_matching(pindex, py_oracle):
     plain = [(r["doc_id"], round(r["score"], 6))
              for r in pindex.topk([common, c2], k=10).collect()]
     assert fb == plain
+
+
+def test_cross_fields_blends_df_and_takes_best_field(spark, tmp_path):
+    """BlendedTermQuery semantics on a corpus where the same word
+    lives in content AND a keyword field: one blended df (max over
+    variants) feeds every variant's IDF; per doc the best variant
+    wins; python mirror computes the expectation."""
+    import math
+
+    from katta_spark.index import PhysicalIndex, build_index
+    from katta_spark.fulltext.analysis import B, K1
+
+    # 'alpha' is a content token in docs 0-2 and the tag of docs 3-8
+    rows = []
+    for i in range(12):
+        body = "alpha base word" if i < 3 else "base word other"
+        tag = "alpha" if 3 <= i < 9 else "beta"
+        rows.append((i, body, tag))
+    df = spark.createDataFrame(rows, "doc_id long, content string, tag string")
+    d = str(tmp_path / "xf_idx")
+    build_index(spark, df, d, n_groups=2, block_range=64,
+                store_positions=False, field_cols=["tag"])
+    idx = PhysicalIndex(spark, d)
+
+    got = {r["doc_id"]: r["score"]
+           for r in idx.cross_fields_topk(["alpha"], ["content", "tag"],
+                                          k=12).collect()}
+    # python mirror
+    n, avgdl = 12.0, 3.0
+    bdf = max(3, 6)                       # blended: max(content df, tag df)
+    idf = math.log(1.0 + (n - bdf + 0.5) / (bdf + 0.5))
+    def tfn(tf, dl):
+        return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    want = {}
+    for i in range(12):
+        scores = []
+        if i < 3:
+            scores.append(idf * tfn(1, 3))        # content variant
+        if 3 <= i < 9:
+            scores.append(idf * tfn(1, 3))        # tag variant (tf=1, dl=3)
+        if scores:
+            want[i] = max(scores)
+    assert set(got) == set(want)
+    for i, s in want.items():
+        assert got[i] == pytest.approx(s, abs=1e-9), i
