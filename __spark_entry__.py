@@ -1519,6 +1519,39 @@ def q_ts_percentiles(spark, sf_dir):
     return TS.percentiles(_events(spark, sf_dir), "event_type", "value")
 
 
+def q_ts_rolling(spark, sf_dir):
+    """Per-user rolling mean/min/max over the last 5 events — bounded
+    row frame, one shuffle."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.rolling_agg(_events(spark, sf_dir), "ts", "user_id",
+                         "value", n=5, order_cols=["event_id"])
+    return out.select("event_id", "user_id", "value", "roll_mean",
+                      "roll_min", "roll_max").orderBy("event_id")
+
+
+def q_ts_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: per-step keyed
+    min-aggs chained on shrinking key sets."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.funnel(_events(spark, sf_dir), "ts", "user_id",
+                     "event_type", ["view", "click", "purchase"])
+
+
+def q_ts_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (cohort = first-event week):
+    two shuffles — cohort min-agg + distinct activity pairs."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.retention(_events(spark, sf_dir), "ts", "user_id",
+                       period="week", max_periods=8)
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "period_n", "n_active",
+    )
+
+
 def q_ts_mad(spark, sf_dir):
     """Per-type median + median absolute deviation (robust anomaly
     baseline): two keyed percentile aggs, AQE-broadcast median join."""
@@ -1780,6 +1813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_zscore": q_ts_zscore,
         "ts_percentiles": q_ts_percentiles,
         "ts_mad": q_ts_mad,
+        "ts_rolling": q_ts_rolling,
+        "ts_funnel": q_ts_funnel,
+        "ts_retention": q_ts_retention,
         "ts_cardinality": q_ts_cardinality,
         "ts_top_hits": q_ts_top_hits,
         "ts_running": q_ts_running,
@@ -2121,6 +2157,9 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_zscore": OO.ts_zscore_sql(),
         "ts_percentiles": OO.ts_percentiles_sql(),
         "ts_mad": OO.ts_mad_sql(),
+        "ts_rolling": OO.ts_rolling_sql(5),
+        "ts_funnel": OO.ts_funnel_sql(["view", "click", "purchase"]),
+        "ts_retention": OO.ts_retention_sql(8),
         "ts_cardinality": OO.ts_cardinality_sql(),
         "ts_top_hits": OO.ts_top_hits_sql(3),
         "ts_running": OO.ts_running_sql(),

@@ -490,6 +490,102 @@ def percentiles(df: DataFrame, key_col: str, value_col: str = "value",
     return df.groupBy(key_col).agg(*aggs).orderBy(key_col)
 
 
+def rolling_agg(df: DataFrame, ts_col: str, key_col: str,
+                value_col: str = "value", n: int = 5,
+                order_cols: list[str] | None = None) -> DataFrame:
+    """Per-key ROW-based rolling statistics over the last ``n``
+    events (inclusive): mean / min / max — the ES ``moving_fn`` with
+    a fixed window size, or pandas ``rolling(n)`` with
+    ``min_periods=1``.  Adds ``roll_mean``, ``roll_min``,
+    ``roll_max``.
+
+    Scale shape: ONE shuffle on ``key_col``; ``rowsBetween(-(n-1),
+    0)`` keeps a bounded n-row frame per key — streaming-friendly
+    state, never whole-partition buffering."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(int(n) - 1), 0)
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn("roll_mean", F.round(F.avg(v).over(w), 6) + F.lit(0.0))
+        .withColumn("roll_min", F.min(v).over(w))
+        .withColumn("roll_max", F.max(v).over(w))
+    )
+
+
+def funnel(df: DataFrame, ts_col: str, key_col: str, type_col: str,
+           steps: list[str]) -> DataFrame:
+    """Ordered funnel: how many keys (users) reached each step, where
+    step i counts only if it happened AT OR AFTER the key's earliest
+    completion of step i-1 (the product-analytics funnel; each step's
+    timestamp is the earliest valid one).  Returns ``(step, n_keys)``
+    with steps in funnel order.
+
+    Scale shape: one keyed min-agg per step, each over the
+    type-filtered (pushed-down) slice of the events scan, chained by
+    broadcast-friendly per-key joins — rows per join side = keys that
+    survived the previous step, monotonically shrinking."""
+    cur = None
+    counts = []
+    for i, s in enumerate(steps):
+        step_rows = df.filter(F.col(type_col) == F.lit(s))
+        if cur is not None:
+            step_rows = step_rows.join(cur, key_col).filter(
+                F.col(ts_col) >= F.col("_prev_ts")
+            )
+        cur = step_rows.groupBy(key_col).agg(
+            F.min(ts_col).alias("_prev_ts")
+        )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_keys")).select(
+                F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
+                "n_keys",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("step_idx")
+
+
+def retention(df: DataFrame, ts_col: str, key_col: str,
+              period: str = "week", max_periods: int = 8) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by the period of
+    their FIRST event; ``(cohort, period_n, n_active)`` counts how
+    many of each cohort were active n periods later (period 0 = the
+    cohort size).  ``period``: "day" or "week" (fixed 7-day weeks
+    anchored like date_trunc).
+
+    Scale shape: one keyed min-agg for the cohort assignment, one
+    distinct over (cohort, period_n, key) — two shuffles total; the
+    cohort table joins back broadcast-or-shuffle per AQE."""
+    trunc = F.date_trunc(period, F.col(ts_col))
+    firsts = df.groupBy(key_col).agg(
+        F.min(trunc).alias("_cohort")
+    )
+    step_days = 7 if period == "week" else 1
+    j = df.join(firsts, key_col).select(
+        F.col("_cohort").alias("cohort"),
+        (
+            F.datediff(trunc, F.col("_cohort")) / F.lit(step_days)
+        ).cast("long").alias("period_n"),
+        F.col(key_col),
+    ).filter(F.col("period_n") < int(max_periods))
+    return (
+        j.distinct()
+        .groupBy("cohort", "period_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort", "period_n")
+    )
+
+
 def mad(df: DataFrame, key_col: str,
         value_col: str = "value") -> DataFrame:
     """(key, n, med, mad) — per-group median and median absolute

@@ -1500,6 +1500,68 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n, {cols}
 FROM events GROUP BY event_type ORDER BY event_type"""
 
 
+def ts_rolling_sql(n: int = 5) -> str:
+    """Oracle for ops.timeseries.rolling_agg: last-n-rows frame per
+    user in (ts, event_id) order."""
+    return f"""
+SELECT event_id, user_id, value,
+       round(avg(value) OVER w, 6) + 0.0 AS roll_mean,
+       min(value) OVER w AS roll_min,
+       max(value) OVER w AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {int(n) - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
+
+
+def ts_funnel_sql(steps: list[str]) -> str:
+    """Oracle for ops.timeseries.funnel: chained earliest-valid-step
+    CTEs, each step at-or-after the previous step's min ts."""
+    ctes = []
+    for i, s in enumerate(steps):
+        sq = s.replace("'", "''")
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{sq}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t "
+                f"FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{sq}' AND e.ts >= p.t "
+                f"GROUP BY e.user_id)"
+            )
+    selects = [
+        f"SELECT {i} AS step_idx, '{s.replace(chr(39), chr(39) * 2)}' AS step,"
+        f" (SELECT count(*) FROM s{i}) AS n_keys"
+        for i, s in enumerate(steps)
+    ]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY step_idx")
+
+
+def ts_retention_sql(max_periods: int = 8) -> str:
+    """Oracle for ops.timeseries.retention: weekly cohorts by first
+    event, distinct (cohort, week_n, user) activity counts."""
+    return f"""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+j AS (
+  SELECT DISTINCT f.cohort,
+         datediff('day', f.cohort, date_trunc('week', e.ts)) // 7
+             AS period_n,
+         e.user_id
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, period_n,
+       count(*) AS n_active
+FROM j WHERE period_n < {int(max_periods)}
+GROUP BY cohort, period_n ORDER BY cohort, period_n"""
+
+
 def ts_mad_sql() -> str:
     """Oracle for ops.timeseries.mad: per-group median + median
     absolute deviation (quantile_cont = Spark percentile)."""

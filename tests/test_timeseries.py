@@ -691,3 +691,47 @@ def test_mad_matches_python(spark):
         m = float(np.percentile(vals, 50))
         d = float(np.percentile(np.abs(np.array(vals) - m), 50))
         assert got[k] == (len(vals), round(m, 6), round(d, 6))
+
+
+def test_funnel_requires_step_order(spark):
+    """A user who clicks BEFORE ever viewing does not reach the click
+    step; equality timestamps count (at-or-after)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),     # reaches both
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 09:30:00", "view"),      # click before view
+        (3, "2024-01-01 08:00:00", "view"),
+        (3, "2024-01-01 08:00:00", "click"),     # same instant: counts
+        (4, "2024-01-01 07:00:00", "click"),     # never viewed
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type")
+    got = [(r["step"], r["n_keys"])
+           for r in TS.funnel(df, "ts", "user_id", "event_type",
+                              ["view", "click"]).collect()]
+    assert got == [("view", 3), ("click", 2)]
+
+
+def test_retention_cohorts_by_first_week(spark):
+    """Users cohort at their first event's week; activity in later
+    weeks increments that cohort's row for the week offset."""
+    rows = [
+        (1, "2024-01-01 10:00:00"),   # Mon wk0
+        (1, "2024-01-10 10:00:00"),   # wk1
+        (1, "2024-01-16 10:00:00"),   # wk2
+        (2, "2024-01-03 10:00:00"),   # wk0 cohort, active wk0 only
+        (3, "2024-01-08 10:00:00"),   # cohort wk of Jan 8
+        (3, "2024-01-09 10:00:00"),   # same week — distinct'd
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {(str(r["cohort"])[:10], r["period_n"]): r["n_active"]
+           for r in TS.retention(df, "ts", "user_id").collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
