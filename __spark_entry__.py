@@ -1519,6 +1519,21 @@ def q_ts_percentiles(spark, sf_dir):
     return TS.percentiles(_events(spark, sf_dir), "event_type", "value")
 
 
+def q_ts_auto_histogram(spark, sf_dir):
+    """ES auto_date_histogram: data-driven interval (<=20 aligned
+    buckets) chosen by integer-exact arithmetic on a one-row bounds
+    table, broadcast back into one hash agg."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.auto_date_histogram(_events(spark, sf_dir), "ts",
+                                 target_buckets=20)
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "interval_s", "n",
+    )
+
+
 def q_ts_rolling(spark, sf_dir):
     """Per-user rolling mean/min/max over the last 5 events — bounded
     row frame, one shuffle."""
@@ -1814,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_percentiles": q_ts_percentiles,
         "ts_mad": q_ts_mad,
         "ts_rolling": q_ts_rolling,
+        "ts_auto_histogram": q_ts_auto_histogram,
         "ts_funnel": q_ts_funnel,
         "ts_retention": q_ts_retention,
         "ts_cardinality": q_ts_cardinality,
@@ -2158,6 +2174,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_percentiles": OO.ts_percentiles_sql(),
         "ts_mad": OO.ts_mad_sql(),
         "ts_rolling": OO.ts_rolling_sql(5),
+        "ts_auto_histogram": OO.ts_auto_histogram_sql(20),
         "ts_funnel": OO.ts_funnel_sql(["view", "click", "purchase"]),
         "ts_retention": OO.ts_retention_sql(8),
         "ts_cardinality": OO.ts_cardinality_sql(),

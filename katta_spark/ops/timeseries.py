@@ -490,6 +490,50 @@ def percentiles(df: DataFrame, key_col: str, value_col: str = "value",
     return df.groupBy(key_col).agg(*aggs).orderBy(key_col)
 
 
+AUTO_HISTO_LADDER = [
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+    86400, 604800, 2592000, 31536000,
+]
+
+
+def auto_date_histogram(df: DataFrame, ts_col: str,
+                        target_buckets: int = 20,
+                        ladder: list[int] | None = None) -> DataFrame:
+    """ES ``auto_date_histogram``: the bucket interval is chosen FROM
+    THE DATA — the smallest ladder step whose aligned bucket count
+    fits ``target_buckets`` (largest step if none fits).  Fixed-second
+    ladder up to 1y (ES's calendar months approximated by 30d —
+    documented deviation).  Returns ``(bucket_start, interval_s, n)``.
+
+    Scale shape: one min/max agg produces a ONE-ROW bounds table; the
+    interval choice is a chained conditional on that row
+    (integer-exact ``div`` arithmetic, no float rounding at bucket
+    edges), broadcast-cross-joined back; then one hash agg on the
+    aligned bucket.  Two passes over the scan, no extra shuffle."""
+    lad = list(ladder or AUTO_HISTO_LADDER)
+    us_col = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = df.agg(F.min(us_col).alias("_mn"), F.max(us_col).alias("_mx"))
+    chosen = F.lit(int(lad[-1]))
+    for iv in reversed(lad[:-1]):
+        ivu = int(iv) * 1_000_000
+        nb = F.expr(f"(_mx div {ivu}) - (_mn div {ivu}) + 1")
+        chosen = F.when(
+            nb <= F.lit(int(target_buckets)), F.lit(int(iv))
+        ).otherwise(chosen)
+    bounds = b.select(chosen.alias("_iv"))
+    out = df.crossJoin(F.broadcast(bounds))
+    ivu_col = F.col("_iv").cast("long") * F.lit(1_000_000)
+    bucket_us = us_col - (us_col % ivu_col)
+    return (
+        out.groupBy(
+            F.timestamp_micros(bucket_us).alias("bucket_start"),
+            F.col("_iv").alias("interval_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket_start")
+    )
+
+
 def rolling_agg(df: DataFrame, ts_col: str, key_col: str,
                 value_col: str = "value", n: int = 5,
                 order_cols: list[str] | None = None) -> DataFrame:

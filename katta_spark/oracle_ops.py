@@ -1500,6 +1500,36 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n, {cols}
 FROM events GROUP BY event_type ORDER BY event_type"""
 
 
+def ts_auto_histogram_sql(target: int = 20,
+                          ladder: list[int] | None = None) -> str:
+    """Oracle for ops.timeseries.auto_date_histogram: identical
+    integer-div interval choice over the same fixed-second ladder."""
+    from katta_spark.ops.timeseries import AUTO_HISTO_LADDER
+
+    lad = list(ladder or AUTO_HISTO_LADDER)
+    whens = "\n    ".join(
+        f"WHEN (mx // {iv * 1000000}) - (mn // {iv * 1000000}) + 1"
+        f" <= {int(target)} THEN {iv}"
+        for iv in lad[:-1]
+    )
+    return f"""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+),
+iv AS (
+  SELECT CASE
+    {whens}
+    ELSE {lad[-1]} END AS iv_s
+  FROM b
+)
+SELECT strftime(make_timestamp(epoch_us(ts)
+                - (epoch_us(ts) % (CAST(iv_s AS BIGINT) * 1000000))),
+                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       iv_s AS interval_s, count(*) AS n
+FROM events, iv
+GROUP BY bucket_start, iv_s ORDER BY bucket_start"""
+
+
 def ts_rolling_sql(n: int = 5) -> str:
     """Oracle for ops.timeseries.rolling_agg: last-n-rows frame per
     user in (ts, event_id) order."""

@@ -735,3 +735,18 @@ def test_retention_cohorts_by_first_week(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_auto_histogram_picks_smallest_fitting_interval(spark):
+    """Span of ~100 minutes with target 20 -> 10-minute buckets
+    (600 s); every event lands in an aligned bucket; total preserved."""
+    rows = [(i, f"2024-01-01 10:{i:02d}:00") for i in range(0, 50)] + \
+           [(99, "2024-01-01 11:40:00")]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string").select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = TS.auto_date_histogram(df, "ts", target_buckets=20).collect()
+    assert all(r["interval_s"] == 600 for r in out)
+    assert sum(r["n"] for r in out) == 51
+    assert len(out) <= 20
+    assert all(r["bucket_start"].minute % 10 == 0 for r in out)
