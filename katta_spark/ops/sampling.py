@@ -270,18 +270,26 @@ def composite_page(
     ``(k1,k2) > after`` drops already-paged groups pre-shuffle and
     deep pages get cheaper, not costlier (offset pagination re-aggs
     and discards).  One hash agg + TakeOrdered per page; the tuple
-    compare is a struct comparison pushed into the scan."""
+    compare is decomposed into simple column predicates that reach
+    the parquet scan as pushed DataFilters."""
     out = df
     if after is not None:
-        # struct comparison requires identical field names AND types
-        cur = F.struct(*[F.col(c) for c in key_cols])
-        aft = F.struct(
-            *[
-                F.lit(v).cast(df.schema[c].dataType).alias(c)
-                for c, v in zip(key_cols, after)
-            ]
-        )
-        out = out.filter(cur > aft)
+        # lexicographic (k1,k2,..) > after, decomposed into an
+        # OR-of-ANDs over simple column comparisons — unlike a struct
+        # compare, these push down to the parquet scan as DataFilters
+        # (plan-pinned in tests), so already-paged groups are skipped
+        # at the file-read level, not just pre-shuffle
+        lits = [
+            F.lit(v).cast(df.schema[c].dataType)
+            for c, v in zip(key_cols, after)
+        ]
+        cond = None
+        for i in range(len(key_cols)):
+            branch = F.col(key_cols[i]) > lits[i]
+            for j in range(i):
+                branch = (F.col(key_cols[j]) == lits[j]) & branch
+            cond = branch if cond is None else cond | branch
+        out = out.filter(cond)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if value_col:
         aggs.append(

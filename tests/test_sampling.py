@@ -303,3 +303,25 @@ def test_composite_page_chain_covers_all_groups(spark):
     assert len(seen) == 28                       # 4 x 7 groups
     assert seen == sorted(seen)
     assert all(n == 3 for _, _, n in seen)       # 84 / 28
+
+
+def test_composite_page_keyset_pushes_to_scan(spark, tmp_path):
+    """The after-tuple predicate decomposes into simple comparisons
+    that reach the parquet scan as PushedFilters (deep pages skip
+    already-paged groups at the file-read level)."""
+    from katta_spark.ops.sampling import composite_page
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(f"t{i % 3}", i % 5, float(i)) for i in range(50)],
+        "k string, u long, value double",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = composite_page(df, ["k", "u"], 5, after=("t1", 2),
+                         value_col="value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(k,t1)" in plan
+    rows = [(r["k"], r["u"]) for r in out.collect()]
+    assert rows == sorted(x for x in {(f"t{i % 3}", i % 5)
+                                      for i in range(50)}
+                          if x > ("t1", 2))[:5]
