@@ -1567,6 +1567,15 @@ def q_ts_retention(spark, sf_dir):
     )
 
 
+def q_ts_pct_ranks(spark, sf_dir):
+    """ES percentile_ranks: CDF at fixed probes per event type — one
+    conditional-mean hash agg, never a sort."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.percentile_ranks(_events(spark, sf_dir), "event_type",
+                               "value", values=(10.0, 50.0, 90.0))
+
+
 def q_ts_mad(spark, sf_dir):
     """Per-type median + median absolute deviation (robust anomaly
     baseline): two keyed percentile aggs, AQE-broadcast median join."""
@@ -1828,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_zscore": q_ts_zscore,
         "ts_percentiles": q_ts_percentiles,
         "ts_mad": q_ts_mad,
+        "ts_pct_ranks": q_ts_pct_ranks,
         "ts_rolling": q_ts_rolling,
         "ts_auto_histogram": q_ts_auto_histogram,
         "ts_funnel": q_ts_funnel,
@@ -2173,6 +2183,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_zscore": OO.ts_zscore_sql(),
         "ts_percentiles": OO.ts_percentiles_sql(),
         "ts_mad": OO.ts_mad_sql(),
+        "ts_pct_ranks": OO.ts_percentile_ranks_sql((10.0, 50.0, 90.0)),
         "ts_rolling": OO.ts_rolling_sql(5),
         "ts_auto_histogram": OO.ts_auto_histogram_sql(20),
         "ts_funnel": OO.ts_funnel_sql(["view", "click", "purchase"]),

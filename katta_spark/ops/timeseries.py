@@ -662,6 +662,28 @@ def mad(df: DataFrame, key_col: str,
     )
 
 
+def percentile_ranks(df: DataFrame, key_col: str,
+                     value_col: str = "value",
+                     values: tuple = (0.0, 50.0, 100.0)) -> DataFrame:
+    """(key, n, pr_<v>...) — the ES ``percentile_ranks`` aggregation:
+    for each probe value, the percentage of the group's observations
+    at or below it (the CDF evaluated at the probes — the inverse of
+    the percentiles agg).  ONE hash agg of conditional means; exact,
+    reproducible, map-side combined — never a sort."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for v in values:
+        name = "pr_" + str(v).replace(".", "_").replace("-", "m")
+        aggs.append(
+            F.round(
+                F.avg(
+                    (F.col(value_col) <= F.lit(float(v))).cast("double")
+                ) * 100.0,
+                6,
+            ).alias(name)
+        )
+    return df.groupBy(key_col).agg(*aggs).orderBy(key_col)
+
+
 def distinct_cardinality(df: DataFrame, key_col: str,
                          value_col: str) -> DataFrame:
     """(key, n_events, n_distinct) — exact per-group distinct count

@@ -1592,6 +1592,20 @@ FROM j WHERE period_n < {int(max_periods)}
 GROUP BY cohort, period_n ORDER BY cohort, period_n"""
 
 
+def ts_percentile_ranks_sql(values: tuple = (0.0, 50.0, 100.0)) -> str:
+    """Oracle for ops.timeseries.percentile_ranks: conditional means
+    x100 at each probe."""
+    cols = ", ".join(
+        f"round(avg(CASE WHEN value <= {float(v)!r} THEN 1.0 ELSE 0.0 END)"
+        f" * 100.0, 6) AS pr_"
+        + str(v).replace(".", "_").replace("-", "m")
+        for v in values
+    )
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, {cols}
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
 def ts_mad_sql() -> str:
     """Oracle for ops.timeseries.mad: per-group median + median
     absolute deviation (quantile_cont = Spark percentile)."""
