@@ -534,6 +534,32 @@ def _knn_qvec():
     return _KNN_Q
 
 
+def q_sim_mmr(spark, sf_dir):
+    """MMR diversified re-rank over the exact cosine top-30
+    shortlist (lam=0.7, k=10) — greedy argmax in one numpy kernel
+    per group.  Iterative; no SQL oracle (rows-only check), exactness
+    vs a python mirror is pytest-pinned."""
+    from katta_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _knn_qvec()
+    import math as _m
+
+    qn = _m.sqrt(sum(x * x for x in qv)) or 1.0
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    cos = similarity._dot(F.col("embedding"), qarr) / (
+        similarity._norm(F.col("embedding")) * F.lit(qn)
+    )
+    short = (
+        emb.select("vec_id", "embedding", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(30)
+    )
+    return similarity.mmr_rerank(short, qv, k=10, lam=0.7).select(
+        "rank", "vec_id", "mmr", "rel"
+    )
+
+
 def q_sim_knn_dot(spark, sf_dir):
     """Exact MIPS top-k (inner product) — the unnormalized-embedding
     metric; one narrow JVM fold pass + TakeOrderedAndProject."""
@@ -1797,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_vocab": q_sketch_kmv_vocab,
         "sketch_bloom": q_sketch_bloom,
         "sketch_cms": q_sketch_cms,
+        "sim_mmr": q_sim_mmr,
         "sketch_len_quantile": q_sketch_len_quantile,
         "dedup_spans": q_dedup_spans,
         "dedup_span_stats": q_dedup_span_stats,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -233,6 +234,84 @@ def lsh_tables_ann(
         c = sig == q_sig
         cond = c if cond is None else (cond | c)
     return cosine_topk(embeddings.filter(cond), query_vec, k, id_col, vec_col)
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-rank (Carbonell &
+    Goldstein, SIGIR'98): greedily select ``argmax lam * rel(q, d) -
+    (1 - lam) * max_{s in S} sim(d, s)`` — the standard cure for
+    near-duplicate-heavy vector results (lam=1 is plain relevance
+    order; lam->0 maximizes diversity).  Returns ``(group_cols...,
+    rank, id, mmr, rel)``; rank is the greedy pick order.
+
+    Scale shape: runs AFTER a top-N shortlist (exact or IVF probe) —
+    the input contract is small-per-group (N ~ 10^2), so the
+    quadratic pairwise-cosine matrix is ONE numpy matmul per group
+    inside an applyInPandas kernel, and the greedy loop is k
+    vectorized argmax steps, never per-row Python.  Deterministic:
+    float64 throughout, ties broken by lowest id."""
+    import numpy as np
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    gcols = list(group_cols or [])
+    out_schema = StructType(
+        [shortlist.schema[c] for c in gcols]
+        + [
+            StructField("rank", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField("mmr", DoubleType()),
+            StructField("rel", DoubleType()),
+        ]
+    )
+    kk, ll = int(k), float(lam)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        rel = Vn @ (q / qn)
+        sims = Vn @ Vn.T
+        n = len(ids)
+        maxsim = np.zeros(n)
+        avail = np.ones(n, dtype=bool)
+        out_rank, out_id, out_mmr, out_rel = [], [], [], []
+        for r in range(min(kk, n)):
+            score = ll * rel - (0.0 if r == 0 else (1.0 - ll) * maxsim)
+            score = np.where(avail, score, -np.inf)
+            tie = np.flatnonzero(score == score.max())
+            i = int(tie[np.argmin(ids[tie])])
+            out_rank.append(r)
+            out_id.append(int(ids[i]))
+            out_mmr.append(round(float(score[i]), 6))
+            out_rel.append(round(float(rel[i]), 6))
+            avail[i] = False
+            maxsim = np.maximum(maxsim, sims[:, i])
+        res = {c: [pdf[c].iloc[0]] * len(out_rank) for c in gcols}
+        res.update({"rank": out_rank, id_col: out_id,
+                    "mmr": out_mmr, "rel": out_rel})
+        return pd.DataFrame(res, columns=[*gcols, "rank", id_col,
+                                          "mmr", "rel"])
+
+    grouped = (
+        shortlist.groupBy(*gcols) if gcols
+        # a bare literal in groupBy parses as an ORDINAL — use a
+        # materialized constant column for the single-group case
+        else shortlist.withColumn("_g", F.lit(1)).groupBy("_g")
+    )
+    return grouped.applyInPandas(kernel, out_schema)
 
 
 def random_project(

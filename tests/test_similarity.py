@@ -604,3 +604,48 @@ def test_semantic_dedup_kmeans_refine_still_partitions(spark):
     assert len(out) == e.count()
     assert len({r["vec_id"] for r in out}) == len(out)
     assert {r["keep"] for r in out} == {True, False}
+
+
+def test_mmr_matches_python_mirror_and_diversifies(spark):
+    """MMR greedy selection equals a pure-python mirror; with an
+    exact duplicate of the best vector in the shortlist, plain
+    relevance ranks it second but MMR (lam=0.5) pushes it last."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from katta_spark.ops import similarity as S
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(8, 6))
+    base[1] = base[0]                      # duplicate of the best
+    q = base[0] + rng.normal(scale=0.01, size=6)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [(r["rank"], r["vec_id"])
+           for r in S.mmr_rerank(df, [float(x) for x in q], k=8,
+                                 lam=0.5).orderBy("rank").collect()]
+
+    # python mirror (float32-cast embeddings, like the parquet column)
+    V = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64)
+                  for _, v in rows])
+    Vn = V / np.linalg.norm(V, axis=1)[:, None]
+    qv = np.asarray(q, dtype=np.float64)
+    rel = Vn @ (qv / np.linalg.norm(qv))
+    sims = Vn @ Vn.T
+    avail = set(range(8))
+    maxsim = np.zeros(8)
+    want = []
+    for r in range(8):
+        best, bi = -np.inf, None
+        for i in sorted(avail):
+            s = 0.5 * rel[i] - (0.0 if r == 0 else 0.5 * maxsim[i])
+            if s > best + 1e-15:
+                best, bi = s, i
+        want.append((r, bi))
+        avail.discard(bi)
+        maxsim = np.maximum(maxsim, sims[:, bi])
+    assert got == want
+    # plain relevance would rank the duplicate (id 1) second; MMR
+    # demotes it (its max-sim to the already-picked id 0 is 1.0)
+    pos = [v for _, v in got].index(1)
+    assert pos >= 2
