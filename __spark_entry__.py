@@ -438,6 +438,46 @@ def q_phys_facet_prefix(spark, sf_dir):
     )
 
 
+_RANK_EVAL_QUERIES = [("q1", ["table", "scan"]), ("q2", ["dup"])]
+
+
+def q_ft_rank_eval(spark, sf_dir):
+    """Offline ranking-quality evaluation (ES _rank_eval / TREC):
+    P@10, MRR, NDCG@10 of two engine BM25 runs against binary
+    judgment sets — one broadcast judgment join + two hash aggs."""
+    from pyspark.sql import Window
+
+    from katta_spark.ops.search_eval import rank_eval
+
+    idx = phys_index(spark, sf_dir)
+    res = None
+    for qid, terms in _RANK_EVAL_QUERIES:
+        t = idx.topk(terms, k=10).select(
+            F.lit(qid).alias("qid"), "doc_id", "score"
+        )
+        t = t.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            ),
+        ).drop("score")
+        res = t if res is None else res.unionByName(t)
+    docs = _docs(spark, sf_dir)
+    judg = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.lit("q1").alias("qid"), "doc_id",
+                F.lit(1.0).alias("grade"))
+        .unionByName(
+            docs.filter(F.col("source") == "src1")
+            .select(F.lit("q2").alias("qid"), "doc_id",
+                    F.lit(1.0).alias("grade"))
+        )
+    )
+    return rank_eval(res, judg, k=10)
+
+
 def q_phys_cross_fields(spark, sf_dir):
     """ES cross_fields / Lucene BlendedTermQuery: 'table' and 'src1'
     each searched across content + source with per-word blended df,
@@ -1732,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rare_terms": q_phys_rare_terms,
         "ft_common_terms": q_phys_common_terms,
         "ft_cross_fields": q_phys_cross_fields,
+        "ft_rank_eval": q_ft_rank_eval,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
         "ft_multi_phrase": q_ft_multi_phrase,
@@ -1941,6 +1982,11 @@ ORDER BY cnt DESC, source ASC LIMIT 20""",
         ),
         "ft_cross_fields": O.cross_fields_sql(
             ["table", "src1"], ["content", "source"], k=10
+        ),
+        "ft_rank_eval": O.rank_eval_sql(
+            _RANK_EVAL_QUERIES,
+            [("q1", "lang = 'en'"), ("q2", "source = 'src1'")],
+            k=10,
         ),
         "ft_rare_terms": f"""{ctes}{O.matched_sql(["scan"])}
 SELECT source, count(*) AS cnt

@@ -1,0 +1,91 @@
+"""Search-quality evaluation: the ES ``_rank_eval`` API / TREC eval
+surface over any (qid, doc_id, rank) result table.
+
+Reference anchor: the reference exposes search quality only through
+its load-test harness (katta-core loadtest tooling); offline ranking
+metrics are the modern equivalent every search migration runs before
+switching engines — so the op takes OUR engine's rankings plus a
+judgment table and scores them.
+
+Metrics per query (all standard definitions):
+- ``p_at_k``  — precision at k: relevant-in-top-k / k;
+- ``mrr``     — reciprocal rank of the FIRST relevant hit (0 if none);
+- ``ndcg``    — DCG@k / ideal-DCG@k with the (2^grade - 1) gain form.
+
+Scale shape: one join of the rank-filtered results against the
+judgment table (broadcast — judgments are the small side by
+construction), two hash aggs (per-query metrics, ideal-DCG ranks via
+a per-qid window over the judgments), zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_eval(results: DataFrame, judgments: DataFrame, k: int = 10,
+              qid_col: str = "qid", id_col: str = "doc_id",
+              rank_col: str = "rank",
+              grade_col: str = "grade") -> DataFrame:
+    """(qid, n_judged, p_at_k, mrr, ndcg) — one row per query.
+
+    ``results``: (qid, doc_id, rank) with rank starting at 1 in
+    engine order.  ``judgments``: (qid, doc_id, grade) with grade >
+    0 meaning relevant (graded values feed NDCG's gain).  Queries
+    with no relevant judgment score 0 across the board rather than
+    being dropped."""
+    kk = int(k)
+    r = results.filter(F.col(rank_col) <= kk).join(
+        F.broadcast(
+            judgments.select(
+                F.col(qid_col), F.col(id_col),
+                F.col(grade_col).cast("double").alias("_g"),
+            )
+        ),
+        [qid_col, id_col],
+        "left",
+    ).withColumn("_g", F.coalesce("_g", F.lit(0.0)))
+    gain = F.pow(F.lit(2.0), F.col("_g")) - F.lit(1.0)
+    disc = F.log2(F.col(rank_col).cast("double") + F.lit(1.0))
+    per = r.groupBy(qid_col).agg(
+        (F.sum((F.col("_g") > 0).cast("int")) / F.lit(float(kk)))
+        .alias("_p"),
+        F.max(
+            F.when(F.col("_g") > 0,
+                   F.lit(1.0) / F.col(rank_col).cast("double"))
+        ).alias("_rr"),
+        F.sum(gain / disc).alias("_dcg"),
+    )
+    # ideal DCG@k from the judgment table itself (grade desc, id asc)
+    jw = Window.partitionBy(qid_col).orderBy(
+        F.col(grade_col).cast("double").desc(), F.col(id_col).asc()
+    )
+    ideal = (
+        judgments.filter(F.col(grade_col) > 0)
+        .withColumn("_ir", F.row_number().over(jw))
+        .filter(F.col("_ir") <= kk)
+        .groupBy(qid_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_judged"),
+            F.sum(
+                (F.pow(F.lit(2.0), F.col(grade_col).cast("double"))
+                 - F.lit(1.0))
+                / F.log2(F.col("_ir").cast("double") + F.lit(1.0))
+            ).alias("_idcg"),
+        )
+    )
+    out = per.join(ideal, qid_col, "left")
+    return out.select(
+        F.col(qid_col),
+        F.coalesce("n_judged", F.lit(0)).alias("n_judged"),
+        F.round("_p", 6).alias("p_at_k"),
+        F.round(F.coalesce("_rr", F.lit(0.0)), 6).alias("mrr"),
+        F.round(
+            F.when(
+                F.coalesce("_idcg", F.lit(0.0)) > 0,
+                F.col("_dcg") / F.col("_idcg"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg"),
+    ).orderBy(qid_col)

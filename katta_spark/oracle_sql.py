@@ -410,6 +410,63 @@ top AS (SELECT * FROM scored {where}
 SELECT doc_id, round(score, 6) AS score FROM top"""
 
 
+def rank_eval_sql(queries: list[tuple[str, list[str]]],
+                  judgments: list[tuple[str, str]],
+                  k: int = 10) -> str:
+    """Oracle for ops.search_eval.rank_eval over engine BM25 top-k
+    runs: ``queries`` = [(qid, terms)], ``judgments`` = [(qid,
+    where-clause over documents)] with binary grade 1."""
+    res_parts = []
+    for qid, terms in queries:
+        res_parts.append(f"""
+  SELECT * FROM (
+    SELECT '{qid}' AS qid, doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (SELECT tf.doc_id, sum({score_sql()}) AS score
+          FROM tf
+          JOIN dfv ON tf.term = dfv.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          WHERE tf.term IN {_term_list(terms)}
+          GROUP BY tf.doc_id)
+  ) WHERE rank <= {int(k)}""")
+    judg_parts = [
+        f"SELECT '{qid}' AS qid, doc_id, 1.0 AS grade FROM {DOCS}"
+        f" WHERE {where}"
+        for qid, where in judgments
+    ]
+    return f"""{index_ctes()},
+res AS ({'UNION ALL'.join(res_parts)}),
+judg AS ({' UNION ALL '.join(judg_parts)}),
+r AS (
+  SELECT res.qid, res.rank, coalesce(j.grade, 0.0) AS g
+  FROM res LEFT JOIN judg j
+    ON res.qid = j.qid AND res.doc_id = j.doc_id
+),
+per AS (
+  SELECT qid,
+         sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) / {float(k)!r} AS p,
+         max(CASE WHEN g > 0 THEN 1.0 / rank END) AS rr,
+         sum((pow(2.0, g) - 1.0) / log2(rank + 1.0)) AS dcg
+  FROM r GROUP BY qid
+),
+ideal AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_judged,
+         sum((pow(2.0, grade) - 1.0) / log2(ir + 1.0)) AS idcg
+  FROM (SELECT qid, grade, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY grade DESC, doc_id ASC) AS ir
+        FROM judg WHERE grade > 0)
+  WHERE ir <= {int(k)} GROUP BY qid
+)
+SELECT p.qid, coalesce(i.n_judged, 0) AS n_judged,
+       round(p.p, 6) AS p_at_k,
+       round(coalesce(p.rr, 0.0), 6) AS mrr,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+             THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM per p LEFT JOIN ideal i ON p.qid = i.qid ORDER BY p.qid"""
+
+
 def cross_fields_sql(words: list[str], fields: list[str],
                      k: int = 10) -> str:
     """Oracle for PhysicalIndex.cross_fields_topk: per-word blended

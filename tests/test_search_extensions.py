@@ -549,3 +549,36 @@ def test_span_not_zero_window_equals_plain_topk(pindex):
 def test_span_not_rejects_same_term(pindex):
     with pytest.raises(ValueError):
         pindex.span_not_topk("scan", "scan")
+
+
+def test_rank_eval_known_metrics(spark):
+    """Hand-computed P@k / MRR / NDCG on a tiny judged run."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from katta_spark.ops.search_eval import rank_eval
+
+    res = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3), ("q", 13, 4)],
+        "qid string, doc_id long, rank int",
+    )
+    judg = spark.createDataFrame(
+        [("q", 11, 1.0), ("q", 13, 1.0), ("q", 99, 1.0)],
+        "qid string, doc_id long, grade double",
+    )
+    row = rank_eval(res, judg, k=4).first()
+    assert row["n_judged"] == 3
+    assert row["p_at_k"] == 0.5                       # 2 of 4
+    assert row["mrr"] == 0.5                          # first hit rank 2
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert row["ndcg"] == round(dcg / idcg, 6)
+
+    # query with no relevant judgments scores 0, not NULL
+    res2 = spark.createDataFrame([("z", 1, 1)],
+                                 "qid string, doc_id long, rank int")
+    j2 = spark.createDataFrame([("z", 2, 0.0)],
+                               "qid string, doc_id long, grade double")
+    r2 = rank_eval(res2, j2, k=4).first()
+    assert (r2["n_judged"], r2["mrr"], r2["ndcg"]) == (0, 0.0, 0.0)
