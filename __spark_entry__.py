@@ -438,6 +438,15 @@ def q_phys_facet_prefix(spark, sf_dir):
     )
 
 
+def q_ft_suggest_phrase(spark, sf_dir):
+    """ES phrase suggester ('did you mean'): catalog spellcheck
+    candidates per position, phrase lattice ranked by the corpus
+    bigram LM minus an edit penalty."""
+    return phys_index(spark, sf_dir).suggest_phrase(
+        ["tabl", "scann"], max_edits=2, per_word=3, n=5
+    )
+
+
 _RANK_EVAL_QUERIES = [("q1", ["table", "scan"]), ("q2", ["dup"])]
 
 
@@ -1773,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_common_terms": q_phys_common_terms,
         "ft_cross_fields": q_phys_cross_fields,
         "ft_rank_eval": q_ft_rank_eval,
+        "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
         "ft_multi_phrase": q_ft_multi_phrase,
@@ -1982,6 +1992,9 @@ ORDER BY cnt DESC, source ASC LIMIT 20""",
         ),
         "ft_cross_fields": O.cross_fields_sql(
             ["table", "src1"], ["content", "source"], k=10
+        ),
+        "ft_suggest_phrase": O.suggest_phrase_sql(
+            ["tabl", "scann"], max_edits=2, per_word=3, n=5
         ),
         "ft_rank_eval": O.rank_eval_sql(
             _RANK_EVAL_QUERIES,

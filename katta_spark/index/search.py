@@ -1874,6 +1874,133 @@ class PhysicalIndex:
             .limit(n)
         )
 
+    def suggest_phrase(self, words: list[str], max_edits: int = 2,
+                       per_word: int = 3, n: int = 5,
+                       add_k: float = 1.0,
+                       edit_penalty: float = 1.0) -> DataFrame:
+        """ES phrase suggester / Solr ``spellcheck.collate`` ("did
+        you mean"): per-position candidate terms from the TERM
+        CATALOG (edit distance <= ``max_edits``; the word itself
+        qualifies at distance 0), whole-phrase candidates ranked by
+        the add-k smoothed bigram log-likelihood of the index's own
+        token stream minus ``edit_penalty`` per edit.  Returns
+        ``(phrase, total_dist, score)``, score desc.
+
+        Plan: candidates are catalog-only (<= ``per_word`` rows per
+        position, length-window + levenshtein JVM exprs); the phrase
+        lattice is a bounded cross join (``per_word^len`` rows);
+        bigram/history/vocab counts hash-aggregate over the stored
+        token arrays with map-side combine (shuffle O(bigram vocab)),
+        and the tiny candidate-pair list BROADCASTS into those
+        aggregates, so the corpus-sized tables stream past a hash
+        join — no large-side shuffle to the driver at any scale."""
+        toks = F.col("toks")
+        base = self.docs.select(toks.alias("_toks"))
+        t = F.col("_toks")
+        grams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.struct(
+                    F.get(t, i).alias("w1"),
+                    F.get(t, i + F.lit(1)).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        big = (
+            base.select(F.explode(grams).alias("g"))
+            .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+        )
+        hist = big.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+        voc = base.select(F.explode(t).alias("_u")).agg(
+            F.count_distinct("_u").alias("_v")
+        )
+
+        cands = []
+        for i, wd in enumerate(words):
+            w = wd.lower()
+            c = (
+                self.terms.filter(~F.col("term").contains(":"))
+                .filter(
+                    F.abs(F.length("term") - F.lit(len(w))) <= max_edits
+                )
+                .select(
+                    "term",
+                    F.levenshtein(F.col("term"), F.lit(w)).alias("dist"),
+                    "df",
+                )
+                .filter(F.col("dist") <= max_edits)
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(int(per_word))
+                .select(F.col("term").alias(f"_w{i}"),
+                        F.col("dist").alias(f"_d{i}"))
+            )
+            cands.append(c)
+        ph = cands[0]
+        for c in cands[1:]:
+            ph = ph.crossJoin(F.broadcast(c))
+
+        # candidate bigram pairs (tiny) -> broadcast into the big
+        # aggregates; absent pairs fall back to the smoothed floor
+        pl = None
+        for i in range(len(words) - 1):
+            p = cands[i].crossJoin(F.broadcast(cands[i + 1])).select(
+                F.col(f"_w{i}").alias("w1"),
+                F.col(f"_w{i + 1}").alias("w2"),
+            )
+            pl = p if pl is None else pl.unionByName(p)
+        pl = pl.distinct()
+        present = big.join(F.broadcast(pl), ["w1", "w2"])
+        hpresent = hist.join(
+            F.broadcast(pl.select("w1").distinct()), "w1"
+        )
+        ak = F.lit(float(add_k))
+        scores = (
+            pl.join(present, ["w1", "w2"], "left")
+            .join(hpresent, "w1", "left")
+            .crossJoin(F.broadcast(voc))
+            .select(
+                "w1", "w2",
+                F.log(
+                    (F.coalesce("n_ab", F.lit(0)).cast("double") + ak)
+                    / (
+                        F.coalesce("n_a", F.lit(0)).cast("double")
+                        + ak * F.col("_v").cast("double")
+                    )
+                ).alias("_lp"),
+            )
+        )
+        total_lp = None
+        for i in range(len(words) - 1):
+            s = scores.select(
+                F.col("w1").alias(f"_w{i}"),
+                F.col("w2").alias(f"_w{i + 1}"),
+                F.col("_lp").alias(f"_lp{i}"),
+            )
+            ph = ph.join(F.broadcast(s), [f"_w{i}", f"_w{i + 1}"])
+            lp = F.col(f"_lp{i}")
+            total_lp = lp if total_lp is None else total_lp + lp
+        total_dist = None
+        for i in range(len(words)):
+            d = F.col(f"_d{i}")
+            total_dist = d if total_dist is None else total_dist + d
+        return (
+            ph.select(
+                F.concat_ws(
+                    " ", *[F.col(f"_w{i}") for i in range(len(words))]
+                ).alias("phrase"),
+                total_dist.cast("int").alias("total_dist"),
+                F.round(
+                    total_lp - F.lit(float(edit_penalty)) * total_dist,
+                    6,
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("phrase"))
+            .limit(int(n))
+        )
+
     def topk_boosted(self, qterms: list[str], boost: Column, k: int = 10,
                      mode: str = "or", filters: Filters = None) -> DataFrame:
         """BM25 top-k with a multiplicative function-query boost

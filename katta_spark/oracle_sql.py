@@ -984,6 +984,66 @@ WHERE levenshtein(term, '{w}') <= {int(max_edits)}
 ORDER BY dist ASC, df DESC, term ASC LIMIT {int(n)}"""
 
 
+def suggest_phrase_sql(words: list[str], max_edits: int = 2,
+                       per_word: int = 3, n: int = 5,
+                       add_k: float = 1.0,
+                       edit_penalty: float = 1.0) -> str:
+    """Oracle for PhysicalIndex.suggest_phrase: identical per-position
+    catalog candidates, bigram/history/vocab counts from the ordered
+    token lists, add-k smoothed pair log-probs, edit penalty."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    m = len(words)
+    cand_ctes = []
+    for i, wd in enumerate(words):
+        w = wd.lower().replace("'", "''")
+        cand_ctes.append(f"""
+c{i} AS (
+  SELECT term AS w{i}, CAST(levenshtein(term, '{w}') AS INT) AS d{i}, df
+  FROM dfv
+  WHERE abs(length(term) - {len(wd)}) <= {int(max_edits)}
+    AND levenshtein(term, '{w}') <= {int(max_edits)}
+  ORDER BY d{i} ASC, df DESC, term ASC LIMIT {int(per_word)}
+)""")
+    cross = "SELECT * FROM " + " CROSS JOIN ".join(
+        f"c{i}" for i in range(m)
+    )
+    joins, lps = [], []
+    for i in range(m - 1):
+        joins.append(
+            f"LEFT JOIN big b{i} ON ph.w{i} = b{i}.w1"
+            f" AND ph.w{i + 1} = b{i}.w2"
+        )
+        joins.append(f"LEFT JOIN hist h{i} ON ph.w{i} = h{i}.w1")
+        lps.append(
+            f"ln((CAST(coalesce(b{i}.n_ab, 0) AS DOUBLE)"
+            f" + {float(add_k)!r}) / (CAST(coalesce(h{i}.n_a, 0)"
+            f" AS DOUBLE) + {float(add_k)!r} * voc.v))"
+        )
+    phrase = " || ' ' || ".join(f"ph.w{i}" for i in range(m))
+    dist = " + ".join(f"ph.d{i}" for i in range(m))
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+g AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        THEN list_transform(generate_series(1, len(toks) - 1),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i+1])) ELSE [] END) AS s
+      FROM tokl),
+big AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n_ab FROM g GROUP BY 1, 2),
+hist AS (SELECT w1, sum(n_ab) AS n_a FROM big GROUP BY w1),
+voc AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+        FROM (SELECT unnest(toks) AS term FROM tokl)),
+{', '.join(cand_ctes)}
+SELECT {phrase} AS phrase,
+       CAST({dist} AS INT) AS total_dist,
+       round(({' + '.join(lps)})
+             - {float(edit_penalty)!r} * ({dist}), 6) AS score
+FROM ({cross}) ph
+{' '.join(joins)}
+CROSS JOIN voc
+ORDER BY score DESC, phrase ASC LIMIT {int(n)}"""
+
+
 def boosted_topk_sql(terms: list[str], boost_sql: str, k: int = 10,
                      mode: str = "or") -> str:
     """Function-query boost oracle: BM25 score times a SQL expression

@@ -195,6 +195,69 @@ def test_spellcheck_excludes_exact_and_field_terms(pindex):
     assert all(":" not in r["term"] for r in rows)
 
 
+# ------------------------------------------------------ suggest_phrase
+
+def test_suggest_phrase_matches_python(pindex, py_oracle, pandas_docs):
+    """ES phrase suggester mirror: per-position catalog candidates
+    (lev<=2, incl. the word itself at dist 0), phrase lattice ranked
+    by add-1 smoothed bigram log-likelihood minus the edit penalty."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from katta_spark.tokenizer import py_tokenize
+
+    words, max_edits, per_word, n = ["imprt", "retur"], 2, 3, 5
+    got = pindex.suggest_phrase(
+        words, max_edits=max_edits, per_word=per_word, n=n
+    ).collect()
+
+    big: Counter = Counter()
+    vocab: set = set()
+    for r in pandas_docs.itertuples(index=False):
+        toks = py_tokenize(r.content)
+        vocab.update(toks)
+        big.update(zip(toks, toks[1:]))
+    hist: Counter = Counter()
+    for (w1, _), c in big.items():
+        hist[w1] += c
+    v = float(len(vocab))
+
+    cands = []
+    for w in words:
+        cs = [
+            (t, _lev(t, w), d)
+            for t, d in py_oracle.df.items()
+            if ":" not in t
+            and abs(len(t) - len(w)) <= max_edits
+            and _lev(t, w) <= max_edits
+        ]
+        cs.sort(key=lambda x: (x[1], -x[2], x[0]))
+        cands.append([(t, dist) for t, dist, _ in cs[:per_word]])
+
+    scored = []
+    for combo in itertools.product(*cands):
+        terms = [t for t, _ in combo]
+        dist = sum(d for _, d in combo)
+        lp = sum(
+            math.log(
+                (big.get((a, b), 0) + 1.0) / (hist.get(a, 0) + v)
+            )
+            for a, b in zip(terms, terms[1:])
+        )
+        scored.append((" ".join(terms), dist, lp - 1.0 * dist))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    want = scored[:n]
+
+    assert [(r["phrase"], r["total_dist"]) for r in got] == [
+        (p, d) for p, d, _ in want
+    ]
+    for r, (_, _, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, abs=1e-6)
+    # the obvious correction ranks first
+    assert got[0]["phrase"] == "import return"
+
+
 # ------------------------------------------------------------- dismax
 
 def test_dismax_matches_python_max(pindex, py_oracle):
