@@ -487,6 +487,24 @@ def q_ft_rank_eval(spark, sf_dir):
     return rank_eval(res, judg, k=10)
 
 
+def q_ft_rrf(spark, sf_dir):
+    """ES 8 hybrid search: the BM25 top-20 over documents fused with
+    the exact-cosine top-20 over embeddings (query = vec 0's stored
+    embedding; documents.doc_id and embeddings.vec_id share the id
+    space) by reciprocal-rank fusion, 1/(60+rank)."""
+    from katta_spark.ops.search_eval import rrf_fuse
+
+    bm = phys_index(spark, sf_dir).topk(["table", "scan"], k=20)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vec = similarity.cosine_join_topk(
+        emb.filter(F.col("vec_id") != 0), qdf, k=20
+    ).select(F.col("vec_id").alias("doc_id"), "cos")
+    return rrf_fuse([(bm, "score"), (vec, "cos")], n=10)
+
+
 def q_phys_cross_fields(spark, sf_dir):
     """ES cross_fields / Lucene BlendedTermQuery: 'table' and 'src1'
     each searched across content + source with per-word blended df,
@@ -1782,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_common_terms": q_phys_common_terms,
         "ft_cross_fields": q_phys_cross_fields,
         "ft_rank_eval": q_ft_rank_eval,
+        "ft_rrf": q_ft_rrf,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_phys_fetch": q_phys_fetch,
         "ft_phys_phrase": q_phys_phrase,
@@ -1996,6 +2015,7 @@ ORDER BY cnt DESC, source ASC LIMIT 20""",
         "ft_suggest_phrase": O.suggest_phrase_sql(
             ["tabl", "scann"], max_edits=2, per_word=3, n=5
         ),
+        "ft_rrf": O.rrf_sql(["table", "scan"], k_each=20, n=10),
         "ft_rank_eval": O.rank_eval_sql(
             _RANK_EVAL_QUERIES,
             [("q1", "lang = 'en'"), ("q2", "source = 'src1'")],

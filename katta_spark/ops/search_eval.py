@@ -24,6 +24,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def rrf_fuse(lists: list[tuple[DataFrame, str]], id_col: str = "doc_id",
+             k_const: int = 60, n: int = 10) -> DataFrame:
+    """ES 8 hybrid-search reciprocal rank fusion: fuse N ranked
+    shortlists (e.g. a BM25 top-k and a vector-kNN top-k) into one
+    ranking with ``score = sum_i 1 / (k_const + rank_i)``, where
+    ``rank_i`` is the 1-based position in list *i* under the standard
+    (score desc, id asc) tie-break; ids absent from a list contribute
+    nothing for it — exactly the ES ``rrf`` retriever semantics.
+
+    ``lists``: (shortlist DataFrame, its score column name) pairs;
+    each must already be a bounded top-k result.  Scale shape: the
+    per-list rank window is single-partition ON PURPOSE — it runs
+    over <= k rows, never the corpus — and the fuse is one tiny hash
+    agg, so cost is O(sum of shortlist sizes) regardless of corpus
+    size.  Returns (id, rrf_score, n_lists), rrf_score desc / id asc
+    (rounded score drives the ordering so near-ulp sum differences
+    cannot flip ranks across engines)."""
+    parts = []
+    for df, score_col in lists:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias("_rk"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.lit(1.0)
+                    / (F.lit(float(k_const)) + F.col("_rk").cast("double"))
+                ),
+                6,
+            ).alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(int(n))
+    )
+
+
 def rank_eval(results: DataFrame, judgments: DataFrame, k: int = 10,
               qid_col: str = "qid", id_col: str = "doc_id",
               rank_col: str = "rank",

@@ -1044,6 +1044,46 @@ CROSS JOIN voc
 ORDER BY score DESC, phrase ASC LIMIT {int(n)}"""
 
 
+def rrf_sql(terms: list[str], k_each: int = 20, k_const: int = 60,
+            n: int = 10, q_vec_id: int = 0) -> str:
+    """Oracle for ops.search_eval.rrf_fuse over the hybrid pair the
+    driver runs: BM25 top-``k_each`` on documents fused with the
+    exact-cosine top-``k_each`` on embeddings (query = the stored
+    vector of ``q_vec_id``, itself excluded), both ranked with the
+    (score desc, id asc) tie-break."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+    )
+    en = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+    )
+    qn = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),"
+        " i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))"
+    )
+    return f"""{index_ctes()}{_scored_ctes(terms, k_each)},
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+        FROM top),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {int(q_vec_id)}),
+cosd AS (SELECT e.vec_id AS doc_id, {dot} / ({en} * {qn}) AS cos
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> {int(q_vec_id)}),
+vtop AS (SELECT doc_id, cos FROM cosd
+         ORDER BY cos DESC, doc_id ASC LIMIT {int(k_each)}),
+vr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rk
+       FROM vtop),
+u AS (SELECT * FROM bmr UNION ALL SELECT * FROM vr)
+SELECT doc_id,
+       round(sum(1.0 / ({int(k_const)} + CAST(rk AS DOUBLE))), 6) AS rrf_score,
+       count(*) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {int(n)}"""
+
+
 def boosted_topk_sql(terms: list[str], boost_sql: str, k: int = 10,
                      mode: str = "or") -> str:
     """Function-query boost oracle: BM25 score times a SQL expression

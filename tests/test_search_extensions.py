@@ -614,6 +614,38 @@ def test_span_not_rejects_same_term(pindex):
         pindex.span_not_topk("scan", "scan")
 
 
+def test_rrf_fuse_hand_computed(spark):
+    """ES RRF on two tiny shortlists: hand-computed 1/(60+rank) sums,
+    overlap doubles up, single-list docs keep one contribution."""
+    from katta_spark.ops.search_eval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)],  # rank by score desc, id asc
+        "doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.7)],
+        "doc_id long, cos double",
+    )
+    got = rrf_fuse([(a, "score"), (b, "cos")], n=10).collect()
+    # a-ranks: 1->1, 2->2, 3->3, 4->4 ; b-ranks: 3->1, 5->2, 1->3
+    want = {
+        1: round(1 / 61 + 1 / 63, 6),
+        2: round(1 / 62, 6),
+        3: round(1 / 63 + 1 / 61, 6),
+        4: round(1 / 64, 6),
+        5: round(1 / 62, 6),
+    }
+    n_lists = {1: 2, 2: 1, 3: 2, 4: 1, 5: 1}
+    assert {r["doc_id"]: r["rrf_score"] for r in got} == want
+    assert {r["doc_id"]: r["n_lists"] for r in got} == n_lists
+    # ordering: rrf_score desc, doc_id asc (1 and 3 tie -> 1 first)
+    assert [r["doc_id"] for r in got] == [1, 3, 2, 5, 4]
+    # n truncates on the rounded-score/id ordering
+    assert [r["doc_id"] for r in rrf_fuse([(a, "score"), (b, "cos")],
+                                          n=2).collect()] == [1, 3]
+
+
 def test_rank_eval_known_metrics(spark):
     """Hand-computed P@k / MRR / NDCG on a tiny judged run."""
     import math
