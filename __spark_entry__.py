@@ -1061,6 +1061,13 @@ def q_ft_facet_query(spark, sf_dir):
     return phys_index(spark, sf_dir).facet_queries(_MULTI_Q)
 
 
+def q_ft_adjacency(spark, sf_dir):
+    """ES adjacency_matrix: per-filter and pairwise-intersection hit
+    counts of the three standing sub-queries — labeled matched-set
+    union + one doc_id self-join + one pair hash agg."""
+    return phys_index(spark, sf_dir).adjacency_matrix(_MULTI_Q)
+
+
 def q_ft_collapse(spark, sf_dir):
     """Field collapsing (Solr {!collapse field=lang}): one best doc
     per language, collapsed set re-ranked globally."""
@@ -1826,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dismax": q_ft_dismax,
         "ft_rerank": q_ft_rerank,
         "ft_facet_query": q_ft_facet_query,
+        "ft_adjacency": q_ft_adjacency,
         "ft_collapse": q_ft_collapse,
         "ft_join": q_ft_join,
         "ft_term_vectors": q_ft_term_vectors,
@@ -2068,6 +2076,7 @@ ORDER BY cnt ASC, source ASC LIMIT 10""",
             ["table"], ["spark", "data"], rerank_docs=40, weight=1.5, k=10
         ),
         "ft_facet_query": O.facet_queries_sql(_MULTI_Q),
+        "ft_adjacency": O.adjacency_matrix_sql(_MULTI_Q),
         "ft_collapse": O.collapse_topk_sql(["table"], "lang", k=10),
         "ft_join": O.join_topk_sql(["table"], "source", "source", ["dup"], k=10),
         "ft_term_vectors": O.term_vectors_sql([3, 7, 11]),

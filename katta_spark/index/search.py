@@ -1387,6 +1387,36 @@ class PhysicalIndex:
             .orderBy("facet_q")
         )
 
+    def adjacency_matrix(self, queries_map: dict[str, list[str]],
+                         mode: str = "or",
+                         filters: Filters = None) -> DataFrame:
+        """(key1, key2, cnt) — the ES ``adjacency_matrix``
+        aggregation: hit counts of every named filter and of every
+        pairwise intersection.  ``key1 == key2`` rows are the
+        per-filter counts; ``key1 < key2`` rows the intersections;
+        empty intersections are omitted (ES semantics).
+
+        Plan: per-label matched sets (term-pruned postings scans,
+        already distinct on doc_id) union into ONE labeled table; a
+        self equi-join on doc_id (shuffle O(sum of match sizes) —
+        never all-pairs over docs, the label alphabet is tiny) feeds
+        one pair hash agg."""
+        m = None
+        for label, terms in sorted(queries_map.items()):
+            s = self.matched_docs(terms, mode, filters).select(
+                F.lit(label).alias("_k"), "doc_id"
+            )
+            m = s if m is None else m.unionByName(s)
+        a = m.select(F.col("_k").alias("key1"), "doc_id")
+        b = m.select(F.col("_k").alias("key2"), "doc_id")
+        return (
+            a.join(b, "doc_id")
+            .filter(F.col("key1") <= F.col("key2"))
+            .groupBy("key1", "key2")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("key1", "key2")
+        )
+
     def sorted_query(self, qterms: list[str], sort_cols: list[tuple[str, str]],
                      fields: list[str], limit: int, offset: int = 0,
                      mode: str = "or", filters: Filters = None) -> DataFrame:

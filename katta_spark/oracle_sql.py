@@ -608,6 +608,28 @@ def facet_queries_sql(queries_map: dict[str, list[str]],
     return f"{index_ctes()}\n" + "\nUNION ALL\n".join(parts)
 
 
+def adjacency_matrix_sql(queries_map: dict[str, list[str]],
+                         mode: str = "or") -> str:
+    """ES adjacency_matrix oracle: labeled matched sets, self-join on
+    doc_id, pair counts with key1 <= key2 (mirror of
+    PhysicalIndex.adjacency_matrix)."""
+    parts = []
+    for label, terms in sorted(queries_map.items()):
+        lq = label.replace("'", "''")
+        parts.append(
+            f"SELECT DISTINCT '{lq}' AS k, doc_id"
+            f" FROM ({term_docs_sql(terms, mode)})"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""{index_ctes()},
+m AS ({union})
+SELECT a.k AS key1, b.k AS key2, count(*) AS cnt
+FROM m a JOIN m b ON a.doc_id = b.doc_id
+WHERE a.k <= b.k
+GROUP BY a.k, b.k
+ORDER BY key1, key2"""
+
+
 def sloppy_phrase2_sql(a: str, b: str, slop: int, k: int = 10) -> str:
     """Two-term proximity oracle: docs where ``a`` precedes ``b``
     within span 1+slop (the engine's ordered-within-window ``"a b"~N``

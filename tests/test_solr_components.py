@@ -357,6 +357,26 @@ def test_facet_prefix_and_mincount(spark, tmp_path):
     assert {(r["grp"], r["cnt"]) for r in got} == {("apple", 2)}
 
 
+def test_adjacency_matrix_pairwise_counts(pindex, py_oracle):
+    """ES adjacency_matrix mirror: per-filter counts on the diagonal,
+    intersection counts off-diagonal, empty intersections omitted."""
+    qmap = {"a": ["import"], "b": ["table", "scan"], "c": ["quark"]}
+    got = {
+        (r["key1"], r["key2"]): r["cnt"]
+        for r in pindex.adjacency_matrix(qmap).collect()
+    }
+    sets = {k: set(py_oracle.matches(t)) for k, t in qmap.items()}
+    want = {}
+    for k1 in sorted(qmap):
+        for k2 in sorted(qmap):
+            if k1 <= k2 and sets[k1] & sets[k2]:
+                want[(k1, k2)] = len(sets[k1] & sets[k2])
+    assert got == want
+    # diagonal equals the plain facet.query counts
+    for k in qmap:
+        assert got[(k, k)] == len(sets[k])
+
+
 def test_rare_terms_is_the_facet_tail(pindex, py_oracle, pandas_docs):
     """rare_terms returns exactly the buckets with cnt <= max_count,
     count-ascending — the complement of facet's head."""
