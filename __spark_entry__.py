@@ -1645,6 +1645,21 @@ def q_ts_rolling(spark, sf_dir):
                       "roll_min", "roll_max").orderBy("event_id")
 
 
+def q_ts_bucket_pipeline(spark, sf_dir):
+    """ES pipeline aggs (cumulative_sum / derivative / bucket_script)
+    over a daily date-histogram — one hash agg to a bounded bucket
+    table, window over buckets only."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.bucket_pipeline(_events(spark, sf_dir), "ts", "1 day",
+                             "value")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "bucket_sum", "n", "cum_sum", "deriv", "avg_per_doc",
+    )
+
+
 def q_ts_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: per-step keyed
     min-aggs chained on shrinking key sets."""
@@ -1944,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mad": q_ts_mad,
         "ts_pct_ranks": q_ts_pct_ranks,
         "ts_rolling": q_ts_rolling,
+        "ts_bucket_pipeline": q_ts_bucket_pipeline,
         "ts_auto_histogram": q_ts_auto_histogram,
         "ts_funnel": q_ts_funnel,
         "ts_retention": q_ts_retention,
@@ -2300,6 +2316,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_mad": OO.ts_mad_sql(),
         "ts_pct_ranks": OO.ts_percentile_ranks_sql((10.0, 50.0, 90.0)),
         "ts_rolling": OO.ts_rolling_sql(5),
+        "ts_bucket_pipeline": OO.ts_bucket_pipeline_sql("1 day"),
         "ts_auto_histogram": OO.ts_auto_histogram_sql(20),
         "ts_funnel": OO.ts_funnel_sql(["view", "click", "purchase"]),
         "ts_retention": OO.ts_retention_sql(8),

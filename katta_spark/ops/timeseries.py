@@ -534,6 +534,56 @@ def auto_date_histogram(df: DataFrame, ts_col: str,
     )
 
 
+def bucket_pipeline(df: DataFrame, ts_col: str, duration: str,
+                    value_col: str = "value",
+                    key_col: str | None = None) -> DataFrame:
+    """ES pipeline aggregations over a date-histogram parent: per
+    tumbling ``duration`` bucket compute ``sum``/``count``, then the
+    sibling pipeline metrics — ``cum_sum`` (ES ``cumulative_sum``),
+    ``deriv`` (ES ``derivative``: this bucket's sum minus the
+    previous bucket's), and ``avg_per_doc`` (ES ``bucket_script``
+    ratio sum/count).  Reference parity: Elasticsearch pipeline aggs
+    run over the PARENT histogram's bucket table, so the window here
+    orders buckets, not events.
+
+    Scale shape: one hash agg shrinks events to a bucket table
+    (buckets = time-range / interval — bounded and tiny regardless of
+    input rows), then the pipeline window runs over that bucket
+    table: partitioned by ``key_col`` when given, else a single
+    partition of bucket-count rows — never a window over raw
+    events."""
+    from pyspark.sql import Window
+
+    bucket = F.window(F.col(ts_col).cast("timestamp"), duration)
+    keys = ([F.col(key_col)] if key_col else []) + [
+        bucket["start"].alias("bucket_start")
+    ]
+    agg = df.groupBy(*keys).agg(
+        F.round(F.sum(F.col(value_col)), 6).alias("bucket_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy(key_col) if key_col else Window.partitionBy()
+    ).orderBy("bucket_start")
+    cum = Window.partitionBy(*([key_col] if key_col else [])).orderBy(
+        "bucket_start"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.withColumn("cum_sum", F.round(F.sum("bucket_sum").over(cum), 6))
+        .withColumn(
+            "deriv",
+            F.round(
+                F.col("bucket_sum") - F.lag("bucket_sum", 1).over(w), 6
+            ),
+        )
+        .withColumn(
+            "avg_per_doc",
+            F.round(F.col("bucket_sum") / F.col("n"), 6),
+        )
+        .orderBy(*([key_col] if key_col else []), "bucket_start")
+    )
+
+
 def rolling_agg(df: DataFrame, ts_col: str, key_col: str,
                 value_col: str = "value", n: int = 5,
                 order_cols: list[str] | None = None) -> DataFrame:

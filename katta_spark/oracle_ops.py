@@ -1544,6 +1544,27 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 ORDER BY event_id"""
 
 
+def ts_bucket_pipeline_sql(unit: str = "1 day") -> str:
+    """Oracle for ops.timeseries.bucket_pipeline: hash-agg bucket
+    table, then cumulative_sum / derivative / bucket_script over the
+    ordered buckets — the same round-at-each-step discipline as the
+    engine so the running float sums stay bit-comparable."""
+    return f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '{unit}', ts) AS bs,
+         round(sum(value), 6) AS bucket_sum,
+         count(*) AS n
+  FROM events GROUP BY 1)
+SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       bucket_sum, n,
+       round(sum(bucket_sum) OVER (ORDER BY bs
+             ROWS UNBOUNDED PRECEDING), 6) AS cum_sum,
+       round(bucket_sum - lag(bucket_sum) OVER (ORDER BY bs), 6)
+         AS deriv,
+       round(bucket_sum / n, 6) AS avg_per_doc
+FROM b ORDER BY bs"""
+
+
 def ts_funnel_sql(steps: list[str]) -> str:
     """Oracle for ops.timeseries.funnel: chained earliest-valid-step
     CTEs, each step at-or-after the previous step's min ts."""

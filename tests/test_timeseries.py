@@ -750,3 +750,40 @@ def test_auto_histogram_picks_smallest_fitting_interval(spark):
     assert sum(r["n"] for r in out) == 51
     assert len(out) <= 20
     assert all(r["bucket_start"].minute % 10 == 0 for r in out)
+
+
+def test_bucket_pipeline_hand_computed(spark):
+    """ES pipeline aggs over a 3-bucket histogram: cumulative_sum,
+    derivative (NULL on the first bucket), bucket_script ratio —
+    hand-computed expectations."""
+    rows = [
+        ("2024-01-01 00:10:00", 1.0),
+        ("2024-01-01 05:00:00", 2.0),
+        ("2024-01-02 01:00:00", 10.0),
+        ("2024-01-04 12:00:00", 3.0),
+        ("2024-01-04 13:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = TS.bucket_pipeline(df, "ts", "1 day", "value").collect()
+    assert [r["bucket_sum"] for r in out] == [3.0, 10.0, 8.0]
+    assert [r["n"] for r in out] == [2, 1, 2]
+    assert [r["cum_sum"] for r in out] == [3.0, 13.0, 21.0]
+    assert [r["deriv"] for r in out] == [None, 7.0, -2.0]
+    assert [r["avg_per_doc"] for r in out] == [1.5, 10.0, 4.0]
+
+
+def test_bucket_pipeline_keyed_partitions_independent(spark):
+    """With key_col the pipeline restarts per key — derivative and
+    cum_sum never leak across keys."""
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-02 00:00:00", 4.0),
+        ("b", "2024-01-02 00:00:00", 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = TS.bucket_pipeline(df, "ts", "1 day", "value",
+                             key_col="k").collect()
+    by = {(r["k"], str(r["bucket_start"])): r for r in out}
+    assert by[("b", "2024-01-02 00:00:00")]["deriv"] is None
+    assert by[("b", "2024-01-02 00:00:00")]["cum_sum"] == 9.0
+    assert by[("a", "2024-01-02 00:00:00")]["deriv"] == 3.0
