@@ -1660,6 +1660,41 @@ def q_ts_bucket_pipeline(spark, sf_dir):
     )
 
 
+def q_ts_boxplot(spark, sf_dir):
+    """ES boxplot agg per event_type — one keyed hash agg, five
+    order statistics from one percentile pass."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.boxplot(_events(spark, sf_dir), "event_type", "value")
+
+
+def q_ts_ttest(spark, sf_dir):
+    """ES t_test agg (Welch's) comparing value between click and
+    view events — one conditional-moment hash agg."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.t_test(_events(spark, sf_dir), "event_type",
+                     "click", "view", "value")
+
+
+def q_text_string_stats(spark, sf_dir):
+    """ES string_stats (+ entropy): length four-stat and corpus
+    character-distribution Shannon entropy — char hash agg is
+    alphabet-bounded after map-side combine."""
+    from katta_spark.ops import text
+
+    return text.string_stats(_docs(spark, sf_dir), text_col="text")
+
+
+def q_text_multi_terms(spark, sf_dir):
+    """ES multi_terms agg over (lang, source) — compound-key hash
+    agg + global top-N."""
+    from katta_spark.ops import text
+
+    return text.multi_terms(_docs(spark, sf_dir),
+                            ["lang", "source"], size=10)
+
+
 def q_ts_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: per-step keyed
     min-aggs chained on shrinking key sets."""
@@ -1960,6 +1995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_pct_ranks": q_ts_pct_ranks,
         "ts_rolling": q_ts_rolling,
         "ts_bucket_pipeline": q_ts_bucket_pipeline,
+        "ts_boxplot": q_ts_boxplot,
+        "ts_ttest": q_ts_ttest,
+        "text_string_stats": q_text_string_stats,
+        "text_multi_terms": q_text_multi_terms,
         "ts_auto_histogram": q_ts_auto_histogram,
         "ts_funnel": q_ts_funnel,
         "ts_retention": q_ts_retention,
@@ -2317,6 +2356,10 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_pct_ranks": OO.ts_percentile_ranks_sql((10.0, 50.0, 90.0)),
         "ts_rolling": OO.ts_rolling_sql(5),
         "ts_bucket_pipeline": OO.ts_bucket_pipeline_sql("1 day"),
+        "ts_boxplot": OO.ts_boxplot_sql(),
+        "ts_ttest": OO.ts_ttest_sql("click", "view"),
+        "text_string_stats": OO.text_string_stats_sql(),
+        "text_multi_terms": OO.text_multi_terms_sql(["lang", "source"], 10),
         "ts_auto_histogram": OO.ts_auto_histogram_sql(20),
         "ts_funnel": OO.ts_funnel_sql(["view", "click", "purchase"]),
         "ts_retention": OO.ts_retention_sql(8),

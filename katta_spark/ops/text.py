@@ -712,3 +712,57 @@ def keywords_tfidf(corpus: DataFrame, m: int = 5,
         .select("doc_id", "term", "tf",
                 F.round("score", 6).alias("score"), "rank")
     )
+
+
+def string_stats(corpus: DataFrame, text_col: str = "content") -> DataFrame:
+    """ES ``string_stats`` aggregation (with ``show_distribution``'s
+    entropy): one row ``(n_docs, min_len, max_len, avg_len,
+    entropy)`` where ``entropy`` is the Shannon entropy (base 2) of
+    the corpus-wide CHARACTER distribution — ES computes exactly
+    this from its per-shard char-count maps.
+
+    Scale shape: two aggs over the scan — a four-stat length agg,
+    and a char-frequency hash agg whose key space is the alphabet
+    (bounded, map-side combine shrinks each partition to ≤|alphabet|
+    rows before the shuffle); the entropy fold then runs on that
+    tiny table.  No per-row Python anywhere."""
+    txt = F.col(text_col)
+    docs = corpus.filter(txt.isNotNull())
+    lens = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length(txt)).alias("min_len"),
+        F.max(F.length(txt)).alias("max_len"),
+        F.round(F.avg(F.length(txt)), 6).alias("avg_len"),
+    )
+    chars = (
+        docs.select(F.explode(F.split(txt, "(?!^)")).alias("ch"))
+        # a zero-length doc splits to [""] — not a character
+        .filter(F.length("ch") > 0)
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = (
+        chars.agg(
+            F.sum("c").alias("_tot"),
+            F.sum(F.col("c") * F.log2(F.col("c"))).alias("_clog"),
+        )
+        .select(
+            F.round(
+                F.log2(F.col("_tot")) - F.col("_clog") / F.col("_tot"), 6
+            ).alias("entropy")
+        )
+    )
+    return lens.crossJoin(F.broadcast(ent))
+
+
+def multi_terms(corpus: DataFrame, keys: list[str],
+                size: int = 10) -> DataFrame:
+    """ES ``multi_terms`` aggregation: top-``size`` buckets of the
+    COMPOUND key (all of ``keys`` at once, not a nested terms tree),
+    ordered by doc count desc with the key tuple as tie-break.
+
+    Scale shape: one hash agg on the compound key + a global
+    top-``size`` (TakeOrderedAndProject — no full sort)."""
+    agg = corpus.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    order = [F.desc("n")] + [F.asc(k) for k in keys]
+    return agg.orderBy(*order).limit(int(size))

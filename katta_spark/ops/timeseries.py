@@ -490,6 +490,74 @@ def percentiles(df: DataFrame, key_col: str, value_col: str = "value",
     return df.groupBy(key_col).agg(*aggs).orderBy(key_col)
 
 
+def boxplot(df: DataFrame, key_col: str,
+            value_col: str = "value") -> DataFrame:
+    """ES ``boxplot`` aggregation: per group ``(n, vmin, q1, q2, q3,
+    vmax)``.  Exact linear-interpolation quantiles rather than ES's
+    TDigest — reproducible across engines (same trade as
+    :func:`percentiles`; swap ``percentile_approx`` in at 100 TB,
+    call-site shape identical).
+
+    Scale shape: ONE keyed hash agg; the five order statistics share
+    the group's sorted state inside a single ``percentile`` aggregate
+    pass."""
+    v = F.col(value_col)
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(v).alias("vmin"),
+            F.round(F.percentile(v, F.lit(0.25)), 6).alias("q1"),
+            F.round(F.percentile(v, F.lit(0.5)), 6).alias("q2"),
+            F.round(F.percentile(v, F.lit(0.75)), 6).alias("q3"),
+            F.max(v).alias("vmax"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def t_test(df: DataFrame, type_col: str, group_a: str, group_b: str,
+           value_col: str = "value") -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch's
+    two-sample): compare ``value_col`` between the ``group_a`` and
+    ``group_b`` populations of ``type_col``.  Returns one row
+    ``(n_a, n_b, mean_a, mean_b, t_stat)`` with
+    ``t = (m_a - m_b) / sqrt(s_a^2/n_a + s_b^2/n_b)`` (sample
+    variances).
+
+    Scale shape: ONE conditional hash agg over the scan (six
+    conditional moments: n / Σv / Σv² per side), no shuffle beyond
+    the single global agg — the ES implementation's per-shard moment
+    merge is exactly Spark's partial aggregation.  Moments are
+    rounded to 6dp BEFORE the formula (the :func:`group_corr` trick)
+    so engines that sum in different orders agree exactly."""
+    a = F.col(type_col) == F.lit(group_a)
+    b = F.col(type_col) == F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    agg = df.agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.round(F.sum(F.when(a, v)), 6).alias("_sa"),
+        F.round(F.sum(F.when(b, v)), 6).alias("_sb"),
+        F.round(F.sum(F.when(a, v * v)), 6).alias("_saa"),
+        F.round(F.sum(F.when(b, v * v)), 6).alias("_sbb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    m_a = F.col("_sa") / na
+    m_b = F.col("_sb") / nb
+    # sample variance from rounded moments: (Σv² - n·m²) / (n-1)
+    v_a = (F.col("_saa") - na * m_a * m_a) / (na - 1)
+    v_b = (F.col("_sbb") - nb * m_b * m_b) / (nb - 1)
+    t = (m_a - m_b) / F.sqrt(v_a / na + v_b / nb)
+    return agg.select(
+        "n_a", "n_b",
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
 AUTO_HISTO_LADDER = [
     1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
     86400, 604800, 2592000, 31536000,

@@ -1722,3 +1722,74 @@ JOIN ({repetition_sql()}) r ON q.doc_id = r.doc_id
 JOIN ({pii_scrub_sql()}) p ON q.doc_id = p.doc_id
 JOIN ({langid_sql()}) l ON q.doc_id = l.doc_id
 ORDER BY q.doc_id"""
+
+
+def ts_boxplot_sql() -> str:
+    """Oracle for ops.timeseries.boxplot: quantile_cont is the same
+    exact linear-interpolation definition as Spark's percentile."""
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       min(value) AS vmin,
+       round(quantile_cont(value, 0.25), 6) AS q1,
+       round(quantile_cont(value, 0.5), 6) AS q2,
+       round(quantile_cont(value, 0.75), 6) AS q3,
+       max(value) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def ts_ttest_sql(group_a: str, group_b: str) -> str:
+    """Oracle for ops.timeseries.t_test: the same six conditional
+    moments rounded to 6dp BEFORE the Welch formula, so both engines
+    compute t from identical inputs."""
+    a = group_a.replace("'", "''")
+    b = group_b.replace("'", "''")
+    return f"""
+WITH m AS (
+  SELECT count(*) FILTER (event_type = '{a}') AS n_a,
+         count(*) FILTER (event_type = '{b}') AS n_b,
+         round(sum(value) FILTER (event_type = '{a}'), 6) AS sa,
+         round(sum(value) FILTER (event_type = '{b}'), 6) AS sb,
+         round(sum(value * value) FILTER (event_type = '{a}'), 6) AS saa,
+         round(sum(value * value) FILTER (event_type = '{b}'), 6) AS sbb
+  FROM events)
+SELECT n_a, n_b,
+       round(sa / n_a, 6) AS mean_a,
+       round(sb / n_b, 6) AS mean_b,
+       round((sa / n_a - sb / n_b)
+             / sqrt(((saa - n_a * (sa / n_a) * (sa / n_a)) / (n_a - 1)) / n_a
+                  + ((sbb - n_b * (sb / n_b) * (sb / n_b)) / (n_b - 1)) / n_b),
+             6) AS t_stat
+FROM m"""
+
+
+def text_string_stats_sql() -> str:
+    """Oracle for ops.text.string_stats: length four-stat + Shannon
+    entropy (base 2) of the corpus character distribution via
+    H = log2(T) - (sum c*log2 c)/T over per-char counts."""
+    return """
+WITH d AS (SELECT text FROM documents WHERE text IS NOT NULL),
+lens AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         min(length(text)) AS min_len,
+         max(length(text)) AS max_len,
+         round(avg(length(text)), 6) AS avg_len
+  FROM d),
+chars AS (
+  SELECT unnest(string_split(text, '')) AS ch FROM d),
+cc AS (
+  SELECT ch, count(*) AS c FROM chars WHERE length(ch) > 0 GROUP BY ch),
+ent AS (
+  SELECT round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+  FROM cc)
+SELECT n_docs, min_len, max_len, avg_len, entropy FROM lens, ent"""
+
+
+def text_multi_terms_sql(keys: list[str], size: int = 10) -> str:
+    """Oracle for ops.text.multi_terms: compound-key hash agg +
+    count-desc/key-asc top-N."""
+    ks = ", ".join(keys)
+    order = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+SELECT {ks}, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY {ks}
+ORDER BY n DESC, {order} LIMIT {int(size)}"""

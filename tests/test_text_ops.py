@@ -400,3 +400,26 @@ def test_bigram_lm_matches_python(spark):
     # ordering: n_ab desc then (w1, w2) asc
     keys = [(-r["n_ab"], r["w1"], r["w2"]) for r in got]
     assert keys == sorted(keys)
+
+
+def test_string_stats_hand_computed(spark):
+    """'aab' + 'b' (NULL doc excluded): 4 chars {a:2, b:2} -> H = 1
+    bit; lengths over the two non-null docs."""
+    df = spark.createDataFrame(
+        [(0, "aab"), (1, "b"), (2, None)], ["doc_id", "text"])
+    r = text.string_stats(df, text_col="text").collect()[0]
+    assert r["n_docs"] == 2
+    assert r["min_len"] == 1 and r["max_len"] == 3
+    assert r["avg_len"] == 2.0
+    assert r["entropy"] == 1.0
+
+
+def test_multi_terms_orders_by_count_then_key(spark):
+    df = spark.createDataFrame(
+        [("en", "web"), ("en", "web"), ("de", "web"), ("en", "book"),
+         ("de", "book")],
+        ["lang", "source"])
+    out = [(r["lang"], r["source"], r["n"])
+           for r in text.multi_terms(df, ["lang", "source"], 3).collect()]
+    assert out == [("en", "web", 2), ("de", "book", 1),
+                   ("de", "web", 1)]

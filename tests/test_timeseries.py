@@ -787,3 +787,47 @@ def test_bucket_pipeline_keyed_partitions_independent(spark):
     assert by[("b", "2024-01-02 00:00:00")]["deriv"] is None
     assert by[("b", "2024-01-02 00:00:00")]["cum_sum"] == 9.0
     assert by[("a", "2024-01-02 00:00:00")]["deriv"] == 3.0
+
+
+def test_boxplot_matches_numpy_quantiles(spark):
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    out = {r["event_type"]: r
+           for r in TS.boxplot(e, "event_type", "value").collect()}
+    vals = {}
+    for r in e.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, v in vals.items():
+        a = np.array(v)
+        assert out[et]["n"] == len(v)
+        assert out[et]["vmin"] == a.min()
+        assert out[et]["vmax"] == a.max()
+        for col, p in (("q1", 25), ("q2", 50), ("q3", 75)):
+            assert abs(out[et][col]
+                       - round(float(np.percentile(a, p)), 6)) < 1e-9
+
+
+def test_t_test_matches_welch_mirror(spark):
+    import math
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    row = TS.t_test(e, "event_type", "click", "view",
+                    "value").collect()[0]
+    va = [r["value"] for r in
+          e.filter(F.col("event_type") == "click").collect()]
+    vb = [r["value"] for r in
+          e.filter(F.col("event_type") == "view").collect()]
+
+    def moments(v):
+        sa, saa = round(sum(v), 6), round(sum(x * x for x in v), 6)
+        n = len(v)
+        m = sa / n
+        return n, m, (saa - n * m * m) / (n - 1)
+
+    na, ma, s2a = moments(va)
+    nb, mb, s2b = moments(vb)
+    t = (ma - mb) / math.sqrt(s2a / na + s2b / nb)
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["mean_a"] - round(ma, 6)) < 1e-9
+    assert abs(row["t_stat"] - round(t, 6)) < 1e-9
