@@ -383,6 +383,15 @@ def q_group_topk(spark, sf_dir):
     )
 
 
+def q_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler: best 20 'table' hits, at most 2 per
+    lang — per-key quota window + global TakeOrderedAndProject."""
+    return _round_score(
+        phys_index(spark, sf_dir).diversified_sampler(
+            ["table"], "lang", max_per_key=2, shard_size=20)
+    )
+
+
 def q_mlt(spark, sf_dir):
     """MoreLikeThis: docs similar to doc 7 via its top tf-idf terms."""
     return _round_score(
@@ -1660,6 +1669,38 @@ def q_ts_bucket_pipeline(spark, sf_dir):
     )
 
 
+def q_ts_extended_stats(spark, sf_dir):
+    """ES extended_stats per event_type — one keyed five-moment
+    hash agg, population variance + sigma bounds."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.extended_stats(_events(spark, sf_dir), "event_type",
+                             "value", sigma=2.0)
+
+
+def q_ts_value_histogram(spark, sf_dir):
+    """ES numeric histogram (min_doc_count=0): interval-25 buckets,
+    empty buckets emitted from a one-row sequence axis."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.value_histogram(_events(spark, sf_dir), "value",
+                              interval=25.0)
+
+
+def q_ts_normalize(spark, sf_dir):
+    """ES normalize pipeline agg: daily bucket sums ->
+    percent_of_sum + rescale_0_1 over the bucket axis."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.normalize_buckets(_events(spark, sf_dir), "ts", "1 day",
+                               "value")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "bucket_sum", "pct_of_sum", "rescaled",
+    )
+
+
 def q_ts_boxplot(spark, sf_dir):
     """ES boxplot agg per event_type — one keyed hash agg, five
     order statistics from one percentile pass."""
@@ -1871,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_range_other": q_ft_range_other,
         "ft_facet_stats": q_ft_facet_stats,
         "ft_group_topk": q_group_topk,
+        "ft_diversified": q_diversified_sampler,
         "ft_mlt": q_mlt,
         "ft_multi_topk": q_multi_topk,
         "ft_percolate": q_percolate,
@@ -1996,6 +2038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rolling": q_ts_rolling,
         "ts_bucket_pipeline": q_ts_bucket_pipeline,
         "ts_boxplot": q_ts_boxplot,
+        "ts_extended_stats": q_ts_extended_stats,
+        "ts_value_histogram": q_ts_value_histogram,
+        "ts_normalize": q_ts_normalize,
         "ts_ttest": q_ts_ttest,
         "text_string_stats": q_text_string_stats,
         "text_multi_terms": q_text_multi_terms,
@@ -2108,6 +2153,8 @@ ORDER BY cnt ASC, source ASC LIMIT 10""",
         "ft_range_other": O.range_other_sql(["scan"], "n_chars", 100.0, 300.0),
         "ft_facet_stats": O.facet_stats_sql(["table"], "lang", "n_chars"),
         "ft_group_topk": O.group_topk_sql(["table"], "lang", k_per_group=3),
+        "ft_diversified": O.diversified_sampler_sql(
+            ["table"], "lang", max_per_key=2, shard_size=20),
         "ft_mlt": O.mlt_sql(7, m_terms=5, k=10),
         "ft_multi_topk": O.multi_topk_sql(_MULTI_Q, k=5),
         "ft_percolate": O.percolate_sql(_MULTI_Q),
@@ -2357,6 +2404,9 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_rolling": OO.ts_rolling_sql(5),
         "ts_bucket_pipeline": OO.ts_bucket_pipeline_sql("1 day"),
         "ts_boxplot": OO.ts_boxplot_sql(),
+        "ts_extended_stats": OO.ts_extended_stats_sql(2.0),
+        "ts_value_histogram": OO.ts_value_histogram_sql(25.0),
+        "ts_normalize": OO.ts_normalize_sql("1 day"),
         "ts_ttest": OO.ts_ttest_sql("click", "view"),
         "text_string_stats": OO.text_string_stats_sql(),
         "text_multi_terms": OO.text_multi_terms_sql(["lang", "source"], 10),

@@ -2265,6 +2265,42 @@ class PhysicalIndex:
             .select(group_field, "doc_id", "score", "rank")
         )
 
+    def diversified_sampler(self, qterms: list[str], key_field: str,
+                            max_per_key: int = 1, shard_size: int = 100,
+                            mode: str = "or",
+                            filters: Filters = None) -> DataFrame:
+        """(doc_id, score, key value, rank_in_key) — the ES
+        ``diversified_sampler`` aggregation: the best-scoring sample
+        of at most ``shard_size`` hits with at most ``max_per_key``
+        docs per value of ``key_field``.  Deterministic definition
+        (ES leaves per-shard order unspecified): per-key rank by
+        (score desc, doc_id asc), keep ranks <= ``max_per_key``,
+        then the global top ``shard_size`` by the same order.
+
+        Plan shape: one scored pass + a per-key window (shuffle keys
+        on ``key_field``, per-task state bounded by the key's match
+        count) + TakeOrderedAndProject for the global sample — never
+        a global sort."""
+        from pyspark.sql import Window
+
+        scored = self.scored_docs(sorted(set(qterms)), mode)
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        joined = scored.join(
+            self.docs.select("doc_id", key_field), "doc_id"
+        )
+        w = Window.partitionBy(key_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            joined.withColumn("rank_in_key", F.row_number().over(w))
+            .filter(F.col("rank_in_key") <= int(max_per_key))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(shard_size))
+            .select("doc_id", "score", key_field, "rank_in_key")
+        )
+
     def expand_topk(self, qterms: list[str], collapse_field: str,
                     k: int = 10, n_expand: int = 2, mode: str = "or",
                     filters: Filters = None) -> DataFrame:

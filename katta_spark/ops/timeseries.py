@@ -558,6 +558,106 @@ def t_test(df: DataFrame, type_col: str, group_a: str, group_b: str,
     )
 
 
+def extended_stats(df: DataFrame, key_col: str,
+                   value_col: str = "value",
+                   sigma: float = 2.0) -> DataFrame:
+    """ES ``extended_stats`` aggregation: per group count / min /
+    max / sum / avg / sum_of_squares / variance / std_deviation
+    (population, the ES default) and the ±``sigma`` std-deviation
+    bounds.
+
+    Scale shape: ONE keyed hash agg (n, Σv, Σv², min, max) with
+    map-side combine; moments rounded to 6dp before the formulas
+    (the :func:`group_corr` trick) so engines agree exactly."""
+    v = F.col(value_col).cast("double")
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.round(F.sum(v), 6).alias("_s"),
+        F.round(F.sum(v * v), 6).alias("_ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    var = F.col("_ss") / n - mean * mean
+    std = F.sqrt(var)
+    sg = F.lit(float(sigma))
+    return agg.select(
+        key_col, "n", "vmin", "vmax",
+        F.round("_s", 6).alias("vsum"),
+        F.round(mean, 6).alias("avg"),
+        F.round("_ss", 6).alias("sum_sq"),
+        F.round(var, 6).alias("variance"),
+        F.round(std, 6).alias("std_dev"),
+        F.round(mean + sg * std, 6).alias("std_upper"),
+        F.round(mean - sg * std, 6).alias("std_lower"),
+    ).orderBy(key_col)
+
+
+def value_histogram(df: DataFrame, value_col: str = "value",
+                    interval: float = 10.0) -> DataFrame:
+    """ES numeric ``histogram`` aggregation with ``min_doc_count=0``:
+    fixed-``interval`` buckets aligned at 0 over the data's min..max
+    span, EMPTY BUCKETS EMITTED — ``(bucket, n)``.
+
+    Scale shape: one hash agg on the aligned bucket + one min/max
+    agg to a ONE-ROW bounds table; the dense bucket axis is a
+    ``sequence`` explode of that single row (bucket-count-sized,
+    never data-sized) left-joined to the counts."""
+    iv = float(interval)
+    b = F.floor(F.col(value_col) / F.lit(iv)).cast("long")
+    counts = df.groupBy(b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = df.agg(
+        F.min(b).alias("_lo"), F.max(b).alias("_hi")
+    )
+    axis = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("_b")
+    )
+    return (
+        axis.join(counts, "_b", "left")
+        .select(
+            F.round(F.col("_b") * F.lit(iv), 6).alias("bucket"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def normalize_buckets(df: DataFrame, ts_col: str, duration: str,
+                      value_col: str = "value") -> DataFrame:
+    """ES ``normalize`` pipeline aggregation over a date-histogram
+    parent: per tumbling bucket ``sum``, then ``percent_of_sum``
+    (bucket share of the grand total × 100) and ``rescale_0_1``
+    across the bucket axis.
+
+    Scale shape: one hash agg to the bounded bucket table, then the
+    normalizing constants come from an unpartitioned window over
+    THAT table (bucket-count rows, never raw events)."""
+    from pyspark.sql import Window
+
+    bucket = F.window(F.col(ts_col).cast("timestamp"), duration)
+    agg = df.groupBy(bucket["start"].alias("bucket_start")).agg(
+        F.round(F.sum(F.col(value_col)), 6).alias("bucket_sum")
+    )
+    w = Window.partitionBy()
+    tot = F.sum("bucket_sum").over(w)
+    mn = F.min("bucket_sum").over(w)
+    mx = F.max("bucket_sum").over(w)
+    return (
+        agg.withColumn(
+            "pct_of_sum",
+            F.round(F.col("bucket_sum") / tot * 100, 6),
+        )
+        .withColumn(
+            "rescaled",
+            F.round((F.col("bucket_sum") - mn) / (mx - mn), 6),
+        )
+        .orderBy("bucket_start")
+    )
+
+
 AUTO_HISTO_LADDER = [
     1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
     86400, 604800, 2592000, 31536000,

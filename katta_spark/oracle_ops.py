@@ -1793,3 +1793,64 @@ def text_multi_terms_sql(keys: list[str], size: int = 10) -> str:
 SELECT {ks}, CAST(count(*) AS BIGINT) AS n
 FROM documents GROUP BY {ks}
 ORDER BY n DESC, {order} LIMIT {int(size)}"""
+
+
+def ts_extended_stats_sql(sigma: float = 2.0) -> str:
+    """Oracle for ops.timeseries.extended_stats: same rounded
+    moments (n, Σv, Σv²) before the population-variance formulas."""
+    return f"""
+WITH m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         min(value) AS vmin, max(value) AS vmax,
+         round(sum(value), 6) AS s,
+         round(sum(value * value), 6) AS ss
+  FROM events GROUP BY event_type)
+SELECT event_type, n, vmin, vmax,
+       round(s, 6) AS vsum,
+       round(s / n, 6) AS avg,
+       round(ss, 6) AS sum_sq,
+       round(ss / n - (s / n) * (s / n), 6) AS variance,
+       round(sqrt(ss / n - (s / n) * (s / n)), 6) AS std_dev,
+       round(s / n + {float(sigma)} * sqrt(ss / n - (s / n) * (s / n)), 6)
+         AS std_upper,
+       round(s / n - {float(sigma)} * sqrt(ss / n - (s / n) * (s / n)), 6)
+         AS std_lower
+FROM m ORDER BY event_type"""
+
+
+def ts_value_histogram_sql(interval: float = 10.0) -> str:
+    """Oracle for ops.timeseries.value_histogram: dense bucket axis
+    from generate_series over the floor-aligned bounds, left-joined
+    counts, empty buckets at n=0."""
+    iv = float(interval)
+    return f"""
+WITH c AS (
+  SELECT CAST(floor(value / {iv}) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+bounds AS (
+  SELECT CAST(floor(min(value) / {iv}) AS BIGINT) AS lo,
+         CAST(floor(max(value) / {iv}) AS BIGINT) AS hi
+  FROM events),
+axis AS (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds)
+SELECT round(CAST(a.b * {iv} AS DOUBLE), 6) AS bucket,
+       COALESCE(c.n, 0) AS n
+FROM axis a LEFT JOIN c ON a.b = c.b ORDER BY bucket"""
+
+
+def ts_normalize_sql(unit: str = "1 day") -> str:
+    """Oracle for ops.timeseries.normalize_buckets: bucket sums then
+    percent_of_sum / rescale_0_1 from whole-axis window constants."""
+    return f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '{unit}', ts) AS bs,
+         round(sum(value), 6) AS bucket_sum
+  FROM events GROUP BY 1)
+SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       bucket_sum,
+       round(bucket_sum / sum(bucket_sum) OVER () * 100, 6)
+         AS pct_of_sum,
+       round((bucket_sum - min(bucket_sum) OVER ())
+             / (max(bucket_sum) OVER () - min(bucket_sum) OVER ()), 6)
+         AS rescaled
+FROM b ORDER BY bs"""

@@ -1351,3 +1351,34 @@ SELECT r.{collapse_field}, r.doc_id, round(r.score, 6) AS score,
 FROM ranked r JOIN heads h USING ({collapse_field})
 WHERE r.rn BETWEEN 2 AND {int(n_expand) + 1}
 ORDER BY r.{collapse_field}, exp_rank"""
+
+
+def diversified_sampler_sql(terms: list[str], key_field: str,
+                            max_per_key: int = 1, shard_size: int = 100,
+                            mode: str = "or") -> str:
+    """ES diversified_sampler oracle: per-key rank over the scored
+    matches (score desc, doc_id asc), quota filter, global
+    top-shard_size by the same order (mirror of
+    PhysicalIndex.diversified_sampler)."""
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+),
+ranked AS (
+  SELECT s.doc_id, s.score, d.{key_field},
+    CAST(row_number() OVER (
+      PARTITION BY d.{key_field}
+      ORDER BY s.score DESC, s.doc_id ASC) AS INT) AS rank_in_key
+  FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, 6) AS score, {key_field}, rank_in_key
+FROM ranked WHERE rank_in_key <= {int(max_per_key)}
+ORDER BY score DESC, doc_id ASC LIMIT {int(shard_size)}"""

@@ -468,3 +468,35 @@ def test_cross_fields_blends_df_and_takes_best_field(spark, tmp_path):
     assert set(got) == set(want)
     for i, s in want.items():
         assert got[i] == pytest.approx(s, abs=1e-9), i
+
+
+def test_diversified_sampler_matches_python(pindex, py_oracle,
+                                            pandas_docs):
+    """Python mirror: per-lang rank by (score desc, doc_id asc),
+    quota 2, global top-5 by the same order."""
+    langs = {
+        int(r.doc_id): r.lang for r in pandas_docs.itertuples(index=False)
+    }
+    terms = ["import"]
+    per_key: dict[str, list] = {}
+    for d in py_oracle.matches(terms):
+        per_key.setdefault(langs[d], []).append(
+            (-py_oracle.score(d, terms), d)
+        )
+    kept = []
+    for lang, lst in per_key.items():
+        for rank, (negs, d) in enumerate(sorted(lst)[:2], 1):
+            kept.append((negs, d, lang, rank))
+    want = [(d, round(-negs, 9), lang, rank)
+            for negs, d, lang, rank in sorted(kept)[:5]]
+    got = pindex.diversified_sampler(terms, "lang", max_per_key=2,
+                                     shard_size=5).collect()
+    assert [
+        (r["doc_id"], round(r["score"], 9), r["lang"], r["rank_in_key"])
+        for r in got
+    ] == want
+    # quota actually binds: never more than 2 rows per lang
+    per = {}
+    for r in got:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert max(per.values()) <= 2

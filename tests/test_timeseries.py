@@ -831,3 +831,44 @@ def test_t_test_matches_welch_mirror(spark):
     assert row["n_a"] == na and row["n_b"] == nb
     assert abs(row["mean_a"] - round(ma, 6)) < 1e-9
     assert abs(row["t_stat"] - round(t, 6)) < 1e-9
+
+
+def test_extended_stats_matches_python(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    out = {r["event_type"]: r
+           for r in TS.extended_stats(e, "event_type", "value",
+                                      sigma=2.0).collect()}
+    vals = {}
+    for r in e.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    import math
+    for et, v in vals.items():
+        n = len(v)
+        s, ss = round(sum(v), 6), round(sum(x * x for x in v), 6)
+        mean = s / n
+        var = ss / n - mean * mean
+        r = out[et]
+        assert r["n"] == n and r["vmin"] == min(v) and r["vmax"] == max(v)
+        assert abs(r["avg"] - round(mean, 6)) < 1e-9
+        assert abs(r["variance"] - round(var, 6)) < 1e-9
+        assert abs(r["std_upper"]
+                   - round(mean + 2.0 * math.sqrt(var), 6)) < 1e-9
+
+
+def test_value_histogram_emits_empty_buckets(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (55.0,)], ["value"])
+    out = [(r["bucket"], r["n"])
+           for r in TS.value_histogram(df, "value", 10.0).collect()]
+    assert out == [(0.0, 2), (10.0, 0), (20.0, 0), (30.0, 0),
+                   (40.0, 0), (50.0, 1)]
+
+
+def test_normalize_buckets_hand_computed(spark):
+    rows = [("2024-01-01 01:00:00", 1.0),
+            ("2024-01-02 01:00:00", 3.0),
+            ("2024-01-03 01:00:00", 4.0)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = TS.normalize_buckets(df, "ts", "1 day", "value").collect()
+    assert [r["pct_of_sum"] for r in out] == [12.5, 37.5, 50.0]
+    assert [r["rescaled"] for r in out] == [0.0, 0.666667, 1.0]
