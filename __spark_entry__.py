@@ -383,6 +383,28 @@ def q_group_topk(spark, sf_dir):
     )
 
 
+def q_ft_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix '"fast s*"': last slot expands to <=50
+    catalog terms in term order (Lucene's rewrite cap), then one
+    multi-phrase positional scan."""
+    return _round_score(
+        phys_index(spark, sf_dir).phrase_prefix_topk(
+            ["fast"], "s", k=10, max_expansions=50)
+    )
+
+
+def q_ft_rank_feature(spark, sf_dir):
+    """ES rank_feature (saturation): BM25 + 2*v/(v+250) over
+    n_chars, ranked over ALL matches (not a top-k re-rank)."""
+    out = phys_index(spark, sf_dir).rank_feature_topk(
+        ["table"], "n_chars", pivot=250.0, k=10, boost=2.0)
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("feat_score", 6).alias("feat_score"),
+    )
+
+
 def q_diversified_sampler(spark, sf_dir):
     """ES diversified_sampler: best 20 'table' hits, at most 2 per
     lang — per-key quota window + global TakeOrderedAndProject."""
@@ -1913,6 +1935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_stats": q_ft_facet_stats,
         "ft_group_topk": q_group_topk,
         "ft_diversified": q_diversified_sampler,
+        "ft_phrase_prefix": q_ft_phrase_prefix,
+        "ft_rank_feature": q_ft_rank_feature,
         "ft_mlt": q_mlt,
         "ft_multi_topk": q_multi_topk,
         "ft_percolate": q_percolate,
@@ -2155,6 +2179,10 @@ ORDER BY cnt ASC, source ASC LIMIT 10""",
         "ft_group_topk": O.group_topk_sql(["table"], "lang", k_per_group=3),
         "ft_diversified": O.diversified_sampler_sql(
             ["table"], "lang", max_per_key=2, shard_size=20),
+        "ft_phrase_prefix": O.phrase_prefix_sql(
+            ["fast"], "s", k=10, max_expansions=50),
+        "ft_rank_feature": O.rank_feature_sql(
+            ["table"], "n_chars", pivot=250.0, k=10, boost=2.0),
         "ft_mlt": O.mlt_sql(7, m_terms=5, k=10),
         "ft_multi_topk": O.multi_topk_sql(_MULTI_Q, k=5),
         "ft_percolate": O.percolate_sql(_MULTI_Q),

@@ -1622,6 +1622,68 @@ class PhysicalIndex:
             .limit(k).select("doc_id", "score")
         )
 
+    def rank_feature_topk(self, qterms: list[str], feature_field: str,
+                          pivot: float, k: int = 10, boost: float = 1.0,
+                          mode: str = "or",
+                          filters: Filters = None) -> DataFrame:
+        """(doc_id, score, feat_score) — the ES ``rank_feature``
+        query with the ``saturation`` function: final score =
+        BM25 + ``boost`` · v/(v+``pivot``) over a stored numeric
+        field (static doc signals: pagerank, freshness, length
+        priors).  ES's default pivot is a field statistic; here it
+        is explicit for determinism.
+
+        Plan shape: the scored pass joins the docs projection
+        narrowly (two columns), the feature term is column algebra,
+        and the final ranking is TakeOrderedAndProject — the feature
+        reorders ALL matches, not a re-rank of the BM25 top-k."""
+        scored = self.scored_docs(sorted(set(qterms)), mode)
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        v = F.col(feature_field).cast("double")
+        sat = F.lit(float(boost)) * v / (v + F.lit(float(pivot)))
+        out = (
+            scored.join(
+                self.docs.select("doc_id", feature_field), "doc_id"
+            )
+            .withColumn("feat_score", sat)
+            .withColumn("score", F.col("score") + F.col("feat_score"))
+        )
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score", "feat_score")
+        )
+
+    def phrase_prefix_topk(self, words: list[str], prefix: str,
+                           k: int = 10, max_expansions: int = 50,
+                           filters: Filters = None) -> DataFrame:
+        """ES ``match_phrase_prefix`` / Lucene's phrase-prefix
+        rewrite: the exact phrase ``words…`` followed by any term
+        starting with ``prefix``.  The prefix slot is expanded
+        against the term dictionary in index (term) order, capped at
+        ``max_expansions`` — exactly Lucene's MultiTermQuery rewrite
+        cap (default 50), so the driver-side fetch is bounded by the
+        cap, never by the corpus; the expansion scan itself is a
+        pruned catalog read (StringStartsWith pushes to the
+        term-sorted parquet).  The expanded query then runs as one
+        :meth:`multi_phrase_topk` positional scan."""
+        cond = F.col("term").startswith(prefix.lower())
+        if ":" not in prefix:
+            cond = cond & ~F.col("term").contains(":")
+        alts = [
+            r["term"]
+            for r in self.terms.filter(cond)
+            .select("term").orderBy("term")
+            .limit(int(max_expansions)).collect()
+        ]
+        if not alts:
+            return self.docs.select(
+                "doc_id", F.lit(0.0).alias("score")
+            ).filter(F.lit(False))
+        slots = [[w] for w in words] + [alts]
+        return self.multi_phrase_topk(slots, k, filters)
+
     def span_first_topk(self, term: str, end: int, k: int = 10,
                         filters: Filters = None) -> DataFrame:
         """(doc_id, score) top-k — Lucene SpanFirstQuery(term, end):

@@ -1382,3 +1382,78 @@ ranked AS (
 SELECT doc_id, round(score, 6) AS score, {key_field}, rank_in_key
 FROM ranked WHERE rank_in_key <= {int(max_per_key)}
 ORDER BY score DESC, doc_id ASC LIMIT {int(shard_size)}"""
+
+
+def phrase_prefix_sql(words: list[str], prefix: str, k: int = 10,
+                      max_expansions: int = 50) -> str:
+    """match_phrase_prefix oracle: the prefix slot expands to the
+    first ``max_expansions`` catalog terms in term order (Lucene's
+    rewrite cap), the phrase verifies positionally, and the score is
+    the BM25 sum over every expanded alternative present in the doc
+    (mirror of PhysicalIndex.phrase_prefix_topk)."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    m = len(words) + 1
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    pq = prefix.lower().replace("'", "''")
+    conds = [
+        f"toks[i + {d}] = '" + w.replace("'", "''") + "'"
+        for d, w in enumerate(words)
+    ]
+    conds.append(f"list_contains(alist, toks[i + {m - 1}])")
+    conj = " AND ".join(conds)
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+alt AS (
+  SELECT list(term) AS alist FROM (
+    SELECT term FROM dfv WHERE term LIKE '{pq}%'
+    ORDER BY term LIMIT {int(max_expansions)})),
+verified AS (
+  SELECT doc_id FROM tokl, alt
+  WHERE len(toks) >= {m}
+    AND len(list_filter(generate_series(1, len(toks) - {m - 1}),
+                        i -> {conj})) > 0
+),
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf
+  JOIN dfv ON tf.term = dfv.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats, alt
+  WHERE tf.term IN {_term_list(words)} OR list_contains(alt.alist, tf.term)
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT s.doc_id, s.score FROM scored s JOIN verified v ON s.doc_id = v.doc_id
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT {k}
+)
+SELECT doc_id, round(score, 6) AS score FROM top"""
+
+
+def rank_feature_sql(terms: list[str], feature_field: str,
+                     pivot: float, k: int = 10, boost: float = 1.0,
+                     mode: str = "or") -> str:
+    """rank_feature oracle: BM25 + boost * v/(v+pivot) over the
+    stored feature field, ranked over ALL matches (mirror of
+    PhysicalIndex.rank_feature_topk)."""
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    sat = (
+        f"{float(boost)!r} * CAST(d.{feature_field} AS DOUBLE)"
+        f" / (CAST(d.{feature_field} AS DOUBLE) + {float(pivot)!r})"
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+)
+SELECT s.doc_id,
+       round(s.score + {sat}, 6) AS score,
+       round({sat}, 6) AS feat_score
+FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
+ORDER BY s.score + {sat} DESC, s.doc_id ASC LIMIT {k}"""

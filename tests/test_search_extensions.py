@@ -677,3 +677,54 @@ def test_rank_eval_known_metrics(spark):
                                "qid string, doc_id long, grade double")
     r2 = rank_eval(res2, j2, k=4).first()
     assert (r2["n_judged"], r2["mrr"], r2["ndcg"]) == (0, 0.0, 0.0)
+
+
+def test_phrase_prefix_matches_python(pindex, py_oracle, pandas_docs):
+    """Mirror: expand the prefix against the analyzed vocabulary
+    (term order, cap 50), verify the consecutive phrase, score the
+    BM25 sum over words + every expansion present in the doc."""
+    from katta_spark.tokenizer import py_tokenize
+
+    words, prefix, cap, k = ["class"], "h", 50, 10
+    toks = {
+        int(r.doc_id): py_tokenize(r.content)
+        for r in pandas_docs.itertuples(index=False)
+    }
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    alts = [t for t in vocab if t.startswith(prefix)][:cap]
+    assert alts, "test premise: prefix expands to something"
+    m = len(words) + 1
+    verified = set()
+    for d, ts in toks.items():
+        for i in range(len(ts) - m + 1):
+            if ts[i:i + len(words)] == words and ts[i + m - 1] in alts:
+                verified.add(d)
+                break
+    scored = {
+        d: py_oracle.score(d, sorted(set(words) | set(alts)))
+        for d in verified
+    }
+    want = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+    got = pindex.phrase_prefix_topk(words, prefix, k=k,
+                                    max_expansions=cap).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+
+
+def test_rank_feature_reorders_beyond_bm25_topk(pindex, py_oracle):
+    """Mirror: final = BM25 + boost*v/(v+pivot) over the dl field,
+    ranked across ALL matches."""
+    terms, boost, pivot, k = ["import"], 5.0, 10.0, 10
+    dl = py_oracle.dl
+    scored = {
+        d: py_oracle.score(d, terms)
+        + boost * dl[d] / (dl[d] + pivot)
+        for d in py_oracle.matches(terms)
+    }
+    want = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+    got = pindex.rank_feature_topk(terms, "dl", pivot=pivot, k=k,
+                                   boost=boost).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
