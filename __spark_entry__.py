@@ -1723,6 +1723,36 @@ def q_ts_normalize(spark, sf_dir):
     )
 
 
+def q_text_categorize(spark, sf_dir):
+    """ES categorize_text (log-template mining): deterministic
+    event-derived messages, numbers masked to <num>, one hash agg on
+    the template."""
+    from katta_spark.ops import text
+
+    msgs = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("user "), F.col("user_id").cast("string"),
+            F.lit(" did "), F.col("event_type"),
+            F.lit(" k="), F.get_json_object("props", "$.k"),
+        ).alias("message")
+    )
+    return text.categorize_text(msgs, text_col="message", m=10)
+
+
+def q_ts_change_point(spark, sf_dir):
+    """ES change_point (level-shift argmax over daily bucket sums):
+    two cumulative windows over the bounded bucket table."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.change_point(_events(spark, sf_dir), "ts", "1 day",
+                          "value")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "before_mean", "after_mean", "delta",
+    )
+
+
 def q_ts_boxplot(spark, sf_dir):
     """ES boxplot agg per event_type — one keyed hash agg, five
     order statistics from one percentile pass."""
@@ -2065,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_extended_stats": q_ts_extended_stats,
         "ts_value_histogram": q_ts_value_histogram,
         "ts_normalize": q_ts_normalize,
+        "text_categorize": q_text_categorize,
+        "ts_change_point": q_ts_change_point,
         "ts_ttest": q_ts_ttest,
         "text_string_stats": q_text_string_stats,
         "text_multi_terms": q_text_multi_terms,
@@ -2435,6 +2467,8 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_extended_stats": OO.ts_extended_stats_sql(2.0),
         "ts_value_histogram": OO.ts_value_histogram_sql(25.0),
         "ts_normalize": OO.ts_normalize_sql("1 day"),
+        "text_categorize": OO.text_categorize_sql(10),
+        "ts_change_point": OO.ts_change_point_sql("1 day"),
         "ts_ttest": OO.ts_ttest_sql("click", "view"),
         "text_string_stats": OO.text_string_stats_sql(),
         "text_multi_terms": OO.text_multi_terms_sql(["lang", "source"], 10),

@@ -766,3 +766,30 @@ def multi_terms(corpus: DataFrame, keys: list[str],
     agg = corpus.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     order = [F.desc("n")] + [F.asc(k) for k in keys]
     return agg.orderBy(*order).limit(int(size))
+
+
+def categorize_text(corpus: DataFrame, text_col: str = "content",
+                    m: int = 10) -> DataFrame:
+    """ES ``categorize_text`` aggregation (log-template mining, the
+    deterministic core of drain-style categorizers): messages are
+    reduced to a TEMPLATE by masking numeric tokens (integers,
+    decimals, hex ids) as ``<num>`` and collapsing whitespace; top
+    ``m`` templates by message count, with the lexicographically
+    smallest member as the reproducible example.
+
+    Scale shape: template derivation is narrow JVM regex column
+    algebra; ONE hash agg on the template (cardinality = distinct
+    templates, tiny next to messages) + TakeOrderedAndProject."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"\b(?:0x[0-9a-f]+|\d+(?:\.\d+)?)\b", "<num>")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return (
+        corpus.select(t.alias("template"), F.col(text_col))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(text_col).alias("example"),
+        )
+        .orderBy(F.desc("n"), F.asc("template"))
+        .limit(int(m))
+    )

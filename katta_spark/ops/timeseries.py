@@ -972,3 +972,45 @@ def rate(df: DataFrame, ts_col: str, key_col: str,
         "rate_per_s",
         F.round(F.when(elapsed > 0, delta / elapsed), 6) + F.lit(0.0),
     )
+
+
+def change_point(df: DataFrame, ts_col: str, duration: str,
+                 value_col: str = "value") -> DataFrame:
+    """ES ``change_point`` aggregation, deterministic level-shift
+    variant: over the tumbling-``duration`` bucket sums, the split
+    bucket that maximizes |mean(before) - mean(after)| (ES's
+    step-change detector without the p-value machinery — the argmax
+    is the same).  One row ``(bucket_start, before_mean, after_mean,
+    delta)``; the split bucket starts the AFTER side, and both sides
+    must be non-empty.
+
+    Scale shape: one hash agg shrinks events to the bounded bucket
+    table; the split scan is two cumulative windows over THAT table
+    (bucket-count rows), then one argmax via TakeOrdered(1)."""
+    from pyspark.sql import Window
+
+    bucket = F.window(F.col(ts_col).cast("timestamp"), duration)
+    agg = df.groupBy(bucket["start"].alias("bucket_start")).agg(
+        F.round(F.sum(F.col(value_col)), 6).alias("bucket_sum")
+    )
+    w = Window.partitionBy().orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = Window.partitionBy()
+    cand = (
+        agg.withColumn("_nb", F.count(F.lit(1)).over(w))
+        .withColumn("_sb", F.sum("bucket_sum").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(tot))
+        .withColumn("_s", F.sum("bucket_sum").over(tot))
+        .filter(F.col("_nb") >= 1)
+        .filter(F.col("_n") - F.col("_nb") >= 1)
+    )
+    before = F.col("_sb") / F.col("_nb")
+    after = (F.col("_s") - F.col("_sb")) / (F.col("_n") - F.col("_nb"))
+    out = cand.select(
+        "bucket_start",
+        F.round(before, 6).alias("before_mean"),
+        F.round(after, 6).alias("after_mean"),
+        F.round(F.abs(after - before), 6).alias("delta"),
+    )
+    return out.orderBy(F.desc("delta"), F.asc("bucket_start")).limit(1)

@@ -1854,3 +1854,52 @@ SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
              / (max(bucket_sum) OVER () - min(bucket_sum) OVER ()), 6)
          AS rescaled
 FROM b ORDER BY bs"""
+
+
+def text_categorize_sql(m: int = 10) -> str:
+    """Oracle for ops.text.categorize_text over the event-derived
+    message stream: the same number-masking regex (dialect-portable:
+    no lookarounds), count per template, lexicographically smallest
+    example."""
+    return f"""
+WITH msg AS (
+  SELECT 'user ' || CAST(user_id AS VARCHAR) || ' did ' || event_type
+         || ' k=' || json_extract_string(props, '$.k') AS message
+  FROM events),
+t AS (
+  SELECT trim(regexp_replace(
+           regexp_replace(lower(message),
+                          '\\b(?:0x[0-9a-f]+|\\d+(?:\\.\\d+)?)\\b',
+                          '<num>', 'g'),
+           '\\s+', ' ', 'g')) AS template,
+         message
+  FROM msg)
+SELECT template, CAST(count(*) AS BIGINT) AS n, min(message) AS example
+FROM t GROUP BY template
+ORDER BY n DESC, template ASC LIMIT {int(m)}"""
+
+
+def ts_change_point_sql(unit: str = "1 day") -> str:
+    """Oracle for ops.timeseries.change_point: cumulative prefix
+    windows over the bucket table, argmax of the ROUNDED
+    level-shift delta (tie-break bucket asc)."""
+    return f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '{unit}', ts) AS bs,
+         round(sum(value), 6) AS bucket_sum
+  FROM events GROUP BY 1),
+c AS (
+  SELECT bs,
+         count(*) OVER (ORDER BY bs
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nb,
+         sum(bucket_sum) OVER (ORDER BY bs
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sb,
+         count(*) OVER () AS n,
+         sum(bucket_sum) OVER () AS s
+  FROM b)
+SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       round(sb / nb, 6) AS before_mean,
+       round((s - sb) / (n - nb), 6) AS after_mean,
+       round(abs((s - sb) / (n - nb) - sb / nb), 6) AS delta
+FROM c WHERE nb >= 1 AND n - nb >= 1
+ORDER BY delta DESC, bs ASC LIMIT 1"""

@@ -423,3 +423,19 @@ def test_multi_terms_orders_by_count_then_key(spark):
            for r in text.multi_terms(df, ["lang", "source"], 3).collect()]
     assert out == [("en", "web", 2), ("de", "book", 1),
                    ("de", "web", 1)]
+
+
+def test_categorize_text_masks_numbers(spark):
+    df = spark.createDataFrame(
+        [(0, "GET /api/v2/user/1234 took 98.5 ms"),
+         (1, "GET /api/v2/user/77 took 3.2 ms"),
+         (2, "cache flush 0xdeadbeef done"),
+         (3, "GET /api/v2/user/9 took 11 ms")],
+        ["doc_id", "text"])
+    out = text.categorize_text(df, text_col="text", m=5).collect()
+    # "v2" is not a standalone numeric token (no word boundary
+    # between v and 2), so it survives the mask — ES behaves the same
+    assert out[0]["template"] == "get /api/v2/user/<num> took <num> ms"
+    assert out[0]["n"] == 3
+    assert out[0]["example"] == "GET /api/v2/user/1234 took 98.5 ms"
+    assert out[1]["template"] == "cache flush <num> done"

@@ -872,3 +872,18 @@ def test_normalize_buckets_hand_computed(spark):
     out = TS.normalize_buckets(df, "ts", "1 day", "value").collect()
     assert [r["pct_of_sum"] for r in out] == [12.5, 37.5, 50.0]
     assert [r["rescaled"] for r in out] == [0.0, 0.666667, 1.0]
+
+
+def test_change_point_finds_the_level_shift(spark):
+    """Flat at 10 for 4 days, then flat at 50: the split lands on the
+    first high bucket with exact means."""
+    rows = []
+    for d in range(1, 5):
+        rows.append((f"2024-01-0{d} 06:00:00", 10.0))
+    for d in range(5, 9):
+        rows.append((f"2024-01-0{d} 06:00:00", 50.0))
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    r = TS.change_point(df, "ts", "1 day", "value").collect()[0]
+    assert str(r["bucket_start"]).startswith("2024-01-05")
+    assert r["before_mean"] == 10.0 and r["after_mean"] == 50.0
+    assert r["delta"] == 40.0
