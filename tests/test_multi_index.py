@@ -182,3 +182,36 @@ def test_open_many_lucene_front_door(spark, split_dirs):
         want = [(r["doc_id"], round(r["score"], 9))
                 for r in union.query(q, k=12).collect()]
         assert got == want, q
+
+
+def test_data_stream_rollover(spark, tmp_path_factory):
+    """ES data-stream rollover-lite: three appends with max_docs=500
+    land as gen1 (two commits, 600 docs — threshold checked BEFORE
+    the write, so the active gen may overshoot by one batch) + gen2;
+    the cross-generation handle searches all appended docs."""
+    from katta_spark.index.rollover import DataStream
+
+    root = str(tmp_path_factory.mktemp("stream") / "ds")
+    full = with_ingest_columns(synthetic_corpus(spark, 900))
+    batches = [
+        full.filter(F.col("doc_id") < 300),
+        full.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600))
+        .withColumn("doc_id", F.col("doc_id") - 300),
+        full.filter(F.col("doc_id") >= 600)
+        .withColumn("doc_id", F.col("doc_id") - 600),
+    ]
+    ds = DataStream(spark, root, max_docs=500,
+                    n_groups=2, block_range=BR)
+    reports = [ds.append(b) for b in batches]
+    assert [r["generation"] for r in reports] == [
+        "gen-000001", "gen-000001", "gen-000002"
+    ]
+    gens = ds.generations()
+    assert [g.name for g in gens] == ["gen-000001", "gen-000002"]
+    assert DataStream._gen_docs(gens[0]) == 600
+    assert DataStream._gen_docs(gens[1]) == 300
+    h = ds.search_handle()
+    assert h.stats["n_docs"] == 900
+    # every appended doc is reachable: count of a universal term
+    got = h.topk(["def"], k=5).collect()
+    assert len(got) == 5 and got[0]["score"] > 0
