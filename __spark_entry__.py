@@ -22,6 +22,7 @@ from katta_spark.fulltext import query as Q
 from katta_spark.fulltext.analysis import LogicalIndex
 from katta_spark import oracle_ops as OO
 from katta_spark import oracle_sql as O
+from katta_spark.fulltext import scoring as _scoring
 from katta_spark.index import PhysicalIndex, build_index
 from katta_spark.ops import dedup, sampling, similarity, text
 
@@ -1906,6 +1907,29 @@ def q_ft_boost_func(spark, sf_dir):
     )
 
 
+def q_ft_decay_gauss(spark, sf_dir):
+    """ES function_score gauss decay on n_chars (origin 200, scale
+    150): BM25 * decay over ALL matches, exhaustive re-rank."""
+    from katta_spark.fulltext.scoring import decay_col
+
+    boost = decay_col("gauss", "n_chars", origin=200.0, scale=150.0)
+    return _round_score(
+        phys_index(spark, sf_dir).topk_boosted(["table"], boost, k=10)
+    )
+
+
+def q_ft_decay_linear(spark, sf_dir):
+    """ES function_score linear decay (origin 250, scale 200, offset
+    25, decay 0.3) — zero outside the support, exact at scale."""
+    from katta_spark.fulltext.scoring import decay_col
+
+    boost = decay_col("linear", "n_chars", origin=250.0, scale=200.0,
+                      offset=25.0, decay=0.3)
+    return _round_score(
+        phys_index(spark, sf_dir).topk_boosted(["scan"], boost, k=10)
+    )
+
+
 def q_ft_rerank(spark, sf_dir):
     """Solr ReRankQParser: top-40 by the main query rescored by a
     second query (combined = main + 1.5*rerank), reordered, top-10.
@@ -1976,6 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_pivot_facet": q_ft_pivot_facet,
         "ft_spellcheck": q_ft_spellcheck,
         "ft_boost_func": q_ft_boost_func,
+        "ft_decay_gauss": q_ft_decay_gauss,
+        "ft_decay_linear": q_ft_decay_linear,
         "ft_dismax": q_ft_dismax,
         "ft_rerank": q_ft_rerank,
         "ft_facet_query": q_ft_facet_query,
@@ -2233,6 +2259,18 @@ ORDER BY cnt ASC, source ASC LIMIT 10""",
         ),
         "ft_dismax": O.dismax_sql(
             ["table"], [("lang", "en")], tie=0.3, k=10
+        ),
+        "ft_decay_gauss": O.boosted_topk_sql(
+            ["table"],
+            _scoring.decay_sql("gauss", "n_chars", origin=200.0,
+                               scale=150.0),
+            k=10,
+        ),
+        "ft_decay_linear": O.boosted_topk_sql(
+            ["scan"],
+            _scoring.decay_sql("linear", "n_chars", origin=250.0,
+                               scale=200.0, offset=25.0, decay=0.3),
+            k=10,
         ),
         "ft_rerank": O.rerank_sql(
             ["table"], ["spark", "data"], rerank_docs=40, weight=1.5, k=10

@@ -728,3 +728,39 @@ def test_rank_feature_reorders_beyond_bm25_topk(pindex, py_oracle):
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
         (d, round(s, 9)) for d, s in want
     ]
+
+
+def test_decay_functions_reference_points(spark, pindex, py_oracle):
+    """ES decay contract: value at origin scores 1.0, at
+    origin±scale (past offset) exactly `decay`, linear hits 0 outside
+    its support; and the boosted ranking matches a python mirror."""
+    import math
+
+    from katta_spark.fulltext.scoring import _decay_params, decay_col
+
+    df = spark.createDataFrame(
+        [(200.0,), (350.0,), (50.0,), (1000.0,)], ["n_chars"])
+    g = df.select(
+        decay_col("gauss", "n_chars", 200.0, 150.0).alias("v")).collect()
+    assert g[0]["v"] == 1.0
+    assert abs(g[1]["v"] - 0.5) < 1e-12 and abs(g[2]["v"] - 0.5) < 1e-12
+    lin = df.select(
+        decay_col("linear", "n_chars", 200.0, 150.0).alias("v")).collect()
+    assert lin[0]["v"] == 1.0 and abs(lin[1]["v"] - 0.5) < 1e-12
+    assert lin[3]["v"] == 0.0  # outside the linear support
+
+    # end-to-end mirror on the index: BM25 * gauss(dl)
+    terms, origin, scale = ["import"], 30.0, 20.0
+    p = _decay_params("gauss", origin, scale, 0.0, 0.5)
+    scored = {
+        d: py_oracle.score(d, terms)
+        * math.exp(-((abs(py_oracle.dl[d] - origin)) ** 2)
+                   / (2.0 * p["sigma2"]))
+        for d in py_oracle.matches(terms)
+    }
+    want = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:10]
+    got = pindex.topk_boosted(
+        terms, decay_col("gauss", "dl", origin, scale), k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
