@@ -1754,6 +1754,52 @@ def q_ts_change_point(spark, sf_dir):
     )
 
 
+def q_ts_weighted_avg(spark, sf_dir):
+    """ES weighted_avg per event_type, weight = the props.k counter
+    — one keyed hash agg over derived columns."""
+    from katta_spark.ops import timeseries as TS
+
+    e = _events(spark, sf_dir).withColumn(
+        "w", F.get_json_object("props", "$.k").cast("double")
+    )
+    return TS.weighted_avg(e, "event_type", "value", "w")
+
+
+def q_ts_serial_diff(spark, sf_dir):
+    """ES serial_diff (lag-7 seasonal differencing over daily
+    buckets)."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.serial_diff(_events(spark, sf_dir), "ts", "1 day",
+                         "value", lag=7)
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "bucket_sum", "sdiff",
+    )
+
+
+def q_ts_cum_cardinality(spark, sf_dir):
+    """ES cumulative_cardinality (exact): first-seen bucket per user
+    + running sum over the daily bucket axis."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.cumulative_cardinality(_events(spark, sf_dir), "ts",
+                                    "1 day", "user_id")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "new_keys", "cum_distinct",
+    )
+
+
+def q_ft_facet_by_metric(spark, sf_dir):
+    """ES terms agg ordered by sub-aggregation: top langs among
+    'table' matches by avg n_chars (not by doc count)."""
+    return phys_index(spark, sf_dir).facet_by_metric(
+        ["table"], "lang", "n_chars", n=5)
+
+
 def q_ts_boxplot(spark, sf_dir):
     """ES boxplot agg per event_type — one keyed hash agg, five
     order statistics from one percentile pass."""
@@ -2123,6 +2169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_normalize": q_ts_normalize,
         "text_categorize": q_text_categorize,
         "ts_change_point": q_ts_change_point,
+        "ts_weighted_avg": q_ts_weighted_avg,
+        "ts_serial_diff": q_ts_serial_diff,
+        "ts_cum_cardinality": q_ts_cum_cardinality,
+        "ft_facet_by_metric": q_ft_facet_by_metric,
         "ts_ttest": q_ts_ttest,
         "text_string_stats": q_text_string_stats,
         "text_multi_terms": q_text_multi_terms,
@@ -2507,6 +2557,12 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_normalize": OO.ts_normalize_sql("1 day"),
         "text_categorize": OO.text_categorize_sql(10),
         "ts_change_point": OO.ts_change_point_sql("1 day"),
+        "ts_weighted_avg": OO.ts_weighted_avg_sql(),
+        "ts_serial_diff": OO.ts_serial_diff_sql("1 day", 7),
+        "ts_cum_cardinality": OO.ts_cumulative_cardinality_sql(
+            "1 day", "user_id"),
+        "ft_facet_by_metric": O.facet_by_metric_sql(
+            ["table"], "lang", "n_chars", n=5),
         "ts_ttest": OO.ts_ttest_sql("click", "view"),
         "text_string_stats": OO.text_string_stats_sql(),
         "text_multi_terms": OO.text_multi_terms_sql(["lang", "source"], 10),

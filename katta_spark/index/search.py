@@ -1417,6 +1417,38 @@ class PhysicalIndex:
             .orderBy("key1", "key2")
         )
 
+    def facet_by_metric(self, qterms: list[str], facet_field: str,
+                        metric_field: str, n: int = 5,
+                        mode: str = "or",
+                        filters: Filters = None) -> DataFrame:
+        """(facet value, cnt, metric_avg) — the ES terms aggregation
+        ordered by a SUB-AGGREGATION (``"order": {"avg_metric":
+        "desc"}``) instead of doc count: top-``n`` buckets by the
+        average of a stored numeric field over the matches.
+
+        Plan shape: one semi-join of the match set into the docs
+        scan (two columns read), ONE hash agg keyed on the facet
+        value, TakeOrderedAndProject for the bucket cut.  Sums are
+        rounded to 6dp before the division (engine agreement)."""
+        m = self.matched_docs(self._strip_stops(qterms), mode, filters)
+        v = F.col(metric_field).cast("double")
+        agg = (
+            self.docs.select("doc_id", facet_field, metric_field)
+            .join(m, "doc_id", "left_semi")
+            .groupBy(facet_field)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum(v), 6).alias("_s"),
+            )
+        )
+        out = agg.select(
+            facet_field, "cnt",
+            F.round(F.col("_s") / F.col("cnt"), 6).alias("metric_avg"),
+        )
+        return out.orderBy(
+            F.desc("metric_avg"), F.asc(facet_field)
+        ).limit(int(n))
+
     def sorted_query(self, qterms: list[str], sort_cols: list[tuple[str, str]],
                      fields: list[str], limit: int, offset: int = 0,
                      mode: str = "or", filters: Filters = None) -> DataFrame:

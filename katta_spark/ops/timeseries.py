@@ -1014,3 +1014,93 @@ def change_point(df: DataFrame, ts_col: str, duration: str,
         F.round(F.abs(after - before), 6).alias("delta"),
     )
     return out.orderBy(F.desc("delta"), F.asc("bucket_start")).limit(1)
+
+
+def weighted_avg(df: DataFrame, key_col: str, value_col: str,
+                 weight_col: str) -> DataFrame:
+    """ES ``weighted_avg`` aggregation per group: Σ(v·w)/Σw, NULL
+    weights treated as 0 contribution (row skipped), matching ES's
+    missing-value skip.  ONE keyed hash agg; sums rounded to 6dp
+    before the division (engine-agreement discipline)."""
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    agg = (
+        df.filter(v.isNotNull() & w.isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(v * w), 6).alias("_vw"),
+            F.round(F.sum(w), 6).alias("_w"),
+        )
+    )
+    return agg.select(
+        key_col, "n",
+        F.round(F.col("_vw") / F.col("_w"), 6).alias("wavg"),
+    ).orderBy(key_col)
+
+
+def serial_diff(df: DataFrame, ts_col: str, duration: str,
+                value_col: str = "value", lag: int = 7) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation: the bucket metric
+    minus its value ``lag`` buckets earlier (seasonal differencing —
+    lag 7 on daily buckets removes the weekly cycle).  NULL for the
+    first ``lag`` buckets, like ES.
+
+    Scale shape: one hash agg to the bounded bucket table; the lag
+    window runs over bucket-count rows only."""
+    from pyspark.sql import Window
+
+    bucket = F.window(F.col(ts_col).cast("timestamp"), duration)
+    agg = df.groupBy(bucket["start"].alias("bucket_start")).agg(
+        F.round(F.sum(F.col(value_col)), 6).alias("bucket_sum")
+    )
+    w = Window.partitionBy().orderBy("bucket_start")
+    return (
+        agg.withColumn(
+            "sdiff",
+            F.round(
+                F.col("bucket_sum") - F.lag("bucket_sum", int(lag)).over(w),
+                6,
+            ),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+def cumulative_cardinality(df: DataFrame, ts_col: str, duration: str,
+                           key_col: str = "user_id") -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation (exact):
+    per tumbling bucket, the number of DISTINCT ``key_col`` values
+    seen in that bucket or any earlier one — the "total unique users
+    so far" curve.  Exact identity: a key's first-seen bucket is
+    where it increments the curve, so cumulative cardinality =
+    running sum of first-seen counts.
+
+    Scale shape: one min-agg per key (hash agg, map-side combine) +
+    one bucket-count hash agg + a running sum over the bounded
+    bucket axis — never a distinct-per-prefix blowup."""
+    from pyspark.sql import Window
+
+    bucket = F.window(F.col(ts_col).cast("timestamp"), duration)[
+        "start"
+    ]
+    first_seen = df.groupBy(key_col).agg(
+        F.min(bucket).alias("bucket_start")
+    )
+    per_bucket = first_seen.groupBy("bucket_start").agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    # every histogram bucket that has events appears (ES emits the
+    # full parent histogram), with new_keys=0 where nothing is new
+    axis = df.groupBy(bucket.alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).select("bucket_start")
+    w = Window.partitionBy().orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        axis.join(per_bucket, "bucket_start", "left")
+        .withColumn("new_keys", F.coalesce(F.col("new_keys"), F.lit(0)))
+        .withColumn("cum_distinct", F.sum("new_keys").over(w))
+        .orderBy("bucket_start")
+    )

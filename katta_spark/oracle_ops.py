@@ -1903,3 +1903,54 @@ SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
        round(abs((s - sb) / (n - nb) - sb / nb), 6) AS delta
 FROM c WHERE nb >= 1 AND n - nb >= 1
 ORDER BY delta DESC, bs ASC LIMIT 1"""
+
+
+def ts_weighted_avg_sql(
+    value_col: str = "value",
+    weight_sql: str = "json_extract_string(props, '$.k')",
+) -> str:
+    """Oracle for ops.timeseries.weighted_avg (per event_type,
+    weight = the props.k counter): rounded sums before the
+    division."""
+    return f"""
+WITH f AS (
+  SELECT event_type, CAST({value_col} AS DOUBLE) AS v,
+         CAST({weight_sql} AS DOUBLE) AS w
+  FROM events
+  WHERE {value_col} IS NOT NULL AND {weight_sql} IS NOT NULL)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(round(sum(v * w), 6) / round(sum(w), 6), 6) AS wavg
+FROM f GROUP BY event_type ORDER BY event_type"""
+
+
+def ts_serial_diff_sql(unit: str = "1 day", lag: int = 7) -> str:
+    """Oracle for ops.timeseries.serial_diff."""
+    return f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '{unit}', ts) AS bs,
+         round(sum(value), 6) AS bucket_sum
+  FROM events GROUP BY 1)
+SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       bucket_sum,
+       round(bucket_sum - lag(bucket_sum, {int(lag)}) OVER (ORDER BY bs), 6)
+         AS sdiff
+FROM b ORDER BY bs"""
+
+
+def ts_cumulative_cardinality_sql(unit: str = "1 day",
+                                  key_col: str = "user_id") -> str:
+    """Oracle for ops.timeseries.cumulative_cardinality: first-seen
+    bucket per key, running sum over the event-bucket axis."""
+    return f"""
+WITH fs AS (
+  SELECT {key_col},
+         min(time_bucket(INTERVAL '{unit}', ts)) AS bs
+  FROM events GROUP BY 1),
+nk AS (SELECT bs, CAST(count(*) AS BIGINT) AS new_keys FROM fs GROUP BY 1),
+axis AS (
+  SELECT DISTINCT time_bucket(INTERVAL '{unit}', ts) AS bs FROM events)
+SELECT strftime(a.bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       COALESCE(nk.new_keys, 0) AS new_keys,
+       CAST(sum(COALESCE(nk.new_keys, 0)) OVER (ORDER BY a.bs
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
+FROM axis a LEFT JOIN nk ON a.bs = nk.bs ORDER BY a.bs"""

@@ -1457,3 +1457,19 @@ SELECT s.doc_id,
        round({sat}, 6) AS feat_score
 FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
 ORDER BY s.score + {sat} DESC, s.doc_id ASC LIMIT {k}"""
+
+
+def facet_by_metric_sql(terms: list[str], facet_field: str,
+                        metric_field: str, n: int = 5,
+                        mode: str = "or") -> str:
+    """Terms-agg-ordered-by-sub-aggregation oracle (mirror of
+    PhysicalIndex.facet_by_metric)."""
+    return f"""{index_ctes()},
+m AS ({term_docs_sql(terms, mode)}),
+agg AS (
+  SELECT d.{facet_field}, CAST(count(*) AS BIGINT) AS cnt,
+         round(sum(CAST(d.{metric_field} AS DOUBLE)), 6) AS s
+  FROM {DOCS} d WHERE d.doc_id IN (SELECT doc_id FROM m)
+  GROUP BY d.{facet_field})
+SELECT {facet_field}, cnt, round(s / cnt, 6) AS metric_avg
+FROM agg ORDER BY metric_avg DESC, {facet_field} ASC LIMIT {int(n)}"""

@@ -500,3 +500,22 @@ def test_diversified_sampler_matches_python(pindex, py_oracle,
     for r in got:
         per[r["lang"]] = per.get(r["lang"], 0) + 1
     assert max(per.values()) <= 2
+
+
+def test_facet_by_metric_orders_by_subagg(pindex, py_oracle,
+                                          pandas_docs):
+    """Buckets ordered by avg dl of the matches, not by count."""
+    metric = {int(r.doc_id): r.lang
+              for r in pandas_docs.itertuples(index=False)}
+    per = {}
+    for d in py_oracle.matches(["import"]):
+        per.setdefault(metric[d], []).append(py_oracle.dl[d])
+    want = sorted(
+        ((lang, len(v), round(sum(v) / len(v), 6))
+         for lang, v in per.items()),
+        key=lambda x: (-x[2], x[0]),
+    )[:5]
+    got = [(r["lang"], r["cnt"], r["metric_avg"]) for r in
+           pindex.facet_by_metric(["import"], "lang", "dl",
+                                  n=5).collect()]
+    assert got == want

@@ -887,3 +887,34 @@ def test_change_point_finds_the_level_shift(spark):
     assert str(r["bucket_start"]).startswith("2024-01-05")
     assert r["before_mean"] == 10.0 and r["after_mean"] == 50.0
     assert r["delta"] == 40.0
+
+
+def test_weighted_avg_hand_computed(spark):
+    rows = [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0),
+            ("b", None, 9.0), ("b", 7.0, None)]
+    df = spark.createDataFrame(rows, ["k", "value", "w"])
+    out = {r["k"]: r for r in
+           TS.weighted_avg(df, "k", "value", "w").collect()}
+    # a: (10*1 + 20*3) / 4 = 17.5 ; b: only the complete row counts
+    assert out["a"]["n"] == 2 and out["a"]["wavg"] == 17.5
+    assert out["b"]["n"] == 1 and out["b"]["wavg"] == 5.0
+
+
+def test_serial_diff_lags_by_n_buckets(spark):
+    rows = [(f"2024-01-0{d} 01:00:00", float(d)) for d in range(1, 8)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = TS.serial_diff(df, "ts", "1 day", "value", lag=3).collect()
+    assert [r["sdiff"] for r in out] == [None, None, None,
+                                         3.0, 3.0, 3.0, 3.0]
+
+
+def test_cumulative_cardinality_counts_first_seen(spark):
+    rows = [("2024-01-01 01:00:00", 1), ("2024-01-01 02:00:00", 2),
+            ("2024-01-02 01:00:00", 1),   # repeat: not new
+            ("2024-01-03 01:00:00", 3), ("2024-01-03 02:00:00", 1)]
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    out = TS.cumulative_cardinality(df, "ts", "1 day",
+                                    "user_id").collect()
+    assert [(r["new_keys"], r["cum_distinct"]) for r in out] == [
+        (2, 2), (0, 2), (1, 3)
+    ]
