@@ -537,6 +537,31 @@ def q_ft_rrf(spark, sf_dir):
     return rrf_fuse([(bm, "score"), (vec, "cos")], n=10)
 
 
+def q_ft_linear_fuse(spark, sf_dir):
+    """ES 8 linear retriever: the same hybrid pair as ft_rrf fused
+    by weighted min-max-normalized scores (BM25 0.7, cosine 0.3)."""
+    from katta_spark.ops.search_eval import linear_fuse
+
+    bm = phys_index(spark, sf_dir).topk(["table", "scan"], k=20)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vec = similarity.cosine_join_topk(
+        emb.filter(F.col("vec_id") != 0), qdf, k=20
+    ).select(F.col("vec_id").alias("doc_id"), "cos")
+    return linear_fuse([(bm, "score", 0.7), (vec, "cos", 0.3)], n=10)
+
+
+def q_text_vocab_kl(spark, sf_dir):
+    """Corpus-drift report: smoothed two-way unigram KL between
+    sources src1 and src2 — one conditional vocabulary hash agg."""
+    from katta_spark.ops import text as _text
+
+    return _text.vocab_kl(_docs(spark, sf_dir), "source", "src1",
+                          "src2", text_col="text")
+
+
 def q_phys_cross_fields(spark, sf_dir):
     """ES cross_fields / Lucene BlendedTermQuery: 'table' and 'src1'
     each searched across content + source with per-word blended df,
@@ -2173,6 +2198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_serial_diff": q_ts_serial_diff,
         "ts_cum_cardinality": q_ts_cum_cardinality,
         "ft_facet_by_metric": q_ft_facet_by_metric,
+        "ft_linear_fuse": q_ft_linear_fuse,
+        "text_vocab_kl": q_text_vocab_kl,
         "ts_ttest": q_ts_ttest,
         "text_string_stats": q_text_string_stats,
         "text_multi_terms": q_text_multi_terms,
@@ -2563,6 +2590,9 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
             "1 day", "user_id"),
         "ft_facet_by_metric": O.facet_by_metric_sql(
             ["table"], "lang", "n_chars", n=5),
+        "ft_linear_fuse": O.linear_fuse_sql(
+            ["table", "scan"], k_each=20, w_bm=0.7, w_vec=0.3, n=10),
+        "text_vocab_kl": O.vocab_kl_sql("source", "src1", "src2"),
         "ts_ttest": OO.ts_ttest_sql("click", "view"),
         "text_string_stats": OO.text_string_stats_sql(),
         "text_multi_terms": OO.text_multi_terms_sql(["lang", "source"], 10),

@@ -132,3 +132,46 @@ def rank_eval(results: DataFrame, judgments: DataFrame, k: int = 10,
             6,
         ).alias("ndcg"),
     ).orderBy(qid_col)
+
+
+def linear_fuse(lists: list[tuple[DataFrame, str, float]],
+                id_col: str = "doc_id", n: int = 10) -> DataFrame:
+    """ES 8 ``linear`` retriever: fuse N shortlists by WEIGHTED
+    MIN-MAX-NORMALIZED scores — ``score = sum_i w_i * (s_i - min_i)
+    / (max_i - min_i)`` over each list's own score range (a
+    single-score list normalizes to 1.0, ES convention); ids absent
+    from a list contribute 0 for it.
+
+    ``lists``: (shortlist DataFrame, score column, weight) triples;
+    each must already be a bounded top-k.  Scale shape: per-list
+    min/max come from an unpartitioned window over <= k rows (never
+    the corpus), the fuse is one tiny hash agg — O(sum of shortlist
+    sizes).  Normalized contributions are rounded to 6dp BEFORE the
+    weighted sum so near-ulp differences cannot flip ranks across
+    engines.  Returns (id, lin_score, n_lists)."""
+    parts = []
+    for df, score_col, weight in lists:
+        w = Window.partitionBy()
+        s = F.col(score_col).cast("double")
+        rng = F.max(s).over(w) - F.min(s).over(w)
+        norm = F.when(rng > 0, (s - F.min(s).over(w)) / rng).otherwise(
+            F.lit(1.0)
+        )
+        parts.append(
+            df.select(
+                F.col(id_col),
+                (F.lit(float(weight)) * F.round(norm, 6)).alias("_c"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum("_c"), 6).alias("lin_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("lin_score"), F.asc(id_col))
+        .limit(int(n))
+    )

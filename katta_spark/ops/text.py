@@ -793,3 +793,54 @@ def categorize_text(corpus: DataFrame, text_col: str = "content",
         .orderBy(F.desc("n"), F.asc("template"))
         .limit(int(m))
     )
+
+
+def vocab_kl(corpus: DataFrame, split_col: str, split_a: str,
+             split_b: str, text_col: str = "content",
+             add_k: float = 0.5) -> DataFrame:
+    """Corpus-drift diagnostic: smoothed KL divergence between the
+    unigram token distributions of two document slices (source A vs
+    source B) — the data-mixing / domain-shift report a training
+    pipeline runs before blending sources (DSIR-adjacent, but a
+    corpus-level scalar rather than per-doc weights).
+
+    One row ``(n_terms, n_a, n_b, kl_ab, kl_ba)`` with add-``k``
+    smoothing over the UNION vocabulary:
+    ``p(t) = (c_a(t)+k) / (n_a+k*V)``, ``KL(a||b) = Σ p·ln(p/q)``.
+
+    Scale shape: ONE conditional hash agg over the exploded tokens
+    (key space = vocabulary, map-side combine), then the KL fold
+    runs on that vocabulary-sized table.  Zero Python."""
+    t = tokens_array(text_col)
+    a = F.col(split_col) == F.lit(split_a)
+    b = F.col(split_col) == F.lit(split_b)
+    toks = (
+        corpus.filter(a | b)
+        .select(a.alias("_is_a"), F.explode(t).alias("term"))
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+    )
+    k = float(add_k)
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("ca") + F.lit(k)) / (
+        F.col("n_a") + F.lit(k) * F.col("n_terms")
+    )
+    q = (F.col("cb") + F.lit(k)) / (
+        F.col("n_b") + F.lit(k) * F.col("n_terms")
+    )
+    return (
+        j.agg(
+            F.max("n_terms").alias("n_terms"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_ab"),
+            F.round(F.sum(q * F.log(q / p)), 6).alias("kl_ba"),
+        )
+    )

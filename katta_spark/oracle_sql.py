@@ -1473,3 +1473,83 @@ agg AS (
   GROUP BY d.{facet_field})
 SELECT {facet_field}, cnt, round(s / cnt, 6) AS metric_avg
 FROM agg ORDER BY metric_avg DESC, {facet_field} ASC LIMIT {int(n)}"""
+
+
+def linear_fuse_sql(terms: list[str], k_each: int = 20,
+                    w_bm: float = 0.7, w_vec: float = 0.3,
+                    n: int = 10, q_vec_id: int = 0) -> str:
+    """Oracle for ops.search_eval.linear_fuse over the driver's
+    hybrid pair: min-max-normalized BM25 top-k + cosine top-k,
+    weighted sum (contributions rounded to 6dp before summing)."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+    )
+    en = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+    )
+    qn = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),"
+        " i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))"
+    )
+    norm = (
+        "CASE WHEN max({s}) OVER () - min({s}) OVER () > 0"
+        " THEN round(({s} - min({s}) OVER ())"
+        " / (max({s}) OVER () - min({s}) OVER ()), 6)"
+        " ELSE 1.0 END"
+    )
+    return f"""{index_ctes()}{_scored_ctes(terms, k_each)},
+bmn AS (SELECT doc_id, {float(w_bm)!r} * {norm.format(s='score')} AS c
+        FROM top),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {int(q_vec_id)}),
+cosd AS (SELECT e.vec_id AS doc_id, {dot} / ({en} * {qn}) AS cos
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> {int(q_vec_id)}),
+vtop AS (SELECT doc_id, cos FROM cosd
+         ORDER BY cos DESC, doc_id ASC LIMIT {int(k_each)}),
+vn AS (SELECT doc_id, {float(w_vec)!r} * {norm.format(s='cos')} AS c
+       FROM vtop),
+u AS (SELECT * FROM bmn UNION ALL SELECT * FROM vn)
+SELECT doc_id, round(sum(c), 6) AS lin_score, count(*) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY lin_score DESC, doc_id ASC LIMIT {int(n)}"""
+
+
+def vocab_kl_sql(split_col: str, split_a: str, split_b: str,
+                 add_k: float = 0.5) -> str:
+    """Oracle for ops.text.vocab_kl: same tokenizer CTE, conditional
+    counts over the union vocabulary, add-k smoothed two-way KL."""
+    from katta_spark.tokenizer import duckdb_tokens_sql
+
+    a = split_a.replace("'", "''")
+    b = split_b.replace("'", "''")
+    k = float(add_k)
+    tok = duckdb_tokens_sql(
+        f"(SELECT * FROM {DOCS}"
+        f" WHERE {split_col} IN ('{a}', '{b}'))",
+        "doc_id", "text",
+    )
+    return f"""
+WITH tokk AS (
+  SELECT t.doc_id, t.term, d.{split_col} = '{a}' AS is_a
+  FROM ({tok}) t JOIN {DOCS} d ON t.doc_id = d.doc_id),
+counts AS (
+  SELECT term,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+  FROM tokk GROUP BY term),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b
+  FROM counts),
+pq AS (
+  SELECT (ca + {k!r}) / (n_a + {k!r} * n_terms) AS p,
+         (cb + {k!r}) / (n_b + {k!r} * n_terms) AS q,
+         n_terms, n_a, n_b
+  FROM counts, tot)
+SELECT max(n_terms) AS n_terms, max(n_a) AS n_a, max(n_b) AS n_b,
+       round(sum(p * ln(p / q)), 6) AS kl_ab,
+       round(sum(q * ln(q / p)), 6) AS kl_ba
+FROM pq"""

@@ -764,3 +764,20 @@ def test_decay_functions_reference_points(spark, pindex, py_oracle):
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
         (d, round(s, 9)) for d, s in want
     ]
+
+
+def test_linear_fuse_hand_computed(spark):
+    """Two 3-item shortlists with known ranges: normalized weighted
+    contributions sum; a single-score list normalizes to 1.0."""
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], ["doc_id", "s"])
+    b = spark.createDataFrame([(2, 7.0)], ["doc_id", "c"])
+    from katta_spark.ops.search_eval import linear_fuse
+
+    got = {r["doc_id"]: (r["lin_score"], r["n_lists"])
+           for r in linear_fuse(
+               [(a, "s", 0.5), (b, "c", 2.0)], n=10).collect()}
+    # doc 2: 0.5*0.5 + 2.0*1.0 (degenerate range -> 1.0) = 2.25
+    assert got[2] == (2.25, 2)
+    assert got[1] == (0.5, 1)
+    assert got[3] == (0.0, 1)

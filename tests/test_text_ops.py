@@ -439,3 +439,29 @@ def test_categorize_text_masks_numbers(spark):
     assert out[0]["n"] == 3
     assert out[0]["example"] == "GET /api/v2/user/1234 took 98.5 ms"
     assert out[1]["template"] == "cache flush <num> done"
+
+
+def test_vocab_kl_properties(spark):
+    """KL(a||a-shaped) == 0; disjoint vocabularies give symmetric
+    positive divergences; python mirror agrees exactly."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha", "a"), (1, "alpha beta alpha", "b")],
+        ["doc_id", "text", "src"])
+    r = text.vocab_kl(df, "src", "a", "b", text_col="text").collect()[0]
+    assert r["kl_ab"] == 0.0 and r["kl_ba"] == 0.0
+
+    df2 = spark.createDataFrame(
+        [(0, "alpha alpha", "a"), (1, "beta", "b")],
+        ["doc_id", "text", "src"])
+    r2 = text.vocab_kl(df2, "src", "a", "b", text_col="text",
+                       add_k=0.5).collect()[0]
+    V, na, nb, k = 2, 2, 1, 0.5
+    pa = {"alpha": (2 + k) / (na + k * V), "beta": (0 + k) / (na + k * V)}
+    pb = {"alpha": (0 + k) / (nb + k * V), "beta": (1 + k) / (nb + k * V)}
+    kl_ab = sum(pa[t] * math.log(pa[t] / pb[t]) for t in pa)
+    kl_ba = sum(pb[t] * math.log(pb[t] / pa[t]) for t in pb)
+    assert abs(r2["kl_ab"] - round(kl_ab, 6)) < 1e-9
+    assert abs(r2["kl_ba"] - round(kl_ba, 6)) < 1e-9
+    assert r2["n_terms"] == V and r2["n_a"] == na and r2["n_b"] == nb
