@@ -1818,6 +1818,30 @@ def q_ts_cum_cardinality(spark, sf_dir):
     )
 
 
+def q_graph_expand(spark, sf_dir):
+    """Solr graph qparser ({!graph from to maxDepth=2}): BFS from
+    customer 1 over namespaced customer->order->supplier edges —
+    one broadcast-frontier semi-join per hop."""
+    from katta_spark.ops.graph import graph_expand
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e1 = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+        .alias("dst"),
+    )
+    e2 = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("dst"),
+    )
+    return graph_expand(e1.unionByName(e2), "src", "dst",
+                        ["c1"], max_hops=2)
+
+
 def q_ft_facet_by_metric(spark, sf_dir):
     """ES terms agg ordered by sub-aggregation: top langs among
     'table' matches by avg n_chars (not by doc count)."""
@@ -2199,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cum_cardinality": q_ts_cum_cardinality,
         "ft_facet_by_metric": q_ft_facet_by_metric,
         "ft_linear_fuse": q_ft_linear_fuse,
+        "graph_expand": q_graph_expand,
         "text_vocab_kl": q_text_vocab_kl,
         "ts_ttest": q_ts_ttest,
         "text_string_stats": q_text_string_stats,
@@ -2593,6 +2618,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ft_linear_fuse": O.linear_fuse_sql(
             ["table", "scan"], k_each=20, w_bm=0.7, w_vec=0.3, n=10),
         "text_vocab_kl": O.vocab_kl_sql("source", "src1", "src2"),
+        "graph_expand": OO.graph_expand_sql("c1", 2),
         "ts_ttest": OO.ts_ttest_sql("click", "view"),
         "text_string_stats": OO.text_string_stats_sql(),
         "text_multi_terms": OO.text_multi_terms_sql(["lang", "source"], 10),

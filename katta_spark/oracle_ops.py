@@ -1954,3 +1954,25 @@ SELECT strftime(a.bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
        CAST(sum(COALESCE(nk.new_keys, 0)) OVER (ORDER BY a.bs
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
 FROM axis a LEFT JOIN nk ON a.bs = nk.bs ORDER BY a.bs"""
+
+
+def graph_expand_sql(seed: str = "c1", max_hops: int = 2) -> str:
+    """Oracle for ops.graph.graph_expand over the namespaced
+    customer->order->supplier edge table: bounded recursive CTE,
+    min hop distance per reached node."""
+    s = seed.replace("'", "''")
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+         's' || CAST(l_suppkey AS VARCHAR) FROM lineitem),
+walk(node, hops) AS (
+  SELECT '{s}', 0
+  UNION ALL
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < {int(max_hops)})
+SELECT node, CAST(min(hops) AS INT) AS hops
+FROM walk GROUP BY node ORDER BY hops, node"""

@@ -455,3 +455,22 @@ def test_verify_shards_detects_tamper(spark, tmp_path):
     victim.unlink()
     res = verify(d, spark)
     assert not res["ok"] and 0 not in res["mismatched"]
+
+
+def test_graph_expand_bfs_with_cycle(spark):
+    """Cycle a->b->c->a: min hop distances are exact, the cycle never
+    re-expands, and max_hops bounds the walk."""
+    from katta_spark.ops.graph import graph_expand
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d")],
+        ["src", "dst"])
+    got = {r["node"]: r["hops"]
+           for r in graph_expand(edges, "src", "dst", ["a"],
+                                 max_hops=5).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 2}
+    # hop bound honored
+    got1 = {r["node"]: r["hops"]
+            for r in graph_expand(edges, "src", "dst", ["a"],
+                                  max_hops=1).collect()}
+    assert got1 == {"a": 0, "b": 1}
