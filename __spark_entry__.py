@@ -1842,6 +1842,16 @@ def q_graph_expand(spark, sf_dir):
                         ["c1"], max_hops=2)
 
 
+def q_freq_item_sets(spark, sf_dir):
+    """ES frequent_item_sets (sizes 1-2): supplier co-occurrence in
+    order baskets — basket-keyed self-join bounded by basket width."""
+    from katta_spark.ops.sampling import frequent_item_sets
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return frequent_item_sets(li, "l_orderkey", "l_suppkey",
+                              min_support=2, n=20)
+
+
 def q_ft_facet_by_metric(spark, sf_dir):
     """ES terms agg ordered by sub-aggregation: top langs among
     'table' matches by avg n_chars (not by doc count)."""
@@ -2224,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_by_metric": q_ft_facet_by_metric,
         "ft_linear_fuse": q_ft_linear_fuse,
         "graph_expand": q_graph_expand,
+        "pipe_freq_item_sets": q_freq_item_sets,
         "text_vocab_kl": q_text_vocab_kl,
         "ts_ttest": q_ts_ttest,
         "text_string_stats": q_text_string_stats,
@@ -2619,6 +2630,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
             ["table", "scan"], k_each=20, w_bm=0.7, w_vec=0.3, n=10),
         "text_vocab_kl": O.vocab_kl_sql("source", "src1", "src2"),
         "graph_expand": OO.graph_expand_sql("c1", 2),
+        "pipe_freq_item_sets": OO.frequent_item_sets_sql(2, 20),
         "ts_ttest": OO.ts_ttest_sql("click", "view"),
         "text_string_stats": OO.text_string_stats_sql(),
         "text_multi_terms": OO.text_multi_terms_sql(["lang", "source"], 10),

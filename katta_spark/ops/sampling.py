@@ -336,3 +336,39 @@ def weighted_sample(
         .orderBy(F.asc("es_key"), F.asc(key_col))
         .limit(n)
     )
+
+
+def frequent_item_sets(df: DataFrame, basket_col: str, item_col: str,
+                       min_support: int = 2, n: int = 20) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (market-basket mining),
+    bounded to sizes 1 and 2 — the sizes ES mines eagerly before its
+    ECLAT recursion: ``(items, support)`` for every single item and
+    every unordered item PAIR co-occurring in at least
+    ``min_support`` baskets, top-``n`` by support desc / items asc.
+
+    Scale shape: one distinct projection (basket, item), a keyed
+    self-join on the basket id for pairs — the join fan-out is
+    items-per-basket squared, bounded by basket width, never corpus
+    width — then one hash agg per size.  No FP-tree state; at 100 TB
+    the basket-keyed shuffle is the only big movement."""
+    b, i = F.col(basket_col).cast("string"), F.col(item_col).cast("string")
+    bi = df.select(b.alias("_b"), i.alias("_i")).distinct()
+    singles = (
+        bi.groupBy("_i").agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= int(min_support))
+        .select(F.array("_i").alias("items"), "support")
+    )
+    l, r = bi.alias("l"), bi.alias("r")
+    pairs = (
+        l.join(r, F.col("l._b") == F.col("r._b"))
+        .filter(F.col("l._i") < F.col("r._i"))
+        .groupBy(F.col("l._i").alias("_a"), F.col("r._i").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= int(min_support))
+        .select(F.array("_a", "_c").alias("items"), "support")
+    )
+    return (
+        singles.unionByName(pairs)
+        .orderBy(F.desc("support"), F.asc("items"))
+        .limit(int(n))
+    )

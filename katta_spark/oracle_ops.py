@@ -1976,3 +1976,23 @@ walk(node, hops) AS (
   WHERE w.hops < {int(max_hops)})
 SELECT node, CAST(min(hops) AS INT) AS hops
 FROM walk GROUP BY node ORDER BY hops, node"""
+
+
+def frequent_item_sets_sql(min_support: int = 2, n: int = 20) -> str:
+    """Oracle for ops.sampling.frequent_item_sets over lineitem
+    (basket = order, item = supplier)."""
+    return f"""
+WITH bi AS (
+  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS b,
+                  CAST(l_suppkey AS VARCHAR) AS i
+  FROM lineitem),
+singles AS (
+  SELECT [i] AS items, CAST(count(*) AS BIGINT) AS support
+  FROM bi GROUP BY i HAVING count(*) >= {int(min_support)}),
+pairs AS (
+  SELECT [l.i, r.i] AS items, CAST(count(*) AS BIGINT) AS support
+  FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+  GROUP BY l.i, r.i HAVING count(*) >= {int(min_support)})
+SELECT items, support FROM (
+  SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+ORDER BY support DESC, items ASC LIMIT {int(n)}"""

@@ -474,3 +474,18 @@ def test_graph_expand_bfs_with_cycle(spark):
             for r in graph_expand(edges, "src", "dst", ["a"],
                                   max_hops=1).collect()}
     assert got1 == {"a": 0, "b": 1}
+
+
+def test_frequent_item_sets_hand_computed(spark):
+    """Baskets {a,b,c}, {a,b}, {a}: pair (a,b) support 2, singles
+    a=3 b=2, c filtered by min_support; duplicate rows in one basket
+    never inflate support."""
+    from katta_spark.ops.sampling import frequent_item_sets
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (1, "a"),
+            (2, "a"), (2, "b"), (3, "a")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = [(tuple(r["items"]), r["support"])
+           for r in frequent_item_sets(df, "basket", "item",
+                                       min_support=2, n=10).collect()]
+    assert got == [(("a",), 3), (("a", "b"), 2), (("b",), 2)]
