@@ -519,3 +519,14 @@ def test_facet_by_metric_orders_by_subagg(pindex, py_oracle,
            pindex.facet_by_metric(["import"], "lang", "dl",
                                   n=5).collect()]
     assert got == want
+
+
+def test_diversified_sampler_plan_takeordered(pindex):
+    """The global sample cut is TakeOrderedAndProject (per-partition
+    top-k + tiny merge), never a global sort; the per-key quota is a
+    keyed window."""
+    out = pindex.diversified_sampler(["import"], "lang",
+                                     max_per_key=2, shard_size=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(lang" in plan

@@ -918,3 +918,29 @@ def test_cumulative_cardinality_counts_first_seen(spark):
     assert [(r["new_keys"], r["cum_distinct"]) for r in out] == [
         (2, 2), (0, 2), (1, 3)
     ]
+
+
+def test_bucket_pipeline_plan_window_over_agg_only(spark):
+    """The pipeline window consumes the AGGREGATED bucket table, not
+    raw events: HashAggregate appears below Window in the plan, and
+    there is no sort or window keyed on raw event rows."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    out = TS.bucket_pipeline(e, "ts", "1 day", "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "Window" in plan
+    # the window's input is the agg output: the bucket_sum alias is
+    # produced by an aggregate, never a per-event projection
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "CartesianProduct" not in plan
+
+
+def test_cumulative_cardinality_plan_no_distinct_per_prefix(spark):
+    """Exactly the two hash aggs of the first-seen identity — never
+    a per-prefix distinct explosion or a join back to raw events."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    out = TS.cumulative_cardinality(e, "ts", "1 day", "user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # first-seen min-agg keyed on the user
+    assert "hashpartitioning(user_id" in plan
