@@ -553,6 +553,15 @@ def q_ft_linear_fuse(spark, sf_dir):
     return linear_fuse([(bm, "score", 0.7), (vec, "cos", 0.3)], n=10)
 
 
+def q_text_bigram_lp(spark, sf_dir):
+    """Per-doc score under the corpus's add-1 smoothed bigram LM
+    (CCNet-style perplexity filter, one order above unigram)."""
+    from katta_spark.ops import text as _text
+
+    return _text.bigram_logprob(_docs(spark, sf_dir), text_col="text",
+                                add_k=1.0)
+
+
 def q_text_vocab_kl(spark, sf_dir):
     """Corpus-drift report: smoothed two-way unigram KL between
     sources src1 and src2 — one conditional vocabulary hash agg."""
@@ -2236,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_expand": q_graph_expand,
         "pipe_freq_item_sets": q_freq_item_sets,
         "text_vocab_kl": q_text_vocab_kl,
+        "text_bigram_lp": q_text_bigram_lp,
         "ts_ttest": q_ts_ttest,
         "text_string_stats": q_text_string_stats,
         "text_multi_terms": q_text_multi_terms,
@@ -2630,6 +2640,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
             ["table", "scan"], k_each=20, w_bm=0.7, w_vec=0.3, n=10),
         "text_vocab_kl": O.vocab_kl_sql("source", "src1", "src2"),
         "graph_expand": OO.graph_expand_sql("c1", 2),
+        "text_bigram_lp": OO.bigram_lp_sql(1.0),
         "pipe_freq_item_sets": OO.frequent_item_sets_sql(2, 20),
         "ts_ttest": OO.ts_ttest_sql("click", "view"),
         "text_string_stats": OO.text_string_stats_sql(),

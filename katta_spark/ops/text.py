@@ -844,3 +844,77 @@ def vocab_kl(corpus: DataFrame, split_col: str, split_a: str,
             F.round(F.sum(q * F.log(q / p)), 6).alias("kl_ba"),
         )
     )
+
+
+def bigram_logprob(corpus: DataFrame, text_col: str = "content",
+                   add_k: float = 1.0) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — per-document score under
+    the corpus's own add-k smoothed bigram LM (the CCNet-style
+    perplexity filter, one order up from :func:`unigram_logprob`):
+    avg over a doc's bigram occurrences of ln p(w2|w1) with
+    ``p = (n_ab + k) / (n_a + k·V)`` — the same smoothing as
+    :func:`bigram_lm` (n_a = occurrences of w1 as a bigram history,
+    V = unigram vocabulary).  Docs with < 2 tokens score 0 over 0
+    bigrams.
+
+    Scale shape: per-(doc, bigram) counts hash-aggregate BEFORE any
+    join (map-side combine — shuffle O(doc-distinct bigrams), never
+    O(token occurrences)); the corpus bigram table and history table
+    both reduce FROM that aggregate (no second corpus pass); V is a
+    one-row broadcast; then one join on the bigram and one on the
+    history, both AQE-skew-safe."""
+    k = float(add_k)
+    base = corpus.select(
+        "doc_id", tokens_array(text_col).alias("_toks")
+    )
+    t = F.col("_toks")
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.slice(t, 1, F.size(t) - 1),
+            lambda w, i: F.struct(
+                w.alias("w1"), F.element_at(t, i + 2).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = base.select(
+        "doc_id", F.explode(grams).alias("_g")
+    ).select("doc_id", F.col("_g.w1").alias("w1"),
+             F.col("_g.w2").alias("w2"))
+    dtf = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bg = dtf.groupBy("w1", "w2").agg(F.sum("n").alias("n_ab"))
+    hist = bg.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    vocab = corpus.select(
+        F.explode(tokens_array(text_col)).alias("term")
+    ).agg(F.countDistinct("term").alias("_v"))
+    per = (
+        dtf.join(bg, ["w1", "w2"])
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.col("n")
+                    * F.log(
+                        (F.col("n_ab") + F.lit(k))
+                        / (F.col("n_a") + F.lit(k) * F.col("_v"))
+                    )
+                )
+                / F.sum("n")
+            ).alias("lp"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.round(F.coalesce("lp", F.lit(0.0)), 6).alias("avg_logprob"),
+        )
+    )

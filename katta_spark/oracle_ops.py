@@ -1996,3 +1996,34 @@ pairs AS (
 SELECT items, support FROM (
   SELECT * FROM singles UNION ALL SELECT * FROM pairs)
 ORDER BY support DESC, items ASC LIMIT {int(n)}"""
+
+
+def bigram_lp_sql(add_k: float = 1.0) -> str:
+    """Oracle for ops.text.bigram_logprob: ordered token lists ->
+    per-doc bigram counts, corpus bigram/history tables reduced from
+    them, add-k smoothed ln p(w2|w1) averaged per doc."""
+    from katta_spark.oracle_sql import DOCS, index_ctes
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    k = float(add_k)
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+dg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tokl, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2),
+dtf AS (SELECT doc_id, w1, w2, count(*) AS n FROM dg GROUP BY 1, 2, 3),
+bg AS (SELECT w1, w2, sum(n) AS n_ab FROM dtf GROUP BY 1, 2),
+hist AS (SELECT w1, sum(n_ab) AS n_a FROM bg GROUP BY 1),
+vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM dfv),
+per AS (
+  SELECT dtf.doc_id, CAST(sum(dtf.n) AS BIGINT) AS n_bigrams,
+         sum(dtf.n * ln((bg.n_ab + {k!r})
+                        / (hist.n_a + {k!r} * vocab.v))) / sum(dtf.n) AS lp
+  FROM dtf JOIN bg USING (w1, w2) JOIN hist USING (w1) CROSS JOIN vocab
+  GROUP BY dtf.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(p.lp, 0.0), 6) AS avg_logprob
+FROM {DOCS} d LEFT JOIN per p ON d.doc_id = p.doc_id"""

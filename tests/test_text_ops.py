@@ -465,3 +465,24 @@ def test_vocab_kl_properties(spark):
     assert abs(r2["kl_ab"] - round(kl_ab, 6)) < 1e-9
     assert abs(r2["kl_ba"] - round(kl_ba, 6)) < 1e-9
     assert r2["n_terms"] == V and r2["n_a"] == na and r2["n_b"] == nb
+
+
+def test_bigram_logprob_matches_python(spark):
+    """Hand corpus mirror: add-1 smoothed p(w2|w1) with history
+    counts from the bigram table and V = unigram vocab; short docs
+    score 0 over 0 bigrams."""
+    import math
+
+    rows = [(0, "aa bb aa bb"), (1, "aa bb"), (2, "cc"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in text.bigram_logprob(df, text_col="text",
+                                        add_k=1.0).collect()}
+    # corpus bigrams: (aa,bb)x3, (bb,aa)x1 ; hist: aa=3, bb=1 ;
+    # V=3 (aa,bb,cc)
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    lp0 = (2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    assert got[0] == (3, round(lp0, 6))
+    assert got[1] == (1, round(math.log(p_ab), 6))
+    assert got[2] == (0, 0.0) and got[3] == (0, 0.0)
