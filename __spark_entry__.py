@@ -1861,6 +1861,13 @@ def q_freq_item_sets(spark, sf_dir):
                               min_support=2, n=20)
 
 
+def q_ft_group_score(spark, sf_dir):
+    """ES has_child / Lucene block-join score_mode=sum: langs ranked
+    by the SUM of their hits' BM25 scores for 'table'."""
+    return phys_index(spark, sf_dir).group_score_topk(
+        ["table"], "lang", score_mode="sum", k=5)
+
+
 def q_ft_facet_by_metric(spark, sf_dir):
     """ES terms agg ordered by sub-aggregation: top langs among
     'table' matches by avg n_chars (not by doc count)."""
@@ -2241,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_serial_diff": q_ts_serial_diff,
         "ts_cum_cardinality": q_ts_cum_cardinality,
         "ft_facet_by_metric": q_ft_facet_by_metric,
+        "ft_group_score": q_ft_group_score,
         "ft_linear_fuse": q_ft_linear_fuse,
         "graph_expand": q_graph_expand,
         "pipe_freq_item_sets": q_freq_item_sets,
@@ -2636,6 +2644,8 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
             "1 day", "user_id"),
         "ft_facet_by_metric": O.facet_by_metric_sql(
             ["table"], "lang", "n_chars", n=5),
+        "ft_group_score": O.group_score_sql(
+            ["table"], "lang", score_mode="sum", k=5),
         "ft_linear_fuse": O.linear_fuse_sql(
             ["table", "scan"], k_each=20, w_bm=0.7, w_vec=0.3, n=10),
         "text_vocab_kl": O.vocab_kl_sql("source", "src1", "src2"),

@@ -1417,6 +1417,44 @@ class PhysicalIndex:
             .orderBy("key1", "key2")
         )
 
+    def group_score_topk(self, qterms: list[str], group_field: str,
+                         score_mode: str = "sum", k: int = 10,
+                         mode: str = "or",
+                         filters: Filters = None) -> DataFrame:
+        """(group value, n_hits, score) — parent-level ranking with a
+        child score aggregate: Lucene ToParentBlockJoinQuery / ES
+        ``has_child`` ``score_mode`` semantics, with the group field
+        standing in for the parent id (``max`` reproduces field
+        collapse's group ORDER; ``sum``/``avg``/``min`` are the other
+        ES modes).  Top-``k`` groups by (score desc, group asc).
+
+        Plan shape: one scored pass + the narrow docs join + ONE
+        group-keyed hash agg + TakeOrderedAndProject — group
+        cardinality bounds the shuffle, and the per-hit score is
+        rounded to 6dp BEFORE the aggregate so the sum's
+        accumulation order can't flip ranks across engines."""
+        aggs = {
+            "sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg,
+        }
+        if score_mode not in aggs:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        scored = self.scored_docs(sorted(set(qterms)), mode)
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        joined = scored.join(
+            self.docs.select("doc_id", group_field), "doc_id"
+        )
+        agg = joined.groupBy(group_field).agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(
+                aggs[score_mode](F.round(F.col("score"), 6)), 6
+            ).alias("score"),
+        )
+        return agg.orderBy(
+            F.desc("score"), F.asc(group_field)
+        ).limit(int(k))
+
     def facet_by_metric(self, qterms: list[str], facet_field: str,
                         metric_field: str, n: int = 5,
                         mode: str = "or",

@@ -1553,3 +1553,31 @@ SELECT max(n_terms) AS n_terms, max(n_a) AS n_a, max(n_b) AS n_b,
        round(sum(p * ln(p / q)), 6) AS kl_ab,
        round(sum(q * ln(q / p)), 6) AS kl_ba
 FROM pq"""
+
+
+def group_score_sql(terms: list[str], group_field: str,
+                    score_mode: str = "sum", k: int = 10,
+                    mode: str = "or") -> str:
+    """has_child / block-join score_mode oracle (mirror of
+    PhysicalIndex.group_score_topk): per-hit scores rounded to 6dp
+    before the group aggregate."""
+    agg = {"sum": "sum", "max": "max", "min": "min", "avg": "avg"}[
+        score_mode
+    ]
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, round(sum({score_sql()}), 6) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+)
+SELECT d.{group_field}, CAST(count(*) AS BIGINT) AS n_hits,
+       round({agg}(s.score), 6) AS score
+FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
+GROUP BY d.{group_field}
+ORDER BY score DESC, d.{group_field} ASC LIMIT {int(k)}"""

@@ -530,3 +530,25 @@ def test_diversified_sampler_plan_takeordered(pindex):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_group_score_modes_match_python(pindex, py_oracle,
+                                        pandas_docs):
+    """score_mode sum/max/avg against a python mirror; max agrees
+    with field collapse's group ordering."""
+    langs = {int(r.doc_id): r.lang
+             for r in pandas_docs.itertuples(index=False)}
+    per = {}
+    for d in py_oracle.matches(["import"]):
+        per.setdefault(langs[d], []).append(
+            round(py_oracle.score(d, ["import"]), 6))
+    for mode, fn in (("sum", sum), ("max", max),
+                     ("avg", lambda v: sum(v) / len(v))):
+        want = sorted(
+            ((lang, len(v), round(fn(v), 6)) for lang, v in per.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:5]
+        got = [(r["lang"], r["n_hits"], r["score"]) for r in
+               pindex.group_score_topk(["import"], "lang",
+                                       score_mode=mode, k=5).collect()]
+        assert got == want, mode
