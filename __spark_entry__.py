@@ -1875,6 +1875,14 @@ def q_ft_facet_by_metric(spark, sf_dir):
         ["table"], "lang", "n_chars", n=5)
 
 
+def q_ts_heatmap(spark, sf_dir):
+    """Kibana/Grafana activity heatmap: dow x hour counts + avg —
+    one 168-key hash agg."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.activity_heatmap(_events(spark, sf_dir), "ts", "value")
+
+
 def q_ts_boxplot(spark, sf_dir):
     """ES boxplot agg per event_type — one keyed hash agg, five
     order statistics from one percentile pass."""
@@ -2245,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_categorize": q_text_categorize,
         "ts_change_point": q_ts_change_point,
         "ts_weighted_avg": q_ts_weighted_avg,
+        "ts_heatmap": q_ts_heatmap,
         "ts_serial_diff": q_ts_serial_diff,
         "ts_cum_cardinality": q_ts_cum_cardinality,
         "ft_facet_by_metric": q_ft_facet_by_metric,
@@ -2639,6 +2648,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "text_categorize": OO.text_categorize_sql(10),
         "ts_change_point": OO.ts_change_point_sql("1 day"),
         "ts_weighted_avg": OO.ts_weighted_avg_sql(),
+        "ts_heatmap": OO.ts_heatmap_sql(),
         "ts_serial_diff": OO.ts_serial_diff_sql("1 day", 7),
         "ts_cum_cardinality": OO.ts_cumulative_cardinality_sql(
             "1 day", "user_id"),

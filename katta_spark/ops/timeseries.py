@@ -1104,3 +1104,24 @@ def cumulative_cardinality(df: DataFrame, ts_col: str, duration: str,
         .withColumn("cum_distinct", F.sum("new_keys").over(w))
         .orderBy("bucket_start")
     )
+
+
+def activity_heatmap(df: DataFrame, ts_col: str,
+                     value_col: str = "value") -> DataFrame:
+    """(dow, hour, n, avg_value) — the day-of-week × hour-of-day
+    activity matrix (the Kibana/Grafana heatmap panel).  ``dow``:
+    0 = Sunday … 6 = Saturday (both engines normalized to the same
+    convention).  ONE hash agg on a 168-key space — map-side combine
+    collapses each partition before the shuffle."""
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        df.groupBy(
+            (F.dayofweek(ts) - F.lit(1)).alias("dow"),
+            F.hour(ts).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col(value_col)), 6).alias("avg_value"),
+        )
+        .orderBy("dow", "hour")
+    )

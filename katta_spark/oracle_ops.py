@@ -2027,3 +2027,13 @@ SELECT d.doc_id,
        CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        round(coalesce(p.lp, 0.0), 6) AS avg_logprob
 FROM {DOCS} d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
+def ts_heatmap_sql() -> str:
+    """Oracle for ops.timeseries.activity_heatmap (dow 0=Sunday)."""
+    return """
+SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+       CAST(date_part('hour', ts) AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""

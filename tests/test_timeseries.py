@@ -944,3 +944,13 @@ def test_cumulative_cardinality_plan_no_distinct_per_prefix(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # first-seen min-agg keyed on the user
     assert "hashpartitioning(user_id" in plan
+
+
+def test_activity_heatmap_dow_convention(spark):
+    """2024-01-07 is a Sunday -> dow 0; counts and avg per cell."""
+    rows = [("2024-01-07 09:10:00", 2.0), ("2024-01-07 09:50:00", 4.0),
+            ("2024-01-08 23:00:00", 1.0)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = [(r["dow"], r["hour"], r["n"], r["avg_value"])
+           for r in TS.activity_heatmap(df, "ts", "value").collect()]
+    assert out == [(0, 9, 2, 3.0), (1, 23, 1, 1.0)]
