@@ -767,6 +767,45 @@ def ivf_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_ivf") -> str:
     return d
 
 
+def sq_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_sq") -> str:
+    """int8 scalar-quantized index over the embeddings table (minus
+    query vector 0), built once per sf dir."""
+    import json
+    import shutil
+
+    from katta_spark.ops import ann_index as AI
+
+    d = f"{cache_root}/{Path(sf_dir).name}"
+    src_meta = _source_fingerprint(sf_dir, "embeddings.parquet")
+    meta_p = Path(f"{d}/_source_meta.json")
+    if not (
+        Path(f"{d}/_meta.json").exists()
+        and meta_p.exists()
+        and json.loads(meta_p.read_text()) == src_meta
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") != 0
+        )
+        AI.build_sq_index(emb, d)
+        meta_p.write_text(json.dumps(src_meta))
+    return d
+
+
+def q_sim_sq_ann(spark, sf_dir):
+    """int8 scalar-quantized kNN (ES int8 quantized vector search):
+    approximate cosine over the codes, exact rescoring of the top-30
+    on the stored raw vectors, exact top-10 returned."""
+    from katta_spark.ops import ann_index as AI
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x)
+          for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = AI.sq_query(spark, sq_index_dir(spark, sf_dir), qv, k=10,
+                      rerank=30)
+    return _round_score(out, col="cos")
+
+
 def q_sim_ivf_ann(spark, sf_dir):
     """ANN from the IVF-flat index: nprobe nearest centroids, exact
     rerank inside their partitions (partition-pruned read)."""
@@ -2259,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_by_metric": q_ft_facet_by_metric,
         "ft_group_score": q_ft_group_score,
         "ft_linear_fuse": q_ft_linear_fuse,
+        "sim_sq_ann": q_sim_sq_ann,
         "graph_expand": q_graph_expand,
         "pipe_freq_item_sets": q_freq_item_sets,
         "text_vocab_kl": q_text_vocab_kl,
@@ -2661,6 +2701,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "text_vocab_kl": O.vocab_kl_sql("source", "src1", "src2"),
         "graph_expand": OO.graph_expand_sql("c1", 2),
         "text_bigram_lp": OO.bigram_lp_sql(1.0),
+        "sim_sq_ann": O.sq_ann_sql(k=10, rerank=30),
         "pipe_freq_item_sets": OO.frequent_item_sets_sql(2, 20),
         "ts_ttest": OO.ts_ttest_sql("click", "view"),
         "text_string_stats": OO.text_string_stats_sql(),

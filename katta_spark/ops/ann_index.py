@@ -668,3 +668,112 @@ def ivf_query_batch(
         .filter(F.col("rank") <= k)
         .select("qid", "id", "cos")
     )
+
+
+def build_sq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """int8 scalar-quantized vector index — the Elasticsearch
+    ``int8_hnsw``-style storage trade (quantized codes drive the
+    scan; raw vectors are kept alongside for exact rescoring,
+    exactly like ES's rescore-on-raw).
+
+    Per-vector symmetric quantization: ``scale = max|v_i| / 127``,
+    ``code_i = floor(v_i/scale + 0.5)`` (an explicit half-up
+    formula, identical in Spark and the SQL oracle — never the
+    engines' round()), plus the code L2 norm so approximate cosine
+    needs no decode: ``cos ≈ Σ q_i·c_i / (|q| · |c|)`` (the per-
+    vector scale cancels in cosine).  All column algebra, no Python,
+    no shuffle — the build is a pure map + one write."""
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.aggregate(
+            v, F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        ),
+        F.lit(1e-30),
+    ) / F.lit(127.0)
+    codes = F.transform(
+        v, lambda x: F.floor(x.cast("double") / F.col("_scale")
+                             + F.lit(0.5)).cast("int")
+    )
+    enc = (
+        embeddings.select(
+            F.col(id_col), v, scale.alias("_scale")
+        )
+        .select(
+            id_col, vec_col,
+            F.col("_scale").alias("scale"),
+            codes.alias("codes"),
+        )
+        .withColumn(
+            "code_norm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("codes"), F.lit(0.0),
+                    lambda acc, c: acc
+                    + c.cast("double") * c.cast("double"),
+                )
+            ),
+        )
+    )
+    enc.write.mode("overwrite").parquet(out_dir)
+    meta = {"kind": "sq8", "id_col": id_col, "vec_col": vec_col}
+    (Path(out_dir) / "_meta.json").write_text(json.dumps(meta, indent=1))
+    return meta
+
+
+def sq_query(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 0,
+) -> DataFrame:
+    """(id, cos) top-k by APPROXIMATE cosine over the int8 codes
+    (integer-dot fold — the scan never touches the raw floats); with
+    ``rerank`` > 0, the top-``rerank`` approximate candidates are
+    rescored by EXACT cosine on the stored raw vectors (ES's
+    rescore-on-raw), and the exact top-k of that shortlist returns.
+
+    Scale shape: one narrow scan over (codes, code_norm) — 4x fewer
+    vector bytes than float32 — a TakeOrderedAndProject cut, and the
+    rerank only ever decodes ``rerank`` rows."""
+    import math
+
+    meta = json.loads((Path(index_dir) / "_meta.json").read_text())
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = spark.read.parquet(index_dir)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"), qlit, lambda c, q: c.cast("double") * q
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = df.select(
+        F.col(meta["id_col"]),
+        F.col(meta["vec_col"]),
+        (dot / (F.col("code_norm") * F.lit(qn))).alias("cos_approx"),
+    )
+    if not rerank:
+        return (
+            approx.orderBy(F.desc("cos_approx"), F.asc(meta["id_col"]))
+            .limit(int(k))
+            .select(
+                meta["id_col"],
+                F.round("cos_approx", 6).alias("cos"),
+            )
+        )
+    cand = approx.orderBy(
+        F.desc("cos_approx"), F.asc(meta["id_col"])
+    ).limit(int(rerank))
+    return cosine_topk(
+        cand.select(meta["id_col"], meta["vec_col"]),
+        query_vec, k,
+        id_col=meta["id_col"], vec_col=meta["vec_col"],
+    )

