@@ -2859,6 +2859,36 @@ class PhysicalIndex:
             rows, "field string, dtype string, stored boolean, indexed boolean"
         )
 
+    def analyze_text(self, text: str) -> DataFrame:
+        """(position, raw, term, kept) — the Solr ``/analysis/field``
+        debug surface: every stage of THIS index's analyzer chain
+        applied to a caller string, one row per raw token in order,
+        with the post-chain term (NULL when a filter dropped it) and
+        whether it survived.  Runs the same python analyzer mirror
+        the query side uses (:meth:`_strip_stops` chain order:
+        fold -> tokenize -> stop -> stem), so what you see here is
+        exactly what the index stored and what queries are rewritten
+        to."""
+        from katta_spark.tokenizer import (
+            py_fold_text, py_stem_token, py_tokenize,
+        )
+
+        filters = self.stats.get("token_filters") or []
+        stops = set(self.stats.get("stopwords") or [])
+        s = py_fold_text(text) if "ascii_fold" in filters else text
+        rows = []
+        for pos, raw in enumerate(py_tokenize(s)):
+            if raw in stops:
+                rows.append((pos, raw, None, False))
+                continue
+            term = (
+                py_stem_token(raw) if "stem_plural" in filters else raw
+            )
+            rows.append((pos, raw, term, True))
+        return self.spark.createDataFrame(
+            rows, "position int, raw string, term string, kept boolean"
+        )
+
     @classmethod
     def open_many(cls, spark: SparkSession,
                   pattern: str | list[str]) -> "PhysicalIndex":

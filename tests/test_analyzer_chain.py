@@ -275,3 +275,23 @@ def test_token_filter_oracle_sql_matches_python_chain(tmp_path):
         for t, n in Counter(_py_chain(text)).items():
             want[(d, t)] = n
     assert got == want
+
+
+def test_analyze_text_debug_surface(stop_index, filtered_index):
+    """Solr /analysis/field parity: positions in raw-token order,
+    stopwords shown dropped (kept=False, term NULL), fold+stem
+    applied exactly as the index stored them."""
+    idx, _ = stop_index
+    rows = idx.analyze_text("import os def parse").collect()
+    assert [(r["position"], r["raw"], r["term"], r["kept"])
+            for r in rows] == [
+        (0, "import", None, False),
+        (1, "os", None, False),
+        (2, "def", "def", True),
+        (3, "parse", "parse", True),
+    ]
+    fidx, _ = filtered_index
+    frows = fidx.analyze_text("Café tables").collect()
+    assert [(r["raw"], r["term"]) for r in frows] == [
+        ("cafe", "cafe"), ("tables", "table")
+    ]
