@@ -1914,6 +1914,35 @@ def q_ft_facet_by_metric(spark, sf_dir):
         ["table"], "lang", "n_chars", n=5)
 
 
+def q_ts_rollup(spark, sf_dir):
+    """TSDB downsample store (hourly) + rollup-aware daily query —
+    count/sum/min/max fold associatively, avg derives, raw events
+    are read exactly once at store-build."""
+    import shutil
+
+    from katta_spark.ops import timeseries as TS
+
+    d = f"/tmp/katta_rollup/{Path(sf_dir).name}"
+    src_meta = _source_fingerprint(sf_dir, "events.parquet")
+    meta_p = Path(f"{d}/_source_meta.json")
+    import json as _json
+    if not (
+        Path(f"{d}/_meta.json").exists()
+        and meta_p.exists()
+        and _json.loads(meta_p.read_text()) == src_meta
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+        TS.downsample_store(_events(spark, sf_dir), d, "ts", "1 hour",
+                            "value")
+        meta_p.write_text(_json.dumps(src_meta))
+    out = TS.rollup_query(spark, d, "1 day")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "n", "vsum", "vavg", "vmin", "vmax",
+    )
+
+
 def q_ts_heatmap(spark, sf_dir):
     """Kibana/Grafana activity heatmap: dow x hour counts + avg —
     one 168-key hash agg."""
@@ -2293,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_change_point": q_ts_change_point,
         "ts_weighted_avg": q_ts_weighted_avg,
         "ts_heatmap": q_ts_heatmap,
+        "ts_rollup": q_ts_rollup,
         "ts_serial_diff": q_ts_serial_diff,
         "ts_cum_cardinality": q_ts_cum_cardinality,
         "ft_facet_by_metric": q_ft_facet_by_metric,
@@ -2689,6 +2719,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_change_point": OO.ts_change_point_sql("1 day"),
         "ts_weighted_avg": OO.ts_weighted_avg_sql(),
         "ts_heatmap": OO.ts_heatmap_sql(),
+        "ts_rollup": OO.ts_rollup_sql("1 hour", "1 day"),
         "ts_serial_diff": OO.ts_serial_diff_sql("1 day", 7),
         "ts_cum_cardinality": OO.ts_cumulative_cardinality_sql(
             "1 day", "user_id"),

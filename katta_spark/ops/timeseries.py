@@ -1125,3 +1125,60 @@ def activity_heatmap(df: DataFrame, ts_col: str,
         )
         .orderBy("dow", "hour")
     )
+
+
+def downsample_store(df: DataFrame, out_dir: str, ts_col: str,
+                     duration: str = "1 hour",
+                     value_col: str = "value") -> dict:
+    """TSDB downsampling (ES rollup / downsample API): persist the
+    fine-grained bucket aggregates ``(bucket_start, n, vsum, vmin,
+    vmax)`` so coarser queries never touch raw events again.  The
+    stored moments are exactly the re-aggregable set — count/sum/
+    min/max compose associatively, and avg is DERIVED (sum/count) so
+    rollup-of-rollup is lossless.
+
+    Scale shape: one hash agg + a date-partitioned write (daily
+    directories -> time-range queries prune files)."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    bucket = F.window(F.col(ts_col).cast("timestamp"), duration)
+    agg = df.groupBy(bucket["start"].alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col(value_col)), 6).alias("vsum"),
+        F.min(F.col(value_col)).alias("vmin"),
+        F.max(F.col(value_col)).alias("vmax"),
+    ).withColumn("day", F.to_date("bucket_start"))
+    agg.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+    meta = {"kind": "rollup", "duration": duration,
+            "ts_col": ts_col, "value_col": value_col}
+    (_Path(out_dir) / "_meta.json").write_text(_json.dumps(meta))
+    return meta
+
+
+def rollup_query(spark, store_dir: str,
+                 duration: str = "1 day") -> DataFrame:
+    """(bucket_start, n, vsum, vavg, vmin, vmax) at a COARSER
+    ``duration``, re-aggregated from the downsample store — the
+    rollup-aware search path (ES _rollup_search): count/sum/min/max
+    fold associatively, avg derives from the folded sums, and no raw
+    event is read.
+
+    Scale shape: one scan of the (already tiny) rollup table + one
+    hash agg on the coarser bucket."""
+    bucket = F.window(F.col("bucket_start"), duration)
+    agg = (
+        spark.read.parquet(store_dir)
+        .groupBy(bucket["start"].alias("bucket_start"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("vsum"), 6).alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+    return agg.select(
+        "bucket_start", "n", "vsum",
+        F.round(F.col("vsum") / F.col("n"), 6).alias("vavg"),
+        "vmin", "vmax",
+    ).orderBy("bucket_start")

@@ -2037,3 +2037,25 @@ SELECT CAST(date_part('dow', ts) AS INT) AS dow,
        CAST(count(*) AS BIGINT) AS n,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def ts_rollup_sql(fine: str = "1 hour", coarse: str = "1 day") -> str:
+    """Oracle for downsample_store + rollup_query: the SAME two-step
+    aggregation (fine buckets with rounded sums, then the coarse
+    fold) so intermediate rounding matches the store exactly."""
+    return f"""
+WITH f AS (
+  SELECT time_bucket(INTERVAL '{fine}', ts) AS fb,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 6) AS vsum,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events GROUP BY 1),
+c AS (
+  SELECT time_bucket(INTERVAL '{coarse}', fb) AS bucket_start,
+         CAST(sum(n) AS BIGINT) AS n,
+         round(sum(vsum), 6) AS vsum,
+         min(vmin) AS vmin, max(vmax) AS vmax
+  FROM f GROUP BY 1)
+SELECT strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       n, vsum, round(vsum / n, 6) AS vavg, vmin, vmax
+FROM c ORDER BY bucket_start"""

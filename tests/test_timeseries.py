@@ -954,3 +954,25 @@ def test_activity_heatmap_dow_convention(spark):
     out = [(r["dow"], r["hour"], r["n"], r["avg_value"])
            for r in TS.activity_heatmap(df, "ts", "value").collect()]
     assert out == [(0, 9, 2, 3.0), (1, 23, 1, 1.0)]
+
+
+def test_rollup_reaggregation_is_lossless(spark, tmp_path):
+    """Daily re-aggregation from the hourly store equals direct
+    daily aggregation on raw events (count/sum/min/max associative;
+    avg derived)."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    d = str(tmp_path / "roll")
+    TS.downsample_store(e, d, "ts", "1 hour", "value")
+    got = {str(r["bucket_start"]): (r["n"], r["vmin"], r["vmax"])
+           for r in TS.rollup_query(spark, d, "1 day").collect()}
+    direct = {
+        str(r["win_start"]): (r["n"],)
+        for r in TS.window_agg(e, "ts", "1 day").collect()
+    }
+    assert set(got) == set(direct)
+    for k, (n, vmin, vmax) in got.items():
+        assert n == direct[k][0]
+    # min/max sanity on the whole span
+    allv = [r["value"] for r in e.select("value").collect()]
+    assert min(v[1] for v in got.values()) == min(allv)
+    assert max(v[2] for v in got.values()) == max(allv)
