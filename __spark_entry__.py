@@ -1943,6 +1943,24 @@ def q_ts_rollup(spark, sf_dir):
     )
 
 
+def q_ts_stats_bucket(spark, sf_dir):
+    """ES sibling pipeline aggs (stats_bucket + keyed min/max_bucket)
+    over daily bucket sums — one global agg over the bucket table."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.stats_bucket(_events(spark, sf_dir), "ts", "1 day",
+                          "value")
+    return out.select(
+        "n_buckets", "bucket_avg", "bucket_sum_total",
+        F.date_format("min_bucket_key", "yyyy-MM-dd HH:mm:ss")
+        .alias("min_bucket_key"),
+        "min_bucket_sum",
+        F.date_format("max_bucket_key", "yyyy-MM-dd HH:mm:ss")
+        .alias("max_bucket_key"),
+        "max_bucket_sum",
+    )
+
+
 def q_ts_heatmap(spark, sf_dir):
     """Kibana/Grafana activity heatmap: dow x hour counts + avg —
     one 168-key hash agg."""
@@ -2323,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_weighted_avg": q_ts_weighted_avg,
         "ts_heatmap": q_ts_heatmap,
         "ts_rollup": q_ts_rollup,
+        "ts_stats_bucket": q_ts_stats_bucket,
         "ts_serial_diff": q_ts_serial_diff,
         "ts_cum_cardinality": q_ts_cum_cardinality,
         "ft_facet_by_metric": q_ft_facet_by_metric,
@@ -2720,6 +2739,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_weighted_avg": OO.ts_weighted_avg_sql(),
         "ts_heatmap": OO.ts_heatmap_sql(),
         "ts_rollup": OO.ts_rollup_sql("1 hour", "1 day"),
+        "ts_stats_bucket": OO.ts_stats_bucket_sql("1 day"),
         "ts_serial_diff": OO.ts_serial_diff_sql("1 day", 7),
         "ts_cum_cardinality": OO.ts_cumulative_cardinality_sql(
             "1 day", "user_id"),

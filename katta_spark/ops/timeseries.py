@@ -1182,3 +1182,34 @@ def rollup_query(spark, store_dir: str,
         F.round(F.col("vsum") / F.col("n"), 6).alias("vavg"),
         "vmin", "vmax",
     ).orderBy("bucket_start")
+
+
+def stats_bucket(df: DataFrame, ts_col: str, duration: str,
+                 value_col: str = "value") -> DataFrame:
+    """ES sibling pipeline aggregations over a date-histogram parent
+    — ``stats_bucket`` + keyed ``max_bucket``/``min_bucket`` in one
+    row: (n_buckets, bucket_avg, bucket_sum_total, min_bucket_key,
+    min_bucket_sum, max_bucket_key, max_bucket_sum).  The keyed
+    extremes use ``min_by``/``max_by`` with (metric, bucket) structs
+    so ties break on the earliest bucket, deterministically.
+
+    Scale shape: one hash agg to the bounded bucket table, then ONE
+    global aggregate over bucket-count rows."""
+    bucket = F.window(F.col(ts_col).cast("timestamp"), duration)
+    agg = df.groupBy(bucket["start"].alias("bucket_start")).agg(
+        F.round(F.sum(F.col(value_col)), 6).alias("bucket_sum")
+    )
+    us = F.unix_micros(F.col("bucket_start"))
+    # min side: (sum, +time) -> min sum, tie -> earliest bucket;
+    # max side: (sum, -time) -> max sum, tie -> earliest bucket too
+    tmin = F.struct(F.col("bucket_sum"), us)
+    tmax = F.struct(F.col("bucket_sum"), (-us))
+    return agg.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.avg("bucket_sum"), 6).alias("bucket_avg"),
+        F.round(F.sum("bucket_sum"), 6).alias("bucket_sum_total"),
+        F.min_by("bucket_start", tmin).alias("min_bucket_key"),
+        F.min("bucket_sum").alias("min_bucket_sum"),
+        F.max_by("bucket_start", tmax).alias("max_bucket_key"),
+        F.max("bucket_sum").alias("max_bucket_sum"),
+    )

@@ -2059,3 +2059,23 @@ c AS (
 SELECT strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
        n, vsum, round(vsum / n, 6) AS vavg, vmin, vmax
 FROM c ORDER BY bucket_start"""
+
+
+def ts_stats_bucket_sql(unit: str = "1 day") -> str:
+    """Oracle for ops.timeseries.stats_bucket: min_by/max_by via
+    (metric, bucket) ordering with earliest-bucket tie-break."""
+    return f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '{unit}', ts) AS bs,
+         round(sum(value), 6) AS bucket_sum
+  FROM events GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       round(avg(bucket_sum), 6) AS bucket_avg,
+       round(sum(bucket_sum), 6) AS bucket_sum_total,
+       (SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') FROM b
+        ORDER BY bucket_sum ASC, bs ASC LIMIT 1) AS min_bucket_key,
+       min(bucket_sum) AS min_bucket_sum,
+       (SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') FROM b
+        ORDER BY bucket_sum DESC, bs ASC LIMIT 1) AS max_bucket_key,
+       max(bucket_sum) AS max_bucket_sum
+FROM b"""

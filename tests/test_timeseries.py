@@ -976,3 +976,17 @@ def test_rollup_reaggregation_is_lossless(spark, tmp_path):
     allv = [r["value"] for r in e.select("value").collect()]
     assert min(v[1] for v in got.values()) == min(allv)
     assert max(v[2] for v in got.values()) == max(allv)
+
+
+def test_stats_bucket_keyed_extremes_tiebreak_earliest(spark):
+    """Equal bucket sums: both min and max keys break ties to the
+    EARLIEST bucket; stats over the bucket metric are exact."""
+    rows = [("2024-01-01 01:00:00", 5.0), ("2024-01-02 01:00:00", 5.0),
+            ("2024-01-03 01:00:00", 9.0), ("2024-01-04 01:00:00", 9.0)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    r = TS.stats_bucket(df, "ts", "1 day", "value").collect()[0]
+    assert r["n_buckets"] == 4
+    assert r["bucket_avg"] == 7.0 and r["bucket_sum_total"] == 28.0
+    assert str(r["min_bucket_key"]).startswith("2024-01-01")
+    assert str(r["max_bucket_key"]).startswith("2024-01-03")
+    assert r["min_bucket_sum"] == 5.0 and r["max_bucket_sum"] == 9.0
