@@ -1943,6 +1943,16 @@ def q_ts_rollup(spark, sf_dir):
     )
 
 
+def q_ts_transitions(spark, sf_dir):
+    """Event-type Markov transition matrix per user (journey/Sankey
+    source): one keyed lag window + one pair hash agg."""
+    from katta_spark.ops import timeseries as TS
+
+    return TS.transition_matrix(_events(spark, sf_dir), "ts",
+                                "user_id", "event_type",
+                                order_cols=["event_id"])
+
+
 def q_ts_stats_bucket(spark, sf_dir):
     """ES sibling pipeline aggs (stats_bucket + keyed min/max_bucket)
     over daily bucket sums — one global agg over the bucket table."""
@@ -2342,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_heatmap": q_ts_heatmap,
         "ts_rollup": q_ts_rollup,
         "ts_stats_bucket": q_ts_stats_bucket,
+        "ts_transitions": q_ts_transitions,
         "ts_serial_diff": q_ts_serial_diff,
         "ts_cum_cardinality": q_ts_cum_cardinality,
         "ft_facet_by_metric": q_ft_facet_by_metric,
@@ -2740,6 +2751,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_heatmap": OO.ts_heatmap_sql(),
         "ts_rollup": OO.ts_rollup_sql("1 hour", "1 day"),
         "ts_stats_bucket": OO.ts_stats_bucket_sql("1 day"),
+        "ts_transitions": OO.ts_transitions_sql(),
         "ts_serial_diff": OO.ts_serial_diff_sql("1 day", 7),
         "ts_cum_cardinality": OO.ts_cumulative_cardinality_sql(
             "1 day", "user_id"),

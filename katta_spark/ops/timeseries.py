@@ -1213,3 +1213,44 @@ def stats_bucket(df: DataFrame, ts_col: str, duration: str,
         F.max_by("bucket_start", tmax).alias("max_bucket_key"),
         F.max("bucket_sum").alias("max_bucket_sum"),
     )
+
+
+def transition_matrix(df: DataFrame, ts_col: str, key_col: str,
+                      type_col: str,
+                      order_cols: list[str] | None = None) -> DataFrame:
+    """(from_type, to_type, n, prob) — the event-type Markov
+    transition matrix over per-key event sequences (the product-
+    analytics journey/Sankey source): consecutive-event pairs within
+    each key in (ts, order_cols) order, counted and normalized per
+    source type.  ``prob`` rounds to 6dp from integer counts, so the
+    two engines agree exactly.
+
+    Scale shape: ONE shuffle on ``key_col`` for the lag window (a
+    two-row frame), one pair hash agg (type-alphabet-squared keys),
+    and the per-source totals come from a window over THAT tiny
+    table."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "prob",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(tot), 6
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

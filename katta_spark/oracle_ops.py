@@ -2079,3 +2079,22 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
         ORDER BY bucket_sum DESC, bs ASC LIMIT 1) AS max_bucket_key,
        max(bucket_sum) AS max_bucket_sum
 FROM b"""
+
+
+def ts_transitions_sql() -> str:
+    """Oracle for ops.timeseries.transition_matrix (per-user
+    consecutive pairs in (ts, event_id) order)."""
+    return """
+WITH lagd AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+pairs AS (
+  SELECT prev AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM pairs ORDER BY from_type, to_type"""

@@ -990,3 +990,20 @@ def test_stats_bucket_keyed_extremes_tiebreak_earliest(spark):
     assert str(r["min_bucket_key"]).startswith("2024-01-01")
     assert str(r["max_bucket_key"]).startswith("2024-01-03")
     assert r["min_bucket_sum"] == 5.0 and r["max_bucket_sum"] == 9.0
+
+
+def test_transition_matrix_hand_computed(spark):
+    """Sequences u1: a->b->a, u2: a->b — transitions a->b x2,
+    b->a x1; probabilities normalize per source type."""
+    rows = [(1, "2024-01-01 00:00:00", 1, "a"),
+            (2, "2024-01-01 00:01:00", 1, "b"),
+            (3, "2024-01-01 00:02:00", 1, "a"),
+            (4, "2024-01-01 00:00:00", 2, "a"),
+            (5, "2024-01-01 00:01:00", 2, "b")]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"])
+    got = [(r["from_type"], r["to_type"], r["n"], r["prob"])
+           for r in TS.transition_matrix(
+               df, "ts", "user_id", "event_type",
+               order_cols=["event_id"]).collect()]
+    assert got == [("a", "b", 2, 1.0), ("b", "a", 1, 1.0)]
