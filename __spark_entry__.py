@@ -1953,6 +1953,24 @@ def q_ts_transitions(spark, sf_dir):
                                 order_cols=["event_id"])
 
 
+def q_ts_eql_sequence(spark, sf_dir):
+    """ES EQL 'sequence by user [view][click][purchase] with
+    maxspan=12h' — the funnel chain with the anchor carried through,
+    span-filtered (earliest-anchor semantics, documented)."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.eql_sequence(_events(spark, sf_dir), "ts", "user_id",
+                          "event_type", ["view", "click", "purchase"],
+                          maxspan_minutes=720)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("t0", fmt).alias("t0"),
+        F.date_format("t_last", fmt).alias("t_last"),
+        "span_s",
+    )
+
+
 def q_ts_stats_bucket(spark, sf_dir):
     """ES sibling pipeline aggs (stats_bucket + keyed min/max_bucket)
     over daily bucket sums — one global agg over the bucket table."""
@@ -2353,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup": q_ts_rollup,
         "ts_stats_bucket": q_ts_stats_bucket,
         "ts_transitions": q_ts_transitions,
+        "ts_eql_sequence": q_ts_eql_sequence,
         "ts_serial_diff": q_ts_serial_diff,
         "ts_cum_cardinality": q_ts_cum_cardinality,
         "ft_facet_by_metric": q_ft_facet_by_metric,
@@ -2752,6 +2771,8 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_rollup": OO.ts_rollup_sql("1 hour", "1 day"),
         "ts_stats_bucket": OO.ts_stats_bucket_sql("1 day"),
         "ts_transitions": OO.ts_transitions_sql(),
+        "ts_eql_sequence": OO.ts_eql_sequence_sql(
+            ["view", "click", "purchase"], 720),
         "ts_serial_diff": OO.ts_serial_diff_sql("1 day", 7),
         "ts_cum_cardinality": OO.ts_cumulative_cardinality_sql(
             "1 day", "user_id"),

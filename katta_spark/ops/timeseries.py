@@ -1254,3 +1254,53 @@ def transition_matrix(df: DataFrame, ts_col: str, key_col: str,
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def eql_sequence(df: DataFrame, ts_col: str, key_col: str,
+                 type_col: str, steps: list[str],
+                 maxspan_minutes: int = 60) -> DataFrame:
+    """ES EQL ``sequence by <key> [s1] [s2] … with maxspan=Nm`` —
+    keys whose earliest ordered completion chain of ``steps`` fits
+    inside ``maxspan``: (key, t0, t_last, span_s) per matching key.
+
+    Semantics note (documented simplification vs EQL's sliding
+    matcher): the chain is EARLIEST-ANCHORED — step 1's earliest
+    occurrence anchors the match, and each later step takes its
+    earliest occurrence at-or-after the previous step (the
+    :func:`funnel` chain); the key matches iff that canonical
+    chain's total span fits.  Deterministic and oracle-checkable;
+    a key whose only fitting chain starts at a LATER step-1 event
+    does not match.
+
+    Scale shape: the funnel's chained keyed min-aggs (shrinking
+    broadcast-friendly joins), one final span filter — never a
+    per-event sequence scan."""
+    cur = None
+    t0 = None
+    for i, s in enumerate(steps):
+        step_rows = df.filter(F.col(type_col) == F.lit(s))
+        if cur is not None:
+            step_rows = step_rows.join(cur, key_col).filter(
+                F.col(ts_col) >= F.col("_prev_ts")
+            )
+        agg_cols = [F.min(ts_col).alias("_prev_ts")]
+        if i > 0:
+            agg_cols.append(F.min("_t0").alias("_t0"))
+        cur = step_rows.groupBy(key_col).agg(*agg_cols)
+        if i == 0:
+            cur = cur.withColumn("_t0", F.col("_prev_ts"))
+    span = (
+        F.unix_micros(F.col("_prev_ts").cast("timestamp"))
+        - F.unix_micros(F.col("_t0").cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return (
+        cur.withColumn("span_s", F.round(span, 6))
+        .filter(F.col("span_s") <= float(maxspan_minutes) * 60.0)
+        .select(
+            key_col,
+            F.col("_t0").alias("t0"),
+            F.col("_prev_ts").alias("t_last"),
+            "span_s",
+        )
+        .orderBy(key_col)
+    )

@@ -2098,3 +2098,34 @@ SELECT from_type, to_type, n,
        round(CAST(n AS DOUBLE)
              / sum(n) OVER (PARTITION BY from_type), 6) AS prob
 FROM pairs ORDER BY from_type, to_type"""
+
+
+def ts_eql_sequence_sql(steps: list[str],
+                        maxspan_minutes: int = 60) -> str:
+    """Oracle for ops.timeseries.eql_sequence: the funnel chain CTEs
+    with the anchor ts carried through, final span filter."""
+    ctes = []
+    for i, s in enumerate(steps):
+        sq = s.replace("'", "''")
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id, min(ts) AS t, min(ts) AS t0 "
+                f"FROM events WHERE event_type = '{sq}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t, "
+                f"min(p.t0) AS t0 "
+                f"FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{sq}' AND e.ts >= p.t "
+                f"GROUP BY e.user_id)"
+            )
+    last = len(steps) - 1
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT user_id,
+       strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS t0,
+       strftime(t, '%Y-%m-%d %H:%M:%S.%f') AS t_last,
+       round(epoch_us(t - t0) / 1000000.0, 6) AS span_s
+FROM s{last}
+WHERE epoch_us(t - t0) / 1000000.0 <= {float(maxspan_minutes) * 60.0!r}
+ORDER BY user_id""")

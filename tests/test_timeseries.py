@@ -1007,3 +1007,19 @@ def test_transition_matrix_hand_computed(spark):
                df, "ts", "user_id", "event_type",
                order_cols=["event_id"]).collect()]
     assert got == [("a", "b", 2, 1.0), ("b", "a", 1, 1.0)]
+
+
+def test_eql_sequence_maxspan_gates_the_match(spark):
+    """u1 completes a->b within span; u2's earliest-anchored chain
+    exceeds maxspan (even though a later anchor would fit —
+    documented earliest-anchor semantics); u3 lacks step b."""
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"), (1, "2024-01-01 00:05:00", "b"),
+        (2, "2024-01-01 00:00:00", "a"), (2, "2024-01-01 02:00:00", "a"),
+        (2, "2024-01-01 02:05:00", "b"),
+        (3, "2024-01-01 00:00:00", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = TS.eql_sequence(df, "ts", "user_id", "event_type",
+                          ["a", "b"], maxspan_minutes=10).collect()
+    assert [(r["user_id"], r["span_s"]) for r in got] == [(1, 300.0)]
