@@ -781,3 +781,24 @@ def test_linear_fuse_hand_computed(spark):
     assert got[2] == (2.25, 2)
     assert got[1] == (0.5, 1)
     assert got[3] == (0.0, 1)
+
+
+def test_linear_fuse_affine_invariance(spark):
+    """Min-max normalization makes the fusion invariant to a
+    positive affine transform (a*s + b, a > 0) of any one list's
+    scores — the property that makes mixing BM25 with cosine sane."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.ops.search_eval import linear_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 7.0), (3, 1.0)], ["doc_id", "s"])
+    b = spark.createDataFrame(
+        [(2, 0.9), (3, 0.5), (4, 0.1)], ["doc_id", "c"])
+    base = [(r["doc_id"], r["lin_score"]) for r in
+            linear_fuse([(a, "s", 0.6), (b, "c", 0.4)], n=10).collect()]
+    a2 = a.select("doc_id", (F.col("s") * 3.5 + 100.0).alias("s"))
+    scaled = [(r["doc_id"], r["lin_score"]) for r in
+              linear_fuse([(a2, "s", 0.6), (b, "c", 0.4)],
+                          n=10).collect()]
+    assert scaled == base

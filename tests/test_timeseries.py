@@ -1023,3 +1023,19 @@ def test_eql_sequence_maxspan_gates_the_match(spark):
     got = TS.eql_sequence(df, "ts", "user_id", "event_type",
                           ["a", "b"], maxspan_minutes=10).collect()
     assert [(r["user_id"], r["span_s"]) for r in got] == [(1, 300.0)]
+
+
+def test_bucket_pipeline_telescoping_properties(spark):
+    """Structural identities over the real event stream: cum_sum's
+    last value equals the total; the derivative telescopes to
+    last_bucket - first_bucket; avg_per_doc * n recovers bucket_sum
+    to rounding."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    rows = TS.bucket_pipeline(e, "ts", "1 day", "value").collect()
+    total = round(sum(r["bucket_sum"] for r in rows), 5)
+    assert round(rows[-1]["cum_sum"], 5) == total
+    telescoped = sum(r["deriv"] for r in rows if r["deriv"] is not None)
+    assert abs(telescoped - (rows[-1]["bucket_sum"]
+                             - rows[0]["bucket_sum"])) < 1e-5
+    for r in rows:
+        assert abs(r["avg_per_doc"] * r["n"] - r["bucket_sum"]) < 1e-3
