@@ -931,6 +931,15 @@ def q_mm_image_meta(spark, sf_dir):
     return mm.decode_image_meta(_mm_payload(spark, sf_dir))
 
 
+def q_mm_byte_stats(spark, sf_dir):
+    """REAL (stub-free) binary triage: byte-distribution entropy /
+    distinct bytes / zero ratio per payload — one Arrow numpy
+    kernel, zero shuffle."""
+    from katta_spark.ops import multimodal as mm
+
+    return mm.binary_byte_stats(_mm_payload(spark, sf_dir))
+
+
 def q_mm_frame_sample(spark, sf_dir):
     from katta_spark.ops import multimodal as mm
 
@@ -2344,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "dedup_semantic": q_dedup_semantic,
         "mm_image_meta": q_mm_image_meta,
+        "mm_byte_stats": q_mm_byte_stats,
         "mm_frame_sample": q_mm_frame_sample,
         # --- time-series ops over the events table ---
         "ts_date_facet": q_ts_date_facet,
@@ -2745,6 +2755,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
             n_centroids=8, threshold=0.3
         ),
         "mm_image_meta": OO.mm_image_meta_sql(),
+        "mm_byte_stats": OO.mm_byte_stats_sql(),
         "mm_frame_sample": OO.mm_frames_sql(every=4, max_frames=3),
         "ts_date_facet": OO.ts_date_facet_sql("day"),
         "ts_window_agg": OO.ts_window_agg_sql(1),

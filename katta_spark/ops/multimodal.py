@@ -140,3 +140,47 @@ def sample_frames(df: DataFrame, every: int = 4, max_frames: int = 3,
             )
 
     return df.select("doc_id", "payload").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def binary_byte_stats(df: DataFrame, bin_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, byte_len, n_distinct, zero_ratio, entropy) — REAL byte
+    statistics over any binary column, no decoder needed: Shannon
+    entropy (base 2) of the byte-value distribution, distinct byte
+    count, zero-byte ratio.  The corrupt-blob / format-sniff triage
+    pass a multimodal ingest runs before decoding anything.
+
+    Scale shape: one Arrow-batched numpy kernel (``np.bincount`` per
+    row — vectorized C, never per-byte Python), zero shuffle."""
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, byte_len int, n_distinct int, "
+        "zero_ratio double, entropy double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for rid, payload in zip(b[id_col], b[bin_col]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = a.size
+                if n == 0:
+                    rows.append((rid, 0, 0, 0.0, 0.0))
+                    continue
+                c = np.bincount(a, minlength=256).astype(np.float64)
+                nz = c[c > 0]
+                ent = float(
+                    np.log2(n) - (nz * np.log2(nz)).sum() / n
+                )
+                rows.append((
+                    int(rid), int(n), int((c > 0).sum()),
+                    round(float(c[0] / n), 6), round(ent, 6),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "byte_len", "n_distinct",
+                         "zero_ratio", "entropy"],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, out_schema)

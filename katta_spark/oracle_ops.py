@@ -2129,3 +2129,22 @@ SELECT user_id,
 FROM s{last}
 WHERE epoch_us(t - t0) / 1000000.0 <= {float(maxspan_minutes) * 60.0!r}
 ORDER BY user_id""")
+
+
+def mm_byte_stats_sql() -> str:
+    """Oracle for ops.multimodal.binary_byte_stats over the fake
+    payload (unhex(md5(text)), 16 bytes): per-byte-pair histogram,
+    same log2 entropy fold."""
+    return """
+WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (
+  SELECT doc_id, substr(hx, 2 * i - 1, 2) AS byte
+  FROM p, UNNEST(generate_series(1, 16)) AS t(i)),
+c AS (SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2)
+SELECT doc_id, 16 AS byte_len,
+       CAST(count(*) AS INT) AS n_distinct,
+       round(COALESCE(sum(CASE WHEN byte = '00' THEN c END), 0)
+             / 16.0, 6) AS zero_ratio,
+       round(log2(16.0) - sum(c * log2(CAST(c AS DOUBLE))) / 16.0, 6)
+         AS entropy
+FROM c GROUP BY doc_id"""

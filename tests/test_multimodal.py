@@ -81,3 +81,19 @@ def test_no_shuffle_in_decode(spark):
         mm.decode_image_meta(p)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_binary_byte_stats_hand_computed(spark):
+    """Known byte strings: uniform bytes -> entropy log2(n_distinct),
+    constant bytes -> 0; zero_ratio counts 0x00 exactly."""
+    from katta_spark.ops.multimodal import binary_byte_stats
+
+    rows = [(0, bytes([0, 1, 2, 3])), (1, bytes([7] * 8)),
+            (2, bytes([0, 0, 5, 5])), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in binary_byte_stats(df).collect()}
+    assert got[0]["entropy"] == 2.0 and got[0]["n_distinct"] == 4
+    assert got[0]["zero_ratio"] == 0.25
+    assert got[1]["entropy"] == 0.0 and got[1]["zero_ratio"] == 0.0
+    assert got[2]["entropy"] == 1.0 and got[2]["zero_ratio"] == 0.5
+    assert got[3]["byte_len"] == 0 and got[3]["entropy"] == 0.0
