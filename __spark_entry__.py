@@ -1916,6 +1916,16 @@ def q_ft_group_score(spark, sf_dir):
         ["table"], "lang", score_mode="sum", k=5)
 
 
+def q_ft_span_within(spark, sf_dir):
+    """Lucene SpanWithinQuery: 'key' contained inside a
+    (fast .. order) pair at most 4 apart — three-term pruned
+    positional scan, surviving-position BM25."""
+    return _round_score(
+        phys_index(spark, sf_dir).span_within_topk(
+            "key", "fast", "order", k=10, width=4)
+    )
+
+
 def q_ft_facet_by_metric(spark, sf_dir):
     """ES terms agg ordered by sub-aggregation: top langs among
     'table' matches by avg n_chars (not by doc count)."""
@@ -2386,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cum_cardinality": q_ts_cum_cardinality,
         "ft_facet_by_metric": q_ft_facet_by_metric,
         "ft_group_score": q_ft_group_score,
+        "ft_span_within": q_ft_span_within,
         "ft_linear_fuse": q_ft_linear_fuse,
         "sim_sq_ann": q_sim_sq_ann,
         "graph_expand": q_graph_expand,
@@ -2791,6 +2802,8 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
             ["table"], "lang", "n_chars", n=5),
         "ft_group_score": O.group_score_sql(
             ["table"], "lang", score_mode="sum", k=5),
+        "ft_span_within": O.span_within_sql(
+            "key", "fast", "order", width=4, k=10),
         "ft_linear_fuse": O.linear_fuse_sql(
             ["table", "scan"], k_each=20, w_bm=0.7, w_vec=0.3, n=10),
         "text_vocab_kl": O.vocab_kl_sql("source", "src1", "src2"),

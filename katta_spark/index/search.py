@@ -488,6 +488,103 @@ def make_span_first_kernel(term: str, end: int, n_docs: float,
     return kernel
 
 
+def make_span_within_kernel(little: str, big1: str, big2: str,
+                            width: int, n_docs: float, avgdl: float,
+                            k1: float, b: float, block_range: int):
+    """SpanWithinQuery kernel (Lucene SpanWithinQuery(big, little)
+    with big = SpanNear([big1, big2], ordered, width)): a position
+    ``q`` of ``little`` is CONTAINED when some pair (p1, p2) with
+    ``toks[p1]=big1``, ``toks[p2]=big2``, ``p1 <= q <= p2`` and
+    ``p2 - p1 <= width`` covers it (any-pair containment — a
+    documented, SQL-mirrorable simplification of Lucene's
+    minimal-interval enumeration; any-pair is a superset of minimal
+    spans).  Doc score = single-term BM25 on ``little`` with tf =
+    contained-position count.
+
+    Vectorized containment: for each q only the LARGEST p1 <= q
+    needs checking (its right window is widest and its left bound is
+    the most permissive among candidates), so the test is two
+    searchsorted passes — no per-position Python loop."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for g in _iter_block_groups(batches):
+            bid = int(g["block_id"].iloc[0])
+            acc: dict[str, list] = {}
+            for row in g.itertuples(index=False):
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_gaps, row.tfs, row.dls, bid, block_range
+                )
+                lens, flat = codec.decode_positions(
+                    row.pos_lens, row.pos_deltas
+                )
+                poss = np.split(flat, np.cumsum(lens)[:-1])
+                acc.setdefault(row.term, []).append(
+                    (ids, dls, poss, float(row.df))
+                )
+            if little not in acc or big1 not in acc or big2 not in acc:
+                continue
+            per: dict[str, tuple] = {}
+            for t, runs in acc.items():
+                if len(runs) == 1:
+                    per[t] = runs[0]
+                    continue
+                ids = np.concatenate([r[0] for r in runs])
+                order = np.argsort(ids, kind="mergesort")
+                allp = [p for r in runs for p in r[2]]
+                per[t] = (
+                    ids[order],
+                    np.concatenate([r[1] for r in runs])[order],
+                    [allp[i] for i in order],
+                    runs[0][3],
+                )
+            lit_ids, lit_dls, lit_pos, lit_df = per[little]
+            b1_ids, _, b1_pos, _ = per[big1]
+            b2_ids, _, b2_pos, _ = per[big2]
+            matched, survs, dlout = [], [], []
+            for j, d in enumerate(lit_ids):
+                j1 = int(np.searchsorted(b1_ids, d))
+                j2 = int(np.searchsorted(b2_ids, d))
+                if (
+                    j1 >= len(b1_ids) or b1_ids[j1] != d
+                    or j2 >= len(b2_ids) or b2_ids[j2] != d
+                ):
+                    continue
+                q = lit_pos[j]
+                p1s, p2s = b1_pos[j1], b2_pos[j2]
+                # largest p1 <= q per q
+                i1 = np.searchsorted(p1s, q, side="right") - 1
+                ok = i1 >= 0
+                p1 = p1s[np.clip(i1, 0, None)]
+                ok &= p1 >= q - width
+                # some p2 in [q, p1 + width]
+                lo = np.searchsorted(p2s, q, side="left")
+                has_p2 = lo < len(p2s)
+                p2v = p2s[np.clip(lo, None, len(p2s) - 1)]
+                ok &= has_p2 & (p2v <= p1 + width)
+                n_surv = int(ok.sum())
+                if n_surv:
+                    matched.append(int(d))
+                    survs.append(n_surv)
+                    dlout.append(lit_dls[j])
+            if matched:
+                s = codec.bm25_idf(lit_df, n_docs) * codec.bm25_tfnorm(
+                    np.asarray(survs, dtype=np.float64),
+                    np.asarray(dlout, dtype=np.float64), avgdl, k1, b
+                )
+                yield pd.DataFrame(
+                    {"doc_id": np.asarray(matched, dtype=np.int64),
+                     "score": s.astype(np.float64),
+                     "nt": np.ones(len(matched), dtype=np.int32)}
+                )
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "nt": pd.Series(dtype="int32")}
+        )
+
+    return kernel
+
+
 def make_span_not_kernel(include: str, exclude: str, pre: int, post: int,
                          n_docs: float, avgdl: float, k1: float, b: float,
                          block_range: int):
@@ -1777,6 +1874,44 @@ class PhysicalIndex:
             self.stats["block_range"],
         )
         out = self._qblocks(ts, positions=True).mapInPandas(
+            kern, SCORED_SCHEMA
+        ).select("doc_id", "score")
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            out = out.join(fd, "doc_id", "left_semi")
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score")
+        )
+
+    def span_within_topk(self, little: str, big1: str, big2: str,
+                         k: int = 10, width: int = 4,
+                         filters: Filters = None) -> DataFrame:
+        """(doc_id, score) top-k — Lucene SpanWithinQuery: positions
+        of ``little`` contained inside some (``big1`` … ``big2``)
+        pair at most ``width`` positions apart (any-pair containment,
+        documented in the kernel).  Scored single-term BM25 with
+        tf = contained-position count; one pruned positional scan
+        over the three terms' postings — the docs table is never
+        read."""
+        ts = self._strip_stops([little, big1, big2])
+        if len(set(ts)) < 3:
+            raise ValueError("span_within_topk needs three distinct "
+                             "terms that survive the analyzer chain")
+        lit, bg1, bg2 = ts
+        if not self.stats.get("positions"):
+            raise ValueError(
+                "span_within_topk requires positional postings "
+                "(build_index(store_positions=True))"
+            )
+        kern = make_span_within_kernel(
+            lit, bg1, bg2, int(width), float(self.stats["n_docs"]),
+            self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+            self.stats["block_range"],
+        )
+        out = self._qblocks([lit, bg1, bg2], positions=True).mapInPandas(
             kern, SCORED_SCHEMA
         ).select("doc_id", "score")
         if self.tombstones is not None:

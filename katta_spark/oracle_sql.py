@@ -1624,3 +1624,53 @@ exact AS (
   FROM short s CROSS JOIN q)
 SELECT vec_id, round(cos, 6) AS cos
 FROM exact ORDER BY cos DESC, vec_id ASC LIMIT {int(k)}"""
+
+
+def span_within_sql(little: str, big1: str, big2: str,
+                    width: int = 4, k: int = 10) -> str:
+    """SpanWithin oracle (mirror of PhysicalIndex.span_within_topk,
+    any-pair containment): a little position q survives when some
+    big1 at [q-width, q] pairs with some big2 at [q, p1+width];
+    score = single-term BM25 with tf = surviving count."""
+    from katta_spark.tokenizer import duckdb_tokens_list_sql
+
+    lt = little.lower().replace("'", "''")
+    b1 = big1.lower().replace("'", "''")
+    b2 = big2.lower().replace("'", "''")
+    w = int(width)
+    tokl = duckdb_tokens_list_sql(DOCS, "doc_id", "text")
+    idf = (
+        "ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfv.df AS DOUBLE)"
+        " + 0.5) / (CAST(dfv.df AS DOUBLE) + 0.5))"
+    )
+    tfn = (
+        f"(CAST(s.tfp AS DOUBLE) * {K1 + 1.0!r}) / (CAST(s.tfp AS DOUBLE)"
+        f" + {K1!r} * ({1.0 - B!r} + {B!r} * CAST(dl.dl AS DOUBLE)"
+        " / stats.avgdl))"
+    )
+    return f"""{index_ctes()},
+tokl AS ({tokl}),
+surv AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(toks)),
+             q -> toks[q] = '{lt}'
+               AND len(list_filter(
+                     generate_series(greatest(1, q - {w}), q),
+                     p1 -> toks[p1] = '{b1}'
+                       AND len(list_filter(
+                             generate_series(q,
+                               least(len(toks), p1 + {w})),
+                             p2 -> toks[p2] = '{b2}')) > 0)) > 0))
+           AS tfp
+  FROM tokl
+),
+scored AS (
+  SELECT s.doc_id, {idf} * {tfn} AS score
+  FROM surv s
+  JOIN dl ON s.doc_id = dl.doc_id
+  JOIN dfv ON dfv.term = '{lt}'
+  CROSS JOIN stats
+  WHERE s.tfp > 0
+)
+SELECT doc_id, round(score, 6) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT {int(k)})"""

@@ -802,3 +802,37 @@ def test_linear_fuse_affine_invariance(spark):
               linear_fuse([(a2, "s", 0.6), (b, "c", 0.4)],
                           n=10).collect()]
     assert scaled == base
+
+
+def test_span_within_matches_python(pindex, py_oracle, pandas_docs):
+    """Any-pair containment mirror: q of 'key' survives when some
+    (fast, order) pair with order_pos - fast_pos <= width covers
+    it; tf = surviving count, single-term BM25 on 'key'."""
+    from katta_spark.tokenizer import py_tokenize
+
+    lit, b1, b2, width = "key", "fast", "order", 4
+    want_scores = {}
+    for r in pandas_docs.itertuples(index=False):
+        toks = py_tokenize(r.content)
+        qs = [i for i, t in enumerate(toks) if t == lit]
+        p1s = [i for i, t in enumerate(toks) if t == b1]
+        p2s = [i for i, t in enumerate(toks) if t == b2]
+        surv = sum(
+            1 for q in qs
+            if any(p1 <= q <= p2 <= p1 + width
+                   for p1 in p1s for p2 in p2s)
+        )
+        if surv:
+            d = int(r.doc_id)
+            from katta_spark.fulltext.analysis import B, K1
+
+            idf = py_oracle.idf(lit)
+            dl = py_oracle.dl[d]
+            tfn = (surv * (K1 + 1)) / (
+                surv + K1 * (1 - B + B * dl / py_oracle.avgdl))
+            want_scores[d] = idf * tfn
+    want = sorted(want_scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+    got = pindex.span_within_topk(lit, b1, b2, k=10, width=width).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
