@@ -472,3 +472,37 @@ def test_parallelism_invariance(spark, index_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert results["3"] == results["17"]
+
+
+def test_query_cache_hit_and_invalidation(spark, tmp_path):
+    """Solr queryResultCache parity: second identical call is a
+    cache HIT with identical rows; a new commit re-keys (the 'new
+    searcher' flush) and the re-computed result sees the new doc."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index.cache import QueryCache
+
+    d = str(tmp_path / "idx")
+    base = with_ingest_columns(synthetic_corpus(spark, 300))
+    build_index(spark, base, d, n_groups=1, block_range=128)
+    idx = PhysicalIndex(spark, d)
+    qc = QueryCache(idx, str(tmp_path / "qcache"))
+    first = [(r["doc_id"], round(r["score"], 9))
+             for r in qc.topk(["def"], k=5).collect()]
+    again = [(r["doc_id"], round(r["score"], 9))
+             for r in qc.topk(["def"], k=5).collect()]
+    assert first == again
+    assert qc.misses == 1 and qc.hits == 1
+
+    # new commit -> new searcher generation -> key changes
+    more = with_ingest_columns(synthetic_corpus(spark, 320)).filter(
+        F.col("doc_id") >= 300
+    ).withColumn("doc_id", F.col("doc_id") - 300)
+    build_index(spark, more, d, n_groups=1, block_range=128,
+                commit="c1")
+    idx2 = PhysicalIndex(spark, d)
+    qc2 = QueryCache(idx2, str(tmp_path / "qcache"))
+    fresh = qc2.topk(["def"], k=5).collect()
+    assert qc2.misses == 1  # re-keyed, not served stale
+    assert len(fresh) == 5
