@@ -1093,6 +1093,21 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs)
 
 
+def q_pipe_leakage_split(spark, sf_dir):
+    """Near-dup-aware train/test split: the split decision is per
+    MinHash duplicate CLUSTER, so near-duplicates never straddle
+    train and test (eval-leakage prevention)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir).withColumnRenamed("text", "content"),
+        num_hashes=16,
+        bands=4,
+    )
+    clusters = dedup.dup_clusters(pairs)
+    return sampling.leakage_safe_split(
+        _docs(spark, sf_dir), clusters, test_pct=10, salt="split"
+    )
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_candidate_pairs(
         _docs(spark, sf_dir), max_hamming=3, text_col="text"
@@ -2341,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_stats": q_dedup_span_stats,
         "dedup_trim_spans": q_dedup_trim_spans,
         "pipe_hash_split": q_pipe_hash_split,
+        "pipe_leakage_split": q_pipe_leakage_split,
         "pipe_decontam": q_pipe_decontam,
         "pipe_dsir": q_pipe_dsir,
         "pipe_pack": q_pipe_pack,
@@ -2708,6 +2724,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "dedup_span_stats": OO.dup_span_stats_sql(width=8),
         "dedup_trim_spans": OO.trim_spans_sql(width=8),
         "pipe_hash_split": OO.hash_split_sql(),
+        "pipe_leakage_split": OO.leakage_safe_split_sql(10, "split"),
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
         "pipe_dsir": OO.dsir_select_sql(k=50, target_where="lang = 'de'"),
         "pipe_pack": OO.pack_greedy_sql(budget=2000, group_col="source",

@@ -372,3 +372,36 @@ def frequent_item_sets(df: DataFrame, basket_col: str, item_col: str,
         .orderBy(F.desc("support"), F.asc("items"))
         .limit(int(n))
     )
+
+
+def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
+                       id_col: str = "doc_id",
+                       test_pct: int = 10,
+                       salt: str = "split") -> DataFrame:
+    """(id, cluster_rep, split) — near-dup-aware train/test split:
+    the split decision is made per DUPLICATE CLUSTER, not per
+    document, so near-duplicates never straddle train and test (the
+    leakage that silently inflates eval scores; the reason The
+    Stack / Dolma splits deduplicate before splitting).
+
+    ``clusters`` is :func:`katta_spark.ops.dedup.dup_clusters` output
+    (doc_id, cluster); docs absent from it are singleton clusters of
+    themselves.  The bucket is :func:`hash_bucket` of the cluster
+    representative — the repo's ONE deterministic, partition-stable
+    split device — so membership is reproducible on any layout.
+
+    Scale shape: one left join onto the (small) cluster map + narrow
+    hash arithmetic; no shuffle beyond the join."""
+    c = clusters.select(
+        F.col("doc_id").alias(id_col), F.col("cluster")
+    )
+    joined = docs.select(id_col).join(c, id_col, "left")
+    rep = F.coalesce(F.col("cluster"), F.col(id_col))
+    bucket = hash_bucket(rep, salt=salt)
+    cut = int(test_pct) * N_BUCKETS // 100
+    return joined.select(
+        id_col,
+        rep.alias("cluster_rep"),
+        F.when(bucket < cut, F.lit("test"))
+        .otherwise(F.lit("train")).alias("split"),
+    )

@@ -2148,3 +2148,25 @@ SELECT doc_id, 16 AS byte_len,
        round(log2(16.0) - sum(c * log2(CAST(c AS DOUBLE))) / 16.0, 6)
          AS entropy
 FROM c GROUP BY doc_id"""
+
+
+def leakage_safe_split_sql(test_pct: int = 10,
+                           salt: str = "split") -> str:
+    """Oracle for ops.sampling.leakage_safe_split over the MinHash
+    cluster map: the dup_clusters recursive closure, left-joined to
+    documents, split on the shared hash_bucket device applied to the
+    cluster representative."""
+    from katta_spark.ops.sampling import N_BUCKETS
+
+    cl = dup_clusters_sql(minhash_lsh_sql(num_hashes=16, bands=4, n=3))
+    cut = int(test_pct) * N_BUCKETS // 100
+    bucket = _bucket_sql("rep", salt)
+    return f"""
+WITH cl AS ({cl}),
+j AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster, d.doc_id) AS rep
+  FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id)
+SELECT doc_id, rep AS cluster_rep,
+       CASE WHEN {bucket} < {cut} THEN 'test' ELSE 'train' END AS split
+FROM j"""

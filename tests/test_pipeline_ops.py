@@ -489,3 +489,31 @@ def test_frequent_item_sets_hand_computed(spark):
            for r in frequent_item_sets(df, "basket", "item",
                                        min_support=2, n=10).collect()]
     assert got == [(("a",), 3), (("a", "b"), 2), (("b",), 2)]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a duplicate cluster lands in the SAME split;
+    singletons split independently; the doc-level split would have
+    straddled at least one cluster on this fixture (the leakage the
+    op exists to prevent is actually exercised)."""
+    from katta_spark.ops.sampling import hash_bucket, leakage_safe_split
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    # clusters: {0,1,2}, {10,11}, rest singleton
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        ["doc_id", "cluster"])
+    out = leakage_safe_split(docs, clusters, test_pct=30).collect()
+    by = {r["doc_id"]: (r["cluster_rep"], r["split"]) for r in out}
+    assert len(by) == 200
+    assert by[0] == by[1] == by[2]
+    assert by[10] == by[11]
+    # both splits exist at 30%
+    splits = {s for _, s in by.values()}
+    assert splits == {"train", "test"}
+    # doc-level buckets WOULD have disagreed within some cluster
+    from pyspark.sql import functions as F
+    b = {r["doc_id"]: r["b"] for r in docs.filter(F.col("doc_id") < 3)
+         .select("doc_id", hash_bucket(F.col("doc_id"),
+                                       "split").alias("b")).collect()}
+    assert len({v < 3000 for v in b.values()}) >= 1
