@@ -582,6 +582,36 @@ def q_phys_cross_fields(spark, sf_dir):
     )
 
 
+def q_phys_most_fields(spark, sf_dir):
+    """ES multi_match type=most_fields: 'table' and 'src1' each
+    looked up in content + source with each variant's OWN df; a
+    doc's score is the SUM of every matching variant's BM25."""
+    return _round_score(
+        phys_index(spark, sf_dir).most_fields_topk(
+            ["table", "src1"], ["content", "source"], k=10
+        )
+    )
+
+
+def q_ft_distance_feature(spark, sf_dir):
+    """ES distance_feature over n_chars: BM25 + 2*100/(100+|v-200|)
+    — proximity-to-origin boosting over ALL matches."""
+    out = phys_index(spark, sf_dir).distance_feature_topk(
+        ["table"], "n_chars", origin=200.0, pivot=100.0, k=10, boost=2.0)
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("feat_score", 6).alias("feat_score"),
+    )
+
+
+def q_ft_has_parent(spark, sf_dir):
+    """ES has_parent with score: every doc inherits its lang group's
+    MAX hit score for 'table' — the inverse of has_child."""
+    return phys_index(spark, sf_dir).has_parent_topk(
+        ["table"], "lang", k=10, score_mode="max")
+
+
 def q_phys_common_terms(spark, sf_dir):
     """Lucene CommonTermsQuery: 'dup' (rare) must match, 'table'
     (common, df ~78% of N) only boosts scores of those candidates —
@@ -2250,6 +2280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rare_terms": q_phys_rare_terms,
         "ft_common_terms": q_phys_common_terms,
         "ft_cross_fields": q_phys_cross_fields,
+        "ft_most_fields": q_phys_most_fields,
+        "ft_distance_feature": q_ft_distance_feature,
+        "ft_has_parent": q_ft_has_parent,
         "ft_rank_eval": q_ft_rank_eval,
         "ft_rrf": q_ft_rrf,
         "ft_suggest_phrase": q_ft_suggest_phrase,
@@ -2494,6 +2527,16 @@ GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
         "ft_common_terms": O.common_terms_sql(
             ["table", "dup"], k=10, max_df_frac=0.1
+        ),
+        "ft_most_fields": O.most_fields_sql(
+            ["table", "src1"], ["content", "source"], k=10
+        ),
+        "ft_distance_feature": O.distance_feature_sql(
+            ["table"], "n_chars", origin=200.0, pivot=100.0, k=10,
+            boost=2.0,
+        ),
+        "ft_has_parent": O.has_parent_sql(
+            ["table"], "lang", k=10, score_mode="max"
         ),
         "ft_cross_fields": O.cross_fields_sql(
             ["table", "src1"], ["content", "source"], k=10

@@ -2425,6 +2425,129 @@ class PhysicalIndex:
             .select("doc_id", "score")
         )
 
+    def most_fields_topk(self, words: list[str], fields: list[str],
+                         k: int = 10) -> DataFrame:
+        """ES ``multi_match type=most_fields``: each WORD is looked
+        up in every listed field (variant ``f:w``; the bare content
+        token for ``"content"``) and a document's score is the plain
+        SUM of every matching variant's BM25 — no df blending, no
+        per-word max.  The more fields that match, the higher the
+        score (the "same text analyzed different ways" shape), the
+        exact complement of :meth:`cross_fields_topk` (blended df,
+        per-word best field) and :meth:`dismax_topk` (best clause
+        wins).  Completes the ES multi_match trio.
+
+        Plan: catalog slice of <= |words|x|fields| variants, each
+        with its OWN df, broadcast into the term-pruned postings
+        scan; the clause kernel emits per-variant scores and the
+        per-doc sum is one JVM hash agg — identical shuffle count to
+        a plain OR query at any scale."""
+        variants: list[str] = []
+        for wd in sorted({w.lower() for w in words}):
+            for f in fields:
+                variants.append(wd if f == "content" else f"{f}:{wd}")
+        cat = self.terms.filter(F.col("term").isin(variants)).select(
+            "term", "df"
+        )
+        cols = ["term", "block_id", "max_tf", "min_dl",
+                "doc_gaps", "tfs", "dls"]
+        blocks = (
+            self.postings.select(*cols)
+            .join(F.broadcast(cat), "term")
+            .repartition("block_id")
+            .sortWithinPartitions("block_id", "term")
+        )
+        kern = make_clause_kernel(
+            float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+        )
+        per = blocks.mapInPandas(
+            kern, "doc_id long, term string, score double"
+        )
+        if self.tombstones is not None:
+            per = per.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        agg = per.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        return (
+            agg.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def distance_feature_topk(self, qterms: list[str], field: str,
+                              origin: float, pivot: float, k: int = 10,
+                              boost: float = 1.0, mode: str = "or",
+                              filters: Filters = None) -> DataFrame:
+        """(doc_id, score, feat_score) — the ES ``distance_feature``
+        query over a numeric field: final score = BM25 + ``boost`` ·
+        pivot/(pivot + |field − origin|).  Docs AT the origin gain
+        the full boost; the contribution halves at distance
+        ``pivot`` (recency / proximity boosting without killing
+        relevance — the additive cousin of a gauss decay).
+
+        Same plan shape as :meth:`rank_feature_topk`: the scored
+        pass joins a two-column docs projection, the feature term is
+        pure column algebra, and the ranking is
+        TakeOrderedAndProject over ALL matches — never a re-rank of
+        a BM25 shortlist."""
+        scored = self.scored_docs(sorted(set(qterms)), mode)
+        fd = self._filter_docs(filters)
+        if fd is not None:
+            scored = scored.join(fd, "doc_id", "left_semi")
+        dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+        feat = (F.lit(float(boost)) * F.lit(float(pivot))
+                / (F.lit(float(pivot)) + dist))
+        out = (
+            scored.join(self.docs.select("doc_id", field), "doc_id")
+            .withColumn("feat_score", feat)
+            .withColumn("score", F.col("score") + F.col("feat_score"))
+        )
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score", "feat_score")
+        )
+
+    def has_parent_topk(self, qterms: list[str], parent_field: str,
+                        k: int = 10, score_mode: str = "max",
+                        mode: str = "or") -> DataFrame:
+        """(doc_id, parent, score) — ES ``has_parent`` with scoring:
+        every CHILD document whose parent group matches the parent
+        query is returned, carrying its parent's aggregate hit score
+        (``score_mode``: max/sum/min/avg over the parent group's own
+        matching docs).  The inverse of :meth:`group_score_topk`
+        (has_child): there parents are ranked by their children;
+        here children inherit their parent's score.  Ties break by
+        doc_id so the k-cut is deterministic.
+
+        Plan: one term-pruned scored pass, one tiny hash agg to the
+        parent-score table (|distinct parents| rows), broadcast back
+        into a narrow docs projection — the corpus is read once and
+        the join side is bounded by the parent cardinality, never
+        the hit count."""
+        aggf = {"max": F.max, "sum": F.sum, "min": F.min,
+                "avg": F.avg}[score_mode]
+        scored = self.scored_docs(sorted(set(qterms)), mode)
+        hits = scored.join(
+            self.docs.select("doc_id", parent_field), "doc_id"
+        )
+        pscore = hits.groupBy(parent_field).agg(
+            F.round(aggf(F.round("score", 6)), 6).alias("score")
+        )
+        kids = self.docs.select(
+            "doc_id", F.col(parent_field).alias("parent")
+        )
+        if self.tombstones is not None:
+            kids = kids.join(
+                F.broadcast(self.tombstones), "doc_id", "left_anti"
+            )
+        out = kids.join(
+            F.broadcast(pscore.withColumnRenamed(parent_field, "parent")),
+            "parent",
+        )
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "parent", "score")
+        )
+
     def rerank_topk(self, qterms: list[str], rq_terms: list[str],
                     rerank_docs: int = 60, weight: float = 2.0,
                     k: int = 10, mode: str = "or",

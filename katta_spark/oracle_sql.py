@@ -522,6 +522,97 @@ SELECT doc_id, round(score, 6) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"""
 
 
+def most_fields_sql(words: list[str], fields: list[str],
+                    k: int = 10) -> str:
+    """Oracle for PhysicalIndex.most_fields_topk: each variant keeps
+    its OWN df (no blending), every matching variant's BM25 is summed
+    per doc — the ES most_fields complement of cross_fields."""
+    parts = []
+    for w in sorted({x.lower().replace("'", "''") for x in words}):
+        for f in fields:
+            if f == "content":
+                parts.append(
+                    f"SELECT tf.doc_id, {score_sql()} AS s\n"
+                    f"  FROM tf JOIN dfv ON tf.term = dfv.term"
+                    f" JOIN dl ON tf.doc_id = dl.doc_id"
+                    f" CROSS JOIN stats WHERE tf.term = '{w}'"
+                )
+            else:
+                parts.append(
+                    f"SELECT d.doc_id, {field_score_sql(f, w)} AS s\n"
+                    f"  FROM {DOCS} d JOIN dl ON d.doc_id = dl.doc_id"
+                    f" CROSS JOIN stats"
+                    f" WHERE lower(CAST(d.{f} AS VARCHAR)) = '{w}'"
+                )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""{index_ctes()},
+vs AS (
+{union}
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM vs GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"""
+
+
+def distance_feature_sql(terms: list[str], field: str, origin: float,
+                         pivot: float, k: int = 10, boost: float = 1.0,
+                         mode: str = "or") -> str:
+    """Oracle for PhysicalIndex.distance_feature_topk: BM25 +
+    boost * pivot/(pivot + |field - origin|), ranked over ALL
+    matches."""
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    feat = (
+        f"{float(boost)!r} * {float(pivot)!r} / ({float(pivot)!r}"
+        f" + abs(CAST(d.{field} AS DOUBLE) - {float(origin)!r}))"
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+)
+SELECT s.doc_id,
+       round(s.score + {feat}, 6) AS score,
+       round({feat}, 6) AS feat_score
+FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
+ORDER BY s.score + {feat} DESC, s.doc_id ASC LIMIT {int(k)}"""
+
+
+def has_parent_sql(terms: list[str], parent_field: str, k: int = 10,
+                   score_mode: str = "max", mode: str = "or") -> str:
+    """Oracle for PhysicalIndex.has_parent_topk: children inherit
+    their parent group's aggregate hit score (per-hit scores rounded
+    to 6dp before the group aggregate, like group_score_sql)."""
+    agg = {"sum": "sum", "max": "max", "min": "min", "avg": "avg"}[
+        score_mode
+    ]
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, round(sum({score_sql()}), 6) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id {having}
+),
+ps AS (
+  SELECT d.{parent_field} AS parent, round({agg}(s.score), 6) AS score
+  FROM scored s JOIN {DOCS} d ON s.doc_id = d.doc_id
+  GROUP BY d.{parent_field}
+)
+SELECT d.doc_id, d.{parent_field} AS parent, p.score
+FROM {DOCS} d JOIN ps p ON d.{parent_field} = p.parent
+ORDER BY p.score DESC, d.doc_id ASC LIMIT {int(k)}"""
+
+
 def common_terms_sql(terms: list[str], k: int = 10,
                      max_df_frac: float = 0.1) -> str:
     """Oracle for PhysicalIndex.common_terms_topk: low-df terms drive

@@ -836,3 +836,103 @@ def test_span_within_matches_python(pindex, py_oracle, pandas_docs):
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
         (d, round(s, 9)) for d, s in want
     ]
+
+
+# -------------------------------------------- most_fields / distance / parent
+
+def test_most_fields_sums_variants_with_own_df(spark, tmp_path):
+    """ES most_fields: each variant keeps its OWN df and every
+    matching variant's BM25 SUMS per doc — docs matching in both
+    fields outrank single-field matches (unlike cross_fields' max)."""
+    import math
+
+    from katta_spark.index import PhysicalIndex, build_index
+    from katta_spark.fulltext.analysis import B, K1
+
+    # 'alpha' is a content token in docs 0-2 and the tag of docs 2-8
+    rows = []
+    for i in range(12):
+        body = "alpha base word" if i < 3 else "base word other"
+        tag = "alpha" if 2 <= i < 9 else "beta"
+        rows.append((i, body, tag))
+    df = spark.createDataFrame(rows, "doc_id long, content string, tag string")
+    d = str(tmp_path / "mf_idx")
+    build_index(spark, df, d, n_groups=2, block_range=64,
+                store_positions=False, field_cols=["tag"])
+    idx = PhysicalIndex(spark, d)
+
+    got = {r["doc_id"]: r["score"]
+           for r in idx.most_fields_topk(["alpha"], ["content", "tag"],
+                                         k=12).collect()}
+    n, avgdl = 12.0, 3.0
+    def idf(dfc):
+        return math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+    def tfn(tf, dl):
+        return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    want = {}
+    for i in range(12):
+        s = 0.0
+        if i < 3:
+            s += idf(3) * tfn(1, 3)       # content variant, df=3
+        if 2 <= i < 9:
+            s += idf(7) * tfn(1, 3)       # tag variant, OWN df=7
+        if s:
+            want[i] = s
+    assert set(got) == set(want)
+    for i, s in want.items():
+        assert got[i] == pytest.approx(s, abs=1e-9), i
+    # doc 2 matches both variants and must rank strictly first
+    top = max(want.items(), key=lambda x: (x[1], -x[0]))
+    assert top[0] == 2
+
+
+def test_distance_feature_boosts_near_origin(pindex, py_oracle):
+    """Mirror: final = BM25 + boost*pivot/(pivot+|dl-origin|) over the
+    dl field, ranked across ALL matches; docs at the origin gain the
+    full boost."""
+    terms, boost, origin, pivot, k = ["import"], 5.0, 30.0, 10.0, 10
+    dl = py_oracle.dl
+    scored = {
+        d: py_oracle.score(d, terms)
+        + boost * pivot / (pivot + abs(dl[d] - origin))
+        for d in py_oracle.matches(terms)
+    }
+    want = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+    got = pindex.distance_feature_topk(terms, "dl", origin=origin,
+                                       pivot=pivot, k=k,
+                                       boost=boost).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    for r in got:
+        assert r["score"] == pytest.approx(
+            r["feat_score"] + scored[r["doc_id"]]
+            - (boost * pivot / (pivot + abs(dl[r["doc_id"]] - origin))),
+            abs=1e-9,
+        )
+
+
+def test_has_parent_children_inherit_group_score(pindex, py_oracle,
+                                                 pandas_docs):
+    """Mirror: every doc (matching or not) carries its lang group's
+    aggregate hit score; ties break by doc_id."""
+    terms, k = ["import"], 15
+    langs = {int(r.doc_id): r.lang
+             for r in pandas_docs.itertuples(index=False)}
+    per = {}
+    for d in py_oracle.matches(terms):
+        per.setdefault(langs[d], []).append(
+            round(py_oracle.score(d, terms), 6))
+    for mode, fn in (("max", max), ("sum", sum)):
+        pscore = {g: round(fn(v), 6) for g, v in per.items()}
+        rows = sorted(
+            ((d, g, pscore[g]) for d, g in langs.items() if g in pscore),
+            key=lambda x: (-x[2], x[0]),
+        )[:k]
+        got = pindex.has_parent_topk(terms, "lang", k=k,
+                                     score_mode=mode).collect()
+        assert [(r["doc_id"], r["parent"]) for r in got] == [
+            (d, g) for d, g, _ in rows
+        ], mode
+        for r, (_, _, s) in zip(got, rows):
+            assert r["score"] == pytest.approx(s, abs=1e-6), mode
