@@ -612,6 +612,34 @@ def q_ft_has_parent(spark, sf_dir):
         ["table"], "lang", k=10, score_mode="max")
 
 
+def q_ft_terms_set(spark, sf_dir):
+    """ES terms_set: docs matching at least (doc_id % 2 + 1) of
+    {table, scan, key} — per-document minimum_should_match read from
+    the doc's own fields."""
+    return _round_score(
+        phys_index(spark, sf_dir).terms_set_topk(
+            ["table", "scan", "key"], "doc_id % 2 + 1", k=10
+        )
+    )
+
+
+def q_ft_boosting(spark, sf_dir):
+    """ES boosting query: 'table' hits, demoted x0.3 (not excluded)
+    when they also match 'scan'."""
+    return _round_score(
+        phys_index(spark, sf_dir).boosting_topk(
+            ["table"], ["scan"], negative_boost=0.3, k=10)
+    )
+
+
+def q_ft_random_score(spark, sf_dir):
+    """ES function_score random_score (boost_mode=replace):
+    deterministic seeded sample ordering of 'table' matches via the
+    shared md5 hash_bucket device."""
+    return phys_index(spark, sf_dir).random_score_topk(
+        ["table"], seed="r2", k=10)
+
+
 def q_phys_common_terms(spark, sf_dir):
     """Lucene CommonTermsQuery: 'dup' (rare) must match, 'table'
     (common, df ~78% of N) only boosts scores of those candidates —
@@ -1819,6 +1847,35 @@ def q_ts_bucket_pipeline(spark, sf_dir):
     )
 
 
+def q_ts_bucket_sort(spark, sf_dir):
+    """ES bucket_sort pipeline agg: the 3 busiest days after skipping
+    the top 2 (from=2, size=3) — sort + slice over the bucket table
+    only."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.bucket_sort(_events(spark, sf_dir), "ts", "1 day",
+                         "value", sort_on="bucket_sum", size=3, frm=2)
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "bucket_sum", "n", "avg_per_doc",
+    )
+
+
+def q_ts_bucket_selector(spark, sf_dir):
+    """ES bucket_selector pipeline agg: only the days whose event
+    count exceeds 40 AND per-event average value is positive."""
+    from katta_spark.ops import timeseries as TS
+
+    out = TS.bucket_selector(_events(spark, sf_dir), "ts", "1 day",
+                             "n > 40 AND avg_per_doc > 0", "value")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "bucket_sum", "n", "avg_per_doc",
+    )
+
+
 def q_ts_extended_stats(spark, sf_dir):
     """ES extended_stats per event_type — one keyed five-moment
     hash agg, population variance + sigma bounds."""
@@ -2283,6 +2340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_most_fields": q_phys_most_fields,
         "ft_distance_feature": q_ft_distance_feature,
         "ft_has_parent": q_ft_has_parent,
+        "ft_terms_set": q_ft_terms_set,
+        "ft_boosting": q_ft_boosting,
+        "ft_random_score": q_ft_random_score,
         "ft_rank_eval": q_ft_rank_eval,
         "ft_rrf": q_ft_rrf,
         "ft_suggest_phrase": q_ft_suggest_phrase,
@@ -2429,6 +2489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_pct_ranks": q_ts_pct_ranks,
         "ts_rolling": q_ts_rolling,
         "ts_bucket_pipeline": q_ts_bucket_pipeline,
+        "ts_bucket_sort": q_ts_bucket_sort,
+        "ts_bucket_selector": q_ts_bucket_selector,
         "ts_boxplot": q_ts_boxplot,
         "ts_extended_stats": q_ts_extended_stats,
         "ts_value_histogram": q_ts_value_histogram,
@@ -2538,6 +2600,13 @@ ORDER BY cnt DESC, source ASC LIMIT 20""",
         "ft_has_parent": O.has_parent_sql(
             ["table"], "lang", k=10, score_mode="max"
         ),
+        "ft_terms_set": O.terms_set_sql(
+            ["table", "scan", "key"], "doc_id % 2 + 1", k=10
+        ),
+        "ft_boosting": O.boosting_sql(
+            ["table"], ["scan"], negative_boost=0.3, k=10
+        ),
+        "ft_random_score": O.random_score_sql(["table"], seed="r2", k=10),
         "ft_cross_fields": O.cross_fields_sql(
             ["table", "src1"], ["content", "source"], k=10
         ),
@@ -2842,6 +2911,12 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "ts_pct_ranks": OO.ts_percentile_ranks_sql((10.0, 50.0, 90.0)),
         "ts_rolling": OO.ts_rolling_sql(5),
         "ts_bucket_pipeline": OO.ts_bucket_pipeline_sql("1 day"),
+        "ts_bucket_sort": OO.ts_bucket_sort_sql(
+            "1 day", sort_on="bucket_sum", size=3, frm=2
+        ),
+        "ts_bucket_selector": OO.ts_bucket_selector_sql(
+            "n > 40 AND avg_per_doc > 0", "1 day"
+        ),
         "ts_boxplot": OO.ts_boxplot_sql(),
         "ts_extended_stats": OO.ts_extended_stats_sql(2.0),
         "ts_value_histogram": OO.ts_value_histogram_sql(25.0),

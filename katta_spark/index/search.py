@@ -2548,6 +2548,97 @@ class PhysicalIndex:
             .limit(k).select("doc_id", "parent", "score")
         )
 
+    def terms_set_topk(self, qterms: list[str], min_match_expr: str,
+                       k: int = 10) -> DataFrame:
+        """(doc_id, score, n_matched) — the ES ``terms_set`` query:
+        a document matches when it contains at least
+        ``min_match_expr`` of the query terms, where the threshold
+        is PER-DOCUMENT (a SQL expression over the doc's stored
+        fields — ES's ``minimum_should_match_field`` /
+        ``minimum_should_match_script``).  Docs whose required count
+        exceeds ``len(qterms)`` can never match — that falls out of
+        ``n_matched <= len(qterms)`` with no special case.  Score is
+        the plain OR BM25 sum over the matched terms.
+
+        Plan: the term-pruned scored pass already carries the
+        distinct-matched-term count (``nt``) out of the kernel, so
+        the per-doc threshold is one narrow docs join + row filter —
+        identical shuffle shape to rank_feature at any scale."""
+        terms = sorted(set(self._strip_stops(qterms)))
+        kern = make_exhaustive_kernel(
+            float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+        )
+        out = self._qblocks(terms).mapInPandas(kern, SCORED_SCHEMA)
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        req = self.docs.selectExpr(
+            "doc_id", f"CAST(({min_match_expr}) AS INT) AS _req"
+        )
+        hits = out.join(req, "doc_id").filter(F.col("nt") >= F.col("_req"))
+        return (
+            hits.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score", F.col("nt").alias("n_matched"))
+        )
+
+    def boosting_topk(self, pos_terms: list[str], neg_terms: list[str],
+                      negative_boost: float = 0.2, k: int = 10,
+                      mode: str = "or") -> DataFrame:
+        """(doc_id, score) — the ES ``boosting`` query: documents
+        matching the positive query keep their BM25 score UNLESS they
+        also match the negative query, in which case the score is
+        multiplied by ``negative_boost`` — demotion without exclusion
+        (the soft complement of a NOT clause).
+
+        Plan: two term-pruned scored passes (positive + negative),
+        one left join on doc_id, column algebra for the demotion —
+        no corpus scan, both sides bounded by their hit counts."""
+        scored = self.scored_docs(sorted(set(pos_terms)), mode)
+        neg = (
+            self.scored_docs(sorted(set(neg_terms)))
+            .select("doc_id")
+            .withColumn("_neg", F.lit(1))
+        )
+        out = scored.join(neg, "doc_id", "left").withColumn(
+            "score",
+            F.when(F.col("_neg").isNull(), F.col("score")).otherwise(
+                F.col("score") * F.lit(float(negative_boost))
+            ),
+        )
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score")
+        )
+
+    def random_score_topk(self, qterms: list[str], seed: str = "",
+                          k: int = 10, mode: str = "or") -> DataFrame:
+        """(doc_id, score) — ES ``function_score`` with
+        ``random_score`` (boost_mode=replace): every matching doc
+        gets a DETERMINISTIC pseudo-random score in [0, 1) derived
+        from (seed, doc_id) via the repo's one hash_bucket device
+        (md5-based, oracle-mirrorable in SQL), so "show me a random
+        sample of matches" is reproducible across runs, shards, and
+        engines.  Changing ``seed`` reshuffles.
+
+        Plan: matched ids from the term-pruned scan, one JVM md5
+        column expression — no Python, no extra shuffle."""
+        from katta_spark.ops.sampling import N_BUCKETS, hash_bucket
+
+        matched = self.matched_docs(sorted(set(qterms)), mode)
+        out = matched.withColumn(
+            "score",
+            F.round(
+                hash_bucket(F.col("doc_id"), salt=str(seed))
+                / F.lit(float(N_BUCKETS)),
+                6,
+            ),
+        )
+        return (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score")
+        )
+
     def rerank_topk(self, qterms: list[str], rq_terms: list[str],
                     rerank_docs: int = 60, weight: float = 2.0,
                     k: int = 10, mode: str = "or",

@@ -752,6 +752,72 @@ def bucket_pipeline(df: DataFrame, ts_col: str, duration: str,
     )
 
 
+def _bucket_table(df: DataFrame, ts_col: str, duration: str,
+                  value_col: str, key_col: str | None) -> DataFrame:
+    """Shared parent date-histogram: one hash agg shrinking events to
+    (key?, bucket_start, bucket_sum, n, avg_per_doc) — the bounded
+    bucket table every ES pipeline agg here runs over."""
+    bucket = F.window(F.col(ts_col).cast("timestamp"), duration)
+    keys = ([F.col(key_col)] if key_col else []) + [
+        bucket["start"].alias("bucket_start")
+    ]
+    return df.groupBy(*keys).agg(
+        F.round(F.sum(F.col(value_col)), 6).alias("bucket_sum"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn("avg_per_doc", F.round(F.col("bucket_sum") / F.col("n"), 6))
+
+
+def bucket_sort(df: DataFrame, ts_col: str, duration: str,
+                value_col: str = "value", key_col: str | None = None,
+                sort_on: str = "bucket_sum", ascending: bool = False,
+                size: int = 5, frm: int = 0) -> DataFrame:
+    """ES ``bucket_sort`` pipeline aggregation: order the parent
+    date-histogram's buckets by one of their own metrics
+    (``bucket_sum`` / ``n`` / ``avg_per_doc``) and keep the
+    ``[frm, frm+size)`` slice — "top busiest days", page 2 of bucket
+    pages.  Ties break by bucket_start asc (and key asc) so the cut
+    is deterministic.
+
+    Scale shape: the sort + slice runs over the BUCKET table (rows =
+    time-range / interval, bounded regardless of input size) — with
+    ``frm == 0`` it is a TakeOrderedAndProject; with an offset the
+    row_number window still only ever sees bucket rows, never
+    events."""
+    b = _bucket_table(df, ts_col, duration, value_col, key_col)
+    order = [
+        F.col(sort_on).asc() if ascending else F.col(sort_on).desc(),
+        F.col("bucket_start").asc(),
+    ] + ([F.col(key_col).asc()] if key_col else [])
+    if frm <= 0:
+        return b.orderBy(*order).limit(int(size))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().orderBy(*order)
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > int(frm))
+                & (F.col("_rn") <= int(frm) + int(size)))
+        .drop("_rn")
+    )
+
+
+def bucket_selector(df: DataFrame, ts_col: str, duration: str,
+                    having: str, value_col: str = "value",
+                    key_col: str | None = None) -> DataFrame:
+    """ES ``bucket_selector`` pipeline aggregation: drop parent
+    histogram buckets failing a predicate over their OWN aggregates
+    (``having`` is a SQL boolean over ``bucket_sum`` / ``n`` /
+    ``avg_per_doc`` — the ES bucket_script-as-gate).  Monitoring
+    shape: "only the hours whose error total exceeded X".
+
+    Scale shape: one hash agg to the bounded bucket table, then a
+    row filter on it — the predicate never touches raw events."""
+    b = _bucket_table(df, ts_col, duration, value_col, key_col)
+    return b.filter(F.expr(having)).orderBy(
+        *([key_col] if key_col else []), "bucket_start"
+    )
+
+
 def rolling_agg(df: DataFrame, ts_col: str, key_col: str,
                 value_col: str = "value", n: int = 5,
                 order_cols: list[str] | None = None) -> DataFrame:

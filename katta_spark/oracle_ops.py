@@ -1565,6 +1565,41 @@ SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
 FROM b ORDER BY bs"""
 
 
+def _bucket_table_sql(unit: str = "1 day") -> str:
+    """Shared parent date-histogram CTE body — the SQL mirror of
+    ops.timeseries._bucket_table (no key_col)."""
+    return f"""
+  SELECT time_bucket(INTERVAL '{unit}', ts) AS bs,
+         round(sum(value), 6) AS bucket_sum,
+         count(*) AS n,
+         round(round(sum(value), 6) / count(*), 6) AS avg_per_doc
+  FROM events GROUP BY 1"""
+
+
+def ts_bucket_sort_sql(unit: str = "1 day", sort_on: str = "bucket_sum",
+                       ascending: bool = False, size: int = 5,
+                       frm: int = 0) -> str:
+    """Oracle for ops.timeseries.bucket_sort: order the bucket table
+    by one of its own metrics, slice [frm, frm+size)."""
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+WITH b AS ({_bucket_table_sql(unit)})
+SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       bucket_sum, n, avg_per_doc
+FROM b ORDER BY {sort_on} {direction}, bs ASC
+LIMIT {int(size)} OFFSET {int(frm)}"""
+
+
+def ts_bucket_selector_sql(having: str, unit: str = "1 day") -> str:
+    """Oracle for ops.timeseries.bucket_selector: keep buckets whose
+    own aggregates pass the predicate."""
+    return f"""
+WITH b AS ({_bucket_table_sql(unit)})
+SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       bucket_sum, n, avg_per_doc
+FROM b WHERE {having} ORDER BY bs"""
+
+
 def ts_funnel_sql(steps: list[str]) -> str:
     """Oracle for ops.timeseries.funnel: chained earliest-valid-step
     CTEs, each step at-or-after the previous step's min ts."""

@@ -613,6 +613,75 @@ FROM {DOCS} d JOIN ps p ON d.{parent_field} = p.parent
 ORDER BY p.score DESC, d.doc_id ASC LIMIT {int(k)}"""
 
 
+def terms_set_sql(terms: list[str], min_match_expr: str,
+                  k: int = 10) -> str:
+    """Oracle for PhysicalIndex.terms_set_topk: per-doc minimum
+    should-match threshold from a SQL expression over the doc's own
+    stored fields; n_matched = distinct matched query terms."""
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score,
+         CAST(count(*) AS INT) AS nt
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(terms)}
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 6) AS score, s.nt AS n_matched
+FROM scored s JOIN (SELECT doc_id, CAST(({min_match_expr}) AS INT) AS req
+                    FROM {DOCS}) d ON s.doc_id = d.doc_id
+WHERE s.nt >= d.req
+ORDER BY s.score DESC, s.doc_id ASC LIMIT {int(k)}"""
+
+
+def boosting_sql(pos_terms: list[str], neg_terms: list[str],
+                 negative_boost: float = 0.2, k: int = 10,
+                 mode: str = "or") -> str:
+    """Oracle for PhysicalIndex.boosting_topk: positive-query BM25,
+    multiplied by negative_boost for docs also matching the negative
+    query."""
+    n_terms = len(set(pos_terms))
+    having = (
+        f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
+    )
+    return f"""{index_ctes()},
+scored AS (
+  SELECT tf.doc_id, sum({score_sql()}) AS score
+  FROM tf JOIN dfv ON tf.term = dfv.term JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN {_term_list(pos_terms)}
+  GROUP BY tf.doc_id {having}
+),
+neg AS (SELECT DISTINCT doc_id FROM tf
+        WHERE term IN {_term_list(neg_terms)})
+SELECT s.doc_id,
+       round(CASE WHEN n.doc_id IS NULL THEN s.score
+             ELSE s.score * {float(negative_boost)!r} END, 6) AS score
+FROM scored s LEFT JOIN neg n ON s.doc_id = n.doc_id
+ORDER BY CASE WHEN n.doc_id IS NULL THEN s.score
+         ELSE s.score * {float(negative_boost)!r} END DESC,
+         s.doc_id ASC LIMIT {int(k)}"""
+
+
+def random_score_sql(terms: list[str], seed: str = "", k: int = 10,
+                     mode: str = "or") -> str:
+    """Oracle for PhysicalIndex.random_score_topk: the shared
+    hash_bucket device (md5 first-32-bits mod N_BUCKETS) over
+    (seed, doc_id), normalized to [0, 1)."""
+    from katta_spark.ops.sampling import N_BUCKETS
+
+    key = (f"concat('{seed}', CAST(m.doc_id AS VARCHAR))"
+           if seed else "CAST(m.doc_id AS VARCHAR)")
+    rnd = (
+        f"CAST(concat('0x', substr(md5({key}), 1, 8)) AS BIGINT)"
+        f" % {N_BUCKETS}"
+    )
+    return f"""{index_ctes()},
+m AS (SELECT DISTINCT doc_id FROM ({term_docs_sql(terms, mode)}))
+SELECT m.doc_id, round({rnd} / {float(N_BUCKETS)!r}, 6) AS score
+FROM m ORDER BY score DESC, m.doc_id ASC LIMIT {int(k)}"""
+
+
 def common_terms_sql(terms: list[str], k: int = 10,
                      max_df_frac: float = 0.1) -> str:
     """Oracle for PhysicalIndex.common_terms_topk: low-df terms drive

@@ -936,3 +936,68 @@ def test_has_parent_children_inherit_group_score(pindex, py_oracle,
         ], mode
         for r, (_, _, s) in zip(got, rows):
             assert r["score"] == pytest.approx(s, abs=1e-6), mode
+
+
+def test_terms_set_per_doc_threshold(pindex, py_oracle, pandas_docs):
+    """Mirror: doc matches when its distinct matched-term count >=
+    (doc_id % 2 + 1); score is the plain OR BM25 sum."""
+    terms, k = ["import", "scan", "merge"], 15
+    want_rows = []
+    for d in py_oracle.matches(terms):
+        nt = sum(1 for t in set(terms) if t in py_oracle.tf[d])
+        req = d % 2 + 1
+        if nt >= req:
+            want_rows.append((d, py_oracle.score(d, terms), nt))
+    want_rows.sort(key=lambda x: (-x[1], x[0]))
+    want = want_rows[:k]
+    got = pindex.terms_set_topk(terms, "doc_id % 2 + 1", k=k).collect()
+    assert [(r["doc_id"], round(r["score"], 9), r["n_matched"])
+            for r in got] == [(d, round(s, 9), nt) for d, s, nt in want]
+    # a threshold above len(terms) matches nothing
+    assert pindex.terms_set_topk(terms, "99", k=5).count() == 0
+
+
+def test_boosting_demotes_not_excludes(pindex, py_oracle):
+    """Mirror: positive hits keep BM25 unless they also match the
+    negative query (x nb); nb=1.0 degrades to the plain OR ranking."""
+    pos, neg, nb, k = ["import"], ["scan"], 0.25, 15
+    negset = set(py_oracle.matches(neg))
+    scored = {
+        d: py_oracle.score(d, pos) * (nb if d in negset else 1.0)
+        for d in py_oracle.matches(pos)
+    }
+    want = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+    got = pindex.boosting_topk(pos, neg, negative_boost=nb, k=k).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    # demoted docs are still present (not excluded like a NOT clause)
+    all_rows = pindex.boosting_topk(pos, neg, negative_boost=nb,
+                                    k=len(scored)).collect()
+    assert {r["doc_id"] for r in all_rows} == set(scored)
+    ident = pindex.boosting_topk(pos, neg, negative_boost=1.0, k=10).collect()
+    plain = pindex.topk(pos, k=10, use_wand=False).collect()
+    assert [r["doc_id"] for r in ident] == [r["doc_id"] for r in plain]
+
+
+def test_random_score_deterministic_seeded(pindex, py_oracle):
+    """Mirror: score = hash_bucket(seed || doc_id)/N_BUCKETS (md5
+    device); same seed reproduces exactly, different seed reshuffles."""
+    import hashlib
+
+    from katta_spark.ops.sampling import N_BUCKETS
+
+    def rnd(doc_id, seed):
+        h = hashlib.md5((seed + str(doc_id)).encode()).hexdigest()
+        return round((int(h[:8], 16) % N_BUCKETS) / N_BUCKETS, 6)
+
+    terms, k = ["import"], 12
+    matched = py_oracle.matches(terms)
+    want = sorted(((d, rnd(d, "s1")) for d in matched),
+                  key=lambda x: (-x[1], x[0]))[:k]
+    got = pindex.random_score_topk(terms, seed="s1", k=k).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    again = pindex.random_score_topk(terms, seed="s1", k=k).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+    other = pindex.random_score_topk(terms, seed="s2", k=k).collect()
+    assert [r["doc_id"] for r in other] != [r["doc_id"] for r in got]

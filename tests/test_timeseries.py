@@ -1039,3 +1039,47 @@ def test_bucket_pipeline_telescoping_properties(spark):
                              - rows[0]["bucket_sum"])) < 1e-5
     for r in rows:
         assert abs(r["avg_per_doc"] * r["n"] - r["bucket_sum"]) < 1e-3
+
+
+def test_bucket_sort_slices_ordered_buckets(spark):
+    """ES bucket_sort: 4-bucket histogram ordered by bucket_sum desc,
+    from=1 size=2 keeps exactly the 2nd and 3rd busiest days."""
+    rows = [
+        ("2024-01-01 00:10:00", 1.0), ("2024-01-01 05:00:00", 2.0),
+        ("2024-01-02 01:00:00", 10.0),
+        ("2024-01-04 12:00:00", 3.0), ("2024-01-04 13:00:00", 5.0),
+        ("2024-01-05 02:00:00", 6.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    # sums: d1=3, d2=10, d4=8, d5=6 -> desc order d2, d4, d5, d1
+    out = TS.bucket_sort(df, "ts", "1 day", "value",
+                         sort_on="bucket_sum", size=2, frm=1).collect()
+    assert [r["bucket_sum"] for r in out] == [8.0, 6.0]
+    # frm=0 path (TakeOrderedAndProject) agrees with the window path
+    top = TS.bucket_sort(df, "ts", "1 day", "value",
+                         sort_on="bucket_sum", size=2, frm=0).collect()
+    assert [r["bucket_sum"] for r in top] == [10.0, 8.0]
+    # ascending by n with ties -> bucket_start asc breaks them
+    byn = TS.bucket_sort(df, "ts", "1 day", "value", sort_on="n",
+                         ascending=True, size=2, frm=0).collect()
+    assert [r["n"] for r in byn] == [1, 1]
+    assert byn[0]["bucket_start"] < byn[1]["bucket_start"]
+
+
+def test_bucket_selector_filters_on_own_aggregates(spark):
+    """ES bucket_selector: predicate over the bucket's own metrics
+    keeps exactly the matching buckets, in time order."""
+    rows = [
+        ("2024-01-01 00:10:00", 1.0), ("2024-01-01 05:00:00", 2.0),
+        ("2024-01-02 01:00:00", 10.0),
+        ("2024-01-04 12:00:00", 3.0), ("2024-01-04 13:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = TS.bucket_selector(df, "ts", "1 day",
+                             "bucket_sum >= 8 AND n >= 1",
+                             "value").collect()
+    assert [(r["bucket_sum"], r["n"]) for r in out] == [(10.0, 1), (8.0, 2)]
+    starts = [r["bucket_start"] for r in out]
+    assert starts == sorted(starts)
+    assert TS.bucket_selector(df, "ts", "1 day", "n > 99",
+                              "value").count() == 0
