@@ -448,6 +448,31 @@ def q_phys_count(spark, sf_dir):
     return phys_index(spark, sf_dir).count(["dup", "key"], mode="or")
 
 
+def q_serve_topk(spark, sf_dir):
+    """Serving-tier top-k (LocalSearcher: node-local pyarrow read +
+    the same numpy kernels, NO Spark job in the query path — Katta's
+    LuceneServer node tier).  Wrapped back into a DataFrame only for
+    the oracle gate; rank-identical to ft_phys_topk by construction."""
+    from katta_spark.index.serve import LocalSearcher
+
+    idx = phys_index(spark, sf_dir)  # ensures the on-disk index exists
+    hits = LocalSearcher(idx.index_dir).topk(["table"], k=10)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits],
+        "doc_id long, score double",
+    )
+
+
+def q_serve_count(spark, sf_dir):
+    """Serving-tier totalHits — the reference's published headline op
+    (0.081 s scatter-gather count), answered node-locally."""
+    from katta_spark.index.serve import LocalSearcher
+
+    idx = phys_index(spark, sf_dir)
+    n = LocalSearcher(idx.index_dir).count(["dup", "key"])
+    return spark.createDataFrame([(n,)], "n_hits long")
+
+
 def q_phys_facet(spark, sf_dir):
     return phys_index(spark, sf_dir).facet(["table"], "lang", n=5)
 
@@ -2331,6 +2356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_filter": _q_phys_topk(["query"], filters={"lang": "en"}),
         "ft_phys_paginate": _q_phys_topk(["batch"], k=20, offset=60),
         "ft_phys_count": q_phys_count,
+        "ft_serve_topk": q_serve_topk,
+        "ft_serve_count": q_serve_count,
         "ft_phys_facet": q_phys_facet,
         "ft_facet_index": q_phys_facet_index,
         "ft_facet_prefix": q_phys_facet_prefix,
@@ -2572,6 +2599,9 @@ SELECT doc_id, source, n_chars FROM (
         "ft_phys_filter": O.topk_sql(["query"], filter_sql="lang = 'en'"),
         "ft_phys_paginate": O.topk_sql(["batch"], k=20, offset=60),
         "ft_phys_count": f"""{ctes}{O.matched_sql(["dup", "key"])}
+SELECT count(*) AS n_hits FROM matched""",
+        "ft_serve_topk": O.topk_sql(["table"]),
+        "ft_serve_count": f"""{ctes}{O.matched_sql(["dup", "key"])}
 SELECT count(*) AS n_hits FROM matched""",
         "ft_phys_facet": f"""{ctes}{O.matched_sql(["table"])}
 SELECT lang, count(*) AS cnt

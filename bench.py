@@ -176,6 +176,38 @@ def main() -> None:
     )
     extra["query_max_ms"] = round(max(samples) * 1000, 1)
 
+    # ---- serving tier (node-local, no Spark job in the query path) ------
+    # Katta answers queries from node-local shards (LuceneServer RPC,
+    # 0.081 s published count over 881,722 docs); LocalSearcher is
+    # that tier here — same index files, same kernels, rank-identical
+    # (tests/test_serve.py), measured at the same corpus as q_* above.
+    from katta_spark.index.serve import LocalSearcher
+
+    lsrv = LocalSearcher(idx_dir)
+    lsrv.topk(["the"], k=3)  # untimed warm (datasets + imports)
+    serve_set = {
+        "serve_topk_common": lambda: lsrv.topk(["table"], k=10),
+        "serve_topk_rare": lambda: lsrv.topk(["dup"], k=10),
+        "serve_and": lambda: lsrv.topk(["spark", "vector"], mode="and"),
+        "serve_or3": lambda: lsrv.topk(["spark", "data", "key"], k=15),
+        "serve_paginate": lambda: lsrv.topk(["batch"], k=20, offset=60),
+        "serve_count": lambda: lsrv.count(["dup", "key"]),
+        "serve_fetch": lambda: lsrv.search(
+            ["dup"], k=5, fields=["lang", "source"]
+        ),
+    }
+    srv_samples: list[float] = []
+    for name, fn in serve_set.items():
+        queries[name] = timed(fn, sink=srv_samples)
+    srv_samples.sort()
+    extra["serve_p50_ms"] = round(
+        statistics.median(srv_samples) * 1000, 1
+    )
+    extra["serve_p99_ms"] = round(
+        srv_samples[min(len(srv_samples) - 1,
+                        int(len(srv_samples) * 0.99))] * 1000, 1
+    )
+
     # ---- training-data ops ----------------------------------------------
     queries["op_dedup_minhash"] = timed(
         lambda: dedup.minhash_lsh_pairs(

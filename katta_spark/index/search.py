@@ -789,6 +789,35 @@ def make_clause_kernel(n_docs: float, avgdl: float, k1: float, b: float,
     return kernel
 
 
+def strip_stops(stats: dict, qterms: list[str]) -> list[str]:
+    """Query-side analyzer-chain symmetry (Lucene's query
+    analyzer = index analyzer): stopwords the index dropped at
+    build time are removed from queries too — an AND containing a
+    stopword degrades to the conjunction of the remaining terms —
+    and token filters (ascii_fold / stem_plural) transform query
+    terms exactly as they transformed index tokens.  Chain order
+    matches the build: fold -> stop -> stem.  (Fold applies
+    per-TERM here; accented text inside a raw q string still
+    tokenizes ASCII-only — pass pre-folded terms or fold the
+    string before parse for that case.)  Module-level so BOTH query
+    tiers — PhysicalIndex (cluster) and serve.LocalSearcher (node) —
+    rewrite queries identically."""
+    filters = stats.get("token_filters") or []
+    if "ascii_fold" in filters:
+        from katta_spark.tokenizer import py_fold_text
+
+        qterms = [py_fold_text(t).lower() for t in qterms]
+    stops = stats.get("stopwords") or []
+    if stops:
+        s = set(stops)
+        qterms = [t for t in qterms if t not in s]
+    if "stem_plural" in filters:
+        from katta_spark.tokenizer import py_stem_token
+
+        qterms = [py_stem_token(t) for t in qterms]
+    return list(qterms)
+
+
 def make_exhaustive_kernel(n_docs: float, avgdl: float,
                            k1: float, b: float, block_range: int):
     """Decode-and-score-everything kernel: emits (doc_id, score, nt)
@@ -899,30 +928,7 @@ class PhysicalIndex:
     # ---------------------------------------------------------- plumbing
 
     def _strip_stops(self, qterms: list[str]) -> list[str]:
-        """Query-side analyzer-chain symmetry (Lucene's query
-        analyzer = index analyzer): stopwords the index dropped at
-        build time are removed from queries too — an AND containing a
-        stopword degrades to the conjunction of the remaining terms —
-        and token filters (ascii_fold / stem_plural) transform query
-        terms exactly as they transformed index tokens.  Chain order
-        matches the build: fold -> stop -> stem.  (Fold applies
-        per-TERM here; accented text inside a raw q string still
-        tokenizes ASCII-only — pass pre-folded terms or fold the
-        string before parse for that case.)"""
-        filters = self.stats.get("token_filters") or []
-        if "ascii_fold" in filters:
-            from katta_spark.tokenizer import py_fold_text
-
-            qterms = [py_fold_text(t).lower() for t in qterms]
-        stops = self.stats.get("stopwords") or []
-        if stops:
-            s = set(stops)
-            qterms = [t for t in qterms if t not in s]
-        if "stem_plural" in filters:
-            from katta_spark.tokenizer import py_stem_token
-
-            qterms = [py_stem_token(t) for t in qterms]
-        return list(qterms)
+        return strip_stops(self.stats, qterms)
 
     def _qblocks(self, qterms: list[str] | Column,
                  positions: bool = False) -> DataFrame:

@@ -1,0 +1,93 @@
+"""Serving-tier (LocalSearcher) rank-identity vs the Spark tier.
+
+Reference parity: Katta answers queries from node-LOCAL shard
+indexes (LuceneServer.search), never through a job — LocalSearcher
+is that tier over the same on-disk layout, sharing the Spark path's
+kernels, so results must be IDENTICAL, not merely close.
+"""
+
+import pytest
+
+from katta_spark.index.serve import LocalSearcher
+
+QUERIES = [
+    (["import"], "or"),
+    (["import", "return"], "or"),
+    (["scan", "merge"], "and"),
+    (["import", "table", "scan"], "or"),
+    (["nosuchtermanywherezz"], "or"),
+]
+
+
+@pytest.fixture(scope="session")
+def lsearch(index_dir):
+    return LocalSearcher(index_dir)
+
+
+def test_topk_rank_identical_to_spark(pindex, lsearch):
+    for terms, mode in QUERIES:
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in pindex.topk(terms, k=12, mode=mode).collect()]
+        got = [(d, round(s, 9))
+               for d, s in lsearch.topk(terms, k=12, mode=mode)]
+        assert got == want, (terms, mode)
+
+
+def test_topk_offset_and_min_match(pindex, lsearch):
+    terms = ["import", "scan", "merge"]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in pindex.topk(terms, k=5, offset=5,
+                                 min_match=2).collect()]
+    got = [(d, round(s, 9))
+           for d, s in lsearch.topk(terms, k=5, offset=5, min_match=2)]
+    assert got == want
+
+
+def test_count_matches_spark(pindex, lsearch):
+    for terms, mode in QUERIES:
+        want = pindex.count(terms, mode).first()["n_hits"]
+        assert lsearch.count(terms, mode) == want, (terms, mode)
+
+
+def test_fetch_and_search_envelope(pindex, lsearch):
+    hits = lsearch.topk(["import"], k=4)
+    detail = lsearch.fetch([d for d, _ in hits], ["lang", "path"])
+    assert list(detail["doc_id"]) == [d for d, _ in hits]
+    spark_detail = {
+        r["doc_id"]: (r["lang"], r["path"])
+        for r in pindex.docs.select("doc_id", "lang", "path")
+        .filter(pindex.docs.doc_id.isin([d for d, _ in hits])).collect()
+    }
+    for row in detail.itertuples(index=False):
+        assert (row.lang, row.path) == spark_detail[row.doc_id]
+
+    env = lsearch.search(["import"], k=4, fields=["lang"])
+    resp = pindex.search_response("import", k=4)
+    assert env["num_found"] == resp.num_found
+    assert env["max_score"] == pytest.approx(resp.max_score, abs=1e-9)
+    assert list(env["hits"]["doc_id"]) == [d for d, _ in hits]
+
+
+def test_serve_respects_tombstones(spark, tmp_path):
+    """Deleted docs vanish from the serving tier exactly as from the
+    Spark tier (exhaustive fallback path)."""
+    from katta_spark.corpus import synthetic_corpus
+    from katta_spark.index import PhysicalIndex, build_index
+    from katta_spark.index.delete import delete_docs
+
+    d = str(tmp_path / "srv_idx")
+    build_index(spark, synthetic_corpus(spark, 400), d,
+                n_groups=2, block_range=64)
+    before = LocalSearcher(d).topk(["import"], k=5)
+    victims = [doc for doc, _ in before[:2]]
+    delete_docs(spark, d, victims)
+
+    idx = PhysicalIndex(spark, d)
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in idx.topk(["import"], k=5).collect()]
+    got = [(doc, round(s, 9))
+           for doc, s in LocalSearcher(d).topk(["import"], k=5)]
+    assert got == want
+    assert not set(victims) & {doc for doc, _ in got}
+    assert (LocalSearcher(d).count(["import"])
+            == idx.count(["import"]).first()["n_hits"])
