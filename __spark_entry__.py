@@ -463,6 +463,21 @@ def q_serve_topk(spark, sf_dir):
     )
 
 
+def q_serve_lucene(spark, sf_dir):
+    """Serving-tier Lucene query string: the reference's front door
+    (q parse -> boolean eval) answered node-locally by the numpy
+    evaluator — rank-identical to ft_q_nested's cluster path and
+    checked against the same SQL oracle."""
+    from katta_spark.index.serve import LocalSearcher
+
+    idx = phys_index(spark, sf_dir)
+    hits = LocalSearcher(idx.index_dir).query("(dup OR key) AND table", k=10)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits],
+        "doc_id long, score double",
+    )
+
+
 def q_serve_count(spark, sf_dir):
     """Serving-tier totalHits — the reference's published headline op
     (0.081 s scatter-gather count), answered node-locally."""
@@ -2358,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phys_count": q_phys_count,
         "ft_serve_topk": q_serve_topk,
         "ft_serve_count": q_serve_count,
+        "ft_serve_lucene": q_serve_lucene,
         "ft_phys_facet": q_phys_facet,
         "ft_facet_index": q_phys_facet_index,
         "ft_facet_prefix": q_phys_facet_prefix,
@@ -2601,6 +2617,13 @@ SELECT doc_id, source, n_chars FROM (
         "ft_phys_count": f"""{ctes}{O.matched_sql(["dup", "key"])}
 SELECT count(*) AS n_hits FROM matched""",
         "ft_serve_topk": O.topk_sql(["table"]),
+        "ft_serve_lucene": O.lucene_topk_sql(
+            [("dup", 1.0), ("key", 1.0), ("table", 1.0)],
+            must_doc_sql=[
+                O.term_docs_sql(["table"]),
+                O.term_docs_sql(["dup", "key"]),
+            ],
+        ),
         "ft_serve_count": f"""{ctes}{O.matched_sql(["dup", "key"])}
 SELECT count(*) AS n_hits FROM matched""",
         "ft_phys_facet": f"""{ctes}{O.matched_sql(["table"])}

@@ -195,6 +195,10 @@ def main() -> None:
         "serve_fetch": lambda: lsrv.search(
             ["dup"], k=5, fields=["lang", "source"]
         ),
+        # Lucene-string front door, node-local (parser + numpy eval)
+        "serve_lucene_nested": lambda: lsrv.query("(dup OR key) AND table"),
+        "serve_lucene_not": lambda: lsrv.query("table -scan"),
+        "serve_phrase": lambda: lsrv.query('"order fast"'),
     }
     srv_samples: list[float] = []
     for name, fn in serve_set.items():

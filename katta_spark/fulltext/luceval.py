@@ -67,6 +67,88 @@ def _like_pattern(p: str) -> str:
     )
 
 
+def strip_stops_node(stops: set[str], node: Node) -> Node | None:
+    """Query-analyzer StopFilter symmetry: content terms the index
+    dropped at build time vanish from the query tree (an AND with
+    a stopword degrades to the remaining conjunction; an
+    all-stopword clause list matches nothing).  Returns a NEW tree
+    — parse results are never mutated.  Pure (no Spark), shared by
+    the cluster evaluator and serve.LocalSearcher's node-local one."""
+    if not stops:
+        return node
+    if isinstance(node, Term):
+        if node.field is None and node.text in stops:
+            return None
+        return node
+    if isinstance(node, Phrase):
+        if node.field is not None:
+            return node
+        kept = [w for w in node.words if w not in stops]
+        if not kept:
+            return None
+        if len(kept) == 1:
+            return Term(text=kept[0], boost=node.boost)
+        return Phrase(words=kept, boost=node.boost, slop=node.slop)
+    if isinstance(node, Bool):
+        must = [
+            x for x in (strip_stops_node(stops, n) for n in node.must)
+            if x is not None
+        ]
+        should = [
+            x for x in (strip_stops_node(stops, n) for n in node.should)
+            if x is not None
+        ]
+        must_not = [
+            x for x in (strip_stops_node(stops, n) for n in node.must_not)
+            if x is not None
+        ]
+        if not must and not should and not must_not:
+            return None
+        return Bool(must=must, should=should, must_not=must_not,
+                    boost=node.boost)
+    if isinstance(node, ConstScore):
+        kept = strip_stops_node(stops, node.child)
+        if kept is None:
+            return None
+        return ConstScore(kept, node.value)
+    return node
+
+
+def postings_term(fields: set[str], analyzers: dict[str, str],
+                  t: Term) -> str | None:
+    """The index-term a Term resolves to, or None when it is a
+    stored-column filter instead (or needs analysis — see
+    :func:`field_terms`).  Pure, shared across query tiers."""
+    if t.field is None:
+        return t.text
+    if t.field in fields and analyzers.get(t.field, "keyword") == "keyword":
+        return f"{t.field}:{t.text.lower()}"
+    return None
+
+
+def field_terms(fields: set[str], analyzers: dict[str, str],
+                t: Term) -> list[str] | None:
+    """Postings terms for a field whose analyzer tokenizes the
+    value (per-field analyzer registry, schema.xml:306-378
+    parity): the query value runs through the SAME analyzer as at
+    index time; multiple tokens OR together (scores sum).  Pure,
+    shared across query tiers."""
+    if t.field not in fields:
+        return None
+    kind = analyzers.get(t.field, "keyword")
+    if kind == "keyword":
+        return [f"{t.field}:{t.text.lower()}"]
+    if kind == "code":
+        from katta_spark.tokenizer import py_tokenize
+
+        toks = py_tokenize(t.text)
+    else:  # path
+        from katta_spark.tokenizer import py_path_tokenize
+
+        toks = py_path_tokenize(t.text)
+    return [f"{t.field}:{x}" for x in toks]
+
+
 def flat_terms(node: Node) -> tuple[list[str], str] | None:
     """(terms, mode) when the tree is a flat OR or AND of plain
     unboosted content terms — the WAND-eligible shape."""
@@ -116,53 +198,7 @@ class LuceneEvaluator:
     # ------------------------------------------------- stopword stripping
 
     def _strip_stops(self, node: Node) -> Node | None:
-        """Query-analyzer StopFilter symmetry: content terms the index
-        dropped at build time vanish from the query tree (an AND with
-        a stopword degrades to the remaining conjunction; an
-        all-stopword clause list matches nothing).  Returns a NEW tree
-        — parse results are never mutated."""
-        if not self.stops:
-            return node
-        if isinstance(node, Term):
-            if node.field is None and node.text in self.stops:
-                return None
-            return node
-        if isinstance(node, Phrase):
-            if node.field is not None:
-                return node
-            kept = [w for w in node.words if w not in self.stops]
-            if not kept:
-                return None
-            if len(kept) == 1:
-                return Term(text=kept[0], boost=node.boost)
-            return Phrase(
-                words=kept, boost=node.boost, slop=node.slop
-            )
-        if isinstance(node, Bool):
-            must = [
-                x for x in (self._strip_stops(n) for n in node.must)
-                if x is not None
-            ]
-            should = [
-                x for x in (self._strip_stops(n) for n in node.should)
-                if x is not None
-            ]
-            must_not = [
-                x for x in (self._strip_stops(n) for n in node.must_not)
-                if x is not None
-            ]
-            if not must and not should and not must_not:
-                return None
-            return Bool(
-                must=must, should=should, must_not=must_not,
-                boost=node.boost,
-            )
-        if isinstance(node, ConstScore):
-            kept = self._strip_stops(node.child)
-            if kept is None:
-                return None
-            return ConstScore(kept, node.value)
-        return node
+        return strip_stops_node(self.stops, node)
 
     # ------------------------------------------------------------- nodes
 
@@ -206,37 +242,10 @@ class LuceneEvaluator:
         )
 
     def _postings_term(self, t: Term) -> str | None:
-        """The index-term a Term resolves to, or None when it is a
-        stored-column filter instead (or needs analysis — see
-        :meth:`_field_terms`)."""
-        if t.field is None:
-            return t.text
-        if (
-            t.field in self.fields
-            and self.analyzers.get(t.field, "keyword") == "keyword"
-        ):
-            return f"{t.field}:{t.text.lower()}"
-        return None
+        return postings_term(self.fields, self.analyzers, t)
 
     def _field_terms(self, t: Term) -> list[str] | None:
-        """Postings terms for a field whose analyzer tokenizes the
-        value (per-field analyzer registry, schema.xml:306-378
-        parity): the query value runs through the SAME analyzer as at
-        index time; multiple tokens OR together (scores sum)."""
-        if t.field not in self.fields:
-            return None
-        kind = self.analyzers.get(t.field, "keyword")
-        if kind == "keyword":
-            return [f"{t.field}:{t.text.lower()}"]
-        if kind == "code":
-            from katta_spark.tokenizer import py_tokenize
-
-            toks = py_tokenize(t.text)
-        else:  # path
-            from katta_spark.tokenizer import py_path_tokenize
-
-            toks = py_path_tokenize(t.text)
-        return [f"{t.field}:{x}" for x in toks]
+        return field_terms(self.fields, self.analyzers, t)
 
     def _stored_filter(self, field: str, cond: Column) -> DataFrame:
         if field not in self.idx.docs.columns:

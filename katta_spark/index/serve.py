@@ -37,12 +37,33 @@ import pyarrow.dataset as pa_ds
 
 from katta_spark.index.search import (
     make_exhaustive_kernel,
+    make_phrase_kernel,
     make_wand_kernel,
     strip_stops,
 )
 
 _BLOCK_COLS = ["term", "block_id", "max_tf", "min_dl",
                "doc_gaps", "tfs", "dls"]
+_POS_COLS = _BLOCK_COLS + ["pos_lens", "pos_deltas"]
+
+Res = tuple[np.ndarray, np.ndarray]  # (sorted unique doc_ids, scores)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic edit distance — the SAME metric the cluster tier's
+    F.levenshtein uses (not Damerau), so fuzzy expansion sets match."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 class LocalSearcher:
@@ -170,6 +191,105 @@ class LocalSearcher:
             "doc_id", key=lambda s: s.map(order), ignore_index=True
         )
 
+    # ------------------------------------------- Lucene-string front door
+
+    def _all_ids(self) -> np.ndarray:
+        """All live doc_ids (MatchAll / pure-negative base), cached."""
+        if getattr(self, "_all_ids_cache", None) is None:
+            ids = np.unique(
+                self._docs.to_table(columns=["doc_id"])["doc_id"].to_numpy()
+            )
+            ids, = self._mask_tomb(ids)
+            self._all_ids_cache = ids
+        return self._all_ids_cache
+
+    def _catalog(self) -> pd.DataFrame:
+        """(term, df) catalog, cached — the multi-term expansion
+        dictionary (FuzzyQuery/Wildcard rewrite runs here, one row
+        per distinct term, never over postings)."""
+        if getattr(self, "_catalog_cache", None) is None:
+            self._catalog_cache = self._terms.to_table(
+                columns=["term", "df"]
+            ).to_pandas()
+        return self._catalog_cache
+
+    def scored_set(self, qterms: list[str], mode: str = "or",
+                   min_match: int | None = None) -> Res:
+        """Node-local mirror of PhysicalIndex.scored_docs: strip the
+        analyzer chain, batch ALL terms through one pruned read +
+        kernel pass, apply the mode/min_match floor."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        ids, scores, nt = self._scored(terms)
+        req = (len(terms) if mode == "and"
+               else max(1, int(min_match or 1)))
+        if req > 1:
+            keep = nt >= req
+            ids, scores = ids[keep], scores[keep]
+        order = np.argsort(ids)
+        return ids[order], scores[order]
+
+    def phrase_set(self, words: list[str], slop: int = 0) -> Res:
+        """Node-local mirror of PhysicalIndex.phrase_scored
+        (positional path): the same phrase kernel over one batch of
+        position-carrying blocks."""
+        words = strip_stops(self.stats, list(words))
+        if not words:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(words) == 1:
+            return self.scored_set(words)
+        if not self.stats.get("positions"):
+            raise ValueError("phrase serving needs positional postings")
+        terms = sorted(set(words))
+        pred = pa_ds.field("term").isin(terms)
+        pdf = self._postings.to_table(
+            columns=_POS_COLS, filter=pred
+        ).to_pandas()
+        cat = self._terms.to_table(
+            columns=["term", "df"], filter=pred
+        ).to_pandas()
+        blocks = pdf.merge(cat, on="term").sort_values(
+            ["block_id", "term"], kind="mergesort", ignore_index=True
+        )
+        kern = make_phrase_kernel(
+            list(words), float(self.stats["n_docs"]), self.stats["avgdl"],
+            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+            slop=slop,
+        )
+        parts = list(kern(iter([blocks])))
+        ids = np.concatenate([p["doc_id"].to_numpy() for p in parts])
+        scores = np.concatenate([p["score"].to_numpy() for p in parts])
+        ids, scores = self._mask_tomb(ids, scores)
+        order = np.argsort(ids)
+        return ids[order], scores[order]
+
+    def stored_filter(self, field: str, op, value) -> np.ndarray:
+        """doc_ids where ``op(column, value)`` holds — a non-scoring
+        stored-column filter (Solr fq): one column-pruned read of the
+        docs parquet (the cluster tier's docs scan, node-local)."""
+        cols = self._docs.to_table(columns=["doc_id", field]).to_pandas()
+        col = cols[field]
+        keep = op(col, value)
+        ids = np.unique(cols["doc_id"].to_numpy()[keep.to_numpy()])
+        ids, = self._mask_tomb(ids)
+        return ids
+
+    def query(self, q: str, k: int = 10, offset: int = 0,
+              fq: list[str] | None = None,
+              synonyms: dict[str, list[str]] | None = None
+              ) -> list[tuple[int, float]]:
+        """Full Lucene-syntax query string answered node-locally —
+        the reference's actual front door (`LuceneServer.search` over
+        SolrPluginUtils-parsed q+fq, LuceneServer.java:1314-1353)
+        served without a cluster: the SAME parser (qparse) and the
+        same boolean/scoring semantics as PhysicalIndex.query
+        (rank-identity tested across the full syntax battery)."""
+        from katta_spark.fulltext.qparse import combine_q_fq
+
+        node = combine_q_fq(q, fq)
+        ids, scores = _LocalEval(self, synonyms).eval_query(node)
+        order = np.lexsort((ids, -scores))[offset:offset + k]
+        return [(int(ids[i]), float(scores[i])) for i in order]
+
     def search(self, qterms: list[str], k: int = 10, mode: str = "or",
                fields: list[str] | None = None) -> dict:
         """One-call serving surface: hits + numFound + maxScore +
@@ -196,3 +316,319 @@ class LocalSearcher:
             "max_score": float(scores.max()) if ids.size else None,
             "qtime_ms": int((time.monotonic() - t0) * 1000),
         }
+
+
+# ---------------------------------------------------------------------------
+# Node-local boolean evaluator — numpy mirror of fulltext.luceval
+# ---------------------------------------------------------------------------
+
+def _empty_res() -> Res:
+    return np.empty(0, np.int64), np.empty(0, np.float64)
+
+
+def _merge_sum(a: Res, b: Res) -> Res:
+    """Union of two (sorted unique) result sets, scores summing."""
+    ids = np.concatenate([a[0], b[0]])
+    sc = np.concatenate([a[1], b[1]])
+    u, inv = np.unique(ids, return_inverse=True)
+    s = np.zeros(u.size, dtype=np.float64)
+    np.add.at(s, inv, sc)
+    return u, s
+
+
+def _must_join(a: Res, b: Res) -> Res:
+    """Intersection, scores summing (BooleanQuery must-chain)."""
+    common, ia, ib = np.intersect1d(
+        a[0], b[0], assume_unique=True, return_indices=True
+    )
+    return common, a[1][ia] + b[1][ib]
+
+
+def _add_should(base: Res, sh: Res) -> Res:
+    """Left-join add: base keeps its match set, docs also in the
+    should set add that score (BooleanQuery should-alongside-must)."""
+    if not base[0].size or not sh[0].size:
+        return base
+    pos = np.searchsorted(sh[0], base[0])
+    pos_c = np.minimum(pos, sh[0].size - 1)
+    hit = sh[0][pos_c] == base[0]
+    out = base[1].copy()
+    out[hit] += sh[1][pos_c[hit]]
+    return base[0], out
+
+
+def _anti(base: Res, not_ids: np.ndarray) -> Res:
+    if not base[0].size or not not_ids.size:
+        return base
+    keep = ~np.isin(base[0], not_ids)
+    return base[0][keep], base[1][keep]
+
+
+class _LocalEval:
+    """Numpy mirror of :class:`katta_spark.fulltext.luceval.
+    LuceneEvaluator` — same AST, same scoring model (classic
+    BooleanQuery: must sum + should add + must_not anti; non-scoring
+    filters contribute 0; MatchAll scores 1.0), same analyzer-chain
+    symmetry (shared strip_stops_node / postings_term / field_terms
+    helpers), evaluated over node-local arrays instead of DataFrames.
+    Semantics drift is caught by the rank-identity test battery in
+    tests/test_serve.py."""
+
+    def __init__(self, srv: LocalSearcher,
+                 synonyms: dict[str, list[str]] | None = None):
+        self.srv = srv
+        self.fields = set(srv.stats.get("indexed_fields", []))
+        self.analyzers = srv.stats.get("field_analyzers", {})
+        self.stops = set(srv.stats.get("stopwords") or [])
+        src = (synonyms if synonyms is not None
+               else srv.stats.get("synonyms") or {})
+        self.synonyms = {
+            k.lower(): sorted({x.lower() for x in v}) for k, v in src.items()
+        }
+        self._doc_cols: set[str] | None = None
+
+    def eval_query(self, node) -> Res:
+        from katta_spark.fulltext.luceval import strip_stops_node
+
+        stripped = strip_stops_node(self.stops, node)
+        if stripped is None:
+            return _empty_res()
+        return self._eval(stripped)
+
+    # ------------------------------------------------------------- nodes
+
+    def _eval(self, node) -> Res:
+        from katta_spark.fulltext.qparse import (
+            Bool, ConstScore, Fuzzy, MatchAll, Phrase, RangeQ, Regex,
+            Term, Wildcard,
+        )
+
+        if isinstance(node, Bool):
+            return self._eval_bool(node)
+        if isinstance(node, Term):
+            return self._eval_term(node)
+        if isinstance(node, Phrase):
+            return self._eval_phrase(node)
+        if isinstance(node, Wildcard):
+            return self._eval_wildcard(node)
+        if isinstance(node, Fuzzy):
+            return self._eval_fuzzy(node)
+        if isinstance(node, Regex):
+            return self._eval_regex(node)
+        if isinstance(node, RangeQ):
+            return self._eval_range(node)
+        if isinstance(node, MatchAll):
+            ids = self.srv._all_ids()
+            return ids, np.ones(ids.size, dtype=np.float64)
+        if isinstance(node, ConstScore):
+            ids, _ = self._eval(node.child)
+            return ids, np.full(ids.size, float(node.value))
+        raise TypeError(f"unknown query node {node!r}")
+
+    def _boost(self, r: Res, boost: float) -> Res:
+        if boost == 1.0:
+            return r
+        return r[0], r[1] * float(boost)
+
+    def _has_col(self, field: str) -> bool:
+        if self._doc_cols is None:
+            self._doc_cols = set(self.srv._docs.schema.names)
+        return field in self._doc_cols
+
+    def _stored_eq(self, field: str, value: str, lower: bool = False) -> Res:
+        if not self._has_col(field):
+            return _empty_res()
+        if lower:
+            ids = self.srv.stored_filter(
+                field, lambda c, v: c.astype(str).str.lower() == v, value
+            )
+        else:
+            ids = self.srv.stored_filter(
+                field, lambda c, v: c.astype(str) == v, value
+            )
+        return ids, np.zeros(ids.size, dtype=np.float64)
+
+    def _eval_term(self, t) -> Res:
+        from katta_spark.fulltext.luceval import field_terms, postings_term
+
+        if t.field is None and t.text in self.synonyms:
+            group = sorted({t.text, *self.synonyms[t.text]})
+            return self._boost(self.srv.scored_set(group, "or"), t.boost)
+        pt = postings_term(self.fields, self.analyzers, t)
+        if pt is not None:
+            return self._boost(self.srv.scored_set([pt]), t.boost)
+        fts = field_terms(self.fields, self.analyzers, t)
+        if fts is not None:
+            if not fts:
+                return _empty_res()
+            return self._boost(self.srv.scored_set(fts, "or"), t.boost)
+        return self._stored_eq(t.field, t.text)
+
+    def _eval_phrase(self, p) -> Res:
+        if p.field is None:
+            return self._boost(self.srv.phrase_set(p.words, p.slop), p.boost)
+        return self._stored_eq(p.field, p.words[0])
+
+    def _expand_catalog(self, field: str | None, match_body) -> Res:
+        """Shared multi-term rewrite: filter the (term, df) catalog
+        with ``match_body`` over the un-prefixed term text, score the
+        matched term set as one batched OR (expand-and-score — the
+        same convention as the cluster tier)."""
+        cat = self.srv._catalog()
+        terms = cat["term"].astype(str)
+        if field is None:
+            cand = ~terms.str.contains(":", regex=False)
+            bodies = terms
+        else:
+            prefix = f"{field}:"
+            cand = terms.str.startswith(prefix)
+            bodies = terms.str.slice(len(prefix))
+        sel = cand.to_numpy() & np.array(
+            [match_body(x) for x in bodies], dtype=bool
+        )
+        matched = sorted(terms[sel])
+        if not matched:
+            return _empty_res()
+        ids, scores, _ = self.srv._scored(matched)
+        order = np.argsort(ids)
+        return ids[order], scores[order]
+
+    def _eval_wildcard(self, w) -> Res:
+        import fnmatch
+        import re
+
+        if w.field is None or w.field in self.fields:
+            rx = re.compile(fnmatch.translate(w.pattern))
+            fld = None if w.field is None else w.field
+            return self._boost(
+                self._expand_catalog(fld, lambda s: bool(rx.match(s))),
+                w.boost,
+            )
+        if not self._has_col(w.field):
+            return _empty_res()
+        import fnmatch as _fn
+
+        rx = re.compile(_fn.translate(w.pattern))
+        ids = self.srv.stored_filter(
+            w.field,
+            lambda c, v: c.astype(str).str.lower().str.match(v),
+            rx.pattern,
+        )
+        return ids, np.zeros(ids.size, dtype=np.float64)
+
+    def _eval_fuzzy(self, fz) -> Res:
+        d = int(fz.max_edits)
+        if fz.field is None or fz.field in self.fields:
+            fld = None if fz.field is None else fz.field
+
+            def match(s: str) -> bool:
+                return (abs(len(s) - len(fz.text)) <= d
+                        and _levenshtein(s, fz.text) <= d)
+
+            return self._boost(self._expand_catalog(fld, match), fz.boost)
+        if not self._has_col(fz.field):
+            return _empty_res()
+        ids = self.srv.stored_filter(
+            fz.field,
+            lambda c, v: c.astype(str).str.lower().map(
+                lambda s: _levenshtein(s, v) <= d
+            ),
+            fz.text,
+        )
+        return ids, np.zeros(ids.size, dtype=np.float64)
+
+    def _eval_regex(self, rx_node) -> Res:
+        import re
+
+        rx = re.compile(f"^(?:{rx_node.pattern})$")
+        if rx_node.field is None or rx_node.field in self.fields:
+            fld = None if rx_node.field is None else rx_node.field
+            return self._boost(
+                self._expand_catalog(fld, lambda s: bool(rx.match(s))),
+                rx_node.boost,
+            )
+        if not self._has_col(rx_node.field):
+            return _empty_res()
+        ids = self.srv.stored_filter(
+            rx_node.field,
+            lambda c, v: c.astype(str).str.lower().str.match(v),
+            rx.pattern,
+        )
+        return ids, np.zeros(ids.size, dtype=np.float64)
+
+    def _eval_range(self, r) -> Res:
+        from katta_spark.fulltext.luceval import _is_number
+
+        if not self._has_col(r.field):
+            return _empty_res()
+        numeric = _is_number(r.lo) and _is_number(r.hi)
+
+        def pred(col, _v):
+            c = (pd.to_numeric(col, errors="coerce") if numeric
+                 else col.astype(str))
+            keep = pd.Series(True, index=col.index)
+            if r.lo is not None:
+                lo = float(r.lo) if numeric else r.lo
+                keep &= (c >= lo) if r.incl_lo else (c > lo)
+            if r.hi is not None:
+                hi = float(r.hi) if numeric else r.hi
+                keep &= (c <= hi) if r.incl_hi else (c < hi)
+            return keep
+
+        ids = self.srv.stored_filter(r.field, pred, None)
+        return ids, np.zeros(ids.size, dtype=np.float64)
+
+    # -------------------------------------------------------------- bool
+
+    def _batch_and_rest(self, nodes) -> tuple[list[str], list]:
+        from katta_spark.fulltext.luceval import postings_term
+        from katta_spark.fulltext.qparse import Term
+
+        terms, rest = [], []
+        for n in nodes:
+            pt = postings_term(self.fields, self.analyzers, n) \
+                if isinstance(n, Term) else None
+            if (pt is not None and n.boost == 1.0
+                    and not (n.field is None and n.text in self.synonyms)):
+                terms.append(pt)
+            else:
+                rest.append(n)
+        return terms, rest
+
+    def _eval_bool(self, b) -> Res:
+        sh_terms, sh_rest = self._batch_and_rest(b.should)
+        sh_dfs = []
+        if sh_terms:
+            sh_dfs.append(self.srv.scored_set(sh_terms, "or"))
+        sh_dfs.extend(self._eval(n) for n in sh_rest)
+        should_res: Res | None = None
+        for r in sh_dfs:
+            should_res = r if should_res is None else _merge_sum(should_res, r)
+
+        mu_terms, mu_rest = self._batch_and_rest(b.must)
+        base: Res | None = None
+        if mu_terms:
+            base = self.srv.scored_set(mu_terms, "and")
+        for n in mu_rest:
+            r = self._eval(n)
+            base = r if base is None else _must_join(base, r)
+
+        if base is not None:
+            if should_res is not None:
+                base = _add_should(base, should_res)
+        elif should_res is not None:
+            base = should_res
+        else:
+            ids = self.srv._all_ids()
+            base = (ids, np.ones(ids.size, dtype=np.float64))
+
+        nt_terms, nt_rest = self._batch_and_rest(b.must_not)
+        nots: np.ndarray | None = None
+        if nt_terms:
+            nots = self.srv.scored_set(nt_terms, "or")[0]
+        for n in nt_rest:
+            ids = self._eval(n)[0]
+            nots = ids if nots is None else np.union1d(nots, ids)
+        if nots is not None:
+            base = _anti(base, nots)
+        return self._boost(base, b.boost)

@@ -91,3 +91,47 @@ def test_serve_respects_tombstones(spark, tmp_path):
     assert not set(victims) & {doc for doc, _ in got}
     assert (LocalSearcher(d).count(["import"])
             == idx.count(["import"]).first()["n_hits"])
+
+
+LUCENE_BATTERY = [
+    "(import OR return) AND scan",
+    "import -scan",
+    "s*",
+    "import AND lang:python",
+    "batc~2",
+    '"import return"',
+    "dl:[20 TO 40] AND import",
+    "import^2 OR scan",
+    "+import +merge -sort",
+    "*:*",
+    "/im.*t/",
+    '"merge sort"~3',
+    "(scan OR merge) AND (import OR return)",
+]
+
+
+def test_query_string_rank_identical_to_spark(pindex, lsearch):
+    """The reference's actual front door (Lucene q strings) answered
+    node-locally must rank-match the cluster evaluator across the
+    full syntax battery: nesting, NOT, ranges, wildcards, fuzzy,
+    regex, phrases with slop, boosts, field-scored terms, *:*."""
+    for q in LUCENE_BATTERY:
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in pindex.query(q, k=10).collect()]
+        got = [(d, round(s, 9)) for d, s in lsearch.query(q, k=10)]
+        assert got == want, q
+
+
+def test_query_string_fq_and_synonyms(pindex, lsearch):
+    q, fq = "import", ["lang:python", "dl:[10 TO *]"]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in pindex.query(q, k=10, fq=fq).collect()]
+    got = [(d, round(s, 9)) for d, s in lsearch.query(q, k=10, fq=fq)]
+    assert got == want
+
+    syn = {"sort": ["merge"]}
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in pindex.query("sort", k=10, synonyms=syn).collect()]
+    got = [(d, round(s, 9))
+           for d, s in lsearch.query("sort", k=10, synonyms=syn)]
+    assert got == want
