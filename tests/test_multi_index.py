@@ -215,3 +215,42 @@ def test_data_stream_rollover(spark, tmp_path_factory):
     # every appended doc is reachable: count of a universal term
     got = h.topk(["def"], k=5).collect()
     assert len(got) == 5 and got[0]["score"] > 0
+
+
+def test_sharded_searcher_scatter_gather(spark, split_dirs):
+    """Serving-tier scatter-gather (Client.java parity, node-side):
+    ShardedSearcher over the two shard dirs must rank-match BOTH the
+    union-built single index and the Spark open_many handle — global
+    df exchange, namespaced ids, (score desc, doc_id asc) merge."""
+    from katta_spark.index.serve import ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union = PhysicalIndex(spark, du)
+    many = PhysicalIndex.open_many(spark, [da, db])
+    assert sh.stats["n_docs"] == union.stats["n_docs"]
+    assert sh.stats["avgdl"] == pytest.approx(union.stats["avgdl"], 1e-12)
+
+    for terms, mode in [(["import"], "or"), (["scan", "merge"], "and"),
+                        (["import", "return", "key"], "or")]:
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in union.topk(terms, k=12, mode=mode).collect()]
+        want2 = [(r["doc_id"], round(r["score"], 9))
+                 for r in many.topk(terms, k=12, mode=mode).collect()]
+        got = [(d, round(s, 9)) for d, s in sh.topk(terms, k=12, mode=mode)]
+        assert got == want, (terms, mode)
+        assert got == want2, (terms, mode)
+        assert sh.count(terms, mode) == union.count(
+            terms, mode).first()["n_hits"]
+
+    # fetch routes namespaced ids back to their owning shard
+    hits = sh.topk(["import"], k=6)
+    det = sh.fetch([d for d, _ in hits], ["lang", "path"])
+    assert list(det["doc_id"]) == [d for d, _ in hits]
+    spark_det = {
+        r["doc_id"]: (r["lang"], r["path"])
+        for r in union.docs.select("doc_id", "lang", "path")
+        .filter(union.docs.doc_id.isin([d for d, _ in hits])).collect()
+    }
+    for row in det.itertuples(index=False):
+        assert (row.lang, row.path) == spark_det[row.doc_id]
