@@ -1179,6 +1179,20 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash64(_docs(spark, sf_dir), text_col="text")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Dedup survivorship: one doc per MinHash near-dup cluster, the
+    longest (n_chars) survives, ties by doc_id — the rule pipelines
+    apply after cluster resolution."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir).withColumnRenamed("text", "content"),
+        num_hashes=16,
+        bands=4,
+    )
+    clus = dedup.dup_clusters(pairs)
+    return dedup.keep_best_per_cluster(
+        _docs(spark, sf_dir), clus, metric_col="n_chars")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive near-dup cluster resolution over the MinHash-LSH
     candidate pairs: every doc labeled with its cluster's min doc_id
@@ -2461,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_langid": q_text_langid,
@@ -2849,6 +2864,9 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "dedup_containment": OO.containment_sql(threshold=0.8, n=3),
         "dedup_minhash_lsh": OO.minhash_lsh_sql(num_hashes=16, bands=4, n=3),
         "dedup_clusters": OO.dup_clusters_sql(
+            OO.minhash_lsh_sql(num_hashes=16, bands=4, n=3)
+        ),
+        "dedup_keep_best": OO.keep_best_sql(
             OO.minhash_lsh_sql(num_hashes=16, bands=4, n=3)
         ),
         "dedup_simhash": OO.simhash_sql(),

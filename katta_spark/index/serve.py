@@ -191,6 +191,27 @@ class LocalSearcher:
             "doc_id", key=lambda s: s.map(order), ignore_index=True
         )
 
+    def facet(self, qterms: list[str], field: str, n: int = 10,
+              mode: str = "or") -> list[tuple[object, int]]:
+        """Value facet over the match set (Solr facet.field default
+        sort: count desc, value asc; NULLs excluded) — node-local:
+        matched ids from the pruned postings read, one column-pruned
+        docs read, a value_counts.  Mirrors PhysicalIndex.facet
+        (tested)."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        ids, _, nt = self._scored(terms)
+        if mode == "and" and len(terms) > 1:
+            ids = ids[nt == len(terms)]
+        ids = np.sort(ids)
+        tbl = self._docs.to_table(
+            columns=["doc_id", field]
+        ).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        vals = tbl[field][hit].dropna()
+        cnt = vals.value_counts()
+        rows = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:n]
+        return [(v, int(c)) for v, c in rows]
+
     # ------------------------------------------- Lucene-string front door
 
     def _all_ids(self) -> np.ndarray:

@@ -623,3 +623,34 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def keep_best_per_cluster(docs: DataFrame, clusters: DataFrame,
+                          metric_col: str = "n_chars",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, cluster, metric) — the survivorship rule a real dedup
+    pipeline runs AFTER cluster resolution: keep exactly ONE document
+    per near-dup cluster, chosen by the highest ``metric_col``
+    (longest / best-quality survivor — the common alternative to
+    dup_clusters' keep-min-id convention), ties by doc_id asc so the
+    choice is deterministic.  Docs in no cluster are singleton
+    survivors.
+
+    Scale shape: one left join onto the (small) cluster map, one
+    window argmax partitioned by cluster — clusters are tiny, so the
+    window never sees skew; nothing touches text."""
+    from pyspark.sql import Window
+
+    lab = (
+        docs.select(id_col, metric_col)
+        .join(clusters, id_col, "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(metric_col), F.asc(id_col)
+    )
+    return (
+        lab.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster", metric_col)
+    )

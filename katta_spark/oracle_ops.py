@@ -569,6 +569,32 @@ r(src, dst) AS (
 SELECT src AS doc_id, min(dst) AS cluster FROM r GROUP BY src"""
 
 
+def keep_best_sql(pairs_sql: str, metric: str = "n_chars") -> str:
+    """Survivorship oracle (mirror of ops.dedup.keep_best_per_cluster
+    over dup_clusters of ``pairs_sql``): one survivor per transitive
+    cluster, highest metric, ties by doc_id; singletons survive."""
+    return f"""WITH RECURSIVE pairs AS ({pairs_sql}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM e),
+r(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+),
+clus AS (SELECT src AS doc_id, min(dst) AS cluster FROM r GROUP BY src),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster, d.{metric}
+  FROM {DOCS} d LEFT JOIN clus c ON d.doc_id = c.doc_id
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster ORDER BY {metric} DESC, doc_id ASC) AS rn
+  FROM lab
+)
+SELECT doc_id, cluster, {metric} FROM rk WHERE rn = 1"""
+
+
 def cosine_dup_sql(threshold: float = 0.25, dims: int = 64,
                    n_planes: int = 4, n_tables: int = 2) -> str:
     """Embedding-cosine near-dup pairs — mirror of

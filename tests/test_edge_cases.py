@@ -129,3 +129,23 @@ def test_parser_const_score_malformed_forms():
     # boost-of-const scales the constant (Lucene semantics)
     b = parse_lucene("(term^=2)^3")
     assert isinstance(b, ConstScore) and b.value == 6.0
+
+
+def test_keep_best_per_cluster_survivorship(spark):
+    """Chain a-b-c + pair d-e + singleton f: exactly one survivor per
+    cluster, the highest metric, ties by doc_id."""
+    from katta_spark.ops.dedup import dup_clusters, keep_best_per_cluster
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"]
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 7), (6, 1)],
+        ["doc_id", "n_chars"],
+    )
+    clus = dup_clusters(pairs)
+    out = {r["doc_id"]: (r["cluster"], r["n_chars"])
+           for r in keep_best_per_cluster(docs, clus).collect()}
+    # cluster {1,2,3} -> 2 (metric 99); {4,5} -> 4 (tie 7, min id);
+    # 6 is a singleton survivor
+    assert out == {2: (1, 99), 4: (4, 7), 6: (6, 1)}

@@ -135,3 +135,11 @@ def test_query_string_fq_and_synonyms(pindex, lsearch):
     got = [(d, round(s, 9))
            for d, s in lsearch.query("sort", k=10, synonyms=syn)]
     assert got == want
+
+
+def test_serve_facet_matches_spark(pindex, lsearch):
+    for terms, mode in [(["import"], "or"), (["scan", "merge"], "and")]:
+        want = [(r["lang"], r["cnt"])
+                for r in pindex.facet(terms, "lang", n=5, mode=mode).collect()]
+        got = lsearch.facet(terms, "lang", n=5, mode=mode)
+        assert got == want, (terms, mode)
