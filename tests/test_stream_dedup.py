@@ -172,3 +172,62 @@ def test_stream_dedup_minhash_near_dups(spark, tmp_path):
     run_once()
     r3 = spark.read.parquet(str(out))
     assert sorted(r["doc_id"] for r in r3.collect()) == [0, 2, 4]
+
+
+def test_trending_terms_batch_stream_parity(spark, tmp_path):
+    """The identical windowed term-count expression over readStream +
+    watermark equals the batch run, and the read-side top-k ranks by
+    (cnt desc, term asc) per window."""
+    import shutil
+
+    from katta_spark.streaming.trending import (
+        top_terms_per_window,
+        windowed_term_counts,
+    )
+
+    rows = [
+        ("2024-01-01 00:05:00", "alpha beta alpha"),
+        ("2024-01-01 00:40:00", "alpha gamma"),
+        ("2024-01-01 01:10:00", "beta beta delta"),
+        ("2024-01-01 01:30:00", "beta alpha"),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "content"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        (str(r["win_start"]), r["term"]): r["cnt"]
+        for r in windowed_term_counts(df, duration="1 hour").collect()
+    }
+    # per_doc=True: doc 1's double 'alpha' counts once
+    assert batch[("2024-01-01 00:00:00", "alpha")] == 2
+    assert batch[("2024-01-01 01:00:00", "beta")] == 2
+
+    src = tmp_path / "trend_src"
+    src.mkdir()
+    df.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        windowed_term_counts(stream, duration="1 hour")
+        .writeStream.format("memory")
+        .queryName("trend_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "trend_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["win_start"]), r["term"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM trend_parity").collect()
+    }
+    assert got == batch
+
+    top = top_terms_per_window(
+        windowed_term_counts(df, duration="1 hour"), n=2
+    ).collect()
+    assert [(str(r["win_start"]), r["term"], r["rank"]) for r in top] == [
+        ("2024-01-01 00:00:00", "alpha", 1),
+        ("2024-01-01 00:00:00", "beta", 2),
+        ("2024-01-01 01:00:00", "beta", 1),
+        ("2024-01-01 01:00:00", "alpha", 2),
+    ]
