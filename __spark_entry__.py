@@ -726,6 +726,14 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(_docs(spark, sf_dir), text_col="text")
 
 
+def q_text_paragraph_dedup(spark, sf_dir):
+    """C4-style global line dedup: a line >= 30 chars appearing in
+    several docs survives only at its earliest (doc_id, pos); short
+    structural lines always kept; docs reassembled in order."""
+    return text.paragraph_dedup(
+        _docs(spark, sf_dir), text_col="text", min_chars=30)
+
+
 def q_text_clean(spark, sf_dir):
     """Boilerplate scrub: tag-strip + whitespace-collapse, per doc."""
     return text.clean_text(_docs(spark, sf_dir), text_col="text")
@@ -2483,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_clean": q_text_clean,
+        "text_paragraph_dedup": q_text_paragraph_dedup,
         "text_repetition": q_text_repetition,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_bpe_pairs": q_text_bpe_pairs,
@@ -2874,6 +2883,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_langid": OO.langid_sql(),
         "text_quality": OO.quality_sql(),
         "text_clean": OO.clean_text_sql(),
+        "text_paragraph_dedup": OO.paragraph_dedup_sql(min_chars=30),
         "text_repetition": OO.repetition_sql(),
         "text_bpe_tokens": OO.bpe_tokens_sql(),
         "text_bpe_pairs": O.bpe_pairs_sql(20),

@@ -710,94 +710,117 @@ class ShardedSearcher:
             n_docs=n_total,
             avgdl=(dl_total / n_total) if n_total else 0.0,
         )
-        tombs = [
-            s._tomb + off
-            for s, off in zip(self.shards, self.offsets)
-            if s._tomb is not None
-        ]
-        self._tomb = np.unique(np.concatenate(tombs)) if tombs else None
+    def _pmap(self, fn):
+        """Run ``fn(shard, offset)`` over every shard CONCURRENTLY —
+        the scatter.  Threads, not processes: the work inside is
+        pyarrow parquet decode + numpy kernels, both of which release
+        the GIL, so a thread pool gives true parallel shard serving
+        on one machine and models the reference's one-node-per-shard
+        fan-out (each shard's latency is its OWN posting size, and
+        total latency is the slowest shard, not the sum)."""
+        if len(self.shards) == 1:
+            return [fn(self.shards[0], self.offsets[0])]
+        from concurrent.futures import ThreadPoolExecutor
 
-    def _blocks(self, terms: list[str]) -> pd.DataFrame:
-        """Namespaced posting blocks of the query terms across all
-        shards, with the GLOBAL (summed) df attached — the
-        getDocFreqs exchange as a per-query catalog merge."""
-        br = self.stats["block_range"]
-        parts, cats = [], []
-        for s, off in zip(self.shards, self.offsets):
-            if not terms:
-                continue
-            pred = pa_ds.field("term").isin(terms)
-            pdf = s._postings.to_table(
-                columns=_BLOCK_COLS, filter=pred
-            ).to_pandas()
-            pdf["block_id"] = pdf["block_id"] + off // br
-            parts.append(pdf)
-            cats.append(s._terms.to_table(
+        with ThreadPoolExecutor(
+            max_workers=min(len(self.shards), 32)
+        ) as ex:
+            return list(ex.map(fn, self.shards, self.offsets))
+
+    def _merged_cat(self, terms: list[str]) -> pd.DataFrame:
+        """The getDocFreqs() exchange: parallel per-shard catalog
+        reads for the query terms, df summed corpus-wide."""
+        pred = pa_ds.field("term").isin(terms)
+        cats = self._pmap(
+            lambda s, _off: s._terms.to_table(
                 columns=["term", "df"], filter=pred
-            ).to_pandas())
-        if not parts:
-            return pd.DataFrame(columns=_BLOCK_COLS + ["df"])
-        cat = pd.concat(cats).groupby("term", as_index=False)["df"].sum()
-        out = pd.concat(parts, ignore_index=True).merge(cat, on="term")
-        return out.sort_values(["block_id", "term"],
-                               kind="mergesort", ignore_index=True)
+            ).to_pandas()
+        )
+        return pd.concat(cats).groupby("term", as_index=False)["df"].sum()
 
-    def _mask_tomb(self, ids, *others):
-        if self._tomb is None or not ids.size:
-            return (ids, *others)
-        keep = ~np.isin(ids, self._tomb)
-        return (ids[keep], *(o[keep] for o in others))
+    def _shard_blocks(self, s: LocalSearcher, off: int,
+                      terms: list[str], cat: pd.DataFrame) -> pd.DataFrame:
+        """One shard's namespaced posting blocks carrying the GLOBAL
+        df (block_id shifts by the shard offset, so the gap decode
+        emits namespaced doc ids with no re-encode)."""
+        br = self.stats["block_range"]
+        pdf = s._postings.to_table(
+            columns=_BLOCK_COLS, filter=pa_ds.field("term").isin(terms)
+        ).to_pandas()
+        pdf["block_id"] = pdf["block_id"] + off // br
+        return pdf.merge(cat, on="term").sort_values(
+            ["block_id", "term"], kind="mergesort", ignore_index=True
+        )
 
     def topk(self, qterms: list[str], k: int = 10, mode: str = "or",
              min_match: int | None = None,
              offset: int = 0) -> list[tuple[int, float]]:
-        """Global BM25 top-k across all shards — namespaced doc ids,
-        corpus-wide idf, (score desc, doc_id asc) merge (the
-        reference's result merger, Hit.compareTo)."""
+        """Global BM25 top-k across all shards — PARALLEL per-shard
+        WAND heaps (each shard keeps its own threshold) merged
+        client-side by (score desc, doc_id asc) (the reference's
+        scatter + Hit.compareTo merge), corpus-wide idf via the
+        merged catalog, namespaced doc ids."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
-        blocks = self._blocks(terms)
-        if self._tomb is None:
-            kern = make_wand_kernel(
-                float(self.stats["n_docs"]), self.stats["avgdl"],
-                self.stats["k1"], self.stats["b"],
-                offset + k, len(terms), mode,
-                self.stats["block_range"], min_match=min_match,
-            )
+        cat = self._merged_cat(terms)
+        n, avgdl = float(self.stats["n_docs"]), self.stats["avgdl"]
+        k1, b, br = (self.stats["k1"], self.stats["b"],
+                     self.stats["block_range"])
+        req = len(terms) if mode == "and" else max(1, int(min_match or 1))
+
+        def one(s: LocalSearcher, off: int):
+            blocks = self._shard_blocks(s, off, terms, cat)
+            if s._tomb is None:
+                kern = make_wand_kernel(
+                    n, avgdl, k1, b, offset + k, len(terms), mode, br,
+                    min_match=min_match,
+                )
+                parts = list(kern(iter([blocks])))
+                ids = np.concatenate(
+                    [p["doc_id"].to_numpy() for p in parts])
+                sc = np.concatenate([p["score"].to_numpy() for p in parts])
+                return ids, sc
+            kern = make_exhaustive_kernel(n, avgdl, k1, b, br)
             parts = list(kern(iter([blocks])))
             ids = np.concatenate([p["doc_id"].to_numpy() for p in parts])
-            scores = np.concatenate([p["score"].to_numpy() for p in parts])
-        else:
-            kern = make_exhaustive_kernel(
-                float(self.stats["n_docs"]), self.stats["avgdl"],
-                self.stats["k1"], self.stats["b"],
-                self.stats["block_range"],
-            )
-            parts = list(kern(iter([blocks])))
-            ids = np.concatenate([p["doc_id"].to_numpy() for p in parts])
-            scores = np.concatenate([p["score"].to_numpy() for p in parts])
+            sc = np.concatenate([p["score"].to_numpy() for p in parts])
             nt = np.concatenate([p["nt"].to_numpy() for p in parts])
-            ids, scores, nt = self._mask_tomb(ids, scores, nt)
-            req = (len(terms) if mode == "and"
-                   else max(1, int(min_match or 1)))
+            keep = ~np.isin(ids, s._tomb + off)
+            ids, sc, nt = ids[keep], sc[keep], nt[keep]
             if req > 1:
-                keep = nt >= req
-                ids, scores = ids[keep], scores[keep]
+                m = nt >= req
+                ids, sc = ids[m], sc[m]
+            return ids, sc
+
+        pairs = self._pmap(one)
+        ids = np.concatenate([p[0] for p in pairs])
+        scores = np.concatenate([p[1] for p in pairs])
         order = np.lexsort((ids, -scores))[offset:offset + k]
         return [(int(ids[i]), float(scores[i])) for i in order]
 
     def count(self, qterms: list[str], mode: str = "or") -> int:
+        """totalHits — parallel per-shard counts SUMMED (shards own
+        disjoint doc sets, so the sum is exact — the reference's
+        scatter-gather count, its one published latency number)."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
-        kern = make_exhaustive_kernel(
-            float(self.stats["n_docs"]), self.stats["avgdl"],
-            self.stats["k1"], self.stats["b"], self.stats["block_range"],
-        )
-        parts = list(kern(iter([self._blocks(terms)])))
-        ids = np.concatenate([p["doc_id"].to_numpy() for p in parts])
-        nt = np.concatenate([p["nt"].to_numpy() for p in parts])
-        ids, nt = self._mask_tomb(ids, nt)
-        if mode == "and" and len(terms) > 1:
-            return int(np.count_nonzero(nt == len(terms)))
-        return int(ids.size)
+        cat = self._merged_cat(terms)
+        n, avgdl = float(self.stats["n_docs"]), self.stats["avgdl"]
+        k1, b, br = (self.stats["k1"], self.stats["b"],
+                     self.stats["block_range"])
+
+        def one(s: LocalSearcher, off: int) -> int:
+            kern = make_exhaustive_kernel(n, avgdl, k1, b, br)
+            parts = list(kern(iter([self._shard_blocks(s, off, terms,
+                                                       cat)])))
+            ids = np.concatenate([p["doc_id"].to_numpy() for p in parts])
+            nt = np.concatenate([p["nt"].to_numpy() for p in parts])
+            if s._tomb is not None and ids.size:
+                keep = ~np.isin(ids, s._tomb + off)
+                ids, nt = ids[keep], nt[keep]
+            if mode == "and" and len(terms) > 1:
+                return int(np.count_nonzero(nt == len(terms)))
+            return int(ids.size)
+
+        return sum(self._pmap(one))
 
     def fetch(self, doc_ids: list[int],
               fields: list[str]) -> pd.DataFrame:

@@ -918,3 +918,44 @@ def bigram_logprob(corpus: DataFrame, text_col: str = "content",
             F.round(F.coalesce("lp", F.lit(0.0)), 6).alias("avg_logprob"),
         )
     )
+
+
+def paragraph_dedup(corpus: DataFrame, text_col: str = "content",
+                    sep: str = "\n", min_chars: int = 20,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text) — C4-style GLOBAL line/paragraph deduplication:
+    a segment appearing in several documents survives only at its
+    earliest (doc_id, position) occurrence; later copies are cut out
+    of their documents (the license-header / boilerplate scrub C4
+    applies at three-sentence-span granularity — here at ``sep``
+    segments).  Segments shorter than ``min_chars`` are structural
+    (braces, blank lines) and always kept.
+
+    Scale shape: short segments BYPASS the dedup entirely (they never
+    enter the shuffle, which also removes the empty-line skew key);
+    long segments shuffle once keyed by content for the
+    first-occurrence window, and documents reassemble with one
+    hash agg (order restored by an in-row array sort, not a global
+    sort)."""
+    from pyspark.sql import Window
+
+    lines = corpus.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    short = lines.filter(F.length("line") < int(min_chars))
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    long_first = (
+        lines.filter(F.length("line") >= int(min_chars))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = short.unionByName(long_first)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+        lambda s: s["line"],
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, sep).alias(text_col)
+    )

@@ -1279,6 +1279,33 @@ SELECT l.doc_id, l.n_tokens,
 FROM lens l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id"""
 
 
+def paragraph_dedup_sql(min_chars: int = 20) -> str:
+    """Oracle for ops.text.paragraph_dedup: global first-occurrence
+    line dedup (earliest (doc_id, pos) wins), short lines always
+    kept, docs reassembled in position order."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, i AS pos, l[i] AS line
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+              FROM {DOCS}))
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, pos) AS rn
+  FROM lines WHERE length(line) >= {int(min_chars)}
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE length(line) < {int(min_chars)}
+  UNION ALL
+  SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id"""
+
+
 def dup_span_stats_sql(width: int = 8) -> str:
     """Oracle for ops.dedup.dup_span_stats."""
     return f"""{_span_cte(width)},

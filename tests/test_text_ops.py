@@ -486,3 +486,23 @@ def test_bigram_logprob_matches_python(spark):
     assert got[0] == (3, round(lp0, 6))
     assert got[1] == (1, round(math.log(p_ab), 6))
     assert got[2] == (0, 0.0) and got[3] == (0, 0.0)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Global line dedup: the earliest (doc_id, pos) copy of a long
+    line survives, later copies are cut; short lines always kept;
+    in-document order preserved."""
+    from katta_spark.ops.text import paragraph_dedup
+
+    header = "x" * 40  # the repeated boilerplate line
+    rows = [
+        (1, f"{header}\nunique one line that is long enough\n{{}}"),
+        (2, f"{header}\nanother unique long line here okay\n{{}}"),
+        (3, f"short\n{header}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    out = {r["doc_id"]: r["content"]
+           for r in paragraph_dedup(df, min_chars=20).collect()}
+    assert out[1] == f"{header}\nunique one line that is long enough\n{{}}"
+    assert out[2] == "another unique long line here okay\n{}"
+    assert out[3] == "short"  # header cut, short line kept
