@@ -10,12 +10,14 @@ the local IndexSearcher — a query is an RPC, never a MapReduce job).
 through Spark); :class:`LocalSearcher` is the node tier: it opens
 the SAME parquet index layout with pyarrow, prunes row groups by
 term (postings files are term-sorted at write, so parquet min/max
-stats skip everything but the query's terms), and runs the SAME
-numpy kernels (:func:`make_wand_kernel` /
-:func:`make_exhaustive_kernel`) over one in-process batch —
-rank-identical to the Spark path BY CONSTRUCTION (shared code, not
-re-implementation), at RPC-class latency: no job scheduling, no
-shuffle, no executor round-trip.
+stats skip everything but the query's terms), and scores through
+numpy-native scans (:func:`_wand_scan` / :func:`_exhaustive_scan`)
+that mirror the Spark kernels' decode, accumulation order, skip
+rule, and tie-break exactly (rank-identity tested query-by-query;
+the positional phrase path still runs the shared
+:func:`make_phrase_kernel`) — at RPC-class latency: no job
+scheduling, no shuffle, no executor round-trip, and no per-row
+pandas overhead in the hot loop.
 
 100 TB shape: a fleet of stateless searcher processes each opens its
 assigned shard directories (Katta's shard->node assignment, done by
@@ -36,9 +38,7 @@ import pandas as pd
 import pyarrow.dataset as pa_ds
 
 from katta_spark.index.search import (
-    make_exhaustive_kernel,
     make_phrase_kernel,
-    make_wand_kernel,
     strip_stops,
 )
 
@@ -64,6 +64,116 @@ def _levenshtein(a: str, b: str) -> int:
                            prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def _np_cols(blocks: pd.DataFrame):
+    """Columns of a (block_id, term)-sorted blocks frame as plain
+    numpy arrays — the serving scan avoids ALL per-row pandas access
+    (profiling: itertuples/iloc dominated the kernel 4:1 over the
+    actual varint decode)."""
+    return (
+        blocks["term"].to_numpy(),
+        blocks["block_id"].to_numpy(),
+        blocks["df"].to_numpy(),
+        blocks["doc_gaps"].to_numpy(),
+        blocks["tfs"].to_numpy(),
+        blocks["dls"].to_numpy(),
+    )
+
+
+def _exhaustive_scan(blocks: pd.DataFrame, n_docs: float, avgdl: float,
+                     k1: float, b: float, block_range: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_id, score, nt) over every posting row — numpy-native
+    mirror of make_exhaustive_kernel.  Score accumulation order is
+    the row order of the (block_id, term)-sorted frame, which is the
+    per-doc sorted-term order _score_group uses, so scores are
+    IDENTICAL to the Spark tier (a doc lives in exactly one block,
+    its contributions are term-sorted rows)."""
+    from katta_spark.index import codec
+
+    terms, bids, dfs, gaps, tfs, dls = _np_cols(blocks)
+    if not len(bids):
+        return (np.empty(0, np.int64), np.empty(0, np.float64),
+                np.empty(0, np.int64))
+    all_ids, all_scores = [], []
+    for i in range(len(bids)):
+        ids, tf, dl = codec.decode_block(
+            gaps[i], tfs[i], dls[i], int(bids[i]), block_range
+        )
+        idf = codec.bm25_idf(float(dfs[i]), n_docs)
+        all_ids.append(ids)
+        all_scores.append(idf * codec.bm25_tfnorm(tf, dl, avgdl, k1, b))
+    ids = np.concatenate(all_ids)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    summed = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(summed, inv, scores)
+    nt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+    return uniq, summed, nt
+
+
+def _wand_scan(blocks: pd.DataFrame, n_docs: float, avgdl: float,
+               k1: float, b: float, block_range: int, k: int,
+               n_terms: int, mode: str, min_match: int | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND top-k — numpy-native mirror of
+    make_wand_kernel: per-row upper bounds are computed VECTORIZED
+    up front, group iteration touches only integer boundaries, and a
+    doc-range group decodes only when its bound can beat the running
+    k-th score.  Same skip rule, same merge, same tie-break — so the
+    result set is identical to both the Spark WAND kernel and the
+    exhaustive scan (tested)."""
+    from katta_spark.index import codec
+    from katta_spark.index.search import _topk_merge
+
+    required = n_terms if mode == "and" else max(1, int(min_match or 1))
+    terms, bids, dfs, gaps, tfs, dls = _np_cols(blocks)
+    if not len(bids):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    mt = blocks["max_tf"].to_numpy().astype(np.float64)
+    md = blocks["min_dl"].to_numpy().astype(np.float64)
+    dfv = dfs.astype(np.float64)
+    idf_v = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+    ub_v = idf_v * (mt * (k1 + 1.0)
+                    / (mt + k1 * (1.0 - b + b * md / avgdl)))
+    bounds = np.nonzero(bids[1:] != bids[:-1])[0] + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(bids)]))
+    top: tuple[np.ndarray, np.ndarray] | None = None
+    threshold = -np.inf
+    for s, e in zip(starts, ends):
+        if required > 1 and len(set(terms[s:e])) < required:
+            continue
+        if float(ub_v[s:e].sum()) < threshold:
+            continue
+        g_ids, g_scores = [], []
+        bid = int(bids[s])
+        for i in range(s, e):
+            ids, tf, dl = codec.decode_block(
+                gaps[i], tfs[i], dls[i], bid, block_range
+            )
+            g_ids.append(ids)
+            g_scores.append(
+                float(idf_v[i]) * codec.bm25_tfnorm(tf, dl, avgdl, k1, b)
+            )
+        ids = np.concatenate(g_ids)
+        scores = np.concatenate(g_scores)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        summed = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(summed, inv, scores)
+        if required > 1:
+            nt = np.bincount(inv, minlength=uniq.size)
+            keep = nt >= required
+            uniq, summed = uniq[keep], summed[keep]
+            if not uniq.size:
+                continue
+        top = _topk_merge(top, uniq, summed, k)
+        if top[0].size >= k:
+            threshold = float(top[1][-1])
+    if top is None:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    return top
 
 
 class LocalSearcher:
@@ -127,16 +237,13 @@ class LocalSearcher:
     def _scored(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray,
                                                  np.ndarray]:
         """(doc_id, score, nt) for every matching live doc — the
-        exhaustive path (shared kernel, one batch)."""
-        blocks = self._blocks(terms)
-        kern = make_exhaustive_kernel(
-            float(self.stats["n_docs"]), self.stats["avgdl"],
-            self.stats["k1"], self.stats["b"], self.stats["block_range"],
+        exhaustive path (numpy scan, score-identical to the Spark
+        kernel)."""
+        ids, scores, nt = _exhaustive_scan(
+            self._blocks(terms), float(self.stats["n_docs"]),
+            self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+            self.stats["block_range"],
         )
-        parts = list(kern(iter([blocks])))
-        ids = np.concatenate([p["doc_id"].to_numpy() for p in parts])
-        scores = np.concatenate([p["score"].to_numpy() for p in parts])
-        nt = np.concatenate([p["nt"].to_numpy() for p in parts])
         return self._mask_tomb(ids, scores, nt)
 
     # ------------------------------------------------------------ queries
@@ -150,15 +257,12 @@ class LocalSearcher:
         PhysicalIndex.topk)."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
         if self._tomb is None:
-            kern = make_wand_kernel(
-                float(self.stats["n_docs"]), self.stats["avgdl"],
-                self.stats["k1"], self.stats["b"],
-                offset + k, len(terms), mode,
-                self.stats["block_range"], min_match=min_match,
+            ids, scores = _wand_scan(
+                self._blocks(terms), float(self.stats["n_docs"]),
+                self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+                self.stats["block_range"], offset + k, len(terms), mode,
+                min_match=min_match,
             )
-            parts = list(kern(iter([self._blocks(terms)])))
-            ids = np.concatenate([p["doc_id"].to_numpy() for p in parts])
-            scores = np.concatenate([p["score"].to_numpy() for p in parts])
         else:
             ids, scores, nt = self._scored(terms)
             req = (len(terms) if mode == "and"
@@ -659,6 +763,73 @@ class _LocalEval:
 # Scatter-gather client over many shard directories (Client.java parity)
 # ---------------------------------------------------------------------------
 
+# per-worker-process shard handle cache ("a node keeps its searcher open")
+_SHARD_CACHE: dict[str, "LocalSearcher"] = {}
+
+
+def _shard_handle(d: str) -> "LocalSearcher":
+    s = _SHARD_CACHE.get(d)
+    if s is None:
+        s = _SHARD_CACHE[d] = LocalSearcher(d)
+    return s
+
+
+def _shard_blocks_for(s: "LocalSearcher", off: int, terms: list[str],
+                      cat_rows: list[tuple], block_range: int
+                      ) -> pd.DataFrame:
+    """One shard's namespaced posting blocks carrying the GLOBAL df
+    (block_id shifts by the shard offset, so the gap decode emits
+    namespaced doc ids with no re-encode)."""
+    pdf = s._postings.to_table(
+        columns=_BLOCK_COLS, filter=pa_ds.field("term").isin(terms)
+    ).to_pandas()
+    pdf["block_id"] = pdf["block_id"] + off // block_range
+    cat = pd.DataFrame(cat_rows, columns=["term", "df"])
+    return pdf.merge(cat, on="term").sort_values(
+        ["block_id", "term"], kind="mergesort", ignore_index=True
+    )
+
+
+def _shard_topk_task(payload: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Per-shard top-k — runs INSIDE a worker process (the node)."""
+    d, off, p = payload
+    s = _shard_handle(d)
+    blocks = _shard_blocks_for(s, off, p["terms"], p["cat"],
+                               p["block_range"])
+    if s._tomb is None:
+        return _wand_scan(
+            blocks, p["n_docs"], p["avgdl"], p["k1"], p["b"],
+            p["block_range"], p["k"], len(p["terms"]), p["mode"],
+            min_match=p["min_match"],
+        )
+    ids, sc, nt = _exhaustive_scan(
+        blocks, p["n_docs"], p["avgdl"], p["k1"], p["b"],
+        p["block_range"])
+    keep = ~np.isin(ids, s._tomb + off)
+    ids, sc, nt = ids[keep], sc[keep], nt[keep]
+    req = (len(p["terms"]) if p["mode"] == "and"
+           else max(1, int(p["min_match"] or 1)))
+    if req > 1:
+        m = nt >= req
+        ids, sc = ids[m], sc[m]
+    return ids, sc
+
+
+def _shard_count_task(payload: tuple) -> int:
+    """Per-shard live-match count — runs inside a worker process."""
+    d, off, p = payload
+    s = _shard_handle(d)
+    ids, _, nt = _exhaustive_scan(
+        _shard_blocks_for(s, off, p["terms"], p["cat"],
+                          p["block_range"]),
+        p["n_docs"], p["avgdl"], p["k1"], p["b"], p["block_range"])
+    if s._tomb is not None and ids.size:
+        keep = ~np.isin(ids, s._tomb + off)
+        ids, nt = ids[keep], nt[keep]
+    if p["mode"] == "and" and len(p["terms"]) > 1:
+        return int(np.count_nonzero(nt == len(p["terms"])))
+    return int(ids.size)
+
 class ShardedSearcher:
     """Katta CLIENT scatter-gather, node-side: one query handle over
     MANY shard index directories (the reference client expands index
@@ -710,88 +881,96 @@ class ShardedSearcher:
             n_docs=n_total,
             avgdl=(dl_total / n_total) if n_total else 0.0,
         )
-    def _pmap(self, fn):
-        """Run ``fn(shard, offset)`` over every shard CONCURRENTLY —
-        the scatter.  Threads, not processes: the work inside is
-        pyarrow parquet decode + numpy kernels, both of which release
-        the GIL, so a thread pool gives true parallel shard serving
-        on one machine and models the reference's one-node-per-shard
-        fan-out (each shard's latency is its OWN posting size, and
-        total latency is the slowest shard, not the sum)."""
-        if len(self.shards) == 1:
-            return [fn(self.shards[0], self.offsets[0])]
-        from concurrent.futures import ThreadPoolExecutor
+    def close(self) -> None:
+        """Shut down the scatter worker pool (safe to call twice)."""
+        if getattr(self, "_pool", None) is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
-        with ThreadPoolExecutor(
-            max_workers=min(len(self.shards), 32)
-        ) as ex:
-            return list(ex.map(fn, self.shards, self.offsets))
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _scatter(self, task_fn, payloads: list) -> list:
+        """Fan a per-shard task out to a PROCESS pool — the honest
+        one-node-per-shard model (a Katta node is its own JVM): the
+        per-shard work is small-array numpy/pandas that the GIL
+        serializes under threads (measured 15x CONVOY slowdown with a
+        thread pool), so real parallelism needs real processes.  The
+        forked workers cache a LocalSearcher per shard dir across
+        queries; results (top-k arrays / counts) are tiny, so IPC
+        cost is microseconds.  Single shard runs inline."""
+        if len(payloads) == 1:
+            return [task_fn(payloads[0])]
+        if getattr(self, "_pool", None) is None:
+            import multiprocessing as mp
+            import os
+            from concurrent.futures import ProcessPoolExecutor
+
+            self._pool = ProcessPoolExecutor(
+                max_workers=min(len(self.shards), os.cpu_count() or 8),
+                mp_context=mp.get_context("fork"),
+            )
+        return list(self._pool.map(task_fn, payloads))
 
     def _merged_cat(self, terms: list[str]) -> pd.DataFrame:
-        """The getDocFreqs() exchange: parallel per-shard catalog
-        reads for the query terms, df summed corpus-wide."""
+        """The getDocFreqs() exchange: per-shard catalog reads for
+        the query terms (pure pyarrow scans — these DO parallelize
+        under threads), df summed corpus-wide."""
         pred = pa_ds.field("term").isin(terms)
-        cats = self._pmap(
-            lambda s, _off: s._terms.to_table(
-                columns=["term", "df"], filter=pred
-            ).to_pandas()
-        )
+        if len(self.shards) == 1:
+            cats = [self.shards[0]._terms.to_table(
+                columns=["term", "df"], filter=pred).to_pandas()]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(len(self.shards), 32)
+            ) as ex:
+                cats = list(ex.map(
+                    lambda s: s._terms.to_table(
+                        columns=["term", "df"], filter=pred
+                    ).to_pandas(),
+                    self.shards,
+                ))
         return pd.concat(cats).groupby("term", as_index=False)["df"].sum()
 
-    def _shard_blocks(self, s: LocalSearcher, off: int,
-                      terms: list[str], cat: pd.DataFrame) -> pd.DataFrame:
-        """One shard's namespaced posting blocks carrying the GLOBAL
-        df (block_id shifts by the shard offset, so the gap decode
-        emits namespaced doc ids with no re-encode)."""
-        br = self.stats["block_range"]
-        pdf = s._postings.to_table(
-            columns=_BLOCK_COLS, filter=pa_ds.field("term").isin(terms)
-        ).to_pandas()
-        pdf["block_id"] = pdf["block_id"] + off // br
-        return pdf.merge(cat, on="term").sort_values(
-            ["block_id", "term"], kind="mergesort", ignore_index=True
-        )
+    def _payloads(self, terms: list[str], cat: pd.DataFrame,
+                  extra: dict) -> list[tuple]:
+        base = {
+            "terms": terms,
+            "cat": list(zip(cat["term"].tolist(),
+                            [int(x) for x in cat["df"]])),
+            "n_docs": float(self.stats["n_docs"]),
+            "avgdl": self.stats["avgdl"],
+            "k1": self.stats["k1"],
+            "b": self.stats["b"],
+            "block_range": self.stats["block_range"],
+            **extra,
+        }
+        return [
+            (s.index_dir, off, base)
+            for s, off in zip(self.shards, self.offsets)
+        ]
 
     def topk(self, qterms: list[str], k: int = 10, mode: str = "or",
              min_match: int | None = None,
              offset: int = 0) -> list[tuple[int, float]]:
         """Global BM25 top-k across all shards — PARALLEL per-shard
-        WAND heaps (each shard keeps its own threshold) merged
-        client-side by (score desc, doc_id asc) (the reference's
-        scatter + Hit.compareTo merge), corpus-wide idf via the
-        merged catalog, namespaced doc ids."""
+        WAND heaps (each shard keeps its own threshold, its own
+        process) merged client-side by (score desc, doc_id asc) (the
+        reference's scatter + Hit.compareTo merge), corpus-wide idf
+        via the merged catalog, namespaced doc ids."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
         cat = self._merged_cat(terms)
-        n, avgdl = float(self.stats["n_docs"]), self.stats["avgdl"]
-        k1, b, br = (self.stats["k1"], self.stats["b"],
-                     self.stats["block_range"])
-        req = len(terms) if mode == "and" else max(1, int(min_match or 1))
-
-        def one(s: LocalSearcher, off: int):
-            blocks = self._shard_blocks(s, off, terms, cat)
-            if s._tomb is None:
-                kern = make_wand_kernel(
-                    n, avgdl, k1, b, offset + k, len(terms), mode, br,
-                    min_match=min_match,
-                )
-                parts = list(kern(iter([blocks])))
-                ids = np.concatenate(
-                    [p["doc_id"].to_numpy() for p in parts])
-                sc = np.concatenate([p["score"].to_numpy() for p in parts])
-                return ids, sc
-            kern = make_exhaustive_kernel(n, avgdl, k1, b, br)
-            parts = list(kern(iter([blocks])))
-            ids = np.concatenate([p["doc_id"].to_numpy() for p in parts])
-            sc = np.concatenate([p["score"].to_numpy() for p in parts])
-            nt = np.concatenate([p["nt"].to_numpy() for p in parts])
-            keep = ~np.isin(ids, s._tomb + off)
-            ids, sc, nt = ids[keep], sc[keep], nt[keep]
-            if req > 1:
-                m = nt >= req
-                ids, sc = ids[m], sc[m]
-            return ids, sc
-
-        pairs = self._pmap(one)
+        pairs = self._scatter(
+            _shard_topk_task,
+            self._payloads(terms, cat, {
+                "k": offset + k, "mode": mode, "min_match": min_match,
+            }),
+        )
         ids = np.concatenate([p[0] for p in pairs])
         scores = np.concatenate([p[1] for p in pairs])
         order = np.lexsort((ids, -scores))[offset:offset + k]
@@ -803,24 +982,10 @@ class ShardedSearcher:
         scatter-gather count, its one published latency number)."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
         cat = self._merged_cat(terms)
-        n, avgdl = float(self.stats["n_docs"]), self.stats["avgdl"]
-        k1, b, br = (self.stats["k1"], self.stats["b"],
-                     self.stats["block_range"])
-
-        def one(s: LocalSearcher, off: int) -> int:
-            kern = make_exhaustive_kernel(n, avgdl, k1, b, br)
-            parts = list(kern(iter([self._shard_blocks(s, off, terms,
-                                                       cat)])))
-            ids = np.concatenate([p["doc_id"].to_numpy() for p in parts])
-            nt = np.concatenate([p["nt"].to_numpy() for p in parts])
-            if s._tomb is not None and ids.size:
-                keep = ~np.isin(ids, s._tomb + off)
-                ids, nt = ids[keep], nt[keep]
-            if mode == "and" and len(terms) > 1:
-                return int(np.count_nonzero(nt == len(terms)))
-            return int(ids.size)
-
-        return sum(self._pmap(one))
+        return sum(self._scatter(
+            _shard_count_task,
+            self._payloads(terms, cat, {"mode": mode}),
+        ))
 
     def fetch(self, doc_ids: list[int],
               fields: list[str]) -> pd.DataFrame:

@@ -722,20 +722,14 @@ def bucket_pipeline(df: DataFrame, ts_col: str, duration: str,
     events."""
     from pyspark.sql import Window
 
-    bucket = F.window(F.col(ts_col).cast("timestamp"), duration)
-    keys = ([F.col(key_col)] if key_col else []) + [
-        bucket["start"].alias("bucket_start")
-    ]
-    agg = df.groupBy(*keys).agg(
-        F.round(F.sum(F.col(value_col)), 6).alias("bucket_sum"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    agg = _bucket_table(df, ts_col, duration, value_col, key_col)
     w = (
         Window.partitionBy(key_col) if key_col else Window.partitionBy()
     ).orderBy("bucket_start")
     cum = Window.partitionBy(*([key_col] if key_col else [])).orderBy(
         "bucket_start"
     ).rowsBetween(Window.unboundedPreceding, 0)
+    keys = [key_col] if key_col else []
     return (
         agg.withColumn("cum_sum", F.round(F.sum("bucket_sum").over(cum), 6))
         .withColumn(
@@ -744,11 +738,9 @@ def bucket_pipeline(df: DataFrame, ts_col: str, duration: str,
                 F.col("bucket_sum") - F.lag("bucket_sum", 1).over(w), 6
             ),
         )
-        .withColumn(
-            "avg_per_doc",
-            F.round(F.col("bucket_sum") / F.col("n"), 6),
-        )
-        .orderBy(*([key_col] if key_col else []), "bucket_start")
+        .select(*keys, "bucket_start", "bucket_sum", "n", "cum_sum",
+                "deriv", "avg_per_doc")
+        .orderBy(*keys, "bucket_start")
     )
 
 
