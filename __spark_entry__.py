@@ -1213,6 +1213,28 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs)
 
 
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 2.0, "src2": 0.5, "src3": 1.5}
+
+
+def q_pipe_length_batches(spark, sf_dir):
+    """Dynamic batching by length: size-range buckets fill fixed-count
+    batches in (size, doc_id) order; every row reports its batch's
+    padding waste — the loader prep that cuts padding FLOPs."""
+    from katta_spark.ops.packing import length_bucket_batches
+
+    return length_bucket_batches(_docs(spark, sf_dir), "n_chars",
+                                 batch_size=8)
+
+
+def q_pipe_mixture_order(spark, sf_dir):
+    """Deterministic interleaved training order: per-source hash
+    shuffle, interleave key rank/weight, one global sort — replayable
+    data mixing (weight 2x => 2x frequency per unit of stream)."""
+    from katta_spark.ops.sampling import mixture_order
+
+    return mixture_order(_docs(spark, sf_dir), _MIX_WEIGHTS)
+
+
 def q_pipe_leakage_split(spark, sf_dir):
     """Near-dup-aware train/test split: the split decision is per
     MinHash duplicate CLUSTER, so near-duplicates never straddle
@@ -2517,6 +2539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_trim_spans": q_dedup_trim_spans,
         "pipe_hash_split": q_pipe_hash_split,
         "pipe_leakage_split": q_pipe_leakage_split,
+        "pipe_length_batches": q_pipe_length_batches,
+        "pipe_mixture_order": q_pipe_mixture_order,
         "pipe_decontam": q_pipe_decontam,
         "pipe_dsir": q_pipe_dsir,
         "pipe_pack": q_pipe_pack,
@@ -2918,6 +2942,8 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "dedup_trim_spans": OO.trim_spans_sql(width=8),
         "pipe_hash_split": OO.hash_split_sql(),
         "pipe_leakage_split": OO.leakage_safe_split_sql(10, "split"),
+        "pipe_length_batches": OO.length_batches_sql(batch_size=8),
+        "pipe_mixture_order": OO.mixture_order_sql(_MIX_WEIGHTS),
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
         "pipe_dsir": OO.dsir_select_sql(k=50, target_where="lang = 'de'"),
         "pipe_pack": OO.pack_greedy_sql(budget=2000, group_col="source",

@@ -405,3 +405,44 @@ def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
         F.when(bucket < cut, F.lit("test"))
         .otherwise(F.lit("train")).alias("split"),
     )
+
+
+def mixture_order(docs: DataFrame, weights: dict[str, float],
+                  group_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, grp, pos) — a DETERMINISTIC interleaved training
+    order over a multi-source corpus: source ``g``'s i-th document
+    (in hash-shuffled order, the shared hash_bucket device) lands at
+    key ``(i + 1) / weight[g]``, so after the global sort sources
+    interleave in proportion to their weights (weight 2x => docs
+    appear 2x as often per unit of stream) — the data-mixing order a
+    training run replays identically from any checkpoint.  Sources
+    missing from ``weights`` are dropped (weight 0).
+
+    Scale shape: one window per source for the within-source shuffle
+    rank (keyed by the md5 hash device — deterministic, seedless),
+    pure column arithmetic for the interleave key, one global sort
+    that Spark range-partitions; ``pos`` is a dense global
+    row_number over that order."""
+    from pyspark.sql import Window
+
+    wmap = F.create_map(*[
+        F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))
+    ])
+    slim = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(group_col).cast("string").alias("grp"),
+    ).withColumn("_w", wmap[F.col("grp")]).filter(
+        F.col("_w").isNotNull() & (F.col("_w") > 0)
+    )
+    shuffled = slim.withColumn(
+        "_h", hash_bucket(F.col("doc_id"), salt="mix")
+    )
+    iw = Window.partitionBy("grp").orderBy("_h", "doc_id")
+    keyed = shuffled.withColumn(
+        "_key", F.row_number().over(iw).cast("double") / F.col("_w")
+    )
+    gw = Window.partitionBy().orderBy("_key", "grp", "doc_id")
+    return keyed.withColumn(
+        "pos", F.row_number().over(gw).cast("long")
+    ).select("doc_id", "grp", "pos")

@@ -1008,6 +1008,51 @@ FROM {DOCS} d JOIN rates r ON CAST(d.{group_col} AS VARCHAR) = r.grp
 WHERE {_bucket_sql("d.doc_id")} < r.thr"""
 
 
+def length_batches_sql(batch_size: int = 8,
+                       bucket_edges: tuple = (64, 128, 256, 512,
+                                              1024, 2048)) -> str:
+    """Oracle for ops.packing.length_bucket_batches over n_chars."""
+    edges = sorted(set(int(e) for e in bucket_edges))
+    case = "CASE " + " ".join(
+        f"WHEN size < {e} THEN {i}" for i, e in enumerate(edges)
+    ) + f" ELSE {len(edges)} END"
+    return f"""
+WITH slim AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS size
+              FROM {DOCS}),
+b AS (SELECT doc_id, size, {case} AS bucket FROM slim),
+r AS (SELECT *, CAST(floor((row_number() OVER (
+        PARTITION BY bucket ORDER BY size, doc_id) - 1)
+        / {int(batch_size)}) AS BIGINT) AS batch_id FROM b),
+m AS (SELECT *, max(size) OVER (PARTITION BY bucket, batch_id)
+        AS batch_max FROM r)
+SELECT doc_id, size, bucket, batch_id, batch_max,
+       batch_max - size AS padding FROM m"""
+
+
+def mixture_order_sql(weights: dict[str, float],
+                      group_col: str = "source") -> str:
+    """Oracle for ops.sampling.mixture_order: the shared md5 hash
+    device shuffles within source, key = rank/weight, one global
+    sort."""
+    case = "CASE grp " + " ".join(
+        f"WHEN '{g}' THEN {float(w)!r}" for g, w in weights.items()
+    ) + " ELSE NULL END"
+    return f"""
+WITH slim AS (SELECT doc_id, CAST({group_col} AS VARCHAR) AS grp
+              FROM {DOCS}),
+ww AS (SELECT doc_id, grp, {case} AS w FROM slim),
+f AS (SELECT * FROM ww WHERE w IS NOT NULL AND w > 0),
+h AS (SELECT *, {_bucket_sql("doc_id", salt="mix")} AS hb FROM f),
+k AS (SELECT doc_id, grp,
+        CAST(row_number() OVER (PARTITION BY grp ORDER BY hb, doc_id)
+             AS DOUBLE) / w AS key
+      FROM h)
+SELECT doc_id, grp,
+       CAST(row_number() OVER (ORDER BY key, grp, doc_id) AS BIGINT)
+         AS pos
+FROM k"""
+
+
 def source_report_sql() -> str:
     """Oracle for ops.sampling.source_report."""
     return f"""

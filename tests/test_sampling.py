@@ -325,3 +325,43 @@ def test_composite_page_keyset_pushes_to_scan(spark, tmp_path):
     assert rows == sorted(x for x in {(f"t{i % 3}", i % 5)
                                       for i in range(50)}
                           if x > ("t1", 2))[:5]
+
+
+def test_length_bucket_batches_hand_computed(spark):
+    """Buckets by size range, fills 2-doc batches in (size, doc_id)
+    order, padding = batch_max - size."""
+    from katta_spark.ops.packing import length_bucket_batches
+
+    rows = [(1, 70), (2, 65), (3, 100), (4, 90), (5, 10), (6, 300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = {r["doc_id"]: (r["bucket"], r["batch_id"], r["batch_max"],
+                         r["padding"])
+           for r in length_bucket_batches(df, "n_chars",
+                                          batch_size=2).collect()}
+    # bucket 1 = [64,128): sizes 65,70,90,100 -> batches (65,70),(90,100)
+    assert out[2] == (1, 0, 70, 5)
+    assert out[1] == (1, 0, 70, 0)
+    assert out[4] == (1, 1, 100, 10)
+    assert out[3] == (1, 1, 100, 0)
+    assert out[5][0] == 0 and out[6][0] == 3  # [<64] and [256,512)
+    assert out[5][3] == 0 and out[6][3] == 0  # singleton batches
+
+
+def test_mixture_order_weight_proportions(spark):
+    """Weight-2 source appears ~2x as often as weight-1 in any prefix
+    of the interleaved order, and the order is deterministic."""
+    from katta_spark.ops.sampling import mixture_order
+
+    rows = [(i, "a" if i < 200 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_order(df, {"a": 2.0, "b": 1.0}).collect()
+    assert len(out) == 400
+    order = sorted(out, key=lambda r: r["pos"])
+    prefix = [r["grp"] for r in order[:150]]
+    na, nb = prefix.count("a"), prefix.count("b")
+    assert na == 100 and nb == 50  # exact 2:1 interleave by key = i/w
+    again = mixture_order(df, {"a": 2.0, "b": 1.0}).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # weight-0 / missing source drops
+    out_b = mixture_order(df, {"b": 1.0}).collect()
+    assert {r["grp"] for r in out_b} == {"b"} and len(out_b) == 200
