@@ -1037,6 +1037,28 @@ def q_mm_image_meta(spark, sf_dir):
     return mm.decode_image_meta(_mm_payload(spark, sf_dir))
 
 
+def q_mm_pgm_meta(spark, sf_dir):
+    """REAL image decode (no stub): deterministic binary-PGM payloads
+    are generated per doc, then the engine PARSES the actual bytes
+    back (P5 header + raster); the oracle states the generator's
+    dimension formulas, so the parse round-trip is what's checked."""
+    from katta_spark.ops import multimodal as mm
+
+    return mm.pgm_meta(mm.attach_pgm_payload(_docs(spark, sf_dir)))
+
+
+def q_mm_pgm_features(spark, sf_dir):
+    """REAL raster features over parsed PGM pixels: global + quadrant
+    means (floor-half splits), shared half-up 6dp rounding."""
+    from katta_spark.ops import multimodal as mm
+
+    out = mm.pgm_quadrant_features(
+        mm.attach_pgm_payload(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(5)]
+    )
+
+
 def q_mm_byte_stats(spark, sf_dir):
     """REAL (stub-free) binary triage: byte-distribution entropy /
     distinct bytes / zero ratio per payload — one Arrow numpy
@@ -2563,6 +2585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "dedup_semantic": q_dedup_semantic,
         "mm_image_meta": q_mm_image_meta,
+        "mm_pgm_meta": q_mm_pgm_meta,
+        "mm_pgm_features": q_mm_pgm_features,
         "mm_byte_stats": q_mm_byte_stats,
         "mm_frame_sample": q_mm_frame_sample,
         # --- time-series ops over the events table ---
@@ -3002,6 +3026,8 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
             n_centroids=8, threshold=0.3
         ),
         "mm_image_meta": OO.mm_image_meta_sql(),
+        "mm_pgm_meta": OO.pgm_meta_sql(),
+        "mm_pgm_features": OO.pgm_features_sql(),
         "mm_byte_stats": OO.mm_byte_stats_sql(),
         "mm_frame_sample": OO.mm_frames_sql(every=4, max_frames=3),
         "ts_date_facet": OO.ts_date_facet_sql("day"),

@@ -663,6 +663,43 @@ def mm_frames_sql(every: int = 4, max_frames: int = 3) -> str:
     return f"SELECT * FROM ({union})"
 
 
+def pgm_meta_sql() -> str:
+    """Oracle for ops.multimodal.attach_pgm_payload |> pgm_meta: the
+    generator's dimension formulas state what the ENGINE's real P5
+    parser must recover from the bytes."""
+    return f"""
+SELECT doc_id,
+       CAST(16 + doc_id % 16 AS INT) AS width,
+       CAST(8 + doc_id % 8 AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST((16 + doc_id % 16) * (8 + doc_id % 8) AS BIGINT) AS n_pixels
+FROM {DOCS}"""
+
+
+def pgm_features_sql() -> str:
+    """Oracle for pgm_quadrant_features (wide): pixel(r,c) =
+    (id*7 + (r*w+c)*13) % 256; quadrant means over floor-half splits;
+    the SAME half-up 6dp rounding device as the engine."""
+    def mean(rlo, rhi, clo, chi):
+        return (
+            "floor((SELECT avg((doc_id*7 + (r.r * w + c.c) * 13) % 256)"
+            f" FROM (SELECT unnest(generate_series({rlo}, {rhi} - 1)) AS r) r,"
+            f"      (SELECT unnest(generate_series({clo}, {chi} - 1)) AS c) c"
+            ") * 1e6 + 0.5) / 1e6"
+        )
+
+    return f"""
+WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+           FROM {DOCS})
+SELECT doc_id,
+       {mean(0, "h", 0, "w")} AS f0,
+       {mean(0, "h // 2", 0, "w // 2")} AS f1,
+       {mean(0, "h // 2", "w // 2", "w")} AS f2,
+       {mean("h // 2", "h", 0, "w // 2")} AS f3,
+       {mean("h // 2", "h", "w // 2", "w")} AS f4
+FROM d"""
+
+
 def ts_date_facet_sql(unit: str = "day") -> str:
     return f"""
 SELECT strftime(date_trunc('{unit}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
