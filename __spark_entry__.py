@@ -1059,6 +1059,22 @@ def q_mm_pgm_features(spark, sf_dir):
     )
 
 
+def q_mm_wav_meta(spark, sf_dir):
+    """REAL audio decode (no stub): deterministic PCM WAV payloads
+    generated per doc, parsed BACK by a real RIFF chunk walker."""
+    from katta_spark.ops import multimodal as mm
+
+    return mm.wav_meta(mm.attach_wav_payload(_docs(spark, sf_dir)))
+
+
+def q_mm_wav_features(spark, sf_dir):
+    """REAL audio triage over decoded PCM: RMS / zero crossings /
+    mean abs — the silence/clipping/energy pass of an audio ingest."""
+    from katta_spark.ops import multimodal as mm
+
+    return mm.wav_features(mm.attach_wav_payload(_docs(spark, sf_dir)))
+
+
 def q_mm_byte_stats(spark, sf_dir):
     """REAL (stub-free) binary triage: byte-distribution entropy /
     distinct bytes / zero ratio per payload — one Arrow numpy
@@ -2587,6 +2603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_meta": q_mm_image_meta,
         "mm_pgm_meta": q_mm_pgm_meta,
         "mm_pgm_features": q_mm_pgm_features,
+        "mm_wav_meta": q_mm_wav_meta,
+        "mm_wav_features": q_mm_wav_features,
         "mm_byte_stats": q_mm_byte_stats,
         "mm_frame_sample": q_mm_frame_sample,
         # --- time-series ops over the events table ---
@@ -3028,6 +3046,8 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "mm_image_meta": OO.mm_image_meta_sql(),
         "mm_pgm_meta": OO.pgm_meta_sql(),
         "mm_pgm_features": OO.pgm_features_sql(),
+        "mm_wav_meta": OO.wav_meta_sql(),
+        "mm_wav_features": OO.wav_features_sql(),
         "mm_byte_stats": OO.mm_byte_stats_sql(),
         "mm_frame_sample": OO.mm_frames_sql(every=4, max_frames=3),
         "ts_date_facet": OO.ts_date_facet_sql("day"),

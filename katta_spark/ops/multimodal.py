@@ -9,13 +9,17 @@ memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
 and partitioning stays whatever the upstream table had (narrow — no
 shuffle is introduced by any kernel here).
 
-The actual codecs (PIL/libav) are NOT shipped in this container, so
-the decode step is STUBBED: ``fake=True`` (default) derives
+Codec status: UNCOMPRESSED formats decode FOR REAL with no external
+libs — binary PGM images (parse -> quadrant features -> resize ->
+re-encode) and PCM WAV audio (RIFF chunk walk -> RMS / zero-crossing
+triage), both oracle-checked end-to-end.  COMPRESSED codecs
+(JPEG/PNG/libav) are NOT shipped in this container, so those decode
+steps stay honestly gated: ``fake=True`` (default) derives
 deterministic pseudo-content from the payload's md5 — reproducible
 anywhere, including a SQL oracle — while ``fake=False`` raises
-``NotImplementedError`` at the exact point a real decoder plugs in.
+``NotImplementedError`` at the exact point a real codec plugs in.
 The Spark-side plumbing (schemas, UDF signatures, Arrow batch shape,
-column pruning) is real and tested either way.
+column pruning) is real and tested in every case.
 """
 
 from __future__ import annotations
@@ -319,3 +323,123 @@ def pgm_resize(df: DataFrame, out_w: int = 8, out_h: int = 4) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         kernel, "doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode for PCM WAV (RIFF) — no external libs
+# ---------------------------------------------------------------------------
+
+WAV_META_SCHEMA = ("doc_id long, channels int, sample_rate int, "
+                   "bits int, n_samples long")
+WAV_FEAT_SCHEMA = ("doc_id long, rms double, zero_crossings long, "
+                   "mean_abs double")
+
+
+def _wav_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal but well-formed RIFF/WAVE, mono 16-bit PCM LE."""
+    data = samples.astype("<i2").tobytes()
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _wav_parse(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(channels, sample_rate, bits, samples) — a real RIFF walker:
+    iterates chunks (any order, unknown chunks skipped, odd-length
+    padding honored) until fmt + data are found."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    codec, channels, rate, _, _, bits = fmt
+    if codec != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    return channels, rate, bits, np.frombuffer(data, dtype="<i2")
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id",
+                       sample_rate: int = 8000) -> DataFrame:
+    """(doc_id, payload) — a deterministic REAL mono 16-bit PCM WAV
+    per row: n_samples = 64 + id%64, sample[i] =
+    ((id*31 + i*17) % 2048) - 1024.  Integer waveform, so a SQL
+    oracle can state RMS / zero crossings exactly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b[id_col]:
+                i = int(i)
+                n = 64 + i % 64
+                idx = np.arange(n, dtype=np.int64)
+                s = ((i * 31 + idx * 17) % 2048) - 1024
+                rows.append(_wav_encode(s, sample_rate))
+            yield pd.DataFrame({"doc_id": b[id_col].astype("int64"),
+                                "payload": rows})
+
+    return df.select(id_col).mapInPandas(kernel, "doc_id long, payload binary")
+
+
+def wav_meta(df: DataFrame) -> DataFrame:
+    """payload -> (doc_id, channels, sample_rate, bits, n_samples)
+    via the REAL RIFF chunk walk (no stub)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "channels": [], "sample_rate": [],
+                   "bits": [], "n_samples": []}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                ch, rate, bits, s = _wav_parse(p)
+                out["doc_id"].append(int(doc_id))
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["bits"].append(bits)
+                out["n_samples"].append(int(s.size))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, WAV_META_SCHEMA)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """payload -> (doc_id, rms, zero_crossings, mean_abs) — the audio
+    triage a multimodal ingest runs (silence / clipping / energy):
+    REAL PCM math over the decoded samples; 6dp half-up rounding
+    shared with the SQL oracle."""
+
+    def half_up6(x: float) -> float:
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "rms": [], "zero_crossings": [],
+                   "mean_abs": []}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                _, _, _, s = _wav_parse(p)
+                f = s.astype(np.float64)
+                zc = int(np.count_nonzero(np.signbit(f[1:])
+                                          != np.signbit(f[:-1])))
+                out["doc_id"].append(int(doc_id))
+                out["rms"].append(half_up6(float(np.sqrt(np.mean(f * f)))))
+                out["zero_crossings"].append(zc)
+                out["mean_abs"].append(half_up6(float(np.abs(f).mean())))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, WAV_FEAT_SCHEMA)

@@ -700,6 +700,38 @@ SELECT doc_id,
 FROM d"""
 
 
+def wav_meta_sql() -> str:
+    """Oracle for attach_wav_payload |> wav_meta: generator formulas
+    state what the engine's real RIFF chunk walk must recover."""
+    return f"""
+SELECT doc_id, CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits,
+       CAST(64 + doc_id % 64 AS BIGINT) AS n_samples
+FROM {DOCS}"""
+
+
+def wav_features_sql() -> str:
+    """Oracle for wav_features: sample[i] = ((id*31 + i*17) % 2048)
+    - 1024 — integer waveform, exact RMS / zero-crossing / mean-abs;
+    the shared half-up 6dp device."""
+    return f"""
+WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM {DOCS}),
+l AS (SELECT doc_id, n,
+        list_transform(generate_series(0, n - 1),
+          i -> CAST(((doc_id * 31 + i * 17) % 2048) - 1024 AS DOUBLE))
+        AS s
+      FROM d)
+SELECT doc_id,
+  floor(sqrt(list_sum(list_transform(s, x -> x * x)) / n) * 1e6 + 0.5)
+    / 1e6 AS rms,
+  CAST(list_sum(list_transform(generate_series(1, n - 1),
+    i -> CASE WHEN (s[i + 1] < 0) <> (s[i] < 0) THEN 1 ELSE 0 END))
+    AS BIGINT) AS zero_crossings,
+  floor(list_sum(list_transform(s, x -> abs(x))) / n * 1e6 + 0.5)
+    / 1e6 AS mean_abs
+FROM l"""
+
+
 def ts_date_facet_sql(unit: str = "day") -> str:
     return f"""
 SELECT strftime(date_trunc('{unit}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
