@@ -1059,6 +1059,17 @@ def q_mm_pgm_features(spark, sf_dir):
     )
 
 
+def q_mm_stream_frames(spark, sf_dir):
+    """REAL frame sampling (no stub): multi-frame concatenated-P5
+    streams are generated, then the engine WALKS the container frame
+    by frame (each frame's length from its own parsed header) and
+    samples every 2nd frame."""
+    from katta_spark.ops import multimodal as mm
+
+    return mm.pgm_stream_sample(
+        mm.attach_pgm_stream(_docs(spark, sf_dir)), every=2)
+
+
 def q_mm_wav_meta(spark, sf_dir):
     """REAL audio decode (no stub): deterministic PCM WAV payloads
     generated per doc, parsed BACK by a real RIFF chunk walker."""
@@ -2605,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pgm_features": q_mm_pgm_features,
         "mm_wav_meta": q_mm_wav_meta,
         "mm_wav_features": q_mm_wav_features,
+        "mm_stream_frames": q_mm_stream_frames,
         "mm_byte_stats": q_mm_byte_stats,
         "mm_frame_sample": q_mm_frame_sample,
         # --- time-series ops over the events table ---
@@ -3048,6 +3060,7 @@ FROM (SELECT * FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10)""",
         "mm_pgm_features": OO.pgm_features_sql(),
         "mm_wav_meta": OO.wav_meta_sql(),
         "mm_wav_features": OO.wav_features_sql(),
+        "mm_stream_frames": OO.pgm_stream_sql(every=2),
         "mm_byte_stats": OO.mm_byte_stats_sql(),
         "mm_frame_sample": OO.mm_frames_sql(every=4, max_frames=3),
         "ts_date_facet": OO.ts_date_facet_sql("day"),

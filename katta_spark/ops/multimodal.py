@@ -207,14 +207,16 @@ def _pgm_encode(w: int, h: int, raster: np.ndarray) -> bytes:
     return f"P5\n{w} {h}\n255\n".encode() + raster.astype(np.uint8).tobytes()
 
 
-def _pgm_parse(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """(width, height, maxval, raster[h, w]) — a real P5 parser:
-    magic, whitespace-separated header tokens, ``#`` comments,
-    single whitespace byte before the raster."""
-    buf = bytes(payload)
-    if buf[:2] != b"P5":
+def _pgm_parse_at(buf: bytes, pos: int
+                  ) -> tuple[int, int, int, np.ndarray, int]:
+    """(width, height, maxval, raster[h, w], next_pos) — a real P5
+    parser starting at ``pos``: magic, whitespace-separated header
+    tokens, ``#`` comments, single whitespace byte before the raster.
+    ``next_pos`` is the first byte AFTER this image (stream walking
+    never guesses at header length)."""
+    if buf[pos : pos + 2] != b"P5":
         raise ValueError("not a binary PGM (P5) payload")
-    pos, tokens = 2, []
+    pos, tokens = pos + 2, []
     while len(tokens) < 3:
         while pos < len(buf) and buf[pos : pos + 1].isspace():
             pos += 1
@@ -229,7 +231,13 @@ def _pgm_parse(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     pos += 1  # the single whitespace byte separating header and raster
     w, h, maxval = tokens
     raster = np.frombuffer(buf, dtype=np.uint8, count=w * h, offset=pos)
-    return w, h, maxval, raster.reshape(h, w)
+    return w, h, maxval, raster.reshape(h, w), pos + w * h
+
+
+def _pgm_parse(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(width, height, maxval, raster[h, w]) — see _pgm_parse_at."""
+    w, h, maxval, raster, _ = _pgm_parse_at(bytes(payload), 0)
+    return w, h, maxval, raster
 
 
 def attach_pgm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -443,3 +451,74 @@ def wav_features(df: DataFrame) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         kernel, WAV_FEAT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL frame sampling over a concatenated-P5 stream (video analog)
+# ---------------------------------------------------------------------------
+
+STREAM_FRAME_SCHEMA = ("doc_id long, frame_idx int, width int, "
+                       "height int, frame_mean double")
+
+
+def attach_pgm_stream(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) — a REAL multi-frame stream: 2 + id%3
+    binary-PGM frames concatenated back to back (the raw-video shape
+    of a y4m-style container), every frame 16x8, pixel at flat index
+    p of frame f = (id*7 + f*19 + p*13) % 256."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b[id_col]:
+                i = int(i)
+                parts = []
+                p = np.arange(16 * 8, dtype=np.int64)
+                for f in range(2 + i % 3):
+                    raster = ((i * 7 + f * 19 + p * 13) % 256).reshape(8, 16)
+                    parts.append(_pgm_encode(16, 8, raster))
+                rows.append(b"".join(parts))
+            yield pd.DataFrame({"doc_id": b[id_col].astype("int64"),
+                                "payload": rows})
+
+    return df.select(id_col).mapInPandas(kernel, "doc_id long, payload binary")
+
+
+def _pgm_stream_walk(payload: bytes):
+    """Yield (frame_idx, width, height, raster) by really WALKING the
+    concatenated frames: each frame's length comes from ITS OWN
+    parsed header, so frames of different sizes would also walk."""
+    buf = bytes(payload)
+    pos, idx = 0, 0
+    while pos < len(buf):
+        w, h, _, raster, pos = _pgm_parse_at(buf, pos)
+        yield idx, w, h, raster
+        idx += 1
+
+
+def pgm_stream_sample(df: DataFrame, every: int = 2) -> DataFrame:
+    """stream payload -> one row per SAMPLED frame (indices 0, every,
+    2*every, ...): REAL demux of the concatenated-P5 container, each
+    sampled frame summarized by its pixel mean (half-up 6dp) — the
+    frame-sample step of a video ingest, explode-shaped (one input
+    row fans out to its sampled frames)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [],
+                   "height": [], "frame_mean": []}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                for idx, w, h, raster in _pgm_stream_walk(p):
+                    if idx % every:
+                        continue
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    m = float(raster.astype(np.float64).mean())
+                    out["frame_mean"].append(
+                        float(np.floor(m * 1e6 + 0.5) / 1e6))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, STREAM_FRAME_SCHEMA)

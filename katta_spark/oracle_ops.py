@@ -700,6 +700,21 @@ SELECT doc_id,
 FROM d"""
 
 
+def pgm_stream_sql(every: int = 2) -> str:
+    """Oracle for attach_pgm_stream |> pgm_stream_sample: frames
+    0..(2+id%3)-1, sampled every ``every``, 16x8, pixel(f, p) =
+    (id*7 + f*19 + p*13) % 256; half-up 6dp mean."""
+    return f"""
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM {DOCS}),
+fr AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS fi FROM d)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+       floor((SELECT avg((doc_id * 7 + fi * 19 + p.p * 13) % 256)
+              FROM (SELECT unnest(generate_series(0, 127)) AS p) p)
+             * 1e6 + 0.5) / 1e6 AS frame_mean
+FROM fr WHERE fi % {int(every)} = 0"""
+
+
 def wav_meta_sql() -> str:
     """Oracle for attach_wav_payload |> wav_meta: generator formulas
     state what the engine's real RIFF chunk walk must recover."""
