@@ -776,8 +776,9 @@ def _knn_qvec():
 def q_sim_mmr(spark, sf_dir):
     """MMR diversified re-rank over the exact cosine top-30
     shortlist (lam=0.7, k=10) — greedy argmax in one numpy kernel
-    per group.  Iterative; no SQL oracle (rows-only check), exactness
-    vs a python mirror is pytest-pinned."""
+    per group.  Iterative, but k is a constant, so the oracle
+    UNROLLS the greedy into k chained materialized CTE stages
+    (oracle_ops.mmr_sql) — full value-hash check, not rows-only."""
     from katta_spark.ops import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2973,6 +2974,8 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_curate": OO.curate_sql(),
         "text_pmi": OO.pmi_top_sql(20, 5),
         "text_bigram_lm": OO.bigram_lm_sql(20, 1.0, 2),
+        "sim_mmr": OO.mmr_sql(_knn_qvec(), k=10, lam=0.7,
+                              shortlist_n=30),
         "sim_knn_dot": OO.knn_topk_sql(
             [__import__("math").cos(1 + i) for i in range(64)], 10, "dot"
         ),

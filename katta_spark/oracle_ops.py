@@ -1922,6 +1922,65 @@ FROM embeddings
 ORDER BY {order}, vec_id ASC LIMIT {k}"""
 
 
+def mmr_sql(query_vec: list[float], k: int = 10, lam: float = 0.7,
+            shortlist_n: int = 30) -> str:
+    """Oracle for ops.similarity.mmr_rerank over the exact cosine
+    top-``shortlist_n`` shortlist: the greedy argmax UNROLLS into
+    ``k`` chained single-row MATERIALIZED CTE stages (pick r's
+    penalty is the max pairwise cosine against picks 0..r-1, CLAMPED
+    AT ZERO — the engine kernel's maxsim starts at zeros, so a
+    negative similarity never becomes a bonus; pick 0 has no
+    penalty; ties by lowest id) — an iterative algorithm stated
+    declaratively because k is a constant.  Pairwise sims come from
+    one ``shortlist x shortlist`` cross join (bounded 30x30);
+    MATERIALIZED is load-bearing: un-materialized, DuckDB re-inlines
+    each sel stage ~3x per level — exponential re-evaluation."""
+    qs = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    qn = f"sqrt(list_sum(list_transform(CAST({qs} AS DOUBLE[]), x -> x * x)))"
+    dot_q = (f"list_sum(list_transform(generate_series(1, len(v)),"
+             f" i -> v[i] * ({qs})[i]))")
+    ll, inv = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [f"""WITH base AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+nn AS MATERIALIZED (
+  SELECT vec_id, v,
+         CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+              THEN 1.0
+              ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS nv
+  FROM base),
+short AS MATERIALIZED (
+  SELECT vec_id, v, nv, {dot_q} / (nv * {qn}) AS rel
+  FROM nn ORDER BY rel DESC, vec_id ASC LIMIT {int(shortlist_n)}),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_sum(list_transform(generate_series(1, len(a.v)),
+           i -> a.v[i] * b.v[i])) / (a.nv * b.nv) AS sim
+  FROM short a, short b),
+p0 AS MATERIALIZED (SELECT vec_id, rel, {ll} * rel AS score
+       FROM short ORDER BY score DESC, vec_id ASC LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM p0)"""]
+    for r in range(1, int(k)):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT s.vec_id, s.rel,
+         {ll} * s.rel - {inv} * (
+           SELECT greatest(max(sim), 0.0) FROM sims JOIN sel{r}
+             ON sims.ib = sel{r}.vec_id
+           WHERE sims.ia = s.vec_id) AS score
+  FROM short s
+  WHERE s.vec_id NOT IN (SELECT vec_id FROM sel{r})
+  ORDER BY score DESC, s.vec_id ASC LIMIT 1),
+sel{r + 1} AS MATERIALIZED (SELECT vec_id FROM sel{r}
+               UNION ALL SELECT vec_id FROM p{r})""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, vec_id, round(score, 6) AS mmr,"
+        f" round(rel, 6) AS rel FROM p{r}"
+        for r in range(int(k))
+    )
+    return "".join(parts) + f"\n{finals}\nORDER BY rank"
+
+
 def curate_sql(min_quality: float = 0.3, max_dup_line_ratio: float = 0.5,
                max_pii: int = 0) -> str:
     """Oracle for ops.text.curate: the four component oracles
