@@ -633,6 +633,18 @@ def q_phys_most_fields(spark, sf_dir):
     )
 
 
+def q_phys_combined_fields(spark, sf_dir):
+    """ES combined_fields (the term-centric 4th multi_match mode):
+    'table' and 'src1' searched over content + source as ONE virtual
+    field — per-doc tf sums across fields before saturation, df is
+    the union doc-set size."""
+    return _round_score(
+        phys_index(spark, sf_dir).combined_fields_topk(
+            ["table", "src1"], ["content", "source"], k=10
+        )
+    )
+
+
 def q_ft_distance_feature(spark, sf_dir):
     """ES distance_feature over n_chars: BM25 + 2*100/(100+|v-200|)
     — proximity-to-origin boosting over ALL matches."""
@@ -2475,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_common_terms": q_phys_common_terms,
         "ft_cross_fields": q_phys_cross_fields,
         "ft_most_fields": q_phys_most_fields,
+        "ft_combined_fields": q_phys_combined_fields,
         "ft_distance_feature": q_ft_distance_feature,
         "ft_has_parent": q_ft_has_parent,
         "ft_terms_set": q_ft_terms_set,
@@ -2747,6 +2760,9 @@ ORDER BY cnt DESC, source ASC LIMIT 20""",
             ["table", "dup"], k=10, max_df_frac=0.1
         ),
         "ft_most_fields": O.most_fields_sql(
+            ["table", "src1"], ["content", "source"], k=10
+        ),
+        "ft_combined_fields": O.combined_fields_sql(
             ["table", "src1"], ["content", "source"], k=10
         ),
         "ft_distance_feature": O.distance_feature_sql(

@@ -2479,6 +2479,75 @@ class PhysicalIndex:
             .select("doc_id", "score")
         )
 
+    def combined_fields_topk(self, words: list[str], fields: list[str],
+                             k: int = 10) -> DataFrame:
+        """ES ``combined_fields`` — the TERM-CENTRIC multi-field mode
+        (Lucene CombinedFieldQuery / simplified BM25F) completing the
+        four-mode family: the listed fields act as ONE virtual field —
+        per doc a word's term frequencies SUM across fields BEFORE
+        the saturation curve (so five spread-out occurrences saturate
+        like five same-field occurrences, unlike most_fields' sum of
+        per-field scores), and the word's df is the size of the UNION
+        of the variants' doc sets (not a max-blend like cross_fields).
+        dl/avgdl stay the content-field norms (field postings carry
+        the content dl — the same convention the scored-field BM25
+        uses).
+
+        Plan: one term-pruned postings scan decoded to raw
+        (doc, term, tf, dl) rows, a (doc, word) hash agg sums tfs, a
+        tiny per-word countDistinct computes the union df
+        (broadcast back) — two aggs over the pruned rows only, never
+        a corpus scan."""
+        from katta_spark.index.delete import _decode_rows_kernel
+
+        variants: list[str] = []
+        for wd in sorted({w.lower() for w in words}):
+            for f in fields:
+                variants.append(wd if f == "content" else f"{f}:{wd}")
+        rows = (
+            self.postings.filter(F.col("term").isin(variants))
+            .select("term", "block_id", "doc_gaps", "tfs", "dls")
+            .mapInPandas(
+                _decode_rows_kernel(self.stats["block_range"]),
+                "doc_id long, dl long, term string, tf long",
+            )
+            .withColumn("word", F.substring_index("term", ":", -1))
+        )
+        if self.tombstones is not None:
+            rows = rows.join(F.broadcast(self.tombstones), "doc_id",
+                             "left_anti")
+        per_doc = rows.groupBy("doc_id", "word").agg(
+            F.sum("tf").alias("tfc"), F.max("dl").alias("dl")
+        )
+        dfw = rows.groupBy("word").agg(
+            F.countDistinct("doc_id").alias("dfc")
+        )
+        n = float(self.stats["n_docs"])
+        k1, b = self.stats["k1"], self.stats["b"]
+        avgdl = self.stats["avgdl"]
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n) - F.col("dfc") + F.lit(0.5))
+            / (F.col("dfc") + F.lit(0.5))
+        )
+        tfc = F.col("tfc").cast("double")
+        tfn = (tfc * F.lit(k1 + 1.0)) / (
+            tfc + F.lit(k1) * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+            )
+        )
+        scored = (
+            per_doc.join(F.broadcast(dfw), "word")
+            .withColumn("_s", idf * tfn)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+        )
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score")
+        )
+
     def distance_feature_topk(self, qterms: list[str], field: str,
                               origin: float, pivot: float, k: int = 10,
                               boost: float = 1.0, mode: str = "or",

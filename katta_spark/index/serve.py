@@ -316,6 +316,26 @@ class LocalSearcher:
         rows = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:n]
         return [(v, int(c)) for v, c in rows]
 
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """[(term, df)] — autocomplete at node latency: the n
+        highest-df content terms with the prefix, from one
+        row-group-pruned catalog read (the term-sorted files make the
+        startswith range two binary searches over row-group stats).
+        Mirrors PhysicalIndex.suggest (tested)."""
+        p = prefix.lower()
+        pred = (pa_ds.field("term") >= p) & (pa_ds.field("term") < p + "￿")
+        cat = self._terms.to_table(
+            columns=["term", "df"], filter=pred
+        ).to_pandas()
+        keep = cat["term"].str.startswith(p)
+        if ":" not in p:
+            keep &= ~cat["term"].str.contains(":", regex=False)
+        rows = sorted(
+            zip(cat["term"][keep], cat["df"][keep]),
+            key=lambda x: (-int(x[1]), x[0]),
+        )[:n]
+        return [(str(t), int(d)) for t, d in rows]
+
     # ------------------------------------------- Lucene-string front door
 
     def _all_ids(self) -> np.ndarray:

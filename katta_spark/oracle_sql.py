@@ -554,6 +554,54 @@ SELECT doc_id, round(score, 6) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"""
 
 
+def combined_fields_sql(words: list[str], fields: list[str],
+                        k: int = 10) -> str:
+    """Oracle for PhysicalIndex.combined_fields_topk: per (doc,
+    word) tf sums ACROSS fields before the saturation curve; df =
+    |union of the variants' doc sets|; content dl/avgdl norms."""
+    parts = []
+    for w in sorted({x.lower().replace("'", "''") for x in words}):
+        for f in fields:
+            if f == "content":
+                parts.append(
+                    f"SELECT tf.doc_id, '{w}' AS word,"
+                    f" CAST(tf.tf AS BIGINT) AS tf, dl.dl AS dl\n"
+                    f"  FROM tf JOIN dl ON tf.doc_id = dl.doc_id"
+                    f" WHERE tf.term = '{w}'"
+                )
+            else:
+                parts.append(
+                    f"SELECT d.doc_id, '{w}' AS word,"
+                    f" CAST(1 AS BIGINT) AS tf, dl.dl AS dl\n"
+                    f"  FROM {DOCS} d JOIN dl ON d.doc_id = dl.doc_id"
+                    f" WHERE lower(CAST(d.{f} AS VARCHAR)) = '{w}'"
+                )
+    union = "\nUNION ALL\n".join(parts)
+    idf = ("ln(1.0 + (CAST(stats.n_docs AS DOUBLE)"
+           " - CAST(dfw.dfc AS DOUBLE) + 0.5)"
+           " / (CAST(dfw.dfc AS DOUBLE) + 0.5))")
+    tfn = (
+        f"(CAST(pd.tfc AS DOUBLE) * {K1 + 1.0!r})"
+        f" / (CAST(pd.tfc AS DOUBLE) + {K1!r} * ({1.0 - B!r}"
+        f" + {B!r} * CAST(pd.dl AS DOUBLE) / stats.avgdl))"
+    )
+    return f"""{index_ctes()},
+vrows AS (
+{union}
+),
+pd AS (SELECT doc_id, word, sum(tf) AS tfc, max(dl) AS dl
+       FROM vrows GROUP BY doc_id, word),
+dfw AS (SELECT word, count(DISTINCT doc_id) AS dfc
+        FROM vrows GROUP BY word),
+scored AS (
+  SELECT pd.doc_id, sum({idf} * {tfn}) AS score
+  FROM pd JOIN dfw ON pd.word = dfw.word CROSS JOIN stats
+  GROUP BY pd.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"""
+
+
 def distance_feature_sql(terms: list[str], field: str, origin: float,
                          pivot: float, k: int = 10, boost: float = 1.0,
                          mode: str = "or") -> str:

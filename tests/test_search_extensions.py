@@ -1001,3 +1001,47 @@ def test_random_score_deterministic_seeded(pindex, py_oracle):
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
     other = pindex.random_score_topk(terms, seed="s2", k=k).collect()
     assert [r["doc_id"] for r in other] != [r["doc_id"] for r in got]
+
+
+def test_combined_fields_term_centric(spark, tmp_path):
+    """combined_fields vs most_fields on the same corpus: tf sums
+    ACROSS fields before saturation and df is the union doc-set size
+    — python mirror computes both expectations."""
+    import math
+
+    from katta_spark.fulltext.analysis import B, K1
+    from katta_spark.index import PhysicalIndex, build_index
+
+    # 'alpha' is a DOUBLE content token in docs 0-2 and the tag of
+    # docs 2-8 (doc 2 has both: combined tf = 3)
+    rows = []
+    for i in range(12):
+        body = "alpha alpha base" if i < 3 else "base word other"
+        tag = "alpha" if 2 <= i < 9 else "beta"
+        rows.append((i, body, tag))
+    df = spark.createDataFrame(rows, "doc_id long, content string, tag string")
+    d = str(tmp_path / "cf_idx")
+    build_index(spark, df, d, n_groups=2, block_range=64,
+                store_positions=False, field_cols=["tag"])
+    idx = PhysicalIndex(spark, d)
+
+    got = {r["doc_id"]: r["score"]
+           for r in idx.combined_fields_topk(["alpha"], ["content", "tag"],
+                                             k=12).collect()}
+    n, avgdl = 12.0, 3.0
+    union_df = len({0, 1, 2} | set(range(2, 9)))  # 9 docs
+    idf = math.log(1.0 + (n - union_df + 0.5) / (union_df + 0.5))
+    def tfn(tf, dl):
+        return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    want = {}
+    for i in range(12):
+        tfc = (2 if i < 3 else 0) + (1 if 2 <= i < 9 else 0)
+        if tfc:
+            want[i] = idf * tfn(tfc, 3)
+    assert set(got) == set(want)
+    for i, s in want.items():
+        assert got[i] == pytest.approx(s, abs=1e-9), i
+    # term-centric saturation: doc 2 (tf 2+1) must outrank docs 0-1
+    # (tf 2) and docs 3-8 (tf 1), but by LESS than a linear sum would
+    assert got[2] > got[0] > got[3]
+    assert got[2] - got[0] < got[0] - got[3]

@@ -143,3 +143,10 @@ def test_serve_facet_matches_spark(pindex, lsearch):
                 for r in pindex.facet(terms, "lang", n=5, mode=mode).collect()]
         got = lsearch.facet(terms, "lang", n=5, mode=mode)
         assert got == want, (terms, mode)
+
+
+def test_serve_suggest_matches_spark(pindex, lsearch):
+    for prefix in ("s", "imp", "zzz"):
+        want = [(r["term"], r["df"])
+                for r in pindex.suggest(prefix, n=8).collect()]
+        assert lsearch.suggest(prefix, n=8) == want, prefix
