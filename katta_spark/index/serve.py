@@ -196,6 +196,20 @@ class LocalSearcher:
         self._terms = pa_ds.dataset(str(root / "terms"))
         self._tomb = self._load_tombstones(root)
 
+    def refresh(self) -> "LocalSearcher":
+        """Searcher REOPEN (Katta's IndexUpdateListener →
+        DefaultSearcherFactory.reopenIndex, LuceneServer.java:362-369):
+        a LocalSearcher binds the dataset listing, stats and
+        tombstones seen at open; after a new commit, delete, or
+        compaction, refresh() re-opens them so the new state becomes
+        visible (tested).  NOTE: unlike a true Lucene point-in-time
+        reader, an un-refreshed handle is not guaranteed to keep
+        serving the old snapshot after a commit — the terms catalog
+        is rewritten in place, so catalog-dependent queries may fail
+        until refresh (the same staleness rule as the Spark tier)."""
+        self.__init__(self.index_dir)
+        return self
+
     @staticmethod
     def _load_tombstones(root: Path) -> np.ndarray | None:
         from katta_spark.index.delete import tombstone_dir

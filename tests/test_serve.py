@@ -150,3 +150,33 @@ def test_serve_suggest_matches_spark(pindex, lsearch):
         want = [(r["term"], r["df"])
                 for r in pindex.suggest(prefix, n=8).collect()]
         assert lsearch.suggest(prefix, n=8) == want, prefix
+
+
+def test_serve_refresh_sees_new_commit_and_deletes(spark, tmp_path):
+    """Searcher reopen (reopenIndex parity): refresh() makes a new
+    commit and fresh tombstones visible to the node tier."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index import build_index
+    from katta_spark.index.delete import delete_docs
+
+    d = str(tmp_path / "rf_idx")
+    full = with_ingest_columns(synthetic_corpus(spark, 400))
+    build_index(spark, full.filter(F.col("doc_id") < 300), d,
+                n_groups=2, block_range=64)
+    srv = LocalSearcher(d)
+    n1 = srv.count(["import"])
+
+    build_index(spark,
+                full.filter(F.col("doc_id") >= 300)
+                .withColumn("doc_id", F.col("doc_id") - 300),
+                d, n_groups=2, block_range=64, commit="c2")
+    n2 = srv.refresh().count(["import"])
+    assert n2 > n1
+
+    victims = [doc for doc, _ in srv.topk(["import"], k=2)]
+    delete_docs(spark, d, victims)
+    assert srv.refresh().count(["import"]) == n2 - 2
+    assert not set(victims) & {
+        doc for doc, _ in srv.topk(["import"], k=5)}
