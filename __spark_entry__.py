@@ -746,6 +746,21 @@ def q_text_paragraph_dedup(spark, sf_dir):
         _docs(spark, sf_dir), text_col="text", min_chars=30)
 
 
+def q_text_scrub_invisible(spark, sf_dir):
+    """Invisible-character scrub (zero-width / bidi Trojan-Source /
+    C0 controls): a zero-width space + RLO are deterministically
+    injected for doc_id%3=0, then stripped — n_removed audits the
+    injection exactly."""
+    dirty = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("\u200b\u202e"), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return text.scrub_invisible(dirty, text_col="text")
+
+
 def q_text_clean(spark, sf_dir):
     """Boilerplate scrub: tag-strip + whitespace-collapse, per doc."""
     return text.clean_text(_docs(spark, sf_dir), text_col="text")
@@ -2577,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_clean": q_text_clean,
         "text_paragraph_dedup": q_text_paragraph_dedup,
+        "text_scrub_invisible": q_text_scrub_invisible,
         "text_repetition": q_text_repetition,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_bpe_pairs": q_text_bpe_pairs,
@@ -2979,6 +2995,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_quality": OO.quality_sql(),
         "text_clean": OO.clean_text_sql(),
         "text_paragraph_dedup": OO.paragraph_dedup_sql(min_chars=30),
+        "text_scrub_invisible": OO.scrub_invisible_sql(),
         "text_repetition": OO.repetition_sql(),
         "text_bpe_tokens": OO.bpe_tokens_sql(),
         "text_bpe_pairs": O.bpe_pairs_sql(20),

@@ -959,3 +959,29 @@ def paragraph_dedup(corpus: DataFrame, text_col: str = "content",
     return kept.groupBy(id_col).agg(
         F.array_join(ordered, sep).alias(text_col)
     )
+
+
+INVISIBLE_CLASS = (
+    "[\u200b-\u200f\u202a-\u202e\u2060-\u2064\ufeff"
+    "\u0000-\u0008\u000b\u000c\u000e-\u001f]"
+)
+
+
+def scrub_invisible(corpus: DataFrame, text_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text, n_removed) — strip INVISIBLE characters:
+    zero-width space/joiner family, bidi control characters (the
+    Trojan-Source vector in code corpora), word-joiner block, BOM,
+    and C0 controls except tab/newline/CR.  ``n_removed`` is the
+    per-doc count of stripped characters (the audit signal — a spike
+    flags an adversarial or mojibake source).
+
+    Scale shape: one JVM regexp_replace + two length() calls — pure
+    narrow column algebra, no Python, no shuffle."""
+    cleaned = F.regexp_replace(F.col(text_col), INVISIBLE_CLASS, "")
+    return corpus.select(
+        F.col(id_col),
+        cleaned.alias(text_col),
+        (F.length(F.col(text_col)) - F.length(cleaned))
+        .cast("int").alias("n_removed"),
+    )

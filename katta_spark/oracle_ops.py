@@ -994,6 +994,27 @@ top AS (SELECT doc_id, {best} AS best, * FROM hits)
 SELECT doc_id, {case} AS lang_pred, CAST(best AS BIGINT) AS lang_hits FROM top"""
 
 
+def scrub_invisible_sql() -> str:
+    """Oracle for ops.text.scrub_invisible over a deterministically
+    dirtied corpus (zero-width space + RLO injected for doc_id%3=0):
+    the same character class in RE2 \\x{...} syntax."""
+    cls = (r"[\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}-\x{2064}"
+           r"\x{FEFF}\x{0000}-\x{0008}\x{000B}\x{000C}"
+           r"\x{000E}-\x{001F}]")
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(8203) || chr(8238) || text ELSE text END AS text
+  FROM {DOCS})
+SELECT doc_id,
+       regexp_replace(text, '{cls}', '', 'g') AS text,
+       CAST(length(text)
+            - length(regexp_replace(text, '{cls}', '', 'g')) AS INT)
+         AS n_removed
+FROM dirty"""
+
+
 def pii_scrub_sql() -> str:
     """Mirror of ops.text.pii_scrub: sequential redaction, each
     class counted on the text as of its turn (overlaps never double

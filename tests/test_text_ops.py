@@ -506,3 +506,19 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert out[1] == f"{header}\nunique one line that is long enough\n{{}}"
     assert out[2] == "another unique long line here okay\n{}"
     assert out[3] == "short"  # header cut, short line kept
+
+
+def test_scrub_invisible_strips_and_counts(spark):
+    from katta_spark.ops.text import scrub_invisible
+
+    rows = [
+        (1, "plain text"),
+        (2, "a​b‮c﻿"),        # zero-width, RLO, BOM
+        (3, "tab\tand\nnewline kept\x07"),   # bell stripped, \t\n kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    out = {r["doc_id"]: (r["content"], r["n_removed"])
+           for r in scrub_invisible(df).collect()}
+    assert out[1] == ("plain text", 0)
+    assert out[2] == ("abc", 3)
+    assert out[3] == ("tab\tand\nnewline kept", 1)
