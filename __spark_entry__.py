@@ -746,6 +746,15 @@ def q_text_paragraph_dedup(spark, sf_dir):
         _docs(spark, sf_dir), text_col="text", min_chars=30)
 
 
+def q_src_warc_roundtrip(spark, sf_dir):
+    """WARC source (Common Crawl's format): one REAL WARC/1.0 record
+    is built per doc, then the record walker parses the bytes back —
+    headers, Content-Length-delimited payload, utf-8 octets."""
+    from katta_spark.sources import attach_warc_payload, parse_warc_records
+
+    return parse_warc_records(attach_warc_payload(_docs(spark, sf_dir)))
+
+
 def q_text_scrub_invisible(spark, sf_dir):
     """Invisible-character scrub (zero-width / bidi Trojan-Source /
     C0 controls): a zero-width space + RLO are deterministically
@@ -2593,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "text_paragraph_dedup": q_text_paragraph_dedup,
         "text_scrub_invisible": q_text_scrub_invisible,
+        "src_warc_roundtrip": q_src_warc_roundtrip,
         "text_repetition": q_text_repetition,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_bpe_pairs": q_text_bpe_pairs,
@@ -2996,6 +3006,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "text_clean": OO.clean_text_sql(),
         "text_paragraph_dedup": OO.paragraph_dedup_sql(min_chars=30),
         "text_scrub_invisible": OO.scrub_invisible_sql(),
+        "src_warc_roundtrip": OO.warc_roundtrip_sql(),
         "text_repetition": OO.repetition_sql(),
         "text_bpe_tokens": OO.bpe_tokens_sql(),
         "text_bpe_pairs": O.bpe_pairs_sql(20),

@@ -994,6 +994,18 @@ top AS (SELECT doc_id, {best} AS best, * FROM hits)
 SELECT doc_id, {case} AS lang_pred, CAST(best AS BIGINT) AS lang_hits FROM top"""
 
 
+def warc_roundtrip_sql() -> str:
+    """Oracle for sources.warc attach->parse: generator formulas
+    state what the real record walk must recover; content_length is
+    the utf-8 OCTET length."""
+    return f"""
+SELECT doc_id, 'response' AS warc_type,
+       'https://example.org/doc/' || doc_id AS target_uri,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       text AS payload_text
+FROM {DOCS}"""
+
+
 def scrub_invisible_sql() -> str:
     """Oracle for ops.text.scrub_invisible over a deterministically
     dirtied corpus (zero-width space + RLO injected for doc_id%3=0):
