@@ -18,7 +18,7 @@ scale md5 stays JVM-side (no Python in the hot path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from katta_spark.tokenizer import tokens_array

@@ -23,7 +23,6 @@ use the output-shard key as ``group_col``.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
