@@ -185,7 +185,8 @@ class LocalSearcher:
     same kernels with the same global stats.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str,
+                 commits: list[str] | None = None):
         root = Path(index_dir)
         self.index_dir = index_dir
         self.stats = json.loads((root / "stats.json").read_text())
@@ -195,6 +196,44 @@ class LocalSearcher:
         self._docs = pa_ds.dataset(str(root / "docs"), partitioning="hive")
         self._terms = pa_ds.dataset(str(root / "terms"))
         self._tomb = self._load_tombstones(root)
+        self._commits = sorted(set(commits)) if commits else None
+        if self._commits:
+            self._snapshot(root)
+
+    def _snapshot(self, root: Path) -> None:
+        """Point-in-time read pinned to ``commits`` (the node-tier
+        mirror of PhysicalIndex(commits=...)): datasets restrict to
+        the commit partitions, the term catalog is recomputed from
+        the PINNED postings at query time (the global terms parquet
+        spans all commits), stats come from the manifest's per-group
+        lineage, and tombstones are ignored — a snapshot predates
+        later deletes, same rule as the Spark tier."""
+        from katta_spark.index.build import load_manifest
+
+        known = set(self.stats.get("commits") or [])
+        missing = [c for c in self._commits if c not in known]
+        if missing:
+            raise ValueError(
+                f"unknown commit(s) {missing}; index has {sorted(known)}"
+            )
+        cf = pa_ds.field("commit").isin(self._commits)
+        self._postings = self._postings.filter(cf)
+        self._docs = self._docs.filter(cf)
+        self._tomb = None
+        rows = [m for m in load_manifest(self.index_dir)
+                if m.get("status") == "done"
+                and m.get("commit") in set(self._commits)]
+        if rows and all("sdl_group" in m for m in rows):
+            n = sum(int(m["n_docs_group"]) for m in rows)
+            sdl = sum(int(m["sdl_group"]) for m in rows)
+        else:  # pre-sdl_group manifest: one column-pruned read
+            t = self._docs.to_table(columns=["dl"])
+            n = t.num_rows
+            sdl = int(pd.Series(t["dl"].to_numpy()).fillna(0).sum())
+        self.stats = dict(
+            self.stats, n_docs=n, avgdl=(sdl / n if n else 0.0),
+            commits=self._commits,
+        )
 
     def refresh(self) -> "LocalSearcher":
         """Searcher REOPEN (Katta's IndexUpdateListener →
@@ -206,8 +245,9 @@ class LocalSearcher:
         reader, an un-refreshed handle is not guaranteed to keep
         serving the old snapshot after a commit — the terms catalog
         is rewritten in place, so catalog-dependent queries may fail
-        until refresh (the same staleness rule as the Spark tier)."""
-        self.__init__(self.index_dir)
+        until refresh (the same staleness rule as the Spark tier).
+        A commit-pinned handle re-pins to the SAME commits."""
+        self.__init__(self.index_dir, self._commits)
         return self
 
     @staticmethod
@@ -231,12 +271,22 @@ class LocalSearcher:
         if not terms:
             return pd.DataFrame(columns=_BLOCK_COLS + ["df"])
         pred = pa_ds.field("term").isin(terms)
+        cols = _BLOCK_COLS + (["n"] if self._commits else [])
         pdf = self._postings.to_table(
-            columns=_BLOCK_COLS, filter=pred
+            columns=cols, filter=pred
         ).to_pandas()
-        cat = self._terms.to_table(
-            columns=["term", "df"], filter=pred
-        ).to_pandas()
+        if self._commits:
+            # snapshot df: the global terms parquet spans ALL commits,
+            # so the pinned catalog is the sum of the pinned blocks'
+            # per-block doc counts (exactly the Spark tier's rule)
+            cat = pdf.groupby("term", as_index=False)["n"].sum().rename(
+                columns={"n": "df"}
+            )
+            pdf = pdf.drop(columns=["n"])
+        else:
+            cat = self._terms.to_table(
+                columns=["term", "df"], filter=pred
+            ).to_pandas()
         out = pdf.merge(cat, on="term")
         return out.sort_values(["block_id", "term"],
                                kind="mergesort", ignore_index=True)
@@ -336,6 +386,11 @@ class LocalSearcher:
         row-group-pruned catalog read (the term-sorted files make the
         startswith range two binary searches over row-group stats).
         Mirrors PhysicalIndex.suggest (tested)."""
+        if self._commits:
+            raise ValueError(
+                "suggest needs the live catalog; commit-pinned handles "
+                "serve term-list queries only"
+            )
         p = prefix.lower()
         pred = (pa_ds.field("term") >= p) & (pa_ds.field("term") < p + "￿")
         cat = self._terms.to_table(
@@ -365,7 +420,17 @@ class LocalSearcher:
     def _catalog(self) -> pd.DataFrame:
         """(term, df) catalog, cached — the multi-term expansion
         dictionary (FuzzyQuery/Wildcard rewrite runs here, one row
-        per distinct term, never over postings)."""
+        per distinct term, never over postings).  Refuses on a
+        commit-pinned handle: the global terms parquet spans ALL
+        commits, so its dfs would silently leak post-snapshot state
+        into expansion scoring (term queries recompute the pinned df
+        from the pruned blocks instead — see _blocks)."""
+        if self._commits:
+            raise ValueError(
+                "catalog expansion (query strings / suggest) needs the "
+                "live catalog; commit-pinned handles serve term-list "
+                "queries (topk/count/facet/fetch) only"
+            )
         if getattr(self, "_catalog_cache", None) is None:
             self._catalog_cache = self._terms.to_table(
                 columns=["term", "df"]

@@ -180,3 +180,42 @@ def test_serve_refresh_sees_new_commit_and_deletes(spark, tmp_path):
     assert srv.refresh().count(["import"]) == n2 - 2
     assert not set(victims) & {
         doc for doc, _ in srv.topk(["import"], k=5)}
+
+
+def test_serve_commit_pinned_snapshot(spark, tmp_path):
+    """Point-in-time read at the node tier: a handle pinned to the
+    first commit rank-matches the commit-pinned Spark handle and
+    never sees the second commit."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index import PhysicalIndex, build_index
+
+    d = str(tmp_path / "pit_idx")
+    full = with_ingest_columns(synthetic_corpus(spark, 400))
+    build_index(spark, full.filter(F.col("doc_id") < 250), d,
+                n_groups=2, block_range=64, commit="c1")
+    build_index(spark,
+                full.filter(F.col("doc_id") >= 250)
+                .withColumn("doc_id", F.col("doc_id") - 250),
+                d, n_groups=2, block_range=64, commit="c2")
+
+    pinned = LocalSearcher(d, commits=["c1"])
+    spark_pinned = PhysicalIndex(spark, d, commits=["c1"])
+    assert pinned.stats["n_docs"] == spark_pinned.stats["n_docs"] == 250
+    for terms, mode in [(["import"], "or"), (["scan", "merge"], "and")]:
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in spark_pinned.topk(terms, k=10, mode=mode).collect()]
+        got = [(doc, round(s, 9))
+               for doc, s in pinned.topk(terms, k=10, mode=mode)]
+        assert got == want, (terms, mode)
+        assert pinned.count(terms, mode) == spark_pinned.count(
+            terms, mode).first()["n_hits"]
+    # the pinned snapshot is smaller than the live view
+    live = LocalSearcher(d)
+    assert pinned.count(["import"]) < live.count(["import"])
+    # refresh re-pins to the same commits
+    assert pinned.refresh().stats["commits"] == ["c1"]
+    # unknown commit rejected
+    with pytest.raises(ValueError):
+        LocalSearcher(d, commits=["nope"])
