@@ -914,6 +914,27 @@ def _shard_topk_task(payload: tuple) -> tuple[np.ndarray, np.ndarray]:
     return ids, sc
 
 
+def _shard_facet_task(payload: tuple) -> list[tuple[object, int]]:
+    """Per-shard FULL value histogram over the match set — runs
+    inside a worker process; local doc ids suffice (values, not ids,
+    travel back)."""
+    d, _off, p = payload
+    s = _shard_handle(d)
+    ids, _, nt = _exhaustive_scan(
+        _shard_blocks_for(s, 0, p["terms"], p["cat"], p["block_range"]),
+        p["n_docs"], p["avgdl"], p["k1"], p["b"], p["block_range"])
+    if s._tomb is not None and ids.size:
+        keep = ~np.isin(ids, s._tomb)
+        ids, nt = ids[keep], nt[keep]
+    if p["mode"] == "and" and len(p["terms"]) > 1:
+        ids = ids[nt == len(p["terms"])]
+    ids = np.sort(ids)
+    tbl = s._docs.to_table(columns=["doc_id", p["field"]]).to_pandas()
+    hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+    vals = tbl[p["field"]][hit].dropna()
+    return [(v, int(c)) for v, c in vals.value_counts().items()]
+
+
 def _shard_count_task(payload: tuple) -> int:
     """Per-shard live-match count — runs inside a worker process."""
     d, off, p = payload
@@ -1085,6 +1106,29 @@ class ShardedSearcher:
             _shard_count_task,
             self._payloads(terms, cat, {"mode": mode}),
         ))
+
+    def facet(self, qterms: list[str], field: str, n: int = 10,
+              mode: str = "or") -> list[tuple[object, int]]:
+        """Scatter-gather value facet: per-shard FULL value counts
+        merged by summation (shards own disjoint doc sets), then one
+        global top-n cut — EXACT by construction.  The reference
+        family's distributed-facet pitfall (per-shard top-n
+        truncation undercounting values that are mid-ranked
+        everywhere, which Solr patches with a refinement round-trip)
+        cannot occur because shards return their whole bounded value
+        histogram, not a truncated page."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        cat = self._merged_cat(terms)
+        counts = self._scatter(
+            _shard_facet_task,
+            self._payloads(terms, cat, {"mode": mode, "field": field}),
+        )
+        total: dict = {}
+        for c in counts:
+            for v, k in c:
+                total[v] = total.get(v, 0) + k
+        rows = sorted(total.items(), key=lambda x: (-x[1], x[0]))[:n]
+        return [(v, int(c)) for v, c in rows]
 
     def fetch(self, doc_ids: list[int],
               fields: list[str]) -> pd.DataFrame:

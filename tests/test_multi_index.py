@@ -254,3 +254,19 @@ def test_sharded_searcher_scatter_gather(spark, split_dirs):
     }
     for row in det.itertuples(index=False):
         assert (row.lang, row.path) == spark_det[row.doc_id]
+
+
+def test_sharded_facet_exact_merge(spark, split_dirs):
+    """Scatter-gather facet merge is EXACT (full per-shard histograms
+    summed) — equals the union-built index's facet."""
+    from katta_spark.index.serve import ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union = PhysicalIndex(spark, du)
+    for terms, mode in [(["import"], "or"), (["scan", "merge"], "and")]:
+        want = [(r["lang"], r["cnt"]) for r in
+                union.facet(terms, "lang", n=7, mode=mode).collect()]
+        assert sh.facet(terms, "lang", n=7, mode=mode) == want, (terms,
+                                                                 mode)
+    sh.close()
