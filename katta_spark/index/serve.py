@@ -1130,6 +1130,39 @@ class ShardedSearcher:
         rows = sorted(total.items(), key=lambda x: (-x[1], x[0]))[:n]
         return [(v, int(c)) for v, c in rows]
 
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Scatter-gather autocomplete: per-shard prefix slices of
+        the term catalogs (threaded — pure pyarrow scans), dfs summed
+        per term (disjoint doc sets), one global (df desc, term asc)
+        cut — identical to the union index's suggest (tested)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        p = prefix.lower()
+        pred = (pa_ds.field("term") >= p) & (pa_ds.field("term") < p + "￿")
+
+        def one(s: LocalSearcher) -> pd.DataFrame:
+            return s._terms.to_table(
+                columns=["term", "df"], filter=pred
+            ).to_pandas()
+
+        if len(self.shards) == 1:
+            cats = [one(self.shards[0])]
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(len(self.shards), 32)
+            ) as ex:
+                cats = list(ex.map(one, self.shards))
+        cat = pd.concat(cats)
+        keep = cat["term"].str.startswith(p)
+        if ":" not in p:
+            keep &= ~cat["term"].str.contains(":", regex=False)
+        merged = cat[keep].groupby("term", as_index=False)["df"].sum()
+        rows = sorted(
+            zip(merged["term"], merged["df"]),
+            key=lambda x: (-int(x[1]), x[0]),
+        )[:n]
+        return [(str(t), int(d)) for t, d in rows]
+
     def fetch(self, doc_ids: list[int],
               fields: list[str]) -> pd.DataFrame:
         """Stored-field lookup routing each namespaced id back to its

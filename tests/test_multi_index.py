@@ -270,3 +270,18 @@ def test_sharded_facet_exact_merge(spark, split_dirs):
         assert sh.facet(terms, "lang", n=7, mode=mode) == want, (terms,
                                                                  mode)
     sh.close()
+
+
+def test_sharded_suggest_merged(spark, split_dirs):
+    """Scatter-gather autocomplete equals the union index's suggest
+    (dfs summed across shards)."""
+    from katta_spark.index.serve import ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union = PhysicalIndex(spark, du)
+    for prefix in ("s", "imp", "zzz"):
+        want = [(r["term"], r["df"])
+                for r in union.suggest(prefix, n=8).collect()]
+        assert sh.suggest(prefix, n=8) == want, prefix
+    sh.close()
