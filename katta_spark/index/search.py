@@ -2569,8 +2569,15 @@ class PhysicalIndex:
         if fd is not None:
             scored = scored.join(fd, "doc_id", "left_semi")
         dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
-        feat = (F.lit(float(boost)) * F.lit(float(pivot))
-                / (F.lit(float(pivot)) + dist))
+        # a NULL field keeps plain BM25 (ES's additive
+        # distance_feature leaves base relevance intact for docs
+        # missing the field) — without the coalesce the NULL would
+        # poison score itself and sink the doc to the bottom
+        feat = F.coalesce(
+            F.lit(float(boost)) * F.lit(float(pivot))
+            / (F.lit(float(pivot)) + dist),
+            F.lit(0.0),
+        )
         out = (
             scored.join(self.docs.select("doc_id", field), "doc_id")
             .withColumn("feat_score", feat)

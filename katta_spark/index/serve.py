@@ -49,6 +49,25 @@ _POS_COLS = _BLOCK_COLS + ["pos_lens", "pos_deltas"]
 Res = tuple[np.ndarray, np.ndarray]  # (sorted unique doc_ids, scores)
 
 
+def _wc_regex(pattern: str):
+    """Lucene wildcard -> anchored regex translating ONLY ``*`` and
+    ``?`` (every other character is escaped) — the exact semantics of
+    the Spark tier's LIKE mapping (luceval._like_pattern maps */? to
+    %/_ and leaves ``[`` literal).  fnmatch.translate would
+    additionally honor [seq] character classes, so a pattern like
+    ``te[xs]t`` would match different docs on the two tiers."""
+    import re
+
+    body = "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pattern
+    )
+    # inline (?s) + \Z so the SAME semantics survive when only the
+    # .pattern string is handed to pandas str.match (stored-field
+    # path): full anchored match, '.' crossing newlines like LIKE '%'
+    return re.compile(f"(?s)^(?:{body})\\Z")
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Classic edit distance — the SAME metric the cluster tier's
     F.levenshtein uses (not Damerau), so fuzzy expansion sets match."""
@@ -196,6 +215,12 @@ class LocalSearcher:
         self._docs = pa_ds.dataset(str(root / "docs"), partitioning="hive")
         self._terms = pa_ds.dataset(str(root / "terms"))
         self._tomb = self._load_tombstones(root)
+        # lazy caches MUST reset here so refresh() (which re-runs
+        # __init__) invalidates them — a handle that answered '*:*'
+        # or a wildcard before a delete+commit would otherwise keep
+        # serving the pre-refresh doc set / term catalog forever
+        self._all_ids_cache: np.ndarray | None = None
+        self._catalog_cache: pd.DataFrame | None = None
         self._commits = sorted(set(commits)) if commits else None
         if self._commits:
             self._snapshot(root)
@@ -718,11 +743,8 @@ class _LocalEval:
         return ids[order], scores[order]
 
     def _eval_wildcard(self, w) -> Res:
-        import fnmatch
-        import re
-
+        rx = _wc_regex(w.pattern)
         if w.field is None or w.field in self.fields:
-            rx = re.compile(fnmatch.translate(w.pattern))
             fld = None if w.field is None else w.field
             return self._boost(
                 self._expand_catalog(fld, lambda s: bool(rx.match(s))),
@@ -730,9 +752,6 @@ class _LocalEval:
             )
         if not self._has_col(w.field):
             return _empty_res()
-        import fnmatch as _fn
-
-        rx = re.compile(_fn.translate(w.pattern))
         ids = self.srv.stored_filter(
             w.field,
             lambda c, v: c.astype(str).str.lower().str.match(v),
@@ -1006,6 +1025,21 @@ class ShardedSearcher:
         if getattr(self, "_pool", None) is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None
+
+    def refresh(self) -> "ShardedSearcher":
+        """Reopen every shard AND restart the scatter pool: forked
+        workers cache a LocalSearcher per directory for the life of
+        the pool (the staleness rule LocalSearcher.refresh documents),
+        so after a new commit, delete, or compaction the pool must be
+        recreated for scattered queries to see the new state.  The
+        parent's inline-path cache entries are dropped too (forked
+        children inherit the parent's module globals)."""
+        dirs = [s.index_dir for s in self.shards]
+        self.close()
+        for d in dirs:
+            _SHARD_CACHE.pop(d, None)
+        self.__init__(dirs)
+        return self
 
     def __del__(self):  # pragma: no cover - GC timing
         try:

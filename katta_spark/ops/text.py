@@ -962,7 +962,7 @@ def paragraph_dedup(corpus: DataFrame, text_col: str = "content",
 
 
 INVISIBLE_CLASS = (
-    "[\u200b-\u200f\u202a-\u202e\u2060-\u2064\ufeff"
+    "[\u200b-\u200f\u202a-\u202e\u2060-\u2064\u2066-\u2069\ufeff"
     "\u0000-\u0008\u000b\u000c\u000e-\u001f]"
 )
 

@@ -1011,7 +1011,7 @@ def scrub_invisible_sql() -> str:
     dirtied corpus (zero-width space + RLO injected for doc_id%3=0):
     the same character class in RE2 \\x{...} syntax."""
     cls = (r"[\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}-\x{2064}"
-           r"\x{FEFF}\x{0000}-\x{0008}\x{000B}\x{000C}"
+           r"\x{2066}-\x{2069}\x{FEFF}\x{0000}-\x{0008}\x{000B}\x{000C}"
            r"\x{000E}-\x{001F}]")
     return f"""
 WITH dirty AS (

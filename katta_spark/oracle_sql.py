@@ -613,8 +613,8 @@ def distance_feature_sql(terms: list[str], field: str, origin: float,
         f"HAVING count(*) = {n_terms}" if mode == "and" and n_terms > 1 else ""
     )
     feat = (
-        f"{float(boost)!r} * {float(pivot)!r} / ({float(pivot)!r}"
-        f" + abs(CAST(d.{field} AS DOUBLE) - {float(origin)!r}))"
+        f"coalesce({float(boost)!r} * {float(pivot)!r} / ({float(pivot)!r}"
+        f" + abs(CAST(d.{field} AS DOUBLE) - {float(origin)!r})), 0.0)"
     )
     return f"""{index_ctes()},
 scored AS (

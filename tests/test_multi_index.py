@@ -285,3 +285,38 @@ def test_sharded_suggest_merged(spark, split_dirs):
                 for r in union.suggest(prefix, n=8).collect()]
         assert sh.suggest(prefix, n=8) == want, prefix
     sh.close()
+
+
+def test_sharded_searcher_refresh_restarts_pool(spark, tmp_path):
+    """ShardedSearcher.refresh() drops BOTH staleness layers: the
+    parent handles and the forked workers' per-process LocalSearcher
+    caches (the pool is recreated) — after a delete on one shard,
+    scattered counts/topk see the tombstones."""
+    from katta_spark.index.delete import delete_docs
+    from katta_spark.index.serve import ShardedSearcher
+
+    full = with_ingest_columns(synthetic_corpus(spark, 500))
+    a = full.filter(F.col("doc_id") < 250)
+    b = full.filter(F.col("doc_id") >= 250).withColumn(
+        "doc_id", F.col("doc_id") - 250
+    )
+    da, db = str(tmp_path / "ra"), str(tmp_path / "rb")
+    build_index(spark, a, da, n_groups=2, block_range=BR)
+    build_index(spark, b, db, n_groups=2, block_range=BR)
+
+    sh = ShardedSearcher([da, db])
+    n0 = sh.count(["import"])
+    top0 = sh.topk(["import"], k=4)  # warms the worker caches
+    assert n0 > 0 and top0
+
+    # delete two hits that live on shard B (namespaced ids >= offset)
+    off = sh.offsets[1]
+    victims_ns = [d for d, _ in sh.topk(["import"], k=50) if d >= off][:2]
+    assert len(victims_ns) == 2
+    delete_docs(spark, db, [d - off for d in victims_ns])
+
+    # stale until refresh (documented rule), fresh after
+    sh.refresh()
+    assert sh.count(["import"]) == n0 - 2
+    assert not set(victims_ns) & {d for d, _ in sh.topk(["import"], k=50)}
+    sh.close()

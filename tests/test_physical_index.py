@@ -498,7 +498,7 @@ def test_query_cache_hit_and_invalidation(spark, tmp_path):
     # new commit -> new searcher generation -> key changes
     more = with_ingest_columns(synthetic_corpus(spark, 320)).filter(
         F.col("doc_id") >= 300
-    ).withColumn("doc_id", F.col("doc_id") - 300)
+    ).drop("doc_id", "content_sha256")
     build_index(spark, more, d, n_groups=1, block_range=128,
                 commit="c1")
     idx2 = PhysicalIndex(spark, d)

@@ -1045,3 +1045,39 @@ def test_combined_fields_term_centric(spark, tmp_path):
     # (tf 2) and docs 3-8 (tf 1), but by LESS than a linear sum would
     assert got[2] > got[0] > got[3]
     assert got[2] - got[0] < got[0] - got[3]
+
+
+def test_distance_feature_null_field_keeps_bm25(spark, tmp_path):
+    """A doc MISSING the numeric field keeps its plain BM25 (ES's
+    additive distance_feature never sinks docs without the field) —
+    feat_score coalesces to 0.0 instead of NULL-poisoning the sum."""
+    from katta_spark.corpus import with_ingest_columns
+    from katta_spark.index import PhysicalIndex, build_index
+
+    rows = [
+        ("r", f"p{i}.py", "c0", "python", "import alpha beta",
+         10.0 * i if i != 1 else None)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string, stars double"
+    )
+    d = str(tmp_path / "df_idx")
+    build_index(spark, with_ingest_columns(df), d, n_groups=1,
+                block_range=64)
+    idx = PhysicalIndex(spark, d)
+    got = {r["doc_id"]: (r["score"], r["feat_score"])
+           for r in idx.distance_feature_topk(
+               ["alpha"], "stars", origin=0.0, pivot=10.0, k=10,
+               boost=5.0).collect()}
+    assert len(got) == 4
+    # identical content => identical BM25; doc with stars=0 at the
+    # origin gets the full boost, the NULL doc gets exactly +0
+    feats = {d: f for d, (_, f) in got.items()}
+    base = {d: s - f for d, (s, f) in got.items()}
+    assert len({round(b, 9) for b in base.values()}) == 1
+    null_doc = [d for d, f in feats.items() if f == 0.0]
+    assert len(null_doc) == 1
+    full_boost = [d for d, f in feats.items() if f == 5.0]
+    assert len(full_boost) == 1

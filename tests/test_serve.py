@@ -137,6 +137,30 @@ def test_query_string_fq_and_synonyms(pindex, lsearch):
     assert got == want
 
 
+def test_wildcard_bracket_is_literal_on_both_tiers(pindex, lsearch):
+    """A ``[`` inside a wildcard pattern is a LITERAL character on
+    both tiers (the Spark tier maps only */? to LIKE %/_): the node
+    tier must not honor fnmatch-style [seq] character classes, which
+    would make ``im[px]ort`` match ``import`` locally but nothing on
+    the cluster.  The string parser can't produce such a node (``[``
+    starts a range query), so the AST is built directly."""
+    from katta_spark.fulltext.luceval import LuceneEvaluator
+    from katta_spark.fulltext.qparse import Wildcard
+    from katta_spark.index.serve import _LocalEval
+
+    assert lsearch.count(["import"]) > 0  # the class WOULD have hits
+    for pat in ("im[px]ort", "im[px]or*", "?m[px]ort"):
+        node = Wildcard(pattern=pat, field=None, boost=1.0)
+        want = sorted(
+            (r["doc_id"], round(r["score"], 9))
+            for r in LuceneEvaluator(pindex).eval_query(node).collect()
+        )
+        ids, scores = _LocalEval(lsearch).eval_query(node)
+        got = sorted((int(d), round(float(s), 9))
+                     for d, s in zip(ids, scores))
+        assert got == want == [], pat
+
+
 def test_serve_facet_matches_spark(pindex, lsearch):
     for terms, mode in [(["import"], "or"), (["scan", "merge"], "and")]:
         want = [(r["lang"], r["cnt"])
@@ -167,19 +191,33 @@ def test_serve_refresh_sees_new_commit_and_deletes(spark, tmp_path):
                 n_groups=2, block_range=64)
     srv = LocalSearcher(d)
     n1 = srv.count(["import"])
+    # populate the lazy all-ids + catalog caches the refresh must drop
+    assert len(srv.query("*:*", k=1000)) == 300
+    srv.query("im*", k=5)
 
+    # second commit WITHOUT caller ids: the engine assigns them from
+    # the max(doc_id)+1 watermark (caller-assigned ids are verbatim —
+    # re-using 0..99 here would collide with live docs)
     build_index(spark,
                 full.filter(F.col("doc_id") >= 300)
-                .withColumn("doc_id", F.col("doc_id") - 300),
+                .drop("doc_id", "content_sha256"),
                 d, n_groups=2, block_range=64, commit="c2")
     n2 = srv.refresh().count(["import"])
     assert n2 > n1
+    # MatchAll sees the new commit (all-ids cache invalidated) and
+    # wildcard expansion sees the rewritten catalog
+    assert len(srv.query("*:*", k=1000)) == 400
+    assert srv.query("im*", k=5) == LocalSearcher(d).query("im*", k=5)
 
     victims = [doc for doc, _ in srv.topk(["import"], k=2)]
     delete_docs(spark, d, victims)
     assert srv.refresh().count(["import"]) == n2 - 2
     assert not set(victims) & {
         doc for doc, _ in srv.topk(["import"], k=5)}
+    # tombstoned docs vanish from '*:*' too (stale cache would
+    # resurrect them)
+    assert not set(victims) & {doc for doc, _ in srv.query("*:*", k=1000)}
+    assert len(srv.query("*:*", k=1000)) == 398
 
 
 def test_serve_commit_pinned_snapshot(spark, tmp_path):
@@ -197,7 +235,7 @@ def test_serve_commit_pinned_snapshot(spark, tmp_path):
                 n_groups=2, block_range=64, commit="c1")
     build_index(spark,
                 full.filter(F.col("doc_id") >= 250)
-                .withColumn("doc_id", F.col("doc_id") - 250),
+                .drop("doc_id", "content_sha256"),
                 d, n_groups=2, block_range=64, commit="c2")
 
     pinned = LocalSearcher(d, commits=["c1"])

@@ -515,6 +515,10 @@ def test_scrub_invisible_strips_and_counts(spark):
         (1, "plain text"),
         (2, "a​b‮c﻿"),        # zero-width, RLO, BOM
         (3, "tab\tand\nnewline kept\x07"),   # bell stripped, \t\n kept
+        # bidi ISOLATES (LRI/RLI/FSI/PDI U+2066-2069) — the primary
+        # Trojan-Source controls, distinct from the legacy
+        # embedding/override range U+202A-202E
+        (4, "a⁦b⁧c⁨d⁩e"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "content"])
     out = {r["doc_id"]: (r["content"], r["n_removed"])
@@ -522,3 +526,4 @@ def test_scrub_invisible_strips_and_counts(spark):
     assert out[1] == ("plain text", 0)
     assert out[2] == ("abc", 3)
     assert out[3] == ("tab\tand\nnewline kept", 1)
+    assert out[4] == ("abcde", 4)
