@@ -85,6 +85,106 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _catalog_match_rows(cat: pd.DataFrame, field: str | None,
+                        match_body) -> pd.DataFrame:
+    """Multi-term rewrite against a (term, df) catalog: rows whose
+    un-prefixed term body satisfies ``match_body`` — content terms
+    when ``field`` is None (never containing ':'), else the field's
+    prefixed slice.  Shared by the single-node evaluator and the
+    scatter-gather df exchange (both must match the SAME term set)."""
+    terms = cat["term"].astype(str)
+    if field is None:
+        cand = ~terms.str.contains(":", regex=False)
+        bodies = terms
+    else:
+        prefix = f"{field}:"
+        cand = terms.str.startswith(prefix)
+        bodies = terms.str.slice(len(prefix))
+    sel = cand.to_numpy() & np.array(
+        [match_body(x) for x in bodies], dtype=bool
+    )
+    return cat[sel]
+
+
+def _iter_expansions(fields: set, node):
+    """Yield (key, field, match_body) for every catalog-expansion
+    node (Wildcard/Fuzzy/Regex over content or an indexed field) in
+    the tree.  The key is the node's SEMANTIC identity — two
+    identical patterns share one expansion — so the df-exchange
+    phase and the eval phase agree without positional bookkeeping."""
+    import re
+
+    from katta_spark.fulltext.qparse import (
+        Bool, ConstScore, Fuzzy, Regex, Wildcard,
+    )
+
+    if isinstance(node, Bool):
+        for c in (*node.must, *node.should, *node.must_not):
+            yield from _iter_expansions(fields, c)
+        return
+    if isinstance(node, ConstScore):
+        yield from _iter_expansions(fields, node.child)
+        return
+    if isinstance(node, Wildcard) and (node.field is None
+                                       or node.field in fields):
+        rx = _wc_regex(node.pattern)
+        yield (("wc", node.field, node.pattern), node.field,
+               lambda s, rx=rx: bool(rx.match(s)))
+    elif isinstance(node, Fuzzy) and (node.field is None
+                                      or node.field in fields):
+        d, t = int(node.max_edits), node.text
+        yield (("fz", node.field, t, d), node.field,
+               lambda s, t=t, d=d: (abs(len(s) - len(t)) <= d
+                                    and _levenshtein(s, t) <= d))
+    elif isinstance(node, Regex) and (node.field is None
+                                      or node.field in fields):
+        rx = re.compile(f"^(?:{node.pattern})$")
+        yield (("rx", node.field, node.pattern), node.field,
+               lambda s, rx=rx: bool(rx.match(s)))
+
+
+def _collect_plain_terms(stats: dict, fields: set, analyzers: dict,
+                         synonyms: dict, node) -> set[str]:
+    """Every postings term the evaluator would score for ``node``
+    EXCEPT catalog expansions (collected separately) — mirrors the
+    _LocalEval paths exactly: synonym groups, analyzed field terms,
+    phrase words, all run through the same strip_stops rewrite."""
+    from katta_spark.fulltext.luceval import field_terms, postings_term
+    from katta_spark.fulltext.qparse import Bool, ConstScore, Phrase, Term
+
+    out: set[str] = set()
+
+    def add(ts):
+        out.update(strip_stops(stats, list(ts)))
+
+    def walk(n):
+        if isinstance(n, Term):
+            if n.field is None and n.text in synonyms:
+                add(sorted({n.text, *synonyms[n.text]}))
+                return
+            pt = postings_term(fields, analyzers, n)
+            if pt is not None:
+                add([pt])
+                return
+            fts = field_terms(fields, analyzers, n)
+            if fts:
+                add(fts)
+            return
+        if isinstance(n, Phrase):
+            if n.field is None:
+                add(list(n.words))
+            return
+        if isinstance(n, Bool):
+            for c in (*n.must, *n.should, *n.must_not):
+                walk(c)
+            return
+        if isinstance(n, ConstScore):
+            walk(n.child)
+
+    walk(node)
+    return out
+
+
 def _np_cols(blocks: pd.DataFrame):
     """Columns of a (block_id, term)-sorted blocks frame as plain
     numpy arrays — the serving scan avoids ALL per-row pandas access
@@ -204,6 +304,13 @@ class LocalSearcher:
     same kernels with the same global stats.
     """
 
+    # cross-shard scoring plumbing (ShardedSearcher.query): a
+    # _global_view overlay sets these so the SAME eval code scores a
+    # shard's postings with corpus-wide df / n_docs / avgdl — the
+    # reference's getDocFreqs() exchange (LuceneServer.java:76-82)
+    _df_override: dict[str, int] | None = None
+    _cache_host: "LocalSearcher | None" = None
+
     def __init__(self, index_dir: str,
                  commits: list[str] | None = None):
         root = Path(index_dir)
@@ -275,6 +382,21 @@ class LocalSearcher:
         self.__init__(self.index_dir, self._commits)
         return self
 
+    def _global_view(self, n_docs: float, avgdl: float,
+                     df_map: dict[str, int]) -> "LocalSearcher":
+        """A shallow overlay of this handle that scores with GLOBAL
+        corpus stats and per-term dfs (the scatter side of
+        ShardedSearcher.query).  Datasets, tombstones and lazy caches
+        are shared with the underlying handle; only the scoring
+        inputs differ."""
+        import copy
+
+        v = copy.copy(self)
+        v.stats = dict(self.stats, n_docs=n_docs, avgdl=avgdl)
+        v._df_override = df_map
+        v._cache_host = self
+        return v
+
     @staticmethod
     def _load_tombstones(root: Path) -> np.ndarray | None:
         from katta_spark.index.delete import tombstone_dir
@@ -312,6 +434,12 @@ class LocalSearcher:
             cat = self._terms.to_table(
                 columns=["term", "df"], filter=pred
             ).to_pandas()
+        if self._df_override is not None and len(cat):
+            # cross-shard scoring: the merged corpus-wide df REPLACES
+            # the shard-local df (terms the exchange missed keep the
+            # local value — a visible-fallback, never a crash)
+            ov = cat["term"].map(self._df_override)
+            cat["df"] = ov.fillna(cat["df"]).astype("int64")
         out = pdf.merge(cat, on="term")
         return out.sort_values(["block_id", "term"],
                                kind="mergesort", ignore_index=True)
@@ -410,17 +538,19 @@ class LocalSearcher:
         highest-df content terms with the prefix, from one
         row-group-pruned catalog read (the term-sorted files make the
         startswith range two binary searches over row-group stats).
-        Mirrors PhysicalIndex.suggest (tested)."""
-        if self._commits:
-            raise ValueError(
-                "suggest needs the live catalog; commit-pinned handles "
-                "serve term-list queries only"
-            )
+        Mirrors PhysicalIndex.suggest (tested).  On a commit-pinned
+        handle the dfs come from the PIT catalog (recomputed from the
+        pinned postings — see _catalog), not the live terms parquet."""
         p = prefix.lower()
-        pred = (pa_ds.field("term") >= p) & (pa_ds.field("term") < p + "￿")
-        cat = self._terms.to_table(
-            columns=["term", "df"], filter=pred
-        ).to_pandas()
+        if self._commits:
+            cat = self._catalog()
+            cat = cat[cat["term"] >= p]
+        else:
+            pred = ((pa_ds.field("term") >= p)
+                    & (pa_ds.field("term") < p + "￿"))
+            cat = self._terms.to_table(
+                columns=["term", "df"], filter=pred
+            ).to_pandas()
         keep = cat["term"].str.startswith(p)
         if ":" not in p:
             keep &= ~cat["term"].str.contains(":", regex=False)
@@ -433,14 +563,17 @@ class LocalSearcher:
     # ------------------------------------------- Lucene-string front door
 
     def _all_ids(self) -> np.ndarray:
-        """All live doc_ids (MatchAll / pure-negative base), cached."""
-        if getattr(self, "_all_ids_cache", None) is None:
+        """All live doc_ids (MatchAll / pure-negative base), cached on
+        the underlying handle (a _global_view overlay shares its
+        host's cache — same datasets, same tombstones)."""
+        host = self._cache_host or self
+        if getattr(host, "_all_ids_cache", None) is None:
             ids = np.unique(
-                self._docs.to_table(columns=["doc_id"])["doc_id"].to_numpy()
+                host._docs.to_table(columns=["doc_id"])["doc_id"].to_numpy()
             )
-            ids, = self._mask_tomb(ids)
-            self._all_ids_cache = ids
-        return self._all_ids_cache
+            ids, = host._mask_tomb(ids)
+            host._all_ids_cache = ids
+        return host._all_ids_cache
 
     def _catalog(self) -> pd.DataFrame:
         """(term, df) catalog, cached — the multi-term expansion
@@ -450,17 +583,27 @@ class LocalSearcher:
         commits, so its dfs would silently leak post-snapshot state
         into expansion scoring (term queries recompute the pinned df
         from the pruned blocks instead — see _blocks)."""
-        if self._commits:
-            raise ValueError(
-                "catalog expansion (query strings / suggest) needs the "
-                "live catalog; commit-pinned handles serve term-list "
-                "queries (topk/count/facet/fetch) only"
-            )
-        if getattr(self, "_catalog_cache", None) is None:
-            self._catalog_cache = self._terms.to_table(
-                columns=["term", "df"]
-            ).to_pandas()
-        return self._catalog_cache
+        host = self._cache_host or self
+        if getattr(host, "_catalog_cache", None) is None:
+            if host._commits:
+                # PIT catalog: the global terms parquet spans ALL
+                # commits, so the snapshot catalog is recomputed from
+                # the PINNED postings' per-block doc counts — one
+                # (term, n) column read of the pruned partitions, the
+                # same device _blocks uses per-query, amortized here
+                # across every expansion the pinned handle answers
+                t = host._postings.to_table(
+                    columns=["term", "n"]
+                ).to_pandas()
+                host._catalog_cache = (
+                    t.groupby("term", as_index=False)["n"].sum()
+                    .rename(columns={"n": "df"})
+                )
+            else:
+                host._catalog_cache = host._terms.to_table(
+                    columns=["term", "df"]
+                ).to_pandas()
+        return host._catalog_cache
 
     def scored_set(self, qterms: list[str], mode: str = "or",
                    min_match: int | None = None) -> Res:
@@ -496,6 +639,9 @@ class LocalSearcher:
         cat = self._terms.to_table(
             columns=["term", "df"], filter=pred
         ).to_pandas()
+        if self._df_override is not None and len(cat):
+            ov = cat["term"].map(self._df_override)
+            cat["df"] = ov.fillna(cat["df"]).astype("int64")
         blocks = pdf.merge(cat, on="term").sort_values(
             ["block_id", "term"], kind="mergesort", ignore_index=True
         )
@@ -624,7 +770,8 @@ class _LocalEval:
     tests/test_serve.py."""
 
     def __init__(self, srv: LocalSearcher,
-                 synonyms: dict[str, list[str]] | None = None):
+                 synonyms: dict[str, list[str]] | None = None,
+                 pinned: dict[tuple, list[str]] | None = None):
         self.srv = srv
         self.fields = set(srv.stats.get("indexed_fields", []))
         self.analyzers = srv.stats.get("field_analyzers", {})
@@ -634,6 +781,11 @@ class _LocalEval:
         self.synonyms = {
             k.lower(): sorted({x.lower() for x in v}) for k, v in src.items()
         }
+        # cross-shard expansion pinning: {semantic key: matched terms
+        # across ALL shards} from the df-exchange phase — the rewrite
+        # happened once, against the union catalog; terms this shard
+        # lacks simply contribute no postings
+        self.pinned = pinned
         self._doc_cols: set[str] | None = None
 
     def eval_query(self, node) -> Res:
@@ -718,36 +870,34 @@ class _LocalEval:
             return self._boost(self.srv.phrase_set(p.words, p.slop), p.boost)
         return self._stored_eq(p.field, p.words[0])
 
-    def _expand_catalog(self, field: str | None, match_body) -> Res:
-        """Shared multi-term rewrite: filter the (term, df) catalog
-        with ``match_body`` over the un-prefixed term text, score the
-        matched term set as one batched OR (expand-and-score — the
-        same convention as the cluster tier)."""
-        cat = self.srv._catalog()
-        terms = cat["term"].astype(str)
-        if field is None:
-            cand = ~terms.str.contains(":", regex=False)
-            bodies = terms
-        else:
-            prefix = f"{field}:"
-            cand = terms.str.startswith(prefix)
-            bodies = terms.str.slice(len(prefix))
-        sel = cand.to_numpy() & np.array(
-            [match_body(x) for x in bodies], dtype=bool
-        )
-        matched = sorted(terms[sel])
+    def _score_terms(self, matched: list[str]) -> Res:
+        """Score a rewritten term set as one batched OR
+        (expand-and-score — the same convention as the cluster
+        tier)."""
         if not matched:
             return _empty_res()
-        ids, scores, _ = self.srv._scored(matched)
+        ids, scores, _ = self.srv._scored(sorted(matched))
         order = np.argsort(ids)
         return ids[order], scores[order]
+
+    def _expand_catalog(self, field: str | None, match_body,
+                        key: tuple | None = None) -> Res:
+        """Multi-term rewrite: the pinned cross-shard expansion when
+        the df-exchange phase supplied one (ShardedSearcher.query),
+        else this handle's own (term, df) catalog filtered with
+        ``match_body``."""
+        if self.pinned is not None and key is not None and key in self.pinned:
+            return self._score_terms(self.pinned[key])
+        cat = _catalog_match_rows(self.srv._catalog(), field, match_body)
+        return self._score_terms(list(cat["term"].astype(str)))
 
     def _eval_wildcard(self, w) -> Res:
         rx = _wc_regex(w.pattern)
         if w.field is None or w.field in self.fields:
             fld = None if w.field is None else w.field
             return self._boost(
-                self._expand_catalog(fld, lambda s: bool(rx.match(s))),
+                self._expand_catalog(fld, lambda s: bool(rx.match(s)),
+                                     key=("wc", w.field, w.pattern)),
                 w.boost,
             )
         if not self._has_col(w.field):
@@ -768,7 +918,11 @@ class _LocalEval:
                 return (abs(len(s) - len(fz.text)) <= d
                         and _levenshtein(s, fz.text) <= d)
 
-            return self._boost(self._expand_catalog(fld, match), fz.boost)
+            return self._boost(
+                self._expand_catalog(fld, match,
+                                     key=("fz", fz.field, fz.text, d)),
+                fz.boost,
+            )
         if not self._has_col(fz.field):
             return _empty_res()
         ids = self.srv.stored_filter(
@@ -787,7 +941,10 @@ class _LocalEval:
         if rx_node.field is None or rx_node.field in self.fields:
             fld = None if rx_node.field is None else rx_node.field
             return self._boost(
-                self._expand_catalog(fld, lambda s: bool(rx.match(s))),
+                self._expand_catalog(
+                    fld, lambda s: bool(rx.match(s)),
+                    key=("rx", rx_node.field, rx_node.pattern),
+                ),
                 rx_node.boost,
             )
         if not self._has_col(rx_node.field):
@@ -969,6 +1126,73 @@ def _shard_count_task(payload: tuple) -> int:
         return int(np.count_nonzero(nt == len(p["terms"])))
     return int(ids.size)
 
+
+def _parse_stripped(s: "LocalSearcher", q, fq):
+    """Parse q+fq and apply this index's stopword rewrite — shared by
+    both query-scatter phases so they see the SAME tree."""
+    from katta_spark.fulltext.luceval import strip_stops_node
+    from katta_spark.fulltext.qparse import combine_q_fq
+
+    node = combine_q_fq(q, fq)
+    return strip_stops_node(set(s.stats.get("stopwords") or []), node)
+
+
+def _shard_collect_task(payload: tuple):
+    """Phase 1 of the cross-shard query — the getDocFreqs() exchange
+    (LuceneServer.java:76-82) generalized to the full query grammar:
+    this shard's (term, local df) rows for every plain postings term
+    the query scores, plus its catalog matches for every
+    wildcard/fuzzy/regex expansion.  Runs inside a worker process
+    (fuzzy matching is Python CPU over the whole catalog)."""
+    d, _off, p = payload
+    s = _shard_handle(d)
+    node = _parse_stripped(s, p["q"], p["fq"])
+    if node is None:
+        return [], {}
+    fields = set(s.stats.get("indexed_fields", []))
+    analyzers = s.stats.get("field_analyzers", {})
+    src = (p["synonyms"] if p["synonyms"] is not None
+           else s.stats.get("synonyms") or {})
+    synonyms = {k.lower(): sorted({x.lower() for x in v})
+                for k, v in src.items()}
+    plain = _collect_plain_terms(s.stats, fields, analyzers, synonyms, node)
+    rows: list[tuple[str, int]] = []
+    if plain:
+        cat = s._terms.to_table(
+            columns=["term", "df"],
+            filter=pa_ds.field("term").isin(sorted(plain)),
+        ).to_pandas()
+        rows = list(zip(cat["term"].tolist(), [int(x) for x in cat["df"]]))
+    exp: dict[tuple, list[tuple[str, int]]] = {}
+    for key, fld, matcher in _iter_expansions(fields, node):
+        if key in exp:
+            continue
+        m = _catalog_match_rows(s._catalog(), fld, matcher)
+        exp[key] = list(zip(m["term"].astype(str).tolist(),
+                            [int(x) for x in m["df"]]))
+    return rows, exp
+
+
+def _shard_query_task(payload: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Phase 2 — evaluate the FULL q+fq AST on this shard with global
+    stats/dfs and pinned expansions (LuceneServer.search per node,
+    LuceneServer.java:661-690).  Exact per shard because shards own
+    disjoint doc sets: boolean algebra distributes over the disjoint
+    union, so the per-shard result IS the union-index result
+    restricted to this shard's docs.  Returns the shard's top
+    (offset+k) only — sufficient for the global cut, tiny IPC."""
+    d, off, p = payload
+    s = _shard_handle(d)
+    view = s._global_view(p["n_docs"], p["avgdl"], dict(p["df_map"]))
+    node = _parse_stripped(s, p["q"], p["fq"])
+    if node is None:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    ids, scores = _LocalEval(view, p["synonyms"],
+                             pinned=p["pinned"]).eval_query(node)
+    order = np.lexsort((ids, -scores))[:p["need"]]
+    return ids[order] + off, scores[order]
+
+
 class ShardedSearcher:
     """Katta CLIENT scatter-gather, node-side: one query handle over
     MANY shard index directories (the reference client expands index
@@ -1124,6 +1348,62 @@ class ShardedSearcher:
             self._payloads(terms, cat, {
                 "k": offset + k, "mode": mode, "min_match": min_match,
             }),
+        )
+        ids = np.concatenate([p[0] for p in pairs])
+        scores = np.concatenate([p[1] for p in pairs])
+        order = np.lexsort((ids, -scores))[offset:offset + k]
+        return [(int(ids[i]), float(scores[i])) for i in order]
+
+    def query(self, q: str, k: int = 10, offset: int = 0,
+              fq: list[str] | None = None,
+              synonyms: dict[str, list[str]] | None = None
+              ) -> list[tuple[int, float]]:
+        """Full Lucene-syntax q+fq scattered across ALL shards — the
+        reference's primary search RPC (Client.java:562-649 scatter;
+        LuceneServer.java:661-690 parse+search per node), previously
+        single-shard only.
+
+        Two scatter rounds: (1) the df exchange — each shard reports
+        local dfs for the query's plain terms and its catalog matches
+        for every wildcard/fuzzy/regex expansion; the client sums dfs
+        per term (disjoint doc sets) and unions the expansion sets;
+        (2) evaluation — each shard runs the SAME boolean evaluator
+        with global n_docs/avgdl/dfs and the pinned expansions, and
+        returns its top (offset+k).  The merge is the reference's
+        Hit.compareTo order (score desc, namespaced doc_id asc).
+        Rank-identical to LocalSearcher.query on the union-built
+        index and PhysicalIndex.query on the open_many handle
+        (tested).  Per-query work is O(query-term posting blocks) per
+        shard, in parallel — never corpus-size."""
+        p1 = {"q": q, "fq": fq, "synonyms": synonyms}
+        payloads = [(s.index_dir, off, p1)
+                    for s, off in zip(self.shards, self.offsets)]
+        df_map: dict[str, int] = {}
+        pinned: dict[tuple, set[str]] = {}
+        for rows, exp in self._scatter(_shard_collect_task, payloads):
+            # dedupe within the shard first: a term can be BOTH a
+            # plain query term and an expansion match (query
+            # `import im*`) — its local df must count exactly once
+            local = dict(rows)
+            for key, trs in exp.items():
+                bucket = pinned.setdefault(key, set())
+                for t, d in trs:
+                    bucket.add(t)
+                    local[t] = d
+            for t, d in local.items():
+                df_map[t] = df_map.get(t, 0) + d
+        p2 = {
+            **p1,
+            "df_map": sorted(df_map.items()),
+            "pinned": {key: sorted(v) for key, v in pinned.items()},
+            "n_docs": float(self.stats["n_docs"]),
+            "avgdl": self.stats["avgdl"],
+            "need": offset + k,
+        }
+        pairs = self._scatter(
+            _shard_query_task,
+            [(s.index_dir, off, p2)
+             for s, off in zip(self.shards, self.offsets)],
         )
         ids = np.concatenate([p[0] for p in pairs])
         scores = np.concatenate([p[1] for p in pairs])

@@ -320,3 +320,69 @@ def test_sharded_searcher_refresh_restarts_pool(spark, tmp_path):
     assert sh.count(["import"]) == n0 - 2
     assert not set(victims_ns) & {d for d, _ in sh.topk(["import"], k=50)}
     sh.close()
+
+
+QUERY_BATTERY = [
+    # the 13-query cross-shard battery: every grammar family the
+    # node evaluator supports (VERDICT round-2 item 1)
+    ("import", None),
+    ("scan AND merge", None),
+    ("scan OR merge OR quark", None),
+    ("(scan OR merge) AND import", None),
+    ("import -return", None),
+    ("im*", None),
+    ("impart~2", None),
+    ("/imp.rt/", None),
+    ('"public static"', None),
+    ('"scan merge"~3', None),
+    ("import^2 OR merge", None),
+    ("*:*", ["lang:python"]),
+    ("import merge", ["n_chars:[100 TO 4000]"]),
+]
+
+
+def test_sharded_query_rank_identity(spark, split_dirs):
+    """ShardedSearcher.query — the reference's actual search RPC
+    (Client.java:562-649 scatter + LuceneServer.java:661-690 per-node
+    parse+search) — must rank-match BOTH LocalSearcher.query on the
+    union-built index and PhysicalIndex.query on the open_many
+    handle, across the full grammar battery."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union_node = LocalSearcher(du)
+    many = PhysicalIndex.open_many(spark, [da, db])
+    for q, fq in QUERY_BATTERY:
+        got = [(d, round(s, 9)) for d, s in sh.query(q, k=12, fq=fq)]
+        want = [(d, round(s, 9))
+                for d, s in union_node.query(q, k=12, fq=fq)]
+        assert got == want, (q, fq)
+        want_spark = [(r["doc_id"], round(r["score"], 9))
+                      for r in many.query(q, k=12, fq=fq).collect()]
+        assert got == want_spark, (q, fq)
+    # offset pagination slices the SAME global order
+    full = sh.query("import OR merge", k=12)
+    assert sh.query("import OR merge", k=6, offset=6) == full[6:]
+    # synonym override scatters too
+    syn = {"merge": ["join"]}
+    got = [(d, round(s, 9))
+           for d, s in sh.query("merge", k=10, synonyms=syn)]
+    want = [(d, round(s, 9))
+            for d, s in union_node.query("merge", k=10, synonyms=syn)]
+    assert got == want
+    sh.close()
+
+
+def test_sharded_query_df_exchange_no_double_count(spark, split_dirs):
+    """A term that is BOTH a plain query term and an expansion match
+    (`import im*`) must count its df exactly once per shard."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union_node = LocalSearcher(du)
+    got = [(d, round(s, 9)) for d, s in sh.query("import im*", k=10)]
+    want = [(d, round(s, 9)) for d, s in union_node.query("import im*", k=10)]
+    assert got == want
+    sh.close()

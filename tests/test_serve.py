@@ -257,3 +257,37 @@ def test_serve_commit_pinned_snapshot(spark, tmp_path):
     # unknown commit rejected
     with pytest.raises(ValueError):
         LocalSearcher(d, commits=["nope"])
+
+
+def test_pinned_handle_answers_catalog_expansions(spark, tmp_path):
+    """PIT catalog expansion (round-2 verdict item 5): a commit-pinned
+    handle answers wildcard/fuzzy/suggest from the SNAPSHOT catalog
+    (recomputed from the pinned postings' per-block doc counts), and
+    the answers equal an index built from only those commits."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index import build_index
+
+    full = with_ingest_columns(synthetic_corpus(spark, 400))
+    c1 = full.filter(F.col("doc_id") < 250)
+    d = str(tmp_path / "pit_exp")
+    build_index(spark, c1, d, n_groups=2, block_range=64, commit="c1")
+    build_index(spark,
+                full.filter(F.col("doc_id") >= 250)
+                .drop("doc_id", "content_sha256"),
+                d, n_groups=2, block_range=64, commit="c2")
+    # oracle: an index whose ONLY content is commit c1
+    d1 = str(tmp_path / "only_c1")
+    build_index(spark, c1, d1, n_groups=2, block_range=64, commit="c1")
+
+    pinned = LocalSearcher(d, commits=["c1"])
+    only = LocalSearcher(d1)
+    for q in ("im*", "impart~2", "/sc.n/", "im* AND return"):
+        got = [(doc, round(s, 9)) for doc, s in pinned.query(q, k=10)]
+        want = [(doc, round(s, 9)) for doc, s in only.query(q, k=10)]
+        assert got == want, q
+    assert pinned.suggest("im", n=5) == only.suggest("im", n=5)
+    # live handle still sees both commits
+    live = LocalSearcher(d)
+    assert live.count(["import"]) > pinned.count(["import"])
