@@ -58,6 +58,7 @@ from katta_spark.tokenizer import tokens_array
     StructField("doc_gaps", BinaryType()),
     StructField("tfs", BinaryType()),
     StructField("dls", BinaryType()),
+    StructField("id_bits", BinaryType()),
 ]))
 def _enc_block(doc_ids: pd.Series, block_bases: pd.Series,
                tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
@@ -68,8 +69,9 @@ def _enc_block(doc_ids: pd.Series, block_bases: pd.Series,
             codec.encode_varint(np.diff(d, prepend=np.int64(base))),
             codec.encode_varint(np.asarray(tf, dtype=np.int64)),
             codec.encode_varint(np.asarray(dl, dtype=np.int64)),
+            codec.encode_id_bits(d, int(base)),
         ))
-    return pd.DataFrame(out, columns=["doc_gaps", "tfs", "dls"])
+    return pd.DataFrame(out, columns=["doc_gaps", "tfs", "dls", "id_bits"])
 
 
 @F.pandas_udf(StructType([
@@ -78,6 +80,7 @@ def _enc_block(doc_ids: pd.Series, block_bases: pd.Series,
     StructField("dls", BinaryType()),
     StructField("pos_lens", BinaryType()),
     StructField("pos_deltas", BinaryType()),
+    StructField("id_bits", BinaryType()),
 ]))
 def _enc_block_pos(doc_ids: pd.Series, block_bases: pd.Series,
                    tfs: pd.Series, dls: pd.Series,
@@ -97,9 +100,12 @@ def _enc_block_pos(doc_ids: pd.Series, block_bases: pd.Series,
             codec.encode_varint(np.asarray(dl, dtype=np.int64)),
             pl,
             pdlt,
+            codec.encode_id_bits(d, int(base)),
         ))
     return pd.DataFrame(
-        out, columns=["doc_gaps", "tfs", "dls", "pos_lens", "pos_deltas"]
+        out,
+        columns=["doc_gaps", "tfs", "dls", "pos_lens", "pos_deltas",
+                 "id_bits"],
     )
 
 
@@ -197,6 +203,7 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
             F.col("_pe.dls").alias("dls"),
             F.col("_pe.pos_lens").alias("pos_lens"),
             F.col("_pe.pos_deltas").alias("pos_deltas"),
+            F.col("_pe.id_bits").alias("id_bits"),
         )
     else:
         pe = _enc_block("_ids", base, "_tfs", "_dls").alias("_pe")
@@ -205,6 +212,7 @@ def build_posting_blocks(tokens_tf: DataFrame, avgdl: float,
             F.col("_pe.doc_gaps").alias("doc_gaps"),
             F.col("_pe.tfs").alias("tfs"),
             F.col("_pe.dls").alias("dls"),
+            F.col("_pe.id_bits").alias("id_bits"),
         )
     # layout shuffle: hash-partition by term (Katta's murmur3 shard
     # routing, lib/writer/DefaultDataWriter.java:171-184), then sort
@@ -342,6 +350,14 @@ def build_index(
             set(indexed_fields) | set(_prev_stats.get("indexed_fields", []))
         )
         fanalyzers = {**_prev_stats.get("field_analyzers", {}), **fanalyzers}
+    # id_bits: every commit of this index carries the per-block doc-id
+    # bitsets (the count fast path needs ALL commits to have them — an
+    # incremental commit on a pre-bitset index keeps the flag False
+    # until an expunge rebuilds the whole layout)
+    has_id_bits = (
+        bool(_prev_stats.get("id_bits", False))
+        if stats_path.exists() else True
+    )
     mdir = _manifest_dir(index_dir)
     mdir.mkdir(exist_ok=True)
     manifest = load_manifest(index_dir)
@@ -613,6 +629,7 @@ def build_index(
         "token_filters": token_filters,
         "synonyms": synonyms,
         "positions": store_positions,
+        "id_bits": has_id_bits,
         "commits": sorted({m["commit"] for m in load_manifest(index_dir)}),
         "built_at_commit": commit,
     }

@@ -165,3 +165,111 @@ def bm25_tfnorm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
 def bm25_idf(df: float, n_docs: float) -> float:
     """ln(1 + (N - df + 0.5)/(df + 0.5)) — Lucene BM25Similarity."""
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+# ------------------------------------------------------------- id bitsets
+# Per-(term, block) doc-id BITSET: bit i set <=> doc (block_base + i)
+# carries the term.  Little-endian bit order, truncated after the last
+# set bit (a rare term costs ~1 byte, a dense block block_range/8).
+# This is the roaring-style membership sidecar the serving tier's
+# count()/boolean set ops run on: union/intersection are uint8
+# bitwise ops + a popcount table — postings (tfs/dls/positions) are
+# never varint-decoded just to COUNT hits.  The reference's count RPC
+# similarly reads totalHits without materializing hits
+# (katta-core lib/lucene/LuceneServer.java:768-773).
+
+_POPCNT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+).sum(axis=1).astype(np.int64)
+
+
+def encode_id_bits(doc_ids: np.ndarray, block_base: int) -> bytes:
+    """Pack block-local doc offsets (doc_ids - block_base, each in
+    [0, block_range)) into a truncated little-endian bitset."""
+    off = np.asarray(doc_ids, dtype=np.int64) - np.int64(block_base)
+    if off.size == 0:
+        return b""
+    nbits = int(off.max()) + 1
+    bits = np.zeros(nbits, dtype=np.uint8)
+    bits[off] = 1
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def decode_id_bits(buf: bytes, block_base: int) -> np.ndarray:
+    """Inverse of :func:`encode_id_bits` -> sorted absolute doc_ids."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    bits = np.unpackbits(b, bitorder="little")
+    return np.nonzero(bits)[0].astype(np.int64) + np.int64(block_base)
+
+
+def popcount(arr: np.ndarray) -> int:
+    """Total set bits of a uint8 buffer."""
+    if arr.size == 0:
+        return 0
+    return int(_POPCNT[arr].sum())
+
+
+def bitset_or(bufs: list[bytes], nbytes: int) -> np.ndarray:
+    """Union of truncated bitsets into one uint8 array of ``nbytes``."""
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for buf in bufs:
+        a = np.frombuffer(buf, dtype=np.uint8)
+        acc[: a.size] |= a
+    return acc
+
+
+def bitset_and(sets: list[np.ndarray], nbytes: int) -> np.ndarray:
+    """Intersection of uint8 bitset arrays (padded to ``nbytes``)."""
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    first = sets[0]
+    acc[: first.size] = first
+    for a in sets[1:]:
+        if a.size < nbytes:
+            acc[a.size:] = 0
+        acc[: a.size] &= a
+    return acc
+
+
+def bit_count_frame(pdf, n_terms: int, mode: str,
+                    tomb: np.ndarray | None, block_range: int) -> int:
+    """Hit count for a (term, block_id, id_bits) frame from the doc-id
+    BITSETS alone — union/intersection are uint8 bitwise ops + a
+    popcount table; postings (tfs/dls/positions) are never
+    varint-decoded just to COUNT (the reference's count RPC likewise
+    reads totalHits without materializing hits,
+    katta-core lib/lucene/LuceneServer.java:768-773).
+
+    Duplicate (term, block) rows across commits hold DISJOINT doc
+    subsets of the same range (commits append past the watermark), so
+    the per-term union inside a block is exact; AND requires all
+    ``n_terms`` present in the block, else the block contributes 0.
+    Tombstones (sorted unique doc_ids) are cleared with one AND-NOT
+    per touched block.  Shared by the serving tier (node-local call)
+    and the Spark tier (inside the per-block Arrow kernel)."""
+    if not len(pdf):
+        return 0
+    nbytes = block_range // 8
+    total = 0
+    for blk, grp in pdf.groupby("block_id", sort=False):
+        if mode == "and" and n_terms > 1:
+            per_term = grp.groupby("term", sort=False)["id_bits"]
+            if per_term.ngroups < n_terms:
+                continue
+            sets = [bitset_or(list(bufs), nbytes)
+                    for _, bufs in per_term]
+            acc = bitset_and(sets, nbytes)
+        else:
+            acc = bitset_or(list(grp["id_bits"]), nbytes)
+        if tomb is not None and tomb.size:
+            base = int(blk) * block_range
+            lo = np.searchsorted(tomb, base)
+            hi = np.searchsorted(tomb, base + block_range)
+            if hi > lo:
+                tb = np.frombuffer(
+                    encode_id_bits(tomb[lo:hi], base), np.uint8
+                )
+                acc[: tb.size] &= ~tb
+        total += popcount(acc)
+    return total

@@ -214,6 +214,9 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> dict:
     }
     (mdir / f"{new_commit}_g0.json").write_text(json.dumps(entry, indent=1))
     stats.update(
+        # the rebuild re-encodes every block, so the bitset sidecar
+        # now exists index-wide even if the old layout predated it
+        id_bits=True,
         n_docs=int(n_docs), avgdl=avgdl, expunges=int(stats.get("expunges", 0)) + 1,
         commits=[new_commit],
     )

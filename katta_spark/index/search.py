@@ -1253,6 +1253,54 @@ class PhysicalIndex:
             return self.terms.filter(F.col("term") == terms[0]).agg(
                 F.coalesce(F.sum("df"), F.lit(0)).alias("n_hits")
             )
+        if not filters and self.stats.get("id_bits"):
+            # bitset path: per-(term, block) doc-id bitsets are
+            # unioned/intersected per block inside an Arrow kernel —
+            # the scan reads ~block_range/8 bytes per block (ReadSchema
+            # = term, block_id, id_bits) and NEVER varint-decodes
+            # tfs/dls/positions just to count.  The shuffle moves only
+            # bitset rows (<=512 B each), grouped on block_id; with
+            # tombstones the per-block deleted ids ride the same
+            # shuffle via a cogroup — no driver-side set anywhere.
+            from katta_spark.index.codec import bit_count_frame
+
+            br = int(self.stats["block_range"])
+            n_terms, md = len(terms), mode
+            bl = self.postings.filter(F.col("term").isin(terms)).select(
+                "term", "block_id", "id_bits"
+            )
+            if self.tombstones is None:
+                def _cnt(_key, pdf):
+                    return pd.DataFrame(
+                        {"n_hits": [bit_count_frame(pdf, n_terms, md,
+                                                    None, br)]}
+                    )
+
+                per_block = bl.groupBy("block_id").applyInPandas(
+                    _cnt, "n_hits long"
+                )
+            else:
+                def _cnt2(_key, pdf, tpdf):
+                    if not len(pdf):
+                        return pd.DataFrame({"n_hits": [0]})
+                    tomb = (np.unique(tpdf["doc_id"].to_numpy())
+                            if len(tpdf) else None)
+                    return pd.DataFrame(
+                        {"n_hits": [bit_count_frame(pdf, n_terms, md,
+                                                    tomb, br)]}
+                    )
+
+                tg = self.tombstones.select(
+                    "doc_id",
+                    (F.col("doc_id") / F.lit(br)).cast("long")
+                    .alias("block_id"),
+                ).groupBy("block_id")
+                per_block = bl.groupBy("block_id").cogroup(tg).applyInPandas(
+                    _cnt2, "n_hits long"
+                )
+            return per_block.agg(
+                F.coalesce(F.sum("n_hits"), F.lit(0)).alias("n_hits")
+            )
         return self.matched_docs(terms, mode, filters).agg(
             F.count(F.lit(1)).alias("n_hits")
         )
@@ -3422,6 +3470,12 @@ class PhysicalIndex:
             },
             "positions": all(
                 p.stats.get("positions", False) for p in parts
+            ),
+            # bitsets are block-local offsets, so they survive the
+            # block_id namespacing untouched — valid iff every part
+            # carries them
+            "id_bits": all(
+                p.stats.get("id_bits", False) for p in parts
             ),
             "commits": sorted(
                 {c for p in parts for c in p.stats.get("commits", [])}

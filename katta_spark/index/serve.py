@@ -492,7 +492,31 @@ class LocalSearcher:
 
     def count(self, qterms: list[str], mode: str = "or") -> int:
         """totalHits — number of live matching docs."""
-        terms = sorted(set(strip_stops(self.stats, qterms)))
+        return self.count_raw(
+            sorted(set(strip_stops(self.stats, qterms))), mode
+        )
+
+    def count_raw(self, terms: list[str], mode: str = "or") -> int:
+        """Count for pre-stripped terms.  Fast path: per-term doc-id
+        bitsets (the ``id_bits`` postings column) — one column-pruned
+        read of ~block_range/8 bytes per block, bitwise union /
+        intersection, popcount; tfs/dls/positions never decoded.
+        Indexes built before the bitset column (or mixed with one)
+        fall back to the exhaustive decode, same answer."""
+        if not terms:
+            return 0
+        if "id_bits" in set(self._postings.schema.names):
+            pdf = self._postings.to_table(
+                columns=["term", "block_id", "id_bits"],
+                filter=pa_ds.field("term").isin(terms),
+            ).to_pandas()
+            if not pdf["id_bits"].isna().any():
+                from katta_spark.index.codec import bit_count_frame
+
+                return bit_count_frame(
+                    pdf, len(terms), mode, self._tomb,
+                    int(self.stats["block_range"]),
+                )
         ids, _, nt = self._scored(terms)
         if mode == "and" and len(terms) > 1:
             return int(np.count_nonzero(nt == len(terms)))
@@ -1112,19 +1136,12 @@ def _shard_facet_task(payload: tuple) -> list[tuple[object, int]]:
 
 
 def _shard_count_task(payload: tuple) -> int:
-    """Per-shard live-match count — runs inside a worker process."""
-    d, off, p = payload
-    s = _shard_handle(d)
-    ids, _, nt = _exhaustive_scan(
-        _shard_blocks_for(s, off, p["terms"], p["cat"],
-                          p["block_range"]),
-        p["n_docs"], p["avgdl"], p["k1"], p["b"], p["block_range"])
-    if s._tomb is not None and ids.size:
-        keep = ~np.isin(ids, s._tomb + off)
-        ids, nt = ids[keep], nt[keep]
-    if p["mode"] == "and" and len(p["terms"]) > 1:
-        return int(np.count_nonzero(nt == len(p["terms"])))
-    return int(ids.size)
+    """Per-shard live-match count — runs inside a worker process.
+    Counting needs NO df exchange (idf never changes membership), so
+    each shard answers from its own doc-id bitsets; the client just
+    sums (shards own disjoint doc sets)."""
+    d, p = payload
+    return _shard_handle(d).count_raw(p["terms"], p["mode"])
 
 
 def _parse_stripped(s: "LocalSearcher", q, fq):
@@ -1413,12 +1430,14 @@ class ShardedSearcher:
     def count(self, qterms: list[str], mode: str = "or") -> int:
         """totalHits — parallel per-shard counts SUMMED (shards own
         disjoint doc sets, so the sum is exact — the reference's
-        scatter-gather count, its one published latency number)."""
+        scatter-gather count, its one published latency number).  No
+        df exchange: membership is idf-free, so the scatter is ONE
+        round of per-shard bitset counts."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
-        cat = self._merged_cat(terms)
         return sum(self._scatter(
             _shard_count_task,
-            self._payloads(terms, cat, {"mode": mode}),
+            [(s.index_dir, {"terms": terms, "mode": mode})
+             for s in self.shards],
         ))
 
     def facet(self, qterms: list[str], field: str, n: int = 10,
