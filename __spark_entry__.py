@@ -488,6 +488,127 @@ def q_serve_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_hits long")
 
 
+_SHARD_DIRS_CACHE: dict[str, list[str]] = {}
+
+
+def shard_dirs(spark, sf_dir,
+               cache_root: str = "/tmp/katta_shards") -> list[str]:
+    """Two shard indexes over a BLOCK-ALIGNED doc_id split of the
+    documents table — the serving tier's multi-shard fixture (the
+    reference deploys an index as a shard SET, one Lucene dir per
+    node).  The split boundary (256) is a multiple of the shard
+    block_range (128), so ShardedSearcher's block-aligned namespacing
+    reproduces the ORIGINAL doc_ids (shard B's offset = ceil(256/128)
+    *128 = 256) and the DuckDB oracle applies unchanged."""
+    dirs = _SHARD_DIRS_CACHE.get(sf_dir)
+    if dirs is None:
+        import json
+        import shutil
+
+        root = f"{cache_root}/{Path(sf_dir).name}"
+        da, db = f"{root}/shard_a", f"{root}/shard_b"
+        src_meta = _source_fingerprint(sf_dir)
+        meta_p = Path(f"{root}/_source_meta.json")
+        fresh = False
+        if meta_p.exists() and Path(f"{db}/stats.json").exists():
+            try:
+                fresh = json.loads(meta_p.read_text()) == src_meta
+            except Exception:
+                fresh = False
+        if not fresh:
+            shutil.rmtree(root, ignore_errors=True)
+            corpus = _docs(spark, sf_dir).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("text").alias("content"),
+                "lang", "source", "n_chars",
+            )
+            a = corpus.filter(F.col("doc_id") < 256)
+            b = corpus.filter(F.col("doc_id") >= 256).withColumn(
+                "doc_id", F.col("doc_id") - 256
+            )
+            for part, d in ((a, da), (b, db)):
+                build_index(spark, part, d, n_groups=2, block_range=128,
+                            field_cols=["lang", "source"])
+            meta_p.write_text(json.dumps(src_meta))
+        dirs = _SHARD_DIRS_CACHE[sf_dir] = [da, db]
+    return dirs
+
+
+def _sharded(spark, sf_dir):
+    from katta_spark.index.serve import ShardedSearcher
+
+    return ShardedSearcher(shard_dirs(spark, sf_dir))
+
+
+def q_serve_lucene_sharded(spark, sf_dir):
+    """Cross-shard Lucene-string search — the reference's primary
+    query RPC (Client.java:562-649 scatter; LuceneServer.java:661-690
+    parse+search per node): full q+fq AST evaluated per shard with
+    the merged-catalog dfs (getDocFreqs exchange), Hit.compareTo
+    merge over namespaced ids.  The block-aligned split makes the
+    namespaced ids equal the original doc_ids, so the oracle is the
+    same SQL as ft_serve_lucene."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        hits = sh.query("(dup OR key) AND table", k=10)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits],
+        "doc_id long, score double",
+    )
+
+
+def q_serve_phrase_sharded(spark, sf_dir):
+    """Cross-shard POSITIONAL phrase (the quoted-string front door
+    scattered): each shard verifies positions locally, scores with
+    global df via the exchange, disjoint doc sets merge exactly."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        hits = sh.query('"order fast"', k=10)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits],
+        "doc_id long, score double",
+    )
+
+
+def q_serve_sorted(spark, sf_dir):
+    """Serving-tier field-sorted top-k (TopFieldCollector node RPC,
+    LuceneServer.java:1629-1636; FieldSortComparator merge :44-87)
+    scattered over both shards — identical rows to the Spark tier's
+    sorted_query (same null rule, same doc_id tie-break)."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.sorted_query(
+            ["merge"], [("source", "asc"), ("n_chars", "desc")],
+            ["doc_id", "source", "n_chars"], 20)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(int(r.doc_id), str(r.source), int(r.n_chars))
+         for r in out.itertuples(index=False)],
+        "doc_id long, source string, n_chars long",
+    )
+
+
+def q_serve_range_facet(spark, sf_dir):
+    """Serving-tier numeric facetByRange (FacetRangeCall node RPC,
+    LuceneServer.java:1197-1258; DateRangeFactory.java:43-77 for the
+    date units) — per-shard full histograms summed over disjoint doc
+    sets, one min_count cut."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.range_facet(["scan"], "n_chars", 0.0, 500.0, 50.0)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(float(b), int(c)) for b, c in rows],
+        "bucket_start double, cnt long",
+    )
+
+
 def q_phys_facet(spark, sf_dir):
     return phys_index(spark, sf_dir).facet(["table"], "lang", n=5)
 
@@ -2504,6 +2625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_topk": q_serve_topk,
         "ft_serve_count": q_serve_count,
         "ft_serve_lucene": q_serve_lucene,
+        "ft_serve_lucene_sharded": q_serve_lucene_sharded,
+        "ft_serve_phrase_sharded": q_serve_phrase_sharded,
+        "ft_serve_sorted": q_serve_sorted,
+        "ft_serve_range_facet": q_serve_range_facet,
         "ft_phys_facet": q_phys_facet,
         "ft_facet_index": q_phys_facet_index,
         "ft_facet_prefix": q_phys_facet_prefix,
@@ -2768,6 +2893,26 @@ SELECT count(*) AS n_hits FROM matched""",
         ),
         "ft_serve_count": f"""{ctes}{O.matched_sql(["dup", "key"])}
 SELECT count(*) AS n_hits FROM matched""",
+        "ft_serve_lucene_sharded": O.lucene_topk_sql(
+            [("dup", 1.0), ("key", 1.0), ("table", 1.0)],
+            must_doc_sql=[
+                O.term_docs_sql(["table"]),
+                O.term_docs_sql(["dup", "key"]),
+            ],
+        ),
+        "ft_serve_phrase_sharded": O.phrase_sql(["order", "fast"], k=10),
+        "ft_serve_sorted": f"""{ctes}{O.matched_sql(["merge"])}
+SELECT doc_id, source, n_chars FROM (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+  ORDER BY d.source ASC, d.n_chars DESC, d.doc_id ASC LIMIT 20
+)""",
+        "ft_serve_range_facet": f"""{ctes}{O.matched_sql(["scan"])}
+SELECT 0.0 + floor((CAST(n_chars AS DOUBLE) - 0.0) / 50.0) * 50.0 AS bucket_start,
+       count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+WHERE CAST(n_chars AS DOUBLE) >= 0.0 AND CAST(n_chars AS DOUBLE) < 500.0
+GROUP BY bucket_start HAVING count(*) >= 1 ORDER BY bucket_start""",
         "ft_phys_facet": f"""{ctes}{O.matched_sql(["table"])}
 SELECT lang, count(*) AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id

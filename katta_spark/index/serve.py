@@ -48,6 +48,33 @@ _POS_COLS = _BLOCK_COLS + ["pos_lens", "pos_deltas"]
 
 Res = tuple[np.ndarray, np.ndarray]  # (sorted unique doc_ids, scores)
 
+# calendar-unit -> pandas period freq, the node-tier mirror of the
+# Spark tier's DATE_UNITS/date_trunc map (ops/timeseries.py:20-23)
+_DATE_FREQ = {
+    "YEAR": "Y", "MONTH": "M", "DAY": "D",
+    "HOUR": "h", "MINUTE": "min", "SECOND": "s",
+}
+
+
+def _field_sort(df: pd.DataFrame,
+                sort_cols: list[tuple[str, str]]) -> pd.DataFrame:
+    """Stable multi-key field sort with EXACTLY Spark's orderBy
+    semantics — asc puts nulls FIRST, desc puts nulls LAST (Spark's
+    default null ordering), doc_id asc breaks ties (the reference's
+    FieldSortComparator falls back to shard-doc order the same way,
+    FieldSortComparator.java:44-87).  Implemented as a reversed chain
+    of stable sorts so each key keeps its own direction AND its own
+    null position (pandas sort_values has one na_position for all
+    keys)."""
+    out = df.sort_values("doc_id", kind="mergesort")
+    for col, direction in reversed(sort_cols):
+        asc = direction == "asc"
+        out = out.sort_values(
+            col, ascending=asc, kind="mergesort",
+            na_position="first" if asc else "last",
+        )
+    return out
+
 
 def _wc_regex(pattern: str):
     """Lucene wildcard -> anchored regex translating ONLY ``*`` and
@@ -556,6 +583,114 @@ class LocalSearcher:
         cnt = vals.value_counts()
         rows = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:n]
         return [(v, int(c)) for v, c in rows]
+
+    def _matched_ids(self, qterms: list[str], mode: str = "or") -> np.ndarray:
+        """Live matching doc_ids (sorted) — the non-scoring match set
+        every stored-field surface (sort / range facet) starts from.
+        Membership is idf-free, so shard-local dfs suffice even under
+        a ShardedSearcher scatter (same argument as count)."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        ids, _, nt = self._scored(terms)
+        if mode == "and" and len(terms) > 1:
+            ids = ids[nt == len(terms)]
+        return np.sort(ids)
+
+    def sorted_query(self, qterms: list[str],
+                     sort_cols: list[tuple[str, str]],
+                     fields: list[str], limit: int, offset: int = 0,
+                     mode: str = "or") -> pd.DataFrame:
+        """Field-sorted top-k at node latency — the reference's
+        TopFieldCollector node RPC (LuceneServer.java:1629-1636; sort
+        construction :931-961): match set from the pruned postings
+        read, ONE column-pruned docs read of the sort/output columns,
+        a stable multi-key sort.  Mirrors PhysicalIndex.sorted_query
+        exactly, including Spark's null rule (asc -> nulls FIRST,
+        desc -> nulls LAST) and the doc_id-asc tie-break (tested)."""
+        ids = self._matched_ids(qterms, mode)
+        need = ["doc_id"] + sorted(
+            {c for c, _ in sort_cols}
+            | {f for f in fields if f != "doc_id"}
+        )
+        tbl = self._docs.to_table(columns=need).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        out = _field_sort(tbl[hit], sort_cols)
+        return out.iloc[offset:offset + limit][list(fields)].reset_index(
+            drop=True
+        )
+
+    def range_facet(self, qterms: list[str], field: str, start: float,
+                    end: float, gap: float, min_count: int = 1,
+                    mode: str = "or") -> list[tuple[float, int]]:
+        """Numeric facetByRange at node latency (the reference's
+        FacetRangeCall node RPC, LuceneServer.java:1197-1258 /
+        :2022-2065): gap buckets over [start, end) among the matches.
+        Mirrors PhysicalIndex.range_facet — same bucket_start values
+        (start + floor((v-start)/gap)*gap), same [start, end) bounds,
+        min_count applied after counting (tested)."""
+        hist = self._range_hist(qterms, field, start, end, gap, mode)
+        rows = [(b, c) for b, c in sorted(hist.items())
+                if c >= int(min_count)]
+        return [(float(b), int(c)) for b, c in rows]
+
+    def _range_hist(self, qterms: list[str], field: str, start: float,
+                    end: float, gap: float,
+                    mode: str) -> dict[float, int]:
+        """Full (bucket_start -> count) histogram, no min_count cut —
+        the scatter unit: shards own disjoint doc sets, so summing
+        full histograms then cutting is exact (the same argument as
+        the value-facet merge)."""
+        v = self._matched_values(qterms, field, mode)
+        v = v[(v >= float(start)) & (v < float(end))]
+        bucket = float(start) + np.floor(
+            (v - float(start)) / float(gap)
+        ) * float(gap)
+        val, cnt = np.unique(bucket, return_counts=True)
+        return {float(b): int(c) for b, c in zip(val, cnt)}
+
+    def _matched_values(self, qterms: list[str], field: str,
+                        mode: str) -> np.ndarray:
+        ids = self._matched_ids(qterms, mode)
+        tbl = self._docs.to_table(columns=["doc_id", field]).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        return pd.to_numeric(tbl[field][hit], errors="coerce").dropna() \
+            .to_numpy(dtype=np.float64)
+
+    def range_facet_other(self, qterms: list[str], field: str,
+                          start: float, end: float,
+                          mode: str = "or") -> tuple[int, int, int]:
+        """facet.range.other=all — (before, between, after) counts
+        around [start, end), node-locally.  Mirrors
+        PhysicalIndex.range_facet_other (tested)."""
+        v = self._matched_values(qterms, field, mode)
+        lo, hi = float(start), float(end)
+        return (
+            int(np.count_nonzero(v < lo)),
+            int(np.count_nonzero((v >= lo) & (v < hi))),
+            int(np.count_nonzero(v >= hi)),
+        )
+
+    def date_range_facet(self, qterms: list[str], field: str, unit: str,
+                         min_count: int = 1,
+                         mode: str = "or") -> list[tuple[object, int]]:
+        """Date facetByRange at calendar units — the reference's
+        DateRangeFactory buckets (DateRangeFactory.java:43-77):
+        matches truncated to YEAR/MONTH/DAY/HOUR/MINUTE/SECOND,
+        counted per bucket start.  Same truncation as the Spark
+        tier's date_trunc (ops/timeseries.py DATE_UNITS)."""
+        hist = self._date_hist(qterms, field, unit, mode)
+        return [(b, int(c)) for b, c in sorted(hist.items())
+                if c >= int(min_count)]
+
+    def _date_hist(self, qterms: list[str], field: str, unit: str,
+                   mode: str) -> dict:
+        freq = _DATE_FREQ[unit.upper().lstrip("+0123456789")]
+        ids = self._matched_ids(qterms, mode)
+        tbl = self._docs.to_table(columns=["doc_id", field]).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        ts = pd.to_datetime(tbl[field][hit]).dropna()
+        buckets = ts.dt.to_period(freq).dt.start_time
+        return {b.to_pydatetime(): int(c)
+                for b, c in buckets.value_counts().items()}
 
     def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
         """[(term, df)] — autocomplete at node latency: the n
@@ -1144,6 +1279,37 @@ def _shard_count_task(payload: tuple) -> int:
     return _shard_handle(d).count_raw(p["terms"], p["mode"])
 
 
+def _shard_sorted_task(payload: tuple) -> pd.DataFrame:
+    """Per-shard field-sorted top rows — runs inside a worker
+    process.  Field sorting needs NO df exchange (membership is
+    idf-free), so the scatter is one round; the shard returns its
+    own top (offset+limit) rows INCLUDING the sort columns so the
+    client-side merge re-applies the same comparator."""
+    d, off, p = payload
+    out = _shard_handle(d).sorted_query(
+        p["terms"], p["sort_cols"], p["cols"], p["k"], mode=p["mode"],
+    )
+    out["doc_id"] = out["doc_id"] + off
+    return out
+
+
+def _shard_range_task(payload: tuple):
+    """Per-shard FULL range histogram (numeric gap buckets or date
+    units) / other=all triple — min_count is applied client-side
+    AFTER summation so mid-ranked buckets can never be undercut."""
+    d, _off, p = payload
+    s = _shard_handle(d)
+    if p["kind"] == "date":
+        return s._date_hist(p["terms"], p["field"], p["unit"], p["mode"])
+    if p["kind"] == "other":
+        return s.range_facet_other(
+            p["terms"], p["field"], p["start"], p["end"], p["mode"]
+        )
+    return s._range_hist(
+        p["terms"], p["field"], p["start"], p["end"], p["gap"], p["mode"]
+    )
+
+
 def _parse_stripped(s: "LocalSearcher", q, fq):
     """Parse q+fq and apply this index's stopword rewrite — shared by
     both query-scatter phases so they see the SAME tree."""
@@ -1462,6 +1628,99 @@ class ShardedSearcher:
                 total[v] = total.get(v, 0) + k
         rows = sorted(total.items(), key=lambda x: (-x[1], x[0]))[:n]
         return [(v, int(c)) for v, c in rows]
+
+    def sorted_query(self, qterms: list[str],
+                     sort_cols: list[tuple[str, str]],
+                     fields: list[str], limit: int, offset: int = 0,
+                     mode: str = "or") -> pd.DataFrame:
+        """Cross-shard field-sorted top-k — the reference's
+        TopFieldCollector scatter with the client-side
+        FieldSortComparator merge (LuceneServer.java:1629-1636;
+        Hits.fieldSort, FieldSortComparator.java:44-87): each shard
+        returns its own top (offset+limit) rows WITH the sort
+        columns, the client re-applies the identical comparator over
+        the union and cuts once.  Exact because shards own disjoint
+        doc sets — the global top (offset+limit) rows are each in
+        their shard's top (offset+limit).  One scatter round (no df
+        exchange: membership is idf-free)."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        cols = ["doc_id"] + sorted(
+            {c for c, _ in sort_cols}
+            | {f for f in fields if f != "doc_id"}
+        )
+        frames = self._scatter(
+            _shard_sorted_task,
+            [(s.index_dir, off, {
+                "terms": terms, "sort_cols": sort_cols, "cols": cols,
+                "k": offset + limit, "mode": mode,
+            }) for s, off in zip(self.shards, self.offsets)],
+        )
+        merged = _field_sort(pd.concat(frames, ignore_index=True),
+                             sort_cols)
+        return merged.iloc[offset:offset + limit][list(fields)] \
+            .reset_index(drop=True)
+
+    def range_facet(self, qterms: list[str], field: str, start: float,
+                    end: float, gap: float, min_count: int = 1,
+                    mode: str = "or") -> list[tuple[float, int]]:
+        """Scatter-gather numeric facetByRange (FacetRangeCall
+        scatter, LuceneServer.java:1197-1258): per-shard FULL gap
+        histograms summed over disjoint doc sets, min_count applied
+        ONCE after summation — exact by construction, same argument
+        as the value-facet merge."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        hists = self._scatter(_shard_range_task, [
+            (s.index_dir, 0, {
+                "kind": "num", "terms": terms, "field": field,
+                "start": float(start), "end": float(end),
+                "gap": float(gap), "mode": mode,
+            }) for s in self.shards
+        ])
+        total: dict[float, int] = {}
+        for h in hists:
+            for b, c in h.items():
+                total[b] = total.get(b, 0) + c
+        return [(float(b), int(c)) for b, c in sorted(total.items())
+                if c >= int(min_count)]
+
+    def range_facet_other(self, qterms: list[str], field: str,
+                          start: float, end: float,
+                          mode: str = "or") -> tuple[int, int, int]:
+        """facet.range.other=all across shards: per-shard (before,
+        between, after) triples summed — exact over disjoint doc
+        sets."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        triples = self._scatter(_shard_range_task, [
+            (s.index_dir, 0, {
+                "kind": "other", "terms": terms, "field": field,
+                "start": float(start), "end": float(end), "mode": mode,
+            }) for s in self.shards
+        ])
+        return (
+            sum(t[0] for t in triples),
+            sum(t[1] for t in triples),
+            sum(t[2] for t in triples),
+        )
+
+    def date_range_facet(self, qterms: list[str], field: str, unit: str,
+                         min_count: int = 1,
+                         mode: str = "or") -> list[tuple[object, int]]:
+        """Scatter-gather date facetByRange (DateRangeFactory
+        buckets, DateRangeFactory.java:43-77): per-shard full
+        calendar-unit histograms summed, min_count after the sum."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        hists = self._scatter(_shard_range_task, [
+            (s.index_dir, 0, {
+                "kind": "date", "terms": terms, "field": field,
+                "unit": unit, "mode": mode,
+            }) for s in self.shards
+        ])
+        total: dict = {}
+        for h in hists:
+            for b, c in h.items():
+                total[b] = total.get(b, 0) + c
+        return [(b, int(c)) for b, c in sorted(total.items())
+                if c >= int(min_count)]
 
     def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
         """Scatter-gather autocomplete: per-shard prefix slices of

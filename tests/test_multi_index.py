@@ -272,6 +272,53 @@ def test_sharded_facet_exact_merge(spark, split_dirs):
     sh.close()
 
 
+def test_sharded_sorted_query_matches_union(spark, split_dirs):
+    """Cross-shard field-sorted top-k (TopFieldCollector scatter +
+    FieldSortComparator merge parity) equals the union-built index's
+    sorted_query row-for-row, incl. a desc key and offset paging."""
+    from katta_spark.index.serve import ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union = PhysicalIndex(spark, du)
+    cases = [
+        ([("repo", "asc")], ["doc_id", "repo"], 15, 0),
+        ([("lang", "asc"), ("dl", "desc")], ["doc_id", "lang", "dl"], 12, 0),
+        ([("dl", "desc")], ["doc_id", "dl"], 8, 5),
+    ]
+    for sort_cols, fields, limit, offset in cases:
+        want = [tuple(r[f] for f in fields)
+                for r in union.sorted_query(
+                    ["import"], sort_cols, fields, limit,
+                    offset=offset).collect()]
+        got = [tuple(row) for row in sh.sorted_query(
+            ["import"], sort_cols, fields, limit, offset=offset
+        ).itertuples(index=False)]
+        assert got == want, (sort_cols, offset)
+    sh.close()
+
+
+def test_sharded_range_facet_matches_union(spark, split_dirs):
+    """Scatter-gather range facet merge is EXACT: per-shard FULL gap
+    histograms summed over disjoint doc sets + one min_count cut ==
+    the union index's range_facet; same for other=all."""
+    from katta_spark.index.serve import ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union = PhysicalIndex(spark, du)
+    want = [(r["bucket_start"], r["cnt"])
+            for r in union.range_facet(
+                ["def"], "dl", 0.0, 100.0, 10.0, min_count=2).collect()]
+    got = sh.range_facet(["def"], "dl", 0.0, 100.0, 10.0, min_count=2)
+    assert got == want
+
+    w = union.range_facet_other(["import"], "dl", 30.0, 60.0).first()
+    assert sh.range_facet_other(["import"], "dl", 30.0, 60.0) == (
+        w["before"], w["between"], w["after"])
+    sh.close()
+
+
 def test_sharded_suggest_merged(spark, split_dirs):
     """Scatter-gather autocomplete equals the union index's suggest
     (dfs summed across shards)."""

@@ -169,6 +169,123 @@ def test_serve_facet_matches_spark(pindex, lsearch):
         assert got == want, (terms, mode)
 
 
+def test_serve_sorted_matches_spark(pindex, lsearch):
+    """Serving-tier field-sorted top-k (TopFieldCollector parity,
+    LuceneServer.java:1629-1636) — identical rows AND order to
+    PhysicalIndex.sorted_query, incl. a desc key, multi-key sorts and
+    offset (Spark's orderBy null rule + doc_id-asc tie-break)."""
+    cases = [
+        ([("repo", "asc")], ["doc_id", "repo"], 20, 0),
+        ([("repo", "asc"), ("dl", "desc")], ["doc_id", "repo", "dl"], 15, 0),
+        ([("dl", "desc")], ["doc_id", "dl"], 10, 7),
+    ]
+    for sort_cols, fields, limit, offset in cases:
+        want = [tuple(r[f] for f in fields)
+                for r in pindex.sorted_query(
+                    ["import"], sort_cols, fields, limit, offset=offset
+                ).collect()]
+        got_df = lsearch.sorted_query(
+            ["import"], sort_cols, fields, limit, offset=offset)
+        got = [tuple(row) for row in got_df.itertuples(index=False)]
+        assert got == want, (sort_cols, offset)
+
+
+def test_serve_range_facet_matches_spark(pindex, lsearch):
+    """Serving-tier numeric facetByRange (FacetRangeCall parity,
+    LuceneServer.java:1197-1258) equals the Spark tier bucket-for-
+    bucket, incl. the other=all triple."""
+    want = [(r["bucket_start"], r["cnt"])
+            for r in pindex.range_facet(
+                ["def"], "dl", 0.0, 100.0, 10.0).collect()]
+    got = lsearch.range_facet(["def"], "dl", 0.0, 100.0, 10.0)
+    assert got == want
+
+    w = pindex.range_facet_other(["quark"], "dl", 30.0, 60.0).first()
+    assert lsearch.range_facet_other(["quark"], "dl", 30.0, 60.0) == (
+        w["before"], w["between"], w["after"])
+
+
+def test_serve_date_range_facet_and_null_sort(spark, tmp_path):
+    """Date facetByRange node-locally (DateRangeFactory.java:43-77
+    buckets) vs the Spark tier's date_trunc ground truth, plus the
+    null-ordering contract of the field sort (asc -> nulls first,
+    desc -> nulls last — Spark's orderBy defaults), on an index whose
+    stored columns include a timestamp and NULLs.  Sharded variants
+    must merge to exactly the union answer."""
+    import pyspark.sql.functions as F
+
+    from katta_spark.corpus import synthetic_corpus
+    from katta_spark.index import PhysicalIndex, build_index
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    from katta_spark.corpus import with_ingest_columns
+
+    full = with_ingest_columns(synthetic_corpus(spark, 300))
+    full = full.withColumn(
+        "created",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 7000)
+    ).withColumn(
+        "nickname",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.format_string("nick%d", F.col("doc_id") % 3)),
+    )
+    a = full.filter(F.col("doc_id") < 150)
+    b = full.filter(F.col("doc_id") >= 150).withColumn(
+        "doc_id", F.col("doc_id") - 150)
+    da, db, du = (str(tmp_path / x) for x in ("a", "b", "u"))
+    build_index(spark, a, da, n_groups=2, block_range=128)
+    build_index(spark, b, db, n_groups=2, block_range=128)
+    off = -(-150 // 128) * 128
+    u = a.unionByName(
+        full.filter(F.col("doc_id") >= 150)
+        .withColumn("doc_id", F.col("doc_id") - 150 + off))
+    build_index(spark, u, du, n_groups=2, block_range=128)
+
+    union = PhysicalIndex(spark, du)
+    ls = LocalSearcher(du)
+    sh = ShardedSearcher([da, db])
+
+    # date facet: ground truth via the Spark tier's date_trunc over
+    # the same match set
+    m = union.matched_docs(["import"], "or")
+    want = [
+        (r["bucket_start"], r["cnt"])
+        for r in union.docs.join(m, "doc_id", "left_semi")
+        .groupBy(F.date_trunc("day", "created").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket_start").collect()
+    ]
+    got_l = ls.date_range_facet(["import"], "created", "DAY")
+    got_s = sh.date_range_facet(["import"], "created", "DAY")
+    assert got_l == want
+    assert got_s == want
+
+    # null ordering: asc -> nulls first, desc -> nulls last
+    for direction in ("asc", "desc"):
+        want = [
+            (r["doc_id"], r["nickname"])
+            for r in union.sorted_query(
+                ["import"], [("nickname", direction)],
+                ["doc_id", "nickname"], 12).collect()
+        ]
+
+        def rows(df):
+            return [
+                (int(r.doc_id),
+                 None if r.nickname is None or r.nickname != r.nickname
+                 else r.nickname)
+                for r in df.itertuples(index=False)
+            ]
+
+        assert rows(ls.sorted_query(
+            ["import"], [("nickname", direction)],
+            ["doc_id", "nickname"], 12)) == want, direction
+        assert rows(sh.sorted_query(
+            ["import"], [("nickname", direction)],
+            ["doc_id", "nickname"], 12)) == want, direction
+    sh.close()
+
+
 def test_serve_suggest_matches_spark(pindex, lsearch):
     for prefix in ("s", "imp", "zzz"):
         want = [(r["term"], r["df"])
