@@ -149,6 +149,92 @@ def field_terms(fields: set[str], analyzers: dict[str, str],
     return [f"{t.field}:{x}" for x in toks]
 
 
+def fuse_spec(fields: set[str], analyzers: dict[str, str],
+              synonyms: dict[str, list[str]],
+              node: Node) -> tuple[list[str], tuple] | None:
+    """Compile a boolean tree whose scoring leaves are ALL plain
+    postings terms (content terms, synonym groups, keyword/analyzed
+    field terms — boosts and ConstScore allowed) into ``(terms,
+    spec)`` for :func:`katta_spark.index.search.make_bool_kernel` —
+    the one-scan fused evaluation of an arbitrary nested query.
+
+    Why one scan suffices: posting blocks are DOC-RANGE partitions
+    (block_id = doc_id // block_range), so after the block_id
+    exchange a kernel group holds EVERY query term's postings for its
+    doc range — the whole tree evaluates per block with numpy masks,
+    no joins.  Sound only when every matching doc is guaranteed to
+    appear in the pruned scan, i.e. the tree REQUIRES at least one
+    positive term at the root (checked below); trees that can match
+    a doc containing none of the terms (MatchAll, pure-negative
+    root/should) and leaves needing other data (phrases, wildcard /
+    fuzzy / regex expansions, stored-column filters) return None and
+    take the general join path.
+
+    The spec is a nest of plain tuples (picklable into the kernel):
+    ``("leaf", member_idxs, boost)`` — OR-sum of the member terms
+    (a single term is a 1-member group; a synonym group or an
+    analyzed field value is n members);
+    ``("bool", must, should, must_not, boost)``;
+    ``("const", child, value)``.
+    """
+    terms: dict[str, int] = {}
+
+    def tid(t: str) -> int:
+        return terms.setdefault(t, len(terms))
+
+    def comp(n: Node) -> tuple | None:
+        if isinstance(n, Term):
+            if n.field is None and n.text in synonyms:
+                group = sorted({n.text, *synonyms[n.text]})
+                return ("leaf", tuple(tid(t) for t in group),
+                        float(n.boost))
+            pt = postings_term(fields, analyzers, n)
+            if pt is not None:
+                return ("leaf", (tid(pt),), float(n.boost))
+            fts = field_terms(fields, analyzers, n)
+            if fts is not None:  # analyzed field: OR of sub-tokens
+                return ("leaf", tuple(tid(t) for t in fts),
+                        float(n.boost))
+            return None  # stored-column filter: needs the docs table
+        if isinstance(n, Bool):
+            must = [comp(c) for c in n.must]
+            should = [comp(c) for c in n.should]
+            nots = [comp(c) for c in n.must_not]
+            if any(c is None for c in (*must, *should, *nots)):
+                return None
+            return ("bool", tuple(must), tuple(should), tuple(nots),
+                    float(n.boost))
+        if isinstance(n, ConstScore):
+            child = comp(n.child)
+            if child is None:
+                return None
+            return ("const", child, float(n.value))
+        return None
+
+    def positive(spec: tuple) -> bool:
+        """True iff every doc matching ``spec`` must contain >=1 of
+        the collected terms — the soundness condition for the pruned
+        scan being the complete candidate universe."""
+        kind = spec[0]
+        if kind == "leaf":
+            return len(spec[1]) > 0
+        if kind == "const":
+            return positive(spec[1])
+        _, must, should, _nots, _ = spec
+        if must:
+            # all musts required -> one positive must suffices
+            return any(positive(m) for m in must)
+        # no must: >=1 should must match, so ALL shoulds must be
+        # positive (a pure-negative should could admit a term-free doc)
+        return bool(should) and all(positive(s) for s in should)
+
+    spec = comp(node)
+    if spec is None or not positive(spec):
+        return None
+    ordered = sorted(terms, key=terms.get)
+    return ordered, spec
+
+
 def flat_terms(node: Node) -> tuple[list[str], str] | None:
     """(terms, mode) when the tree is a flat OR or AND of plain
     unboosted content terms — the WAND-eligible shape."""
@@ -189,10 +275,20 @@ class LuceneEvaluator:
     # ------------------------------------------------------------ public
 
     def eval_query(self, node: Node) -> DataFrame:
-        """(doc_id, score) of every matching doc, unranked."""
+        """(doc_id, score) of every matching doc, unranked.  Trees
+        whose scoring leaves are all plain postings terms fuse into
+        ONE pruned scan (:func:`fuse_spec` +
+        ``PhysicalIndex.bool_scored``) — a nested boolean costs the
+        same plan as a flat OR; everything else (phrases, expansions,
+        stored filters, MatchAll) takes the general join path."""
         stripped = self._strip_stops(node)
         if stripped is None:
             return self._empty()
+        if hasattr(self.idx, "bool_scored"):
+            fused = fuse_spec(self.fields, self.analyzers,
+                              self.synonyms, stripped)
+            if fused is not None:
+                return self.idx.bool_scored(*fused)
         return self._eval(stripped)
 
     # ------------------------------------------------- stopword stripping

@@ -818,6 +818,106 @@ def strip_stops(stats: dict, qterms: list[str]) -> list[str]:
     return list(qterms)
 
 
+def make_bool_kernel(terms: list[str], spec: tuple, n_docs: float,
+                     avgdl: float, k1: float, b: float,
+                     block_range: int):
+    """Fused boolean-tree kernel: evaluates an ARBITRARY nested
+    must/should/must_not tree (luceval.fuse_spec) inside one pruned
+    postings scan — no per-clause joins.  Sound because posting
+    blocks are doc-range partitions: a kernel group holds every query
+    term's postings for its doc range, so per-doc term membership and
+    per-term BM25 are both complete locally (the same property the
+    AND mode's in-kernel nt filter and multi_topk's shared kernel
+    already rely on).  Scores mirror the join path: a leaf group
+    OR-sums its members' BM25 (sorted-term accumulation), a bool sums
+    matching scoring clauses, must_not never scores, boosts multiply,
+    ConstScore replaces the child's scores with the constant."""
+    idx_of = {t: i for i, t in enumerate(terms)}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for g in _iter_block_groups(batches):
+            bid = int(g["block_id"].iloc[0])
+            per: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for row in g.sort_values("term", kind="mergesort").itertuples(
+                    index=False):
+                ids, tfs, dls = codec.decode_block(
+                    row.doc_gaps, row.tfs, row.dls, bid, block_range
+                )
+                idf = codec.bm25_idf(float(row.df), n_docs)
+                sc = idf * codec.bm25_tfnorm(tfs, dls, avgdl, k1, b)
+                ti = idx_of[row.term]
+                if ti in per:  # same term across commit partitions
+                    pi, ps = per[ti]
+                    per[ti] = (np.concatenate([pi, ids]),
+                               np.concatenate([ps, sc]))
+                else:
+                    per[ti] = (ids, sc)
+            uni = np.unique(np.concatenate([v[0] for v in per.values()]))
+            n = uni.size
+            dense: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for ti, (ids, sc) in per.items():
+                m = np.zeros(n, dtype=bool)
+                v = np.zeros(n, dtype=np.float64)
+                pos = np.searchsorted(uni, ids)
+                m[pos] = True
+                np.add.at(v, pos, sc)
+                dense[ti] = (m, v)
+            zeros_m = np.zeros(n, dtype=bool)
+            zeros_v = np.zeros(n, dtype=np.float64)
+
+            def ev(s: tuple) -> tuple[np.ndarray, np.ndarray]:
+                kind = s[0]
+                if kind == "leaf":
+                    mask, vec = zeros_m, None
+                    for ti in sorted(s[1], key=lambda i: terms[i]):
+                        tm, tv = dense.get(ti, (zeros_m, zeros_v))
+                        mask = mask | tm
+                        vec = tv.copy() if vec is None else vec + tv
+                    if vec is None:
+                        vec = zeros_v.copy()
+                    if s[2] != 1.0:
+                        vec = vec * s[2]
+                    return mask, vec
+                if kind == "const":
+                    cm, _ = ev(s[1])
+                    return cm, np.where(cm, float(s[2]), 0.0)
+                _, must, should, nots, boost = s
+                mask, vec = None, zeros_v.copy()
+                for c in must:
+                    cm, cv = ev(c)
+                    mask = cm if mask is None else mask & cm
+                    vec = vec + cv
+                if should:
+                    sm = zeros_m
+                    for c in should:
+                        cm, cv = ev(c)
+                        sm = sm | cm
+                        vec = vec + cv
+                    if mask is None:
+                        mask = sm
+                if mask is None:  # pure-negative subtree: *:* base,
+                    mask = np.ones(n, dtype=bool)  # constant score 1.0
+                    vec = np.ones(n, dtype=np.float64)
+                for c in nots:
+                    cm, _ = ev(c)
+                    mask = mask & ~cm
+                vec = np.where(mask, vec, 0.0)
+                if boost != 1.0:
+                    vec = vec * boost
+                return mask, vec
+
+            mask, score = ev(spec)
+            yield pd.DataFrame(
+                {"doc_id": uni[mask], "score": score[mask]}
+            )
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+
+    return kernel
+
+
 def make_exhaustive_kernel(n_docs: float, avgdl: float,
                            k1: float, b: float, block_range: int):
     """Decode-and-score-everything kernel: emits (doc_id, score, nt)
@@ -1040,6 +1140,28 @@ class PhysicalIndex:
         if self.tombstones is not None:
             out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
         return out.select("doc_id", "score")
+
+    def bool_scored(self, terms: list[str], spec: tuple) -> DataFrame:
+        """(doc_id, score) for a fused boolean tree
+        (luceval.fuse_spec): ONE pruned postings scan over all the
+        tree's terms + one block_id exchange, the whole must/should/
+        must_not nest evaluated as numpy masks inside the kernel —
+        the N-scans-plus-joins plan of the general evaluator
+        collapsed to the same shape as a flat query (the reference
+        evaluates a BooleanQuery in one IndexSearcher pass the same
+        way)."""
+        kern = make_bool_kernel(
+            list(terms), spec, float(self.stats["n_docs"]),
+            self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+            self.stats["block_range"],
+        )
+        out = self._qblocks(sorted(set(terms))).mapInPandas(
+            kern, "doc_id long, score double"
+        )
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id",
+                           "left_anti")
+        return out
 
     def matched_docs(self, qterms: list[str], mode: str = "or",
                      filters: Filters = None) -> DataFrame:

@@ -652,3 +652,94 @@ def test_multi_phrase_matches_brute_force(pindex, py_oracle, row_map):
     ph = {r["doc_id"]
           for r in pindex.phrase_scored(["parse", "http"]).collect()}
     assert mp == ph and mp
+
+
+# ------------------------------------------------------------ fused bool
+
+
+FUSED_QUERIES = [
+    "(scan OR merge) AND import",
+    "(import OR return) AND (scan OR merge) NOT quark",
+    "((import AND scan) OR (merge AND sort)) AND return",
+    "import^2 AND (scan OR merge^0.5)",
+    "import AND NOT (scan AND merge)",
+    "import AND (scan OR merge) AND (return OR key OR dup)",
+]
+
+
+def test_fused_bool_matches_join_path(pindex):
+    """The one-scan fused kernel (fuse_spec + bool_scored) returns
+    EXACTLY the general join path's result for nested trees —
+    same docs, same 9dp scores, same order."""
+    from katta_spark.fulltext.luceval import LuceneEvaluator, fuse_spec
+    from katta_spark.fulltext.qparse import combine_q_fq
+
+    ev = LuceneEvaluator(pindex)
+    for q in FUSED_QUERIES:
+        node = ev._strip_stops(combine_q_fq(q))
+        fused = fuse_spec(ev.fields, ev.analyzers, ev.synonyms, node)
+        assert fused is not None, q
+        got = sorted(
+            (r["doc_id"], round(r["score"], 9))
+            for r in pindex.bool_scored(*fused).collect()
+        )
+        want = sorted(
+            (r["doc_id"], round(r["score"], 9))
+            for r in ev._eval(node).collect()
+        )
+        assert got == want, q
+
+
+def test_fused_bool_is_one_scan_no_join(pindex):
+    """Plan pin: a nested boolean through the fused path is ONE
+    postings scan + one exchange — zero joins (the old plan was one
+    scan per flat group plus doc_id equi-joins)."""
+    df = pindex.query_scored("(dup OR key) AND import NOT quark")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one postings scan + one catalog scan; the only join is the
+    # broadcast of the (term, df) catalog into the scan (the in-plan
+    # getDocFreqs exchange) — no doc_id equi-joins anywhere
+    assert plan.count("Scan parquet") == 2, plan
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert len(joins) == 1 and "BroadcastHashJoin" in joins[0], plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_non_fusable_shapes_refuse_and_still_work(pindex, py_oracle):
+    """Phrases, wildcards and stored filters refuse to fuse (they
+    need positions / catalog expansion / the docs table) and the
+    general path still answers them."""
+    from katta_spark.fulltext.luceval import LuceneEvaluator, fuse_spec
+    from katta_spark.fulltext.qparse import combine_q_fq
+
+    ev = LuceneEvaluator(pindex)
+    for q in ['"block max" AND import', "im* AND scan",
+              "lang:python AND import", "NOT import",
+              "import OR (NOT scan)"]:
+        node = ev._strip_stops(combine_q_fq(q))
+        assert fuse_spec(ev.fields, ev.analyzers, ev.synonyms,
+                         node) is None, q
+    got = {r["doc_id"] for r in
+           pindex.query_scored("im* AND scan").collect()}
+    want_scan = set(py_oracle.matches(["scan"]))
+    assert got and got <= want_scan
+
+
+def test_fused_bool_respects_tombstones(spark, tmp_path):
+    """Deleted docs never surface through the fused kernel (the
+    anti-join applies after the scan, same as scored_docs)."""
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index.delete import delete_docs
+
+    d = str(tmp_path / "fidx")
+    build_index(spark, with_ingest_columns(synthetic_corpus(spark, 400)),
+                d, n_groups=2, block_range=128)
+    idx = PhysicalIndex(spark, d)
+    before = [r["doc_id"] for r in
+              idx.query("(scan OR merge) AND import", k=5).collect()]
+    assert before
+    delete_docs(spark, d, doc_ids=before[:2])
+    idx = PhysicalIndex(spark, d)
+    after = {r["doc_id"] for r in
+             idx.query("(scan OR merge) AND import", k=20).collect()}
+    assert not (set(before[:2]) & after)
