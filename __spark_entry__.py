@@ -1026,7 +1026,10 @@ def ivf_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_ivf") -> str:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
             F.col("vec_id") != 0
         )
-        AI.build_ivf_index(emb, d, n_centroids=16)
+        # quantizer="seed": the bitwise-deterministic smallest-id
+        # quantizer so the DuckDB oracle mirrors assignment exactly;
+        # production default is k-means|| + Lloyd (coarse_centroids)
+        AI.build_ivf_index(emb, d, n_centroids=16, quantizer="seed")
         meta_p.write_text(json.dumps(src_meta))
     return d
 
@@ -1108,7 +1111,8 @@ def ivf_filt_index_dir(spark, sf_dir, cache_root: str = "/tmp/katta_ivf_filt"
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
             F.col("vec_id") != 0
         )
-        AI.build_ivf_index(emb, d, n_centroids=16, meta_cols=["label"])
+        AI.build_ivf_index(emb, d, n_centroids=16, meta_cols=["label"],
+                           quantizer="seed")
         meta_p.write_text(json.dumps(src_meta))
     _IVF_FILT_CACHE[sf_dir] = d
     return d
@@ -1153,7 +1157,8 @@ def q_dedup_semantic(spark, sf_dir):
     from katta_spark.ops.dedup import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_dedup(emb, n_centroids=8, threshold=0.3).orderBy(
+    return semantic_dedup(emb, n_centroids=8, threshold=0.3,
+                          quantizer="seed").orderBy(
         "vec_id"
     )
 

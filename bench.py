@@ -309,13 +309,23 @@ def main() -> None:
     ivf_dir = bench_tmpdir("katta_bench_ivf_")
     shutil.rmtree(ivf_dir, ignore_errors=True)
     queries["op_ivf_index_build"] = timed(
-        lambda: AI.build_ivf_index(emb_corpus, ivf_dir, n_centroids=16),
+        lambda: AI.build_ivf_index(emb_corpus, ivf_dir, n_centroids=16,
+                                   quantizer="seed"),
         repeats=1,
     )
     queries["op_ivf_query"] = timed(
         lambda: AI.ivf_query(spark, ivf_dir, qv, k=10, nprobe=2).collect()
     )
     shutil.rmtree(ivf_dir, ignore_errors=True)
+    # production quantizer: k-means|| seeding + Lloyd (r3; the seed
+    # build above stays the r01/r02-comparable number)
+    ivfkm_dir = bench_tmpdir("katta_bench_ivfkm_")
+    shutil.rmtree(ivfkm_dir, ignore_errors=True)
+    queries["op_ivf_kmeans_build"] = timed(
+        lambda: AI.build_ivf_index(emb_corpus, ivfkm_dir, n_centroids=16),
+        repeats=1,
+    )
+    shutil.rmtree(ivfkm_dir, ignore_errors=True)
 
     # ---- synthetic source-code corpus at bench scale --------------------
     synth_dir = bench_tmpdir("katta_bench_synth_")

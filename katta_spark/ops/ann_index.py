@@ -188,49 +188,198 @@ def kmeans_refine(
     return cents
 
 
+def kmeans_parallel_seed(
+    embeddings: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rounds: int = 4,
+    oversample: int | None = None,
+    salt: str = "kmpp",
+) -> list[list[float]]:
+    """k-means|| seeding (Bahmani et al., "Scalable k-means++",
+    VLDB 2012) — the warehouse-scale replacement for the smallest-id
+    sample quantizer: on clustered data a seed sample lands many
+    centroids in one dense region, skewing cluster sizes (which
+    unbalances SemDeDup's O(sum |c_i|^2) pair work) and ANN recall.
+
+    Deterministic by construction (no RNG state): the start center is
+    the smallest-id vector; each round computes every point's cosine
+    distance to the current center set (a narrow JVM fold over
+    broadcast literals), sums it in one aggregate (phi), and samples
+    each point independently with probability ``l*d2/phi`` using the
+    repo's md5 hash-uniform convention (``md5(salt||round||id)`` ->
+    [0,1)) — the paper's independent sampling with a seeded hash as
+    the coin.  After ``rounds`` the ~``1 + rounds*l`` candidates are
+    weighted by how many points they own (one count aggregate) and
+    reduced to ``k`` on the driver by the GREEDY weighted k-means++
+    rule (pick the candidate maximizing weight x distance-to-chosen,
+    deterministic tie-break) — candidates and weights are the only
+    collects, both bounded by the oversampling factor, never by N.
+
+    Distances use ``2*(1-cos)`` — squared euclidean on L2-normalized
+    vectors — so seeding, assignment (:func:`_assign_cid`) and Lloyd
+    refinement (:func:`kmeans_refine`) all agree on geometry."""
+    import numpy as np
+
+    l = int(oversample or 2 * k)
+    first = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return []
+    cand: list[list[float]] = [[float(x) for x in first[0][vec_col]]]
+    seen = {first[0][id_col]}
+    for r in range(max(0, rounds)):
+        d2 = F.greatest(
+            F.lit(0.0),
+            F.lit(2.0)
+            - F.lit(2.0)
+            * F.greatest(
+                *[_cos_to_literal(F.col(vec_col), c) for c in cand]
+            )
+            if len(cand) > 1
+            else F.lit(2.0)
+            - F.lit(2.0) * _cos_to_literal(F.col(vec_col), cand[0]),
+        )
+        scored = embeddings.select(
+            F.col(id_col), F.col(vec_col), d2.alias("_d2")
+        )
+        phi = scored.agg(F.sum("_d2").alias("s")).first()["s"]
+        if not phi or phi <= 0.0:
+            break  # every point sits on a center already
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}|{r}|"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 52))
+        )
+        picked = (
+            scored.filter(
+                u < F.col("_d2") * F.lit(float(l) / float(phi))
+            )
+            .select(id_col, vec_col)
+            .collect()  # expected ~l rows per round (independent coins)
+        )
+        for row in picked:
+            if row[id_col] not in seen:
+                seen.add(row[id_col])
+                cand.append([float(x) for x in row[vec_col]])
+    if len(cand) <= k:
+        return cand
+    # weight candidates by ownership count — one aggregate
+    wrows = (
+        embeddings.select(
+            _assign_cid(F.col(vec_col), cand).alias("_cid")
+        )
+        .groupBy("_cid")
+        .count()
+        .collect()
+    )
+    w = np.zeros(len(cand), dtype=np.float64)
+    for row in wrows:
+        w[int(row["_cid"])] = float(row["count"])
+    C = np.asarray(cand, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0.0] = 1.0
+    Cn = C / norms[:, None]
+    # greedy weighted k-means++ reduction (deterministic: argmax with
+    # smallest-index tie-break via numpy argmax)
+    chosen = [int(np.argmax(w))]
+    d2c = 2.0 - 2.0 * (Cn @ Cn[chosen[0]])
+    d2c = np.maximum(d2c, 0.0)
+    while len(chosen) < k:
+        gain = w * d2c
+        gain[chosen] = -1.0
+        nxt = int(np.argmax(gain))
+        if gain[nxt] <= 0.0:
+            break  # fewer than k distinct candidate positions
+        chosen.append(nxt)
+        d2c = np.minimum(d2c, np.maximum(2.0 - 2.0 * (Cn @ Cn[nxt]), 0.0))
+    return [cand[i] for i in chosen]
+
+
+def coarse_centroids(
+    embeddings: DataFrame,
+    k: int,
+    quantizer: str = "kmeans",
+    kmeans_iters: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """The shared coarse quantizer for IVF/SemDeDup.  ``kmeans``
+    (default): k-means|| seeding + Lloyd refinement — the scale-true
+    path.  ``seed``: the smallest-id sample — bitwise-deterministic
+    for SQL-oracle-checked builds (Lloyd's float-avg recentering is
+    reproducible only up to summation order)."""
+    if quantizer not in ("kmeans", "seed"):
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    if quantizer == "kmeans":
+        cents = kmeans_parallel_seed(
+            embeddings, k, vec_col=vec_col, id_col=id_col
+        )
+        iters = 3 if kmeans_iters is None else int(kmeans_iters)
+    else:
+        rows = (
+            embeddings.orderBy(F.col(id_col).asc())
+            .limit(int(k))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        cents = [[float(x) for x in r[vec_col]] for r in rows]
+        iters = int(kmeans_iters or 0)
+    if iters:
+        cents = kmeans_refine(
+            embeddings, cents, iters=iters, vec_col=vec_col
+        )
+    return cents
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     out_dir: str,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    kmeans_iters: int = 0,
+    kmeans_iters: int | None = None,
     meta_cols: list[str] | None = None,
+    quantizer: str = "kmeans",
 ) -> dict:
     """IVF-flat index: vectors partitioned by nearest-centroid id.
 
-    Coarse quantizer: the ``n_centroids`` vectors with the SMALLEST
-    ids — a deterministic sample, chosen over k-means so the
-    assignment is exactly reproducible by a SQL oracle (at warehouse
-    scale you would swap in k-means|| centroids; every other part of
-    the layout and the query path is unchanged).  Assignment is
-    argmax-cosine with tie-break centroid_id asc, computed per row as
-    a JVM expression fold over the broadcast centroid literals — no
-    shuffle, no cross join, no Python.  The write is partitioned by
-    ``cid`` so a probe reads only its centroid's directories.
+    Coarse quantizer (:func:`coarse_centroids`): ``kmeans`` (default)
+    is k-means|| seeding + Lloyd refinement — on clustered corpora a
+    naive sample skews cluster sizes and recall; ``seed`` keeps the
+    smallest-id sample, bitwise-reproducible by a SQL oracle (the
+    mode oracle-gated builds pin).  Assignment is argmax-cosine with
+    tie-break centroid_id asc, computed per row as a JVM expression
+    fold over the broadcast centroid literals — no shuffle, no cross
+    join, no Python.  The write is partitioned by ``cid`` so a probe
+    reads only its centroid's directories.
 
     ``meta_cols`` carries metadata columns (labels, timestamps,
     source tags) into the index files so FILTERED vector search
     (:func:`ivf_query` ``where=``) pushes its predicate straight into
     the probed parquet scan — the standard vector-DB metadata-filter
     feature, with no post-hoc join back to a side table."""
-    cents = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(id_col, vec_col)
-        .collect()
+    centroids = coarse_centroids(
+        embeddings, int(n_centroids), quantizer=quantizer,
+        kmeans_iters=kmeans_iters, vec_col=vec_col, id_col=id_col,
     )
-    centroids = [
-        [float(x) for x in r[vec_col]] for r in cents
-    ]
-    if kmeans_iters:
-        # Lloyd refinement (one shuffle per iteration).  Off by
-        # default: float-avg recentering is reproducible only up to
-        # summation order, so oracle-checked builds keep the exact
-        # deterministic seed centroids.
-        centroids = kmeans_refine(
-            embeddings, centroids, iters=kmeans_iters, vec_col=vec_col
-        )
     assigned = embeddings.select(
         _assign_cid(F.col(vec_col), centroids).alias("cid"),
         F.col(id_col),
@@ -245,7 +394,7 @@ def build_ivf_index(
     )
     meta = {
         "kind": "ivf",
-        "n_centroids": int(n_centroids),
+        "n_centroids": len(centroids),
         "centroids": centroids,
         "id_col": id_col,
         "vec_col": vec_col,
@@ -408,8 +557,9 @@ def build_ivfpq_index(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    kmeans_iters: int = 0,
+    kmeans_iters: int | None = None,
     meta_cols: list[str] | None = None,
+    quantizer: str = "kmeans",
 ) -> dict:
     """IVF-PQ index: coarse centroid partitioning + product-quantized
     residual codes, NO stored vectors.
@@ -433,11 +583,16 @@ def build_ivfpq_index(
         .select(id_col, vec_col)
         .collect()
     )
+    # the PQ codebook seed stays the smallest-id sample in both modes
+    # (it quantizes per-subspace value ranges, not cluster geometry);
+    # the COARSE quantizer follows the same kmeans/seed switch as IVF
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
-    centroids = vecs[:n_centroids]
-    if kmeans_iters:
-        centroids = kmeans_refine(
-            embeddings, centroids, iters=kmeans_iters, vec_col=vec_col
+    if quantizer == "seed" and kmeans_iters is None:
+        centroids = vecs[:n_centroids]
+    else:
+        centroids = coarse_centroids(
+            embeddings, int(n_centroids), quantizer=quantizer,
+            kmeans_iters=kmeans_iters, vec_col=vec_col, id_col=id_col,
         )
     dims = len(centroids[0])
     if dims % m:
@@ -456,7 +611,7 @@ def build_ivfpq_index(
     )
     meta = {
         "kind": "ivfpq",
-        "n_centroids": int(n_centroids),
+        "n_centroids": len(centroids),
         "m": int(m),
         "n_codes": int(n_codes),
         "centroids": centroids,

@@ -561,9 +561,10 @@ def semantic_dedup(
     embeddings: DataFrame,
     n_centroids: int = 16,
     threshold: float = 0.95,
-    kmeans_iters: int = 0,
+    kmeans_iters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embeddings with k-means, compare pairs ONLY within a cluster, and
@@ -579,23 +580,19 @@ def semantic_dedup(
     the quadratic comparison is confined within clusters, so total
     pair work is O(sum |c_i|^2) with |c_i| ~ N/k — never an all-pairs
     join, nothing driver-side.  Centroid count scales with N to keep
-    clusters bounded.  Coarse quantizer: smallest-id sample, optional
-    Lloyd refinement (ops.ann_index.kmeans_refine) — identical
-    machinery to the IVF index, so assignment semantics stay
-    oracle-checkable."""
-    from katta_spark.ops.ann_index import _assign_cid, kmeans_refine
+    clusters bounded.  Coarse quantizer
+    (ops.ann_index.coarse_centroids — identical machinery to the IVF
+    index): ``kmeans`` (default) = k-means|| seeding + Lloyd
+    refinement, which keeps cluster sizes balanced on clustered data
+    (the O(sum |c_i|^2) bound degrades toward O(N^2) when a seed
+    sample lumps the mass into one cell); ``seed`` = the smallest-id
+    sample, bitwise-deterministic for SQL-oracle-checked runs."""
+    from katta_spark.ops.ann_index import _assign_cid, coarse_centroids
 
-    cents = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(int(n_centroids))
-        .collect()  # bounded: n_centroids rows, same as build_ivf_index
+    centroids = coarse_centroids(
+        embeddings, int(n_centroids), quantizer=quantizer,
+        kmeans_iters=kmeans_iters, vec_col=vec_col, id_col=id_col,
     )
-    centroids = [list(map(float, r[vec_col])) for r in cents]
-    if kmeans_iters:
-        centroids = kmeans_refine(
-            embeddings, centroids, iters=kmeans_iters, vec_col=vec_col
-        )
     assigned = embeddings.select(
         F.col(id_col),
         F.col(vec_col),

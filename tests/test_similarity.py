@@ -129,7 +129,8 @@ def ivf_dir(spark, emb, tmp_path_factory):
     from katta_spark.ops import ann_index as AI
 
     d = str(tmp_path_factory.mktemp("ivf") / "idx")
-    AI.build_ivf_index(emb.filter(F.col("vec_id") != 0), d, n_centroids=8)
+    AI.build_ivf_index(emb.filter(F.col("vec_id") != 0), d, n_centroids=8,
+                       quantizer="seed")  # mirrors assume seed centroids
     return d
 
 
@@ -296,6 +297,97 @@ def test_kmeans_refine_converges_to_cluster_means(spark):
     assert sorted(owners.values()) == [0, 1, 2], (owners, refined)
 
 
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """A corpus adversarial to smallest-id seeding: 6 well-separated
+    16-d clusters of 100 points each, with ALL of cluster 0's points
+    holding the smallest ids — so a k=6 id-ordered seed sample lands
+    every centroid inside one dense region (the failure mode VERDICT
+    r2 'What's wrong' #3 calls out for clustered 100 TB embeddings)."""
+    import random
+
+    rng = random.Random(20260820)
+    rows = []
+    for c in range(6):
+        for i in range(100):
+            v = [rng.gauss(0.0, 0.35) for _ in range(16)]
+            v[c] += 10.0
+            v[(c + 7) % 16] += 4.0
+            rows.append((c * 100 + i, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ), rows
+
+
+def test_kmeans_parallel_seed_is_deterministic(spark, clustered_emb):
+    """No RNG state anywhere: two runs over the same input return the
+    bitwise-identical centroid list (hash-uniform coins, greedy
+    argmax reduction)."""
+    from katta_spark.ops import ann_index as AI
+
+    df, _ = clustered_emb
+    a = AI.kmeans_parallel_seed(df, 6)
+    b = AI.kmeans_parallel_seed(df, 6)
+    assert a == b
+    assert len(a) == 6
+
+
+def test_kmeans_quantizer_balances_clusters_and_lifts_recall(
+    spark, clustered_emb, tmp_path
+):
+    """VERDICT r2 item 6 'done' criteria: on a clustered corpus where
+    the id-ordered seed sample puts all k centroids in one dense
+    region, the k-means|| + Lloyd quantizer (a) bounds cluster-size
+    skew (max cell <= 2x the mean — the O(sum |c_i|^2) SemDeDup bound
+    and the nprobe-pruned probe cost both ride on this) and (b) beats
+    the seed quantizer's recall@10 at nprobe=1."""
+    import numpy as np
+
+    from katta_spark.ops import ann_index as AI
+
+    df, rows = clustered_emb
+    d_km = str(tmp_path / "ivf_km")
+    d_seed = str(tmp_path / "ivf_seed")
+    meta_km = AI.build_ivf_index(df, d_km, n_centroids=6)
+    AI.build_ivf_index(df, d_seed, n_centroids=6, quantizer="seed")
+    assert meta_km["n_centroids"] == 6
+
+    # (a) balance bound on the k-means cells
+    sizes = [
+        r["count"]
+        for r in spark.read.parquet(d_km).groupBy("cid").count().collect()
+    ]
+    assert len(sizes) == 6
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes)), sizes
+
+    # (b) recall@10 at nprobe=1, 12 probe queries (2 per true cluster),
+    # ground truth = exact brute-force cosine over the corpus
+    ids = np.array([i for i, _ in rows])
+    V = np.stack([np.asarray(v) for _, v in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def recall(index_dir):
+        hit = tot = 0
+        for qi in range(0, 600, 50):
+            q = V[qi]
+            exact = ids[
+                np.lexsort((ids, -(Vn @ (q / np.linalg.norm(q)))))
+            ][:10]
+            got = {
+                r["vec_id"]
+                for r in AI.ivf_query(
+                    spark, index_dir, [float(x) for x in q], k=10, nprobe=1
+                ).collect()
+            }
+            hit += len(got & set(exact.tolist()))
+            tot += 10
+        return hit / tot
+
+    r_km, r_seed = recall(d_km), recall(d_seed)
+    assert r_km >= 0.9, (r_km, r_seed)
+    assert r_km > r_seed, (r_km, r_seed)
+
+
 def test_ivf_build_with_kmeans_partitions_clusters(spark, tmp_path):
     from katta_spark.ops import ann_index as AI
 
@@ -311,7 +403,8 @@ def test_ivf_build_with_kmeans_partitions_clusters(spark, tmp_path):
             rows.append((i * 3 + axis, v))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     d = str(tmp_path / "ivf_km")
-    meta = AI.build_ivf_index(df, d, n_centroids=3, kmeans_iters=5)
+    meta = AI.build_ivf_index(df, d, n_centroids=3, kmeans_iters=5,
+                              quantizer="seed")
 
     got = spark.read.parquet(d)
     # partition purity: each cluster (vec_id % 3) maps to exactly one cid
@@ -343,9 +436,9 @@ def test_ivf_append_matches_full_build(spark, emb, tmp_path):
     d_full = str(tmp_path / "ivf_full")
     first = emb.filter(F.col("vec_id") < 500)
     rest = emb.filter(F.col("vec_id") >= 500)
-    AI.build_ivf_index(first, d_inc, n_centroids=8)
+    AI.build_ivf_index(first, d_inc, n_centroids=8, quantizer="seed")
     AI.append_to_ivf_index(rest, d_inc)
-    AI.build_ivf_index(emb, d_full, n_centroids=8)
+    AI.build_ivf_index(emb, d_full, n_centroids=8, quantizer="seed")
 
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
     got = AI.ivf_query(spark, d_inc, qv, k=10, nprobe=3).collect()
@@ -360,7 +453,8 @@ def ivfpq_dir(spark, emb, tmp_path_factory):
 
     d = str(tmp_path_factory.mktemp("ivfpq") / "idx")
     AI.build_ivfpq_index(
-        emb.filter(F.col("vec_id") != 0), d, n_centroids=8, m=8, n_codes=16
+        emb.filter(F.col("vec_id") != 0), d, n_centroids=8, m=8,
+        n_codes=16, quantizer="seed",  # numpy mirror assumes seed cents
     )
     return d
 
@@ -568,7 +662,8 @@ def test_semantic_dedup_matches_numpy(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     got = {
         r["vec_id"]: (r["cid"], r["keep"])
-        for r in semantic_dedup(e, n_centroids=8, threshold=0.3).collect()
+        for r in semantic_dedup(e, n_centroids=8, threshold=0.3,
+                                quantizer="seed").collect()
     }
     rows = sorted(
         ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
