@@ -199,6 +199,12 @@ def main() -> None:
         "serve_lucene_nested": lambda: lsrv.query("(dup OR key) AND table"),
         "serve_lucene_not": lambda: lsrv.query("table -scan"),
         "serve_phrase": lambda: lsrv.query('"order fast"'),
+        # r3 node surfaces: TopFieldCollector sort + facetByRange
+        "serve_sorted": lambda: lsrv.sorted_query(
+            ["table"], [("lang", "asc"), ("dl", "desc")],
+            ["doc_id", "lang", "dl"], 10),
+        "serve_range_facet": lambda: lsrv.range_facet(
+            ["table"], "dl", 0.0, 400.0, 50.0),
     }
     srv_samples: list[float] = []
     for name, fn in serve_set.items():

@@ -188,6 +188,54 @@ def kmeans_refine(
     return cents
 
 
+def _cand_matrix(cand: list[list[float]]):
+    import numpy as np
+
+    C = np.asarray(cand, dtype=np.float64)
+    n = np.linalg.norm(C, axis=1)
+    n[n == 0.0] = 1.0
+    return C / n[:, None]
+
+
+def _min_d2_kernel(cand: list[list[float]]):
+    """pandas_udf: min over candidates of 2*(1-cos(v, c)) — one numpy
+    matmul per Arrow batch against the broadcast L2-normalized
+    candidate matrix; scales to hundreds of candidates where a JVM
+    greatest() fold would explode codegen."""
+    import numpy as np
+    import pandas as pd
+
+    Cn = _cand_matrix(cand)
+
+    def d2(v):
+        M = np.stack(v.to_numpy())
+        mn = np.linalg.norm(M, axis=1)
+        mn[mn == 0.0] = 1.0
+        best = ((M / mn[:, None]) @ Cn.T).max(axis=1)
+        return pd.Series(np.maximum(2.0 - 2.0 * best, 0.0))
+
+    return F.pandas_udf(d2, "double")
+
+
+def _argmax_cid_kernel(cand: list[list[float]]):
+    """pandas_udf: argmax-cosine candidate index (tie-break lowest
+    index — numpy argmax's rule, matching :func:`_assign_cid`)."""
+    import numpy as np
+    import pandas as pd
+
+    Cn = _cand_matrix(cand)
+
+    def cid(v):
+        M = np.stack(v.to_numpy())
+        mn = np.linalg.norm(M, axis=1)
+        mn[mn == 0.0] = 1.0
+        return pd.Series(
+            np.argmax((M / mn[:, None]) @ Cn.T, axis=1).astype("int32")
+        )
+
+    return F.pandas_udf(cid, "int")
+
+
 def kmeans_parallel_seed(
     embeddings: DataFrame,
     k: int,
@@ -219,7 +267,16 @@ def kmeans_parallel_seed(
 
     Distances use ``2*(1-cos)`` — squared euclidean on L2-normalized
     vectors — so seeding, assignment (:func:`_assign_cid`) and Lloyd
-    refinement (:func:`kmeans_refine`) all agree on geometry."""
+    refinement (:func:`kmeans_refine`) all agree on geometry.
+
+    The per-round distance/ownership passes are Arrow ``pandas_udf``
+    kernels over the broadcast candidate MATRIX, not JVM expression
+    folds: the candidate set grows to ``1 + rounds*l`` (hundreds at
+    production k), and a ``greatest()`` fold over hundreds of
+    per-centroid cosine expressions explodes codegen compile time,
+    while the kernel is one numpy matmul per Arrow batch at any
+    candidate count.  The final k-way IVF assignment keeps the
+    bounded JVM fold (:func:`_assign_cid`)."""
     import numpy as np
 
     l = int(oversample or 2 * k)
@@ -234,19 +291,9 @@ def kmeans_parallel_seed(
     cand: list[list[float]] = [[float(x) for x in first[0][vec_col]]]
     seen = {first[0][id_col]}
     for r in range(max(0, rounds)):
-        d2 = F.greatest(
-            F.lit(0.0),
-            F.lit(2.0)
-            - F.lit(2.0)
-            * F.greatest(
-                *[_cos_to_literal(F.col(vec_col), c) for c in cand]
-            )
-            if len(cand) > 1
-            else F.lit(2.0)
-            - F.lit(2.0) * _cos_to_literal(F.col(vec_col), cand[0]),
-        )
         scored = embeddings.select(
-            F.col(id_col), F.col(vec_col), d2.alias("_d2")
+            F.col(id_col), F.col(vec_col),
+            _min_d2_kernel(cand)(F.col(vec_col)).alias("_d2"),
         )
         phi = scored.agg(F.sum("_d2").alias("s")).first()["s"]
         if not phi or phi <= 0.0:
@@ -284,7 +331,7 @@ def kmeans_parallel_seed(
     # weight candidates by ownership count — one aggregate
     wrows = (
         embeddings.select(
-            _assign_cid(F.col(vec_col), cand).alias("_cid")
+            _argmax_cid_kernel(cand)(F.col(vec_col)).alias("_cid")
         )
         .groupBy("_cid")
         .count()

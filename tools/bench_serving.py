@@ -1,0 +1,130 @@
+"""Serving-tier latency at matched reference scale (~1M docs).
+
+The reference's one published query latency is an 81 ms scatter-
+gather count over 881,722 docs on 2 nodes (manual/doc/Katta-Hive.md:
+63-70).  This tool reproduces the regime: the deterministic
+1,000,000-doc source-code corpus (body_reps=8), indexed once as a
+union (LocalSearcher = one node) and once as 8 shard indexes
+(ShardedSearcher = the scatter-gather client over 8 node-local
+shards), then the serving-tier query set measured warm, median of 5.
+
+Round-3 paths under test (VERDICT r2 "Next round" items 1-4):
+  - count: per-(term,block) doc-id bitsets, bitwise union/intersect
+  - query: full Lucene-string scatter across shards (cross-shard df
+    exchange) — previously single-shard only
+  - sorted_query / range_facet at the node tier
+
+Usage: python tools/bench_serving.py [--docs 1000000] [--shards 8]
+Prints one JSON line `SERVING {...}`; paste into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def med5(fn):
+    xs = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        fn()
+        xs.append(time.monotonic() - t0)
+    return round(statistics.median(xs) * 1000.0, 1)  # ms
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+    import pyspark.sql.functions as F
+
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index import build_index
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+    from katta_spark.session import get_spark
+
+    shm = tempfile.mkdtemp(prefix="katta_serve_bench_", dir="/dev/shm")
+    spark = get_spark(app_name="bench_serving", master="local[32]",
+                      shuffle_partitions=32,
+                      extra_conf={"spark.local.dir": f"{shm}/local"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n = args.docs
+    full = with_ingest_columns(
+        synthetic_corpus(spark, n, body_reps=args.reps)
+    )
+    t0 = time.monotonic()
+    build_index(spark, full, f"{shm}/union", n_groups=8)
+    t_union = time.monotonic() - t0
+    per = n // args.shards
+    t0 = time.monotonic()
+    shard_dirs = []
+    for s in range(args.shards):
+        lo, hi = s * per, n if s == args.shards - 1 else (s + 1) * per
+        part = full.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).withColumn("doc_id", F.col("doc_id") - lo)
+        d = f"{shm}/shard{s}"
+        build_index(spark, part, d, n_groups=1)
+        shard_dirs.append(d)
+    t_shards = time.monotonic() - t0
+    spark.stop()
+
+    ls = LocalSearcher(f"{shm}/union")
+    sh = ShardedSearcher(shard_dirs)
+
+    qset = {
+        "or_top10": lambda s: s.topk(["import", "return"], k=10,
+                                     mode="or"),
+        "and_top10": lambda s: s.topk(["scan", "merge"], k=10,
+                                      mode="and"),
+        "count_or": lambda s: s.count(["import", "return"]),
+        "lucene_nested": lambda s: s.query("(scan OR merge) AND import",
+                                           k=10),
+        # fields exclude doc_id: the sharded tier namespaces ids by
+        # block-aligned offsets, so raw ids differ from the union
+        # build by construction (relative order is preserved)
+        "sorted_top10": lambda s: s.sorted_query(
+            ["import"], [("lang", "asc"), ("dl", "desc")],
+            ["lang", "dl"], 10),
+        "range_facet": lambda s: s.range_facet(
+            ["import"], "dl", 0.0, 400.0, 50.0),
+    }
+    out = {
+        "n_docs": n, "shards": args.shards, "reps": args.reps,
+        "build_union_s": round(t_union, 1),
+        "build_shards_s": round(t_shards, 1),
+        "local_ms": {}, "sharded_ms": {}, "parity": {},
+    }
+    for name, q in qset.items():
+        a, b = q(ls), q(sh)
+        if hasattr(a, "values"):
+            same = a.values.tolist() == b.values.tolist()
+        else:
+            same = a == b
+        out["parity"][name] = bool(same)
+        out["local_ms"][name] = med5(lambda q=q: q(ls))
+        out["sharded_ms"][name] = med5(lambda q=q: q(sh))
+    sh.close()
+    shutil.rmtree(shm, ignore_errors=True)
+    print("SERVING " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
