@@ -1,0 +1,77 @@
+"""Index lifecycle CLI (tools/admin.py) — the Katta.java admin
+surface (listIndexes/check/listErrors/showStructure/removeIndex,
+Katta.java:729-921) over the parquet index layout."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(*args):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "admin.py"), *args],
+        capture_output=True, text=True,
+    )
+    return out.returncode, json.loads(out.stdout)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    from katta_spark.corpus import synthetic_corpus
+    from katta_spark.index import build_index
+
+    d = tmp_path_factory.mktemp("admin") / "idx"
+    build_index(spark, synthetic_corpus(spark, 800), str(d),
+                n_groups=2, block_range=256)
+    return d
+
+
+def test_admin_list_and_show(idx):
+    rc, out = run_cli("list", str(idx.parent))
+    assert rc == 0 and out["n"] == 1
+    row = out["indexes"][0]
+    assert row["status"] == "DEPLOYED"
+    assert row["n_docs"] == 800
+    assert row["groups"] == 2
+    assert row["bytes"] > 0 and row["n_postings"] > 0
+
+    rc, shown = run_cli("show", str(idx))
+    assert rc == 0
+    assert shown["stats"]["n_docs"] == 800
+    assert len(shown["manifest"]) == 2
+    assert set(shown["layout"]) >= {"docs", "postings", "terms"}
+
+
+def test_admin_check_healthy_then_detects_damage(idx, tmp_path):
+    import shutil
+
+    rc, out = run_cli("check", str(idx))
+    assert rc == 0 and out["ok"] and out["problems"] == []
+
+    rc, out = run_cli("errors", str(idx))
+    assert rc == 0 and out["n"] == 0
+
+    # damage a copy: drop one group's postings partition
+    dmg = tmp_path / "dmg"
+    shutil.copytree(idx, dmg)
+    victim = next((dmg / "postings").glob("commit=*/group=*"))
+    shutil.rmtree(victim)
+    rc, out = run_cli("check", str(dmg))
+    assert rc == 1 and not out["ok"]
+    assert any("postings" in s for s in out["problems"])
+
+
+def test_admin_remove_requires_yes(idx, tmp_path):
+    import shutil
+
+    victim = tmp_path / "victim"
+    shutil.copytree(idx, victim)
+    rc, out = run_cli("remove", str(victim))
+    assert rc == 1 and not out["ok"] and victim.exists()
+    rc, out = run_cli("remove", str(victim), "--yes")
+    assert rc == 0 and out["ok"] and not victim.exists()
