@@ -149,6 +149,18 @@ def _assign_cid(vec_col, centroids: list[list[float]]):
     return F.array_min(F.array(*elems))["cid"]
 
 
+def _assign_expr(vec_col, centroids: list[list[float]]):
+    """Centroid assignment, picked by k: the JVM expression fold for
+    small k (whole-stage codegen, bitwise-reproducible by the SQL
+    oracle — all oracle-checked builds use k <= 32) and the Arrow
+    matmul kernel past ~32 centroids, where the fold's codegen
+    compile time grows superlinearly with k.  Same argmax, same
+    lowest-index tie-break."""
+    if len(centroids) <= 32:
+        return _assign_cid(vec_col, centroids)
+    return _argmax_cid_kernel(centroids)(vec_col)
+
+
 def kmeans_refine(
     embeddings: DataFrame,
     init_centroids: list[list[float]],
@@ -158,7 +170,8 @@ def kmeans_refine(
     """Lloyd k-means refinement of IVF coarse centroids.
 
     Each iteration is ONE map-side-combinable shuffle: assignment is
-    the JVM argmax fold (:func:`_assign_cid`, narrow), recentering is
+    narrow (:func:`_assign_expr` — JVM argmax fold at small k, Arrow
+    matmul kernel past ~32 centroids), recentering is
     ``groupBy(cid).agg(avg(emb[0]), ..., avg(emb[d-1]))`` — per-dim
     built-in aggregates with partial combine, so shuffle volume is
     ``k x d`` partials per input partition, never the vectors.
@@ -177,7 +190,7 @@ def kmeans_refine(
         ]
         rows = (
             embeddings.select(
-                _assign_cid(F.col(vec_col), cents).alias("cid"), vec_col
+                _assign_expr(F.col(vec_col), cents).alias("cid"), vec_col
             )
             .groupBy("cid")
             .agg(*aggs)
@@ -428,7 +441,7 @@ def build_ivf_index(
         kmeans_iters=kmeans_iters, vec_col=vec_col, id_col=id_col,
     )
     assigned = embeddings.select(
-        _assign_cid(F.col(vec_col), centroids).alias("cid"),
+        _assign_expr(F.col(vec_col), centroids).alias("cid"),
         F.col(id_col),
         F.col(vec_col),
         *[F.col(c) for c in (meta_cols or [])],
@@ -461,7 +474,7 @@ def append_to_ivf_index(embeddings: DataFrame, index_dir: str) -> dict:
     ``kmeans_iters>0``, same as any IVF system."""
     meta = json.loads((Path(index_dir) / "_meta.json").read_text())
     assigned = embeddings.select(
-        _assign_cid(F.col(meta["vec_col"]), meta["centroids"]).alias("cid"),
+        _assign_expr(F.col(meta["vec_col"]), meta["centroids"]).alias("cid"),
         F.col(meta["id_col"]),
         F.col(meta["vec_col"]),
     )

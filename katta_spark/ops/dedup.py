@@ -587,7 +587,7 @@ def semantic_dedup(
     (the O(sum |c_i|^2) bound degrades toward O(N^2) when a seed
     sample lumps the mass into one cell); ``seed`` = the smallest-id
     sample, bitwise-deterministic for SQL-oracle-checked runs."""
-    from katta_spark.ops.ann_index import _assign_cid, coarse_centroids
+    from katta_spark.ops.ann_index import _assign_expr, coarse_centroids
 
     centroids = coarse_centroids(
         embeddings, int(n_centroids), quantizer=quantizer,
@@ -596,7 +596,7 @@ def semantic_dedup(
     assigned = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        _assign_cid(F.col(vec_col), centroids).alias("cid"),
+        _assign_expr(F.col(vec_col), centroids).alias("cid"),
     )
     from katta_spark.ops.similarity import _dot, _norm
 

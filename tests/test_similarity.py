@@ -319,6 +319,30 @@ def clustered_emb(spark):
     ), rows
 
 
+def test_assign_kernel_matches_jvm_fold_past_threshold(spark,
+                                                       clustered_emb):
+    """_assign_expr switches to the Arrow matmul kernel past 32
+    centroids; both paths must produce the identical argmax-cosine
+    assignment (lowest-index tie-break) on the same data."""
+    from katta_spark.ops import ann_index as AI
+
+    df, rows = clustered_emb
+    cents = [v for _, v in rows[::16]][:40]  # 40 > threshold
+    got_kernel = {
+        r["vec_id"]: r["cid"]
+        for r in df.select(
+            "vec_id", AI._assign_expr(F.col("embedding"), cents).alias("cid")
+        ).collect()
+    }
+    got_fold = {
+        r["vec_id"]: r["cid"]
+        for r in df.select(
+            "vec_id", AI._assign_cid(F.col("embedding"), cents).alias("cid")
+        ).collect()
+    }
+    assert got_kernel == got_fold
+
+
 def test_kmeans_parallel_seed_is_deterministic(spark, clustered_emb):
     """No RNG state anywhere: two runs over the same input return the
     bitwise-identical centroid list (hash-uniform coins, greedy
