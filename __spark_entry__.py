@@ -478,6 +478,23 @@ def q_serve_lucene(spark, sf_dir):
     )
 
 
+def q_serve_spellcheck(spark, sf_dir):
+    """Scatter-gather spellcheck (SpellCheckComponent at node
+    latency): each shard contributes its FULL within-max_edits
+    candidate set, dfs summed over disjoint doc sets, one global
+    (dist asc, df desc, term asc) cut — same oracle as
+    ft_spellcheck because the shards partition the same corpus."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.spellcheck("tabel", max_edits=2, n=5)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(t, int(d), int(df)) for t, d, df in rows],
+        "term string, dist int, df long",
+    )
+
+
 def q_serve_count(spark, sf_dir):
     """Serving-tier totalHits — the reference's published headline op
     (0.081 s scatter-gather count), answered node-locally."""
@@ -2634,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_phrase_sharded": q_serve_phrase_sharded,
         "ft_serve_sorted": q_serve_sorted,
         "ft_serve_range_facet": q_serve_range_facet,
+        "ft_serve_spellcheck": q_serve_spellcheck,
         "ft_phys_facet": q_phys_facet,
         "ft_facet_index": q_phys_facet_index,
         "ft_facet_prefix": q_phys_facet_prefix,
@@ -2906,6 +2924,8 @@ SELECT count(*) AS n_hits FROM matched""",
             ],
         ),
         "ft_serve_phrase_sharded": O.phrase_sql(["order", "fast"], k=10),
+        "ft_serve_spellcheck": O.spellcheck_sql("tabel", max_edits=2,
+                                                n=5),
         "ft_serve_sorted": f"""{ctes}{O.matched_sql(["merge"])}
 SELECT doc_id, source, n_chars FROM (
   SELECT d.doc_id, d.source, d.n_chars

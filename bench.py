@@ -205,6 +205,8 @@ def main() -> None:
             ["doc_id", "lang", "dl"], 10),
         "serve_range_facet": lambda: lsrv.range_facet(
             ["table"], "dl", 0.0, 400.0, 50.0),
+        "serve_spellcheck": lambda: lsrv.spellcheck("tabel",
+                                                    max_edits=2, n=5),
     }
     srv_samples: list[float] = []
     for name, fn in serve_set.items():

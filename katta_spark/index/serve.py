@@ -719,6 +719,44 @@ class LocalSearcher:
         )[:n]
         return [(str(t), int(d)) for t, d in rows]
 
+    def _spell_candidates(self, word: str,
+                          max_edits: int) -> pd.DataFrame:
+        """ALL content terms within ``max_edits`` of ``word`` —
+        (term, dist, df), unranked and uncut.  Shared by the local
+        top-n and the sharded exact merge (a shard must contribute
+        every candidate, not its own page, so cross-shard df sums
+        are exact).  Length-window prune |len(t)-len(w)| <= max_edits
+        runs before the levenshtein, same as the Spark tier."""
+        w = word.lower()
+        cat = self._catalog()
+        sub = cat[
+            ~cat["term"].str.contains(":", regex=False)
+            & ((cat["term"].str.len() - len(w)).abs() <= max_edits)
+        ]
+        dists = np.fromiter(
+            (_levenshtein(t, w) for t in sub["term"]),
+            dtype=np.int64, count=len(sub),
+        )
+        keep = (dists <= max_edits) & (dists > 0)
+        out = sub.loc[keep, ["term", "df"]].copy()
+        out["dist"] = dists[keep]
+        return out[["term", "dist", "df"]]
+
+    def spellcheck(self, word: str, max_edits: int = 2,
+                   n: int = 5) -> list[tuple[str, int, int]]:
+        """[(term, dist, df)] — the Solr SpellCheckComponent surface
+        at node latency: the ``n`` closest content terms by (edit
+        distance asc, df desc, term asc), evaluated on the cached
+        term catalog.  Mirrors PhysicalIndex.spellcheck exactly
+        (tested); on a commit-pinned handle the dfs come from the
+        PIT catalog."""
+        cand = self._spell_candidates(word, max_edits)
+        rows = sorted(
+            zip(cand["term"], cand["dist"], cand["df"]),
+            key=lambda x: (int(x[1]), -int(x[2]), x[0]),
+        )[:n]
+        return [(str(t), int(d), int(df)) for t, d, df in rows]
+
     # ------------------------------------------- Lucene-string front door
 
     def _all_ids(self) -> np.ndarray:
@@ -1754,6 +1792,34 @@ class ShardedSearcher:
             key=lambda x: (-int(x[1]), x[0]),
         )[:n]
         return [(str(t), int(d)) for t, d in rows]
+
+    def spellcheck(self, word: str, max_edits: int = 2,
+                   n: int = 5) -> list[tuple[str, int, int]]:
+        """Scatter-gather spellcheck: each shard contributes its FULL
+        within-max_edits candidate set (distance is shard-invariant;
+        the bounded set is what makes the scatter cheap), dfs summed
+        per term over disjoint doc sets, one global (dist asc, df
+        desc, term asc) cut — identical to the union index's
+        spellcheck (tested)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(s: LocalSearcher) -> pd.DataFrame:
+            return s._spell_candidates(word, max_edits)
+
+        if len(self.shards) == 1:
+            cands = [one(self.shards[0])]
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(len(self.shards), 32)
+            ) as ex:
+                cands = list(ex.map(one, self.shards))
+        cat = pd.concat(cands)
+        merged = cat.groupby(["term", "dist"], as_index=False)["df"].sum()
+        rows = sorted(
+            zip(merged["term"], merged["dist"], merged["df"]),
+            key=lambda x: (int(x[1]), -int(x[2]), x[0]),
+        )[:n]
+        return [(str(t), int(d), int(df)) for t, d, df in rows]
 
     def fetch(self, doc_ids: list[int],
               fields: list[str]) -> pd.DataFrame:

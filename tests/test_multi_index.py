@@ -334,6 +334,25 @@ def test_sharded_suggest_merged(spark, split_dirs):
     sh.close()
 
 
+def test_sharded_spellcheck_merged(spark, split_dirs):
+    """Scatter-gather spellcheck equals the union index's: every
+    shard contributes its FULL within-max_edits candidate set, so the
+    merged dfs are exact — a term in one shard's local top-5 but not
+    the other's still accumulates both shards' dfs."""
+    from katta_spark.index.serve import ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union = PhysicalIndex(spark, du)
+    for word, me in [("tabel", 2), ("impotr", 2), ("scan", 1),
+                     ("zzzzzz", 2)]:
+        want = [(r["term"], r["dist"], r["df"])
+                for r in union.spellcheck(word, max_edits=me,
+                                          n=5).collect()]
+        assert sh.spellcheck(word, max_edits=me, n=5) == want, word
+    sh.close()
+
+
 def test_sharded_searcher_refresh_restarts_pool(spark, tmp_path):
     """ShardedSearcher.refresh() drops BOTH staleness layers: the
     parent handles and the forked workers' per-process LocalSearcher

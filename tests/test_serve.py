@@ -408,3 +408,15 @@ def test_pinned_handle_answers_catalog_expansions(spark, tmp_path):
     # live handle still sees both commits
     live = LocalSearcher(d)
     assert live.count(["import"]) > pinned.count(["import"])
+
+
+def test_serve_spellcheck_matches_spark(pindex, lsearch):
+    """SpellCheckComponent at node latency: identical rows —
+    (term, dist, df) in (dist asc, df desc, term asc) order — to
+    PhysicalIndex.spellcheck, including the dist>0 self-exclusion."""
+    for word, me in [("tabel", 2), ("impotr", 2), ("scan", 1)]:
+        want = [(r["term"], r["dist"], r["df"])
+                for r in pindex.spellcheck(word, max_edits=me,
+                                           n=5).collect()]
+        got = lsearch.spellcheck(word, max_edits=me, n=5)
+        assert got == want, word
