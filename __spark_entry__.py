@@ -478,6 +478,23 @@ def q_serve_lucene(spark, sf_dir):
     )
 
 
+def q_serve_highlight(spark, sf_dir):
+    """Node-tier highlighter: same hits (node topk is rank-identical
+    to the Spark tier), same snippet semantics mirrored in python —
+    checked against the same SQL oracle as ft_phys_highlight."""
+    from katta_spark.index.serve import LocalSearcher
+
+    idx = phys_index(spark, sf_dir)
+    srv = LocalSearcher(idx.index_dir)
+    hl = srv.highlight(srv.topk(["batch"], k=5), ["batch"], width=60,
+                       text_col="content")
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6), str(t))
+         for d, s, t in zip(hl["doc_id"], hl["score"], hl["snippet"])],
+        "doc_id long, score double, snippet string",
+    )
+
+
 def q_serve_spellcheck(spark, sf_dir):
     """Scatter-gather spellcheck (SpellCheckComponent at node
     latency): each shard contributes its FULL within-max_edits
@@ -2652,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_sorted": q_serve_sorted,
         "ft_serve_range_facet": q_serve_range_facet,
         "ft_serve_spellcheck": q_serve_spellcheck,
+        "ft_serve_highlight": q_serve_highlight,
         "ft_phys_facet": q_phys_facet,
         "ft_facet_index": q_phys_facet_index,
         "ft_facet_prefix": q_phys_facet_prefix,
@@ -2926,6 +2944,7 @@ SELECT count(*) AS n_hits FROM matched""",
         "ft_serve_phrase_sharded": O.phrase_sql(["order", "fast"], k=10),
         "ft_serve_spellcheck": O.spellcheck_sql("tabel", max_edits=2,
                                                 n=5),
+        "ft_serve_highlight": O.highlight_sql(["batch"], k=5, width=60),
         "ft_serve_sorted": f"""{ctes}{O.matched_sql(["merge"])}
 SELECT doc_id, source, n_chars FROM (
   SELECT d.doc_id, d.source, d.n_chars

@@ -207,6 +207,8 @@ def main() -> None:
             ["table"], "dl", 0.0, 400.0, 50.0),
         "serve_spellcheck": lambda: lsrv.spellcheck("tabel",
                                                     max_edits=2, n=5),
+        "serve_highlight": lambda: lsrv.highlight(
+            lsrv.topk(["batch"], k=5), ["batch"], width=60),
     }
     srv_samples: list[float] = []
     for name, fn in serve_set.items():

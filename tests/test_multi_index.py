@@ -353,6 +353,25 @@ def test_sharded_spellcheck_merged(spark, split_dirs):
     sh.close()
 
 
+def test_sharded_highlight_matches_union(spark, split_dirs):
+    """Scatter highlight == the union index's snippets for the same
+    namespaced hit ids (the shard-routed fetch is the only moving
+    part — snippets are per-document)."""
+    from katta_spark.index.serve import ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union = PhysicalIndex(spark, du)
+    hits_df = union.topk(["import", "scan"], k=8)
+    want = {r["doc_id"]: r["snippet"]
+            for r in union.highlight(hits_df, ["import", "scan"],
+                                     width=50).collect()}
+    hits = [(r["doc_id"], r["score"]) for r in hits_df.collect()]
+    got = sh.highlight(hits, ["import", "scan"], width=50)
+    assert dict(zip(got["doc_id"], got["snippet"])) == want
+    sh.close()
+
+
 def test_sharded_searcher_refresh_restarts_pool(spark, tmp_path):
     """ShardedSearcher.refresh() drops BOTH staleness layers: the
     parent handles and the forked workers' per-process LocalSearcher

@@ -420,3 +420,20 @@ def test_serve_spellcheck_matches_spark(pindex, lsearch):
                                            n=5).collect()]
         got = lsearch.spellcheck(word, max_edits=me, n=5)
         assert got == want, word
+
+
+def test_serve_highlight_matches_spark(spark, pindex, lsearch):
+    """Highlighter at node latency: snippet strings identical to
+    PhysicalIndex.highlight for the same hits (1-based locate/
+    substring semantics, multi-term window anchor, wrapping)."""
+    hits_df = pindex.topk(["import", "scan"], k=6)
+    want = {r["doc_id"]: r["snippet"]
+            for r in pindex.highlight(hits_df, ["import", "scan"],
+                                      width=60).collect()}
+    hits = [(r["doc_id"], r["score"]) for r in hits_df.collect()]
+    got = lsearch.highlight(hits, ["import", "scan"], width=60)
+    assert dict(zip(got["doc_id"], got["snippet"])) == want
+    # no-match hits snippet from the start of the text
+    some_id = hits[0][0]
+    g2 = lsearch.highlight([(some_id, 1.0)], ["zzznotaterm"], width=25)
+    assert len(g2) == 1 and "<em>" not in g2["snippet"][0]
