@@ -478,6 +478,35 @@ def q_serve_lucene(spark, sf_dir):
     )
 
 
+def q_serve_stats(spark, sf_dir):
+    """Node-tier StatsComponent (same oracle as ft_field_stats):
+    count/min/max/sum/mean over the matches, no Spark job in the
+    query path."""
+    from katta_spark.index.serve import LocalSearcher
+
+    idx = phys_index(spark, sf_dir)
+    st = LocalSearcher(idx.index_dir).field_stats(["scan"], "n_chars")
+    return spark.createDataFrame(
+        [(int(st["n"]), float(st["min_v"]), float(st["max_v"]),
+          round(float(st["sum_v"]), 6), round(float(st["mean_v"]), 6))],
+        "n long, min_v double, max_v double, sum_v double, mean_v double",
+    )
+
+
+def q_serve_pivot_facet(spark, sf_dir):
+    """Scatter-gather pivot facet over the shard set (full per-shard
+    histograms, exact merge) — same oracle as ft_pivot_facet."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.pivot_facet(["table"], "lang", "source", n1=3, n2=2)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(a), int(b), str(c), int(d)) for a, b, c, d in rows],
+        "lang string, parent_cnt long, source string, cnt long",
+    )
+
+
 def q_serve_highlight(spark, sf_dir):
     """Node-tier highlighter: same hits (node topk is rank-identical
     to the Spark tier), same snippet semantics mirrored in python —
@@ -2670,6 +2699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_range_facet": q_serve_range_facet,
         "ft_serve_spellcheck": q_serve_spellcheck,
         "ft_serve_highlight": q_serve_highlight,
+        "ft_serve_stats": q_serve_stats,
+        "ft_serve_pivot_facet": q_serve_pivot_facet,
         "ft_phys_facet": q_phys_facet,
         "ft_facet_index": q_phys_facet_index,
         "ft_facet_prefix": q_phys_facet_prefix,
@@ -3046,6 +3077,9 @@ ORDER BY cnt ASC, source ASC LIMIT 10""",
         "ft_min_match": O.min_match_topk_sql(["dup", "key", "table"], 2, k=10),
         "ft_pivot_facet": O.pivot_facet_sql(["table"], "lang", "source",
                                             n1=3, n2=2),
+        "ft_serve_stats": O.field_stats_sql(["scan"], "n_chars"),
+        "ft_serve_pivot_facet": O.pivot_facet_sql(
+            ["table"], "lang", "source", n1=3, n2=2),
         "ft_spellcheck": O.spellcheck_sql("tabel", max_edits=2, n=5),
         "ft_boost_func": O.boosted_topk_sql(
             ["table"],

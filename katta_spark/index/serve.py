@@ -732,6 +732,56 @@ class LocalSearcher:
         return _highlight_frame(self.fetch, hits, terms, width,
                                 text_col, pre, post)
 
+    def _stats_partial(self, qterms: list[str], field: str,
+                       mode: str = "or") -> tuple:
+        """(n, min, max, sum) over the matches — the shard-local
+        partial a StatsComponent scatter merges exactly (all four
+        are associative; mean is derived after the merge)."""
+        ids = self._matched_ids(qterms, mode)
+        tbl = self._docs.to_table(columns=["doc_id", field]).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        v = pd.to_numeric(tbl.loc[hit, field],
+                          errors="coerce").astype(float).dropna()
+        if not len(v):
+            return 0, None, None, None
+        return (int(len(v)), float(v.min()), float(v.max()),
+                float(v.sum()))
+
+    def field_stats(self, qterms: list[str], field: str,
+                    mode: str = "or") -> dict:
+        """Solr StatsComponent (stats.field) at node latency:
+        count / min / max / sum / mean of a numeric field over the
+        matching docs — mirrors PhysicalIndex.field_stats (one
+        pruned postings read + one column-pruned docs read)."""
+        return _stats_finalize([self._stats_partial(qterms, field,
+                                                    mode)])
+
+    def _pivot_pairs(self, qterms: list[str], field1: str,
+                     field2: str, mode: str = "or") -> pd.DataFrame:
+        """FULL (field1, field2) match-count histogram — bounded by
+        value-pair cardinality, the unit a pivot scatter sums."""
+        ids = self._matched_ids(qterms, mode)
+        tbl = self._docs.to_table(
+            columns=["doc_id", field1, field2]
+        ).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        return (
+            tbl.loc[hit, [field1, field2]]
+            .groupby([field1, field2], dropna=False)
+            .size().reset_index(name="cnt")
+        )
+
+    def pivot_facet(self, qterms: list[str], field1: str,
+                    field2: str, n1: int = 5, n2: int = 3,
+                    mode: str = "or") -> list[tuple]:
+        """Two-level pivot facet (Solr facet.pivot) at node latency —
+        same ranking and tie-breaks as PhysicalIndex.pivot_facet
+        (tested)."""
+        return _pivot_rank(
+            self._pivot_pairs(qterms, field1, field2, mode),
+            field1, field2, n1, n2,
+        )
+
     def _spell_candidates(self, word: str,
                           max_edits: int) -> pd.DataFrame:
         """ALL content terms within ``max_edits`` of ``word`` —
@@ -926,6 +976,51 @@ class LocalSearcher:
 # ---------------------------------------------------------------------------
 # Node-local boolean evaluator — numpy mirror of fulltext.luceval
 # ---------------------------------------------------------------------------
+
+def _stats_finalize(partials: list[tuple]) -> dict:
+    """Merge (n, min, max, sum) shard partials into the
+    StatsComponent row — exact: every component is associative over
+    disjoint doc sets, mean derived last."""
+    live = [p for p in partials if p[0]]
+    if not live:
+        return {"n": 0, "min_v": None, "max_v": None,
+                "sum_v": None, "mean_v": None}
+    n = sum(p[0] for p in live)
+    s = sum(p[3] for p in live)
+    return {
+        "n": n,
+        "min_v": min(p[1] for p in live),
+        "max_v": max(p[2] for p in live),
+        "sum_v": s,
+        "mean_v": s / n,
+    }
+
+
+def _pivot_rank(pairs: pd.DataFrame, field1: str, field2: str,
+                n1: int, n2: int) -> list[tuple]:
+    """Rank a (field1, field2, cnt) histogram exactly like
+    PhysicalIndex.pivot_facet: top-n1 parents by (total desc, value
+    asc), top-n2 children within each by (cnt desc, value asc),
+    output ordered (parent_cnt desc, field1 asc, cnt desc, field2
+    asc)."""
+    if not len(pairs):
+        return []
+    totals = pairs.groupby(field1, dropna=False)["cnt"].sum()
+    parents = sorted(
+        totals.items(), key=lambda x: (-int(x[1]), str(x[0]))
+    )[:n1]
+    out = []
+    for pv, ptot in parents:
+        sub = pairs[pairs[field1] == pv]
+        kids = sorted(
+            zip(sub[field2], sub["cnt"]),
+            key=lambda x: (-int(x[1]), str(x[0])),
+        )[:n2]
+        for cv, c in kids:
+            out.append((pv, int(ptot), cv, int(c)))
+    out.sort(key=lambda r: (-r[1], str(r[0]), -r[3], str(r[2])))
+    return out
+
 
 def _highlight_frame(fetch_fn, hits: list[tuple[int, float]],
                      terms: list[str], width: int, text_col: str,
@@ -1870,6 +1965,48 @@ class ShardedSearcher:
         index)."""
         return _highlight_frame(self.fetch, hits, terms, width,
                                 text_col, pre, post)
+
+    def field_stats(self, qterms: list[str], field: str,
+                    mode: str = "or") -> dict:
+        """Scatter-gather StatsComponent: per-shard (n, min, max,
+        sum) partials merged exactly (associative over disjoint doc
+        sets), mean derived after the merge — equals the union
+        index's stats (tested).  Membership is idf-free, so the
+        scatter is one round."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+
+        def one(s: LocalSearcher) -> tuple:
+            return s._stats_partial(terms, field, mode)
+
+        with ThreadPoolExecutor(
+            max_workers=min(len(self.shards), 32)
+        ) as ex:
+            return _stats_finalize(list(ex.map(one, self.shards)))
+
+    def pivot_facet(self, qterms: list[str], field1: str,
+                    field2: str, n1: int = 5, n2: int = 3,
+                    mode: str = "or") -> list[tuple]:
+        """Scatter-gather pivot facet, EXACT: each shard returns its
+        FULL (field1, field2) histogram (bounded by value-pair
+        cardinality, not corpus size), counts summed over disjoint
+        doc sets, ONE global rank — no Solr-style refinement
+        round-trip needed, same argument as the value-facet merge."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+
+        def one(s: LocalSearcher) -> pd.DataFrame:
+            return s._pivot_pairs(terms, field1, field2, mode)
+
+        with ThreadPoolExecutor(
+            max_workers=min(len(self.shards), 32)
+        ) as ex:
+            cat = pd.concat(list(ex.map(one, self.shards)))
+        merged = cat.groupby([field1, field2],
+                             dropna=False)["cnt"].sum().reset_index()
+        return _pivot_rank(merged, field1, field2, n1, n2)
 
     def fetch(self, doc_ids: list[int],
               fields: list[str]) -> pd.DataFrame:

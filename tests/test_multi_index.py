@@ -372,6 +372,31 @@ def test_sharded_highlight_matches_union(spark, split_dirs):
     sh.close()
 
 
+def test_sharded_stats_and_pivot_match_union(spark, split_dirs):
+    """Scatter-gather StatsComponent + facet.pivot equal the union
+    index: stats partials (n/min/max/sum) are associative over
+    disjoint doc sets; pivot merges FULL per-shard histograms before
+    the single global rank (no refinement round)."""
+    from katta_spark.index.serve import ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    union = PhysicalIndex(spark, du)
+
+    r = union.field_stats(["import"], "dl").first()
+    got = sh.field_stats(["import"], "dl")
+    assert got["n"] == r["n"]
+    for k in ("min_v", "max_v", "sum_v", "mean_v"):
+        assert abs(got[k] - r[k]) < 1e-9, k
+
+    want = [(x[0], x[1], x[2], x[3])
+            for x in union.pivot_facet(["import"], "lang", "repo",
+                                       n1=4, n2=2).collect()]
+    assert sh.pivot_facet(["import"], "lang", "repo",
+                          n1=4, n2=2) == want
+    sh.close()
+
+
 def test_sharded_searcher_refresh_restarts_pool(spark, tmp_path):
     """ShardedSearcher.refresh() drops BOTH staleness layers: the
     parent handles and the forked workers' per-process LocalSearcher

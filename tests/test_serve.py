@@ -437,3 +437,28 @@ def test_serve_highlight_matches_spark(spark, pindex, lsearch):
     some_id = hits[0][0]
     g2 = lsearch.highlight([(some_id, 1.0)], ["zzznotaterm"], width=25)
     assert len(g2) == 1 and "<em>" not in g2["snippet"][0]
+
+
+def test_serve_field_stats_matches_spark(pindex, lsearch):
+    """StatsComponent at node latency: count/min/max/sum/mean equal
+    the Spark tier's field_stats row."""
+    for terms, field in [(["scan"], "dl"), (["import"], "dl"),
+                         (["nosuchtermanywherezz"], "dl")]:
+        r = pindex.field_stats(terms, field).first()
+        got = lsearch.field_stats(terms, field)
+        assert got["n"] == r["n"], (terms, field)
+        for k in ("min_v", "max_v", "sum_v", "mean_v"):
+            if r[k] is None:
+                assert got[k] is None, (terms, field, k)
+            else:
+                assert abs(got[k] - r[k]) < 1e-9, (terms, field, k)
+
+
+def test_serve_pivot_facet_matches_spark(pindex, lsearch):
+    """facet.pivot at node latency: identical flattened rows
+    (ranking + tie-breaks) to PhysicalIndex.pivot_facet."""
+    want = [(r[0], r[1], r[2], r[3])
+            for r in pindex.pivot_facet(["import"], "lang", "repo",
+                                        n1=4, n2=2).collect()]
+    got = lsearch.pivot_facet(["import"], "lang", "repo", n1=4, n2=2)
+    assert got == want
