@@ -232,6 +232,31 @@ def bitset_and(sets: list[np.ndarray], nbytes: int) -> np.ndarray:
     return acc
 
 
+def _block_bits(grp, n_terms: int, mode: str, tomb: np.ndarray | None,
+                base: int, nbytes: int) -> np.ndarray | None:
+    """Live-match bitset of ONE block: per-term union of the block's
+    (possibly duplicate, disjoint-subset) rows, AND across terms when
+    required, tombstones cleared with one AND-NOT.  None when an AND
+    block is missing a term (contributes nothing)."""
+    if mode == "and" and n_terms > 1:
+        per_term = grp.groupby("term", sort=False)["id_bits"]
+        if per_term.ngroups < n_terms:
+            return None
+        sets = [bitset_or(list(bufs), nbytes) for _, bufs in per_term]
+        acc = bitset_and(sets, nbytes)
+    else:
+        acc = bitset_or(list(grp["id_bits"]), nbytes)
+    if tomb is not None and tomb.size:
+        lo = np.searchsorted(tomb, base)
+        hi = np.searchsorted(tomb, base + nbytes * 8)
+        if hi > lo:
+            tb = np.frombuffer(
+                encode_id_bits(tomb[lo:hi], base), np.uint8
+            )
+            acc[: tb.size] &= ~tb
+    return acc
+
+
 def bit_count_frame(pdf, n_terms: int, mode: str,
                     tomb: np.ndarray | None, block_range: int) -> int:
     """Hit count for a (term, block_id, id_bits) frame from the doc-id
@@ -253,23 +278,38 @@ def bit_count_frame(pdf, n_terms: int, mode: str,
     nbytes = block_range // 8
     total = 0
     for blk, grp in pdf.groupby("block_id", sort=False):
-        if mode == "and" and n_terms > 1:
-            per_term = grp.groupby("term", sort=False)["id_bits"]
-            if per_term.ngroups < n_terms:
-                continue
-            sets = [bitset_or(list(bufs), nbytes)
-                    for _, bufs in per_term]
-            acc = bitset_and(sets, nbytes)
-        else:
-            acc = bitset_or(list(grp["id_bits"]), nbytes)
-        if tomb is not None and tomb.size:
-            base = int(blk) * block_range
-            lo = np.searchsorted(tomb, base)
-            hi = np.searchsorted(tomb, base + block_range)
-            if hi > lo:
-                tb = np.frombuffer(
-                    encode_id_bits(tomb[lo:hi], base), np.uint8
-                )
-                acc[: tb.size] &= ~tb
-        total += popcount(acc)
+        acc = _block_bits(grp, n_terms, mode, tomb,
+                          int(blk) * block_range, nbytes)
+        if acc is not None:
+            total += popcount(acc)
     return total
+
+
+def bit_matched_frame(pdf, n_terms: int, mode: str,
+                      tomb: np.ndarray | None,
+                      block_range: int) -> np.ndarray:
+    """Sorted live matching doc_ids for a (term, block_id, id_bits)
+    frame from the BITSETS alone — the membership analogue of
+    :func:`bit_count_frame`.  Every stored-field surface that starts
+    from a non-scoring match set (field sort, facet, range facet,
+    stats, pivot) can take its ids from here without varint-decoding
+    tfs/dls: union/intersect the block bitsets, unpack the surviving
+    bits to absolute ids.  Same block algebra as the count path
+    (duplicate commit rows union per term; AND needs all terms in the
+    block; tombstones AND-NOT)."""
+    if not len(pdf):
+        return np.empty(0, dtype=np.int64)
+    nbytes = block_range // 8
+    out = []
+    for blk, grp in pdf.groupby("block_id", sort=False):
+        base = int(blk) * block_range
+        acc = _block_bits(grp, n_terms, mode, tomb, base, nbytes)
+        if acc is None:
+            continue
+        bits = np.unpackbits(acc, bitorder="little")
+        ids = np.nonzero(bits)[0].astype(np.int64) + np.int64(base)
+        if ids.size:
+            out.append(ids)
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(out))

@@ -570,11 +570,7 @@ class LocalSearcher:
         matched ids from the pruned postings read, one column-pruned
         docs read, a value_counts.  Mirrors PhysicalIndex.facet
         (tested)."""
-        terms = sorted(set(strip_stops(self.stats, qterms)))
-        ids, _, nt = self._scored(terms)
-        if mode == "and" and len(terms) > 1:
-            ids = ids[nt == len(terms)]
-        ids = np.sort(ids)
+        ids = self._matched_ids(qterms, mode)
         tbl = self._docs.to_table(
             columns=["doc_id", field]
         ).to_pandas()
@@ -586,10 +582,28 @@ class LocalSearcher:
 
     def _matched_ids(self, qterms: list[str], mode: str = "or") -> np.ndarray:
         """Live matching doc_ids (sorted) — the non-scoring match set
-        every stored-field surface (sort / range facet) starts from.
-        Membership is idf-free, so shard-local dfs suffice even under
-        a ShardedSearcher scatter (same argument as count)."""
+        every stored-field surface (facet / sort / range facet /
+        stats / pivot) starts from.  Membership is idf-free, so
+        shard-local dfs suffice even under a ShardedSearcher scatter
+        (same argument as count).  Fast path: the ``id_bits`` doc-id
+        bitsets (union/intersect + bit unpack — tfs/dls never
+        decoded); pre-bitset layouts fall back to the exhaustive
+        decode, same answer (tested)."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if "id_bits" in set(self._postings.schema.names):
+            pdf = self._postings.to_table(
+                columns=["term", "block_id", "id_bits"],
+                filter=pa_ds.field("term").isin(terms),
+            ).to_pandas()
+            if not pdf["id_bits"].isna().any():
+                from katta_spark.index.codec import bit_matched_frame
+
+                return bit_matched_frame(
+                    pdf, len(terms), mode, self._tomb,
+                    int(self.stats["block_range"]),
+                )
         ids, _, nt = self._scored(terms)
         if mode == "and" and len(terms) > 1:
             ids = ids[nt == len(terms)]

@@ -310,3 +310,92 @@ def test_serve_count_pinned_snapshot(spark, corpus, tmp_path):
     for terms, mode in [(["import", "return"], "or"),
                         (["scan", "merge"], "and")]:
         assert pinned.count(terms, mode) == ref.count(terms, mode)
+
+
+# --------------------------------------------- matched-id bitset path
+
+
+def test_serve_matched_ids_bitset_equals_scored(index_dir):
+    """_matched_ids' bitset fast path (codec.bit_matched_frame) must
+    return the exact id set the exhaustive decode produced, or/and —
+    every stored-field surface (facet / field sort / range facet /
+    stats / pivot) starts from this set."""
+    from katta_spark.index.serve import LocalSearcher, strip_stops
+
+    s = LocalSearcher(index_dir)
+    assert "id_bits" in set(s._postings.schema.names)
+    for terms, mode in [(["import", "return"], "or"),
+                        (["scan", "merge"], "and"),
+                        (["import"], "or"),
+                        (["nosuchterm", "import"], "and"),
+                        (["nosuchterm"], "or")]:
+        fast = s._matched_ids(terms, mode)
+        stripped = sorted(set(strip_stops(s.stats, terms)))
+        ids, _, nt = s._scored(stripped)
+        if mode == "and" and len(stripped) > 1:
+            ids = ids[nt == len(stripped)]
+        assert np.array_equal(fast, np.sort(ids)), (terms, mode)
+
+
+def test_serve_matched_ids_bitset_with_tombstones(spark, corpus,
+                                                  tmp_path):
+    """Deleted docs must vanish from the bitset match set exactly as
+    they do from the decode path."""
+    from katta_spark.index import PhysicalIndex, build_index
+    from katta_spark.index.delete import delete_docs
+    from katta_spark.index.serve import LocalSearcher
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus.limit(400), d, n_groups=2, block_range=64)
+    idx = PhysicalIndex(spark, d)
+    victims = [r["doc_id"] for r in
+               idx.matched_docs(["import"]).limit(9).collect()]
+    delete_docs(spark, d, victims)
+    s = LocalSearcher(d)
+    assert s._tomb is not None
+    for terms, mode in [(["import", "return"], "or"),
+                        (["scan", "merge"], "and")]:
+        fast = s._matched_ids(terms, mode)
+        ids, _, nt = s._scored(sorted(set(terms)))
+        if mode == "and" and len(terms) > 1:
+            ids = ids[nt == len(terms)]
+        assert np.array_equal(fast, np.sort(ids)), (terms, mode)
+        assert not np.isin(np.asarray(victims), fast).any()
+
+
+def test_serve_stored_surfaces_identical_without_bitsets(spark, corpus,
+                                                         tmp_path):
+    """facet / sorted_query / range_facet give byte-identical answers
+    on a bitset index and on the same index with id_bits stripped
+    (the pre-bitset fallback) — proves the fast path changes latency,
+    never results."""
+    import shutil
+
+    from katta_spark.index import build_index
+    from katta_spark.index.serve import LocalSearcher
+
+    d1 = str(tmp_path / "withbits")
+    build_index(spark, corpus.limit(350), d1, n_groups=1, block_range=64)
+    d2 = str(tmp_path / "nobits")
+    shutil.copytree(d1, d2)
+    for f in Path(d2, "postings").rglob("*.parquet"):
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["id_bits"]), f)
+    for crc in Path(d2, "postings").rglob(".*.crc"):
+        crc.unlink()
+    st_path = Path(d2) / "stats.json"
+    stats = json.loads(st_path.read_text())
+    stats["id_bits"] = False
+    st_path.write_text(json.dumps(stats))
+
+    a, b = LocalSearcher(d1), LocalSearcher(d2)
+    assert "id_bits" in set(a._postings.schema.names)
+    assert "id_bits" not in set(b._postings.schema.names)
+    q = ["import", "return"]
+    assert a.facet(q, "lang", n=5) == b.facet(q, "lang", n=5)
+    pd.testing.assert_frame_equal(
+        a.sorted_query(q, [("lang", "asc")], ["doc_id", "lang"], 20),
+        b.sorted_query(q, [("lang", "asc")], ["doc_id", "lang"], 20),
+    )
+    assert (a.range_facet(q, "dl", 0.0, 200.0, 20.0)
+            == b.range_facet(q, "dl", 0.0, 200.0, 20.0))
