@@ -507,6 +507,71 @@ def q_serve_pivot_facet(spark, sf_dir):
     )
 
 
+def q_serve_collapse(spark, sf_dir):
+    """Scatter-gather field collapse (Solr {!collapse}): per-shard
+    FULL per-value head maps on the corpus-wide score scale (df
+    exchange), one client re-collapse — same oracle as
+    ft_collapse."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.collapse_topk(["table"], "lang", k=10)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(int(r.doc_id), round(float(r.score), 6), str(r.lang))
+         for r in out.itertuples(index=False)],
+        "doc_id long, score double, lang string",
+    )
+
+
+def q_serve_group(spark, sf_dir):
+    """Scatter-gather result grouping (Solr group.field): per-shard
+    per-value top-k merged by one client re-rank — same oracle as
+    ft_group_topk."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.group_topk(["table"], "lang", k_per_group=3)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(r.lang), int(r.doc_id), round(float(r.score), 6),
+          int(r.rank)) for r in out.itertuples(index=False)],
+        "lang string, doc_id long, score double, rank int",
+    )
+
+
+def q_serve_sig_terms(spark, sf_dir):
+    """Scatter-gather significant_terms: per-shard foreground
+    histograms summed over disjoint doc sets, background dfs from
+    the merged catalog (two exact rounds, no ES shard-shortlist
+    approximation) — same oracle as ft_sig_terms."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.significant_terms(["scan"], m_terms=10, min_df=2)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(r.term), int(r.df_fg), int(r.df_bg), float(r.lift))
+         for r in out.itertuples(index=False)],
+        "term string, df_fg long, df_bg long, lift double",
+    )
+
+
+def q_serve_mlt(spark, sf_dir):
+    """Scatter-gather MoreLikeThis: source tokens from the owning
+    shard, rep terms picked with merged-catalog dfs, rep-term OR as
+    a sharded top-k — same oracle as ft_mlt."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        hits = sh.more_like_this(7, m_terms=5, k=10)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits],
+        "doc_id long, score double",
+    )
+
+
 def q_serve_highlight(spark, sf_dir):
     """Node-tier highlighter: same hits (node topk is rank-identical
     to the Spark tier), same snippet semantics mirrored in python —
@@ -2701,6 +2766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_highlight": q_serve_highlight,
         "ft_serve_stats": q_serve_stats,
         "ft_serve_pivot_facet": q_serve_pivot_facet,
+        "ft_serve_collapse": q_serve_collapse,
+        "ft_serve_group": q_serve_group,
+        "ft_serve_sig_terms": q_serve_sig_terms,
+        "ft_serve_mlt": q_serve_mlt,
         "ft_phys_facet": q_phys_facet,
         "ft_facet_index": q_phys_facet_index,
         "ft_facet_prefix": q_phys_facet_prefix,
@@ -3080,6 +3149,14 @@ ORDER BY cnt ASC, source ASC LIMIT 10""",
         "ft_serve_stats": O.field_stats_sql(["scan"], "n_chars"),
         "ft_serve_pivot_facet": O.pivot_facet_sql(
             ["table"], "lang", "source", n1=3, n2=2),
+        "ft_serve_collapse": O.collapse_topk_sql(["table"], "lang",
+                                                 k=10),
+        "ft_serve_group": O.group_topk_sql(["table"], "lang",
+                                           k_per_group=3),
+        "ft_serve_sig_terms": O.significant_terms_sql(["scan"],
+                                                      m_terms=10,
+                                                      min_df=2),
+        "ft_serve_mlt": O.mlt_sql(7, m_terms=5, k=10),
         "ft_spellcheck": O.spellcheck_sql("tabel", max_edits=2, n=5),
         "ft_boost_func": O.boosted_topk_sql(
             ["table"],

@@ -796,6 +796,155 @@ class LocalSearcher:
             field1, field2, n1, n2,
         )
 
+    def _doc_values(self, ids: np.ndarray,
+                    fields: list[str]) -> pd.DataFrame:
+        """Stored columns of the given (sorted, unique) doc_ids —
+        one column-pruned docs read shared by the grouping/MLT
+        surfaces."""
+        tbl = self._docs.to_table(columns=["doc_id"] + fields).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        return tbl[hit]
+
+    def _scored_filtered(self, qterms: list[str], mode: str = "or"
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, scores) of live matches honoring or/and — the scored
+        analogue of _matched_ids (scores DO need df, so this is the
+        exhaustive decode; under a scatter the df override makes the
+        scores corpus-wide)."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        ids, scores, nt = self._scored(terms)
+        if mode == "and" and len(terms) > 1:
+            keep = nt == len(terms)
+            ids, scores = ids[keep], scores[keep]
+        return ids, scores
+
+    def _df_for(self, terms: list[str]) -> pd.DataFrame:
+        """(term, df) for arbitrary terms under this handle's rules —
+        the same catalog source _blocks uses: global terms parquet
+        normally, per-block doc-count sums on a commit-pinned (PIT)
+        handle, the merged-catalog override under a scatter."""
+        if not terms:
+            return pd.DataFrame(columns=["term", "df"])
+        pred = pa_ds.field("term").isin(terms)
+        if self._commits:
+            pdf = self._postings.to_table(
+                columns=["term", "n"], filter=pred
+            ).to_pandas()
+            cat = pdf.groupby("term", as_index=False)["n"].sum().rename(
+                columns={"n": "df"}
+            )
+        else:
+            cat = self._terms.to_table(
+                columns=["term", "df"], filter=pred
+            ).to_pandas()
+        if self._df_override is not None and len(cat):
+            ov = cat["term"].map(self._df_override)
+            cat["df"] = ov.fillna(cat["df"]).astype("int64")
+        return cat
+
+    def _collapse_heads(self, qterms: list[str], field: str,
+                        mode: str = "or") -> pd.DataFrame:
+        """Best (score desc, doc_id asc) doc per value of ``field``
+        over the match set — the per-shard unit of the collapse
+        scatter (a FULL per-value map, bounded by value cardinality
+        like the facet histogram, so the cross-shard merge can never
+        miss a group's true head).  NULL values form one group (Solr
+        nullPolicy=collapse)."""
+        ids, scores = self._scored_filtered(qterms, mode)
+        vals = self._doc_values(np.sort(ids), [field])
+        df = pd.DataFrame({"doc_id": ids, "score": scores}).merge(
+            vals, on="doc_id"
+        )
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+        return df.drop_duplicates(subset=[field], keep="first")
+
+    def collapse_topk(self, qterms: list[str], collapse_field: str,
+                      k: int = 10, mode: str = "or") -> pd.DataFrame:
+        """(doc_id, score, value) — Solr's CollapsingQParserPlugin at
+        node latency: one doc per value of ``collapse_field`` (the
+        highest-scoring, tie doc_id asc), collapsed set ranked
+        globally, cut to top-k.  Mirrors PhysicalIndex.collapse_topk
+        (tested)."""
+        heads = self._collapse_heads(qterms, collapse_field, mode)
+        out = heads.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return out[["doc_id", "score", collapse_field]].reset_index(
+            drop=True
+        )
+
+    def group_topk(self, qterms: list[str], group_field: str,
+                   k_per_group: int = 3, mode: str = "or"
+                   ) -> pd.DataFrame:
+        """(value, doc_id, score, rank) — Solr result grouping
+        (group.field / group.limit) at node latency: the top
+        ``k_per_group`` hits WITHIN each value of ``group_field``,
+        ranked (score desc, doc_id asc).  Mirrors
+        PhysicalIndex.group_topk (tested); rows ordered
+        (value, rank)."""
+        ids, scores = self._scored_filtered(qterms, mode)
+        vals = self._doc_values(np.sort(ids), [group_field])
+        df = pd.DataFrame({"doc_id": ids, "score": scores}).merge(
+            vals, on="doc_id"
+        )
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+        df["rank"] = df.groupby(group_field, dropna=False,
+                                sort=False).cumcount() + 1
+        df = df[df["rank"] <= int(k_per_group)]
+        out = df.sort_values([group_field, "rank"], kind="mergesort")
+        return out[[group_field, "doc_id", "score",
+                    "rank"]].reset_index(drop=True)
+
+    def _sigterms_fg(self, qterms: list[str], mode: str = "or"
+                     ) -> tuple[pd.Series, int]:
+        """(foreground df histogram over the STORED token arrays,
+        n_fg) — the per-shard unit of a significant_terms scatter
+        (disjoint doc sets sum exactly).  Distinct-per-doc, same as
+        the Spark tier's array_distinct explode."""
+        ids = self._matched_ids(qterms, mode)
+        toks = self._doc_values(ids, ["toks"])["toks"]
+        ex = toks.explode().dropna().reset_index().drop_duplicates()
+        return ex["toks"].value_counts(), int(ids.size)
+
+    def significant_terms(self, qterms: list[str], m_terms: int = 10,
+                          mode: str = "or",
+                          min_df: int = 2) -> pd.DataFrame:
+        """(term, df_fg, df_bg, lift) — the ES significant_terms
+        aggregation at node latency: content terms overrepresented in
+        the matching docs vs the whole index, ranked by
+        lift = (df_fg/n_fg)/(df_bg/n_docs), ties df_fg desc / term
+        asc, query terms excluded.  Mirrors
+        PhysicalIndex.significant_terms (tested)."""
+        qset = sorted(set(strip_stops(self.stats, qterms)))
+        vc, n_fg = self._sigterms_fg(qterms, mode)
+        return _sigterms_rank(vc, n_fg, qset, self._df_for,
+                              float(self.stats["n_docs"]), m_terms,
+                              min_df)
+
+    def more_like_this(self, doc_id: int, m_terms: int = 5,
+                       k: int = 10) -> list[tuple[int, float]]:
+        """Top-k docs similar to ``doc_id`` — the Lucene/Solr
+        MoreLikeThis surface at node latency: representative terms =
+        the source doc's top ``m_terms`` stored tokens by tf·idf (tie
+        term asc), then a BM25 OR query over them, source excluded.
+        Mirrors PhysicalIndex.more_like_this (tested)."""
+        row = self._docs.to_table(
+            columns=["doc_id", "toks"],
+            filter=pa_ds.field("doc_id") == int(doc_id),
+        ).to_pandas()
+        if row.empty:
+            return []
+        tf = pd.Series(row["toks"].iloc[0]).value_counts()
+        rep = _mlt_rep_terms(tf, self._df_for(sorted(tf.index)),
+                             float(self.stats["n_docs"]), m_terms)
+        ids, scores, _ = self._scored(rep)
+        keep = ids != int(doc_id)
+        ids, scores = ids[keep], scores[keep]
+        order = np.lexsort((ids, -scores))[:k]
+        return [(int(ids[i]), float(scores[i])) for i in order]
+
     def _spell_candidates(self, word: str,
                           max_edits: int) -> pd.DataFrame:
         """ALL content terms within ``max_edits`` of ``word`` —
@@ -1034,6 +1183,49 @@ def _pivot_rank(pairs: pd.DataFrame, field1: str, field2: str,
             out.append((pv, int(ptot), cv, int(c)))
     out.sort(key=lambda r: (-r[1], str(r[0]), -r[3], str(r[2])))
     return out
+
+
+def _sigterms_rank(vc: pd.Series, n_fg: int, qset: list[str],
+                   df_for, n_docs: float, m_terms: int,
+                   min_df: int) -> pd.DataFrame:
+    """Rank a foreground df histogram against background dfs exactly
+    like PhysicalIndex.significant_terms: lift = (df_fg/n_fg) /
+    (df_bg/n_docs), sort on the UNROUNDED lift (ties df_fg desc,
+    term asc), round to 6dp only in the output.  ``df_for`` maps a
+    term list to a (term, df) frame — shard-local catalog on a node,
+    the merged catalog under a scatter.  Shared by both node tiers."""
+    vc = vc[vc >= int(min_df)]
+    if len(qset):
+        vc = vc[~vc.index.isin(qset)]
+    if not len(vc) or not n_fg:
+        return pd.DataFrame(columns=["term", "df_fg", "df_bg", "lift"])
+    bg = df_for(sorted(vc.index.tolist()))
+    out = pd.DataFrame(
+        {"term": vc.index, "df_fg": vc.to_numpy()}
+    ).merge(bg.rename(columns={"df": "df_bg"}), on="term")
+    raw = (out["df_fg"] / float(n_fg)) / (out["df_bg"] / float(n_docs))
+    out["_raw"] = raw
+    out = out.sort_values(["_raw", "df_fg", "term"],
+                          ascending=[False, False, True],
+                          kind="mergesort").head(int(m_terms))
+    out["lift"] = out["_raw"].round(6)
+    return out[["term", "df_fg", "df_bg", "lift"]].reset_index(drop=True)
+
+
+def _mlt_rep_terms(tf: pd.Series, cat: pd.DataFrame, n_docs: float,
+                   m_terms: int) -> list[str]:
+    """MoreLikeThis representative-term pick, identical to the Spark
+    tier: w = tf * ln(1 + (N - df + 0.5)/(df + 0.5)), top m_terms by
+    (w desc, term asc); returns them sorted for the kernels."""
+    if not len(cat):
+        return []
+    cat = cat.copy()
+    df = cat["df"].to_numpy(dtype=np.float64)
+    cat["_w"] = tf.reindex(cat["term"]).to_numpy(dtype=np.float64) * \
+        np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    rep = cat.sort_values(["_w", "term"], ascending=[False, True],
+                          kind="mergesort").head(int(m_terms))
+    return sorted(rep["term"].tolist())
 
 
 def _highlight_frame(fetch_fn, hits: list[tuple[int, float]],
@@ -1494,6 +1686,42 @@ def _shard_range_task(payload: tuple):
     return s._range_hist(
         p["terms"], p["field"], p["start"], p["end"], p["gap"], p["mode"]
     )
+
+
+def _shard_grouping_task(payload: tuple) -> pd.DataFrame:
+    """Per-shard grouping unit — runs inside a worker process.  The
+    shard scores with the merged-catalog dfs (a _global_view overlay:
+    the getDocFreqs exchange), so per-shard heads/ranks are already
+    on the corpus-wide score scale and the client merge is a pure
+    re-sort.  op=collapse returns the FULL per-value head map
+    (bounded by value cardinality — the merge can never miss a
+    group's true head); op=group returns per-value top k_per_group
+    (a global per-group top-k is a top-k of the union of per-shard
+    per-group top-ks)."""
+    d, off, p = payload
+    s = _shard_handle(d)
+    v = s._global_view(p["n_docs"], p["avgdl"], dict(p["cat"]))
+    if p["op"] == "collapse":
+        out = v._collapse_heads(p["terms"], p["field"], p["mode"])
+        out = out[["doc_id", "score", p["field"]]]
+    else:
+        out = v.group_topk(p["terms"], p["field"], p["k_per_group"],
+                           p["mode"])
+    out = out.copy()
+    out["doc_id"] = out["doc_id"] + off
+    return out
+
+
+def _shard_sigterms_task(payload: tuple) -> tuple[list, int]:
+    """Per-shard significant_terms foreground: the full distinct-per-
+    doc term histogram over the match set + n_fg — disjoint doc sets,
+    so the client-side sums are exact.  Background dfs come from a
+    second (threaded, pyarrow-only) merged-catalog read over the
+    union foreground vocabulary."""
+    d, _off, p = payload
+    s = _shard_handle(d)
+    vc, n_fg = s._sigterms_fg(p["terms"], p["mode"])
+    return list(vc.items()), n_fg
 
 
 def _parse_stripped(s: "LocalSearcher", q, fq):
@@ -2021,6 +2249,124 @@ class ShardedSearcher:
         merged = cat.groupby([field1, field2],
                              dropna=False)["cnt"].sum().reset_index()
         return _pivot_rank(merged, field1, field2, n1, n2)
+
+    def collapse_topk(self, qterms: list[str], collapse_field: str,
+                      k: int = 10, mode: str = "or") -> pd.DataFrame:
+        """Scatter-gather field collapse, EXACT: each shard returns
+        its FULL per-value head map scored with the merged-catalog
+        dfs (the getDocFreqs exchange — scores are corpus-wide), the
+        client re-collapses per value by (score desc, doc_id asc)
+        over disjoint doc sets and cuts top-k.  Rank-identical to the
+        union-built index (tested)."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        cat = self._merged_cat(terms)
+        frames = self._scatter(
+            _shard_grouping_task,
+            self._payloads(terms, cat, {
+                "op": "collapse", "field": collapse_field, "mode": mode,
+            }),
+        )
+        allh = pd.concat(frames, ignore_index=True)
+        allh = allh.sort_values(["score", "doc_id"],
+                                ascending=[False, True], kind="mergesort")
+        heads = allh.drop_duplicates(subset=[collapse_field],
+                                     keep="first")
+        return heads.head(k)[["doc_id", "score",
+                              collapse_field]].reset_index(drop=True)
+
+    def group_topk(self, qterms: list[str], group_field: str,
+                   k_per_group: int = 3, mode: str = "or"
+                   ) -> pd.DataFrame:
+        """Scatter-gather result grouping, EXACT: each shard returns
+        its per-value top ``k_per_group`` on the corpus-wide score
+        scale; a group's global top-k is the top-k of the union of
+        its per-shard top-ks, so the client just re-ranks within each
+        value and keeps ranks <= k_per_group."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        cat = self._merged_cat(terms)
+        frames = self._scatter(
+            _shard_grouping_task,
+            self._payloads(terms, cat, {
+                "op": "group", "field": group_field,
+                "k_per_group": k_per_group, "mode": mode,
+            }),
+        )
+        alld = pd.concat(frames, ignore_index=True).drop(columns=["rank"])
+        alld = alld.sort_values(["score", "doc_id"],
+                                ascending=[False, True], kind="mergesort")
+        alld["rank"] = alld.groupby(group_field, dropna=False,
+                                    sort=False).cumcount() + 1
+        alld = alld[alld["rank"] <= int(k_per_group)]
+        out = alld.sort_values([group_field, "rank"], kind="mergesort")
+        return out[[group_field, "doc_id", "score",
+                    "rank"]].reset_index(drop=True)
+
+    def significant_terms(self, qterms: list[str], m_terms: int = 10,
+                          mode: str = "or",
+                          min_df: int = 2) -> pd.DataFrame:
+        """Scatter-gather significant_terms, EXACT in two rounds:
+        (1) per-shard foreground histograms + n_fg summed over
+        disjoint doc sets; (2) background dfs for the union
+        foreground vocabulary via the merged catalog (threaded
+        pyarrow reads).  One global rank — no per-shard shortlist
+        truncation, so no ES-style approximation error."""
+        from collections import Counter
+
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        res = self._scatter(
+            _shard_sigterms_task,
+            [(s.index_dir, off, {"terms": terms, "mode": mode})
+             for s, off in zip(self.shards, self.offsets)],
+        )
+        total: Counter = Counter()
+        n_fg = 0
+        for items, n in res:
+            n_fg += n
+            for t, c in items:
+                total[t] += int(c)
+        vc = pd.Series(dict(total), dtype="int64")
+        return _sigterms_rank(vc, n_fg, terms, self._merged_cat,
+                              float(self.stats["n_docs"]), m_terms,
+                              min_df)
+
+    def more_like_this(self, doc_id: int, m_terms: int = 5,
+                       k: int = 10) -> list[tuple[int, float]]:
+        """Scatter-gather MoreLikeThis: the source doc's stored
+        tokens come from its OWNING shard (namespaced-id routing),
+        representative terms are picked with corpus-wide dfs (merged
+        catalog) and global n_docs, then the rep-term OR query runs
+        as a normal sharded top-k (each shard asked for k+1 so the
+        source doc's own slot can never displace a true hit)."""
+        import bisect
+
+        did = int(doc_id)
+        si = bisect.bisect_right(self.offsets, did) - 1
+        s = self.shards[si]
+        row = s._docs.to_table(
+            columns=["doc_id", "toks"],
+            filter=pa_ds.field("doc_id") == did - self.offsets[si],
+        ).to_pandas()
+        if row.empty:
+            return []
+        tf = pd.Series(row["toks"].iloc[0]).value_counts()
+        cat = self._merged_cat(sorted(tf.index.tolist()))
+        rep = _mlt_rep_terms(tf, cat, float(self.stats["n_docs"]),
+                             m_terms)
+        if not rep:
+            return []
+        repcat = cat[cat["term"].isin(rep)]
+        pairs = self._scatter(
+            _shard_topk_task,
+            self._payloads(rep, repcat, {
+                "k": k + 1, "mode": "or", "min_match": None,
+            }),
+        )
+        ids = np.concatenate([p[0] for p in pairs])
+        scores = np.concatenate([p[1] for p in pairs])
+        keep = ids != did
+        ids, scores = ids[keep], scores[keep]
+        order = np.lexsort((ids, -scores))[:k]
+        return [(int(ids[i]), float(scores[i])) for i in order]
 
     def fetch(self, doc_ids: list[int],
               fields: list[str]) -> pd.DataFrame:

@@ -496,3 +496,43 @@ def test_sharded_query_df_exchange_no_double_count(spark, split_dirs):
     want = [(d, round(s, 9)) for d, s in union_node.query("import im*", k=10)]
     assert got == want
     sh.close()
+
+
+def test_sharded_grouping_surfaces_match_union(spark, split_dirs):
+    """Scatter-gather collapse / result grouping / significant_terms /
+    MoreLikeThis must equal the union-built index's node-tier answer
+    (ids identical by the block-aligned namespacing, scores via the
+    merged-catalog df exchange)."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        for terms, mode in [(["import", "return"], "or"),
+                            (["scan", "merge"], "and")]:
+            a = sh.collapse_topk(terms, "lang", k=8, mode=mode)
+            b = un.collapse_topk(terms, "lang", k=8, mode=mode)
+            assert a.round({"score": 9}).values.tolist() == \
+                b.round({"score": 9}).values.tolist(), (terms, mode)
+        a = sh.group_topk(["import", "table"], "lang", k_per_group=3)
+        b = un.group_topk(["import", "table"], "lang", k_per_group=3)
+        assert a.round({"score": 9}).values.tolist() == \
+            b.round({"score": 9}).values.tolist()
+        a = sh.significant_terms(["table"], m_terms=8)
+        b = un.significant_terms(["table"], m_terms=8)
+        assert a.values.tolist() == b.values.tolist()
+        # an id on shard B exercises the namespaced routing
+        src = int(b_doc_on_second_shard(sh))
+        got = [(d, round(s, 9)) for d, s in
+               sh.more_like_this(src, m_terms=5, k=10)]
+        want = [(d, round(s, 9)) for d, s in
+                un.more_like_this(src, m_terms=5, k=10)]
+        assert got == want
+    finally:
+        sh.close()
+
+
+def b_doc_on_second_shard(sh):
+    """A doc id owned by the second shard (offset + small local id)."""
+    return sh.offsets[1] + 3

@@ -1,0 +1,96 @@
+"""Node-tier grouping / discovery surfaces: collapse, result
+grouping, significant_terms, MoreLikeThis — each must be
+rank-identical to the Spark tier on the same index (LocalSearcher),
+and the sharded scatter-gather merges are covered in
+test_multi_index.py against the union-built oracle.
+
+Reference surfaces: Solr CollapsingQParserPlugin / result grouping
+and Lucene MoreLikeThis reach the reference through its SolrQuery
+pass-through (katta-client/.../client/LuceneClient.java:255-276);
+significant_terms is the ES dual of Solr MLT's representative terms.
+"""
+
+import numpy as np
+import pandas as pd
+
+from katta_spark.index.serve import LocalSearcher
+
+
+def test_serve_collapse_matches_spark(pindex, index_dir):
+    ls = LocalSearcher(index_dir)
+    for terms, mode in [(["import", "return"], "or"),
+                        (["scan", "merge"], "and")]:
+        want = [(r["doc_id"], round(r["score"], 9), r["lang"])
+                for r in pindex.collapse_topk(terms, "lang", k=8,
+                                              mode=mode).collect()]
+        out = ls.collapse_topk(terms, "lang", k=8, mode=mode)
+        got = [(int(r.doc_id), round(float(r.score), 9), r.lang)
+               for r in out.itertuples(index=False)]
+        assert got == want, (terms, mode)
+
+
+def test_serve_group_matches_spark(pindex, index_dir):
+    ls = LocalSearcher(index_dir)
+    want = sorted(
+        [(r["lang"], r["doc_id"], round(r["score"], 9), r["rank"])
+         for r in pindex.group_topk(["import", "table"], "lang",
+                                    k_per_group=3).collect()]
+    )
+    out = ls.group_topk(["import", "table"], "lang", k_per_group=3)
+    got = sorted(
+        [(r.lang, int(r.doc_id), round(float(r.score), 9), int(r.rank))
+         for r in out.itertuples(index=False)]
+    )
+    assert got == want
+
+
+def test_serve_significant_terms_matches_spark(pindex, index_dir):
+    ls = LocalSearcher(index_dir)
+    want = [(r["term"], r["df_fg"], r["df_bg"], r["lift"])
+            for r in pindex.significant_terms(["table"],
+                                              m_terms=8).collect()]
+    out = ls.significant_terms(["table"], m_terms=8)
+    got = [(r.term, int(r.df_fg), int(r.df_bg), float(r.lift))
+           for r in out.itertuples(index=False)]
+    assert got == want
+
+
+def test_serve_more_like_this_matches_spark(pindex, index_dir):
+    ls = LocalSearcher(index_dir)
+    for src in (5, 42):
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in pindex.more_like_this(src, m_terms=5,
+                                               k=10).collect()]
+        got = [(d, round(s, 9)) for d, s in
+               ls.more_like_this(src, m_terms=5, k=10)]
+        assert got == want, src
+    assert ls.more_like_this(10**9) == []
+
+
+def test_serve_collapse_null_group_single_bucket(spark, tmp_path):
+    """NULL collapse values form ONE group at both tiers (Solr
+    nullPolicy=collapse)."""
+    import pyspark.sql.functions as F
+
+    from katta_spark.index import PhysicalIndex, build_index
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+
+    d = str(tmp_path / "idx")
+    docs = with_ingest_columns(synthetic_corpus(spark, 300)).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    build_index(spark, docs, d, n_groups=1, block_range=64)
+    idx = PhysicalIndex(spark, d)
+    ls = LocalSearcher(d)
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in idx.collapse_topk(["import"], "lang",
+                                       k=10).collect()]
+    out = ls.collapse_topk(["import"], "lang", k=10)
+    got = [(int(r.doc_id), round(float(r.score), 9))
+           for r in out.itertuples(index=False)]
+    assert got == want
+    # exactly one NULL head can appear
+    assert int(out["lang"].isna().sum()) <= 1
