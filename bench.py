@@ -205,6 +205,13 @@ def main() -> None:
             ["doc_id", "lang", "dl"], 10),
         "serve_range_facet": lambda: lsrv.range_facet(
             ["table"], "dl", 0.0, 400.0, 50.0),
+        "serve_collapse": lambda: lsrv.collapse_topk(["table"], "lang",
+                                                     k=10),
+        "serve_group": lambda: lsrv.group_topk(["table"], "lang",
+                                               k_per_group=3),
+        "serve_sig_terms": lambda: lsrv.significant_terms(["scan"],
+                                                          m_terms=10),
+        "serve_mlt": lambda: lsrv.more_like_this(7, m_terms=5, k=10),
         "serve_spellcheck": lambda: lsrv.spellcheck("tabel",
                                                     max_edits=2, n=5),
         "serve_highlight": lambda: lsrv.highlight(

@@ -1165,7 +1165,58 @@ class PhysicalIndex:
 
     def matched_docs(self, qterms: list[str], mode: str = "or",
                      filters: Filters = None) -> DataFrame:
-        docs = self.scored_docs(qterms, mode).select("doc_id")
+        """(doc_id) of every live matching doc — the non-scoring
+        match set the stored-field surfaces (facet / field sort /
+        range facet / stats / grouping) build on.  Bitset fast path:
+        when the layout carries ``id_bits``, membership comes from
+        the per-(term, block) doc-id bitsets inside an Arrow kernel —
+        the scan reads ONE ~block_range/8-byte column per block row
+        and never varint-decodes tfs/dls; tombstones ride the same
+        block-keyed shuffle via a cogroup (the structure of the count
+        fast path).  Pre-bitset layouts keep the decode path — same
+        rows (tested)."""
+        terms = sorted(set(self._strip_stops(qterms)))
+        if self.stats.get("id_bits"):
+            from katta_spark.index.codec import bit_matched_frame
+
+            br = int(self.stats["block_range"])
+            n_terms, md = len(terms), mode
+            bl = self.postings.filter(F.col("term").isin(terms)).select(
+                "term", "block_id", "id_bits"
+            )
+            if self.tombstones is None:
+                def _ids(_key, pdf):
+                    return pd.DataFrame(
+                        {"doc_id": bit_matched_frame(pdf, n_terms, md,
+                                                     None, br)}
+                    )
+
+                docs = bl.groupBy("block_id").applyInPandas(
+                    _ids, "doc_id long"
+                )
+            else:
+                def _ids2(_key, pdf, tpdf):
+                    if not len(pdf):
+                        return pd.DataFrame(
+                            {"doc_id": np.empty(0, np.int64)}
+                        )
+                    tomb = (np.unique(tpdf["doc_id"].to_numpy())
+                            if len(tpdf) else None)
+                    return pd.DataFrame(
+                        {"doc_id": bit_matched_frame(pdf, n_terms, md,
+                                                     tomb, br)}
+                    )
+
+                tg = self.tombstones.select(
+                    "doc_id",
+                    (F.col("doc_id") / F.lit(br)).cast("long")
+                    .alias("block_id"),
+                ).groupBy("block_id")
+                docs = bl.groupBy("block_id").cogroup(tg).applyInPandas(
+                    _ids2, "doc_id long"
+                )
+        else:
+            docs = self.scored_docs(terms, mode).select("doc_id")
         fd = self._filter_docs(filters)
         if fd is not None:
             docs = docs.join(fd, "doc_id", "left_semi")

@@ -115,6 +115,14 @@ def test_popcount_and_setops():
 # ----------------------------------------------------------- spark tier
 
 
+def _decode_count(idx, terms, mode):
+    """Membership via the posting-DECODE path (scored_docs) — the
+    independent oracle, now that matched_docs itself takes the bitset
+    fast path on id_bits layouts."""
+    return idx.scored_docs(sorted(set(terms)), mode).count()
+
+
+
 def test_count_bitset_equals_exhaustive(pindex):
     """The bitset path and the decode path must agree on every
     mode/term-set; the fixture index is freshly built so id_bits is
@@ -129,7 +137,7 @@ def test_count_bitset_equals_exhaustive(pindex):
         (["nosuchterm", "import"], "and"),
     ]:
         fast = pindex.count(terms, mode).first()["n_hits"]
-        slow = pindex.matched_docs(terms, mode).count()
+        slow = _decode_count(pindex, terms, mode)
         assert fast == slow, (terms, mode)
 
 
@@ -166,7 +174,7 @@ def test_count_bitset_with_tombstones(spark, corpus, tmp_path):
                         (["import"], "or"),
                         (["scan", "merge"], "and")]:
         fast = idx.count(terms, mode).first()["n_hits"]
-        slow = idx.matched_docs(terms, mode).count()
+        slow = _decode_count(idx, terms, mode)
         assert fast == slow, (terms, mode)
 
 
@@ -186,7 +194,7 @@ def test_count_bitset_survives_commits_and_compaction(spark, corpus,
     idx = PhysicalIndex(spark, d)
     assert idx.stats.get("id_bits") is True
     want = {
-        (ts, m): idx.matched_docs(list(ts), m).count()
+        (ts, m): _decode_count(idx, list(ts), m)
         for ts, m in [(("import", "return"), "or"),
                       (("scan", "merge"), "and")]
     }
