@@ -1910,6 +1910,20 @@ def q_pipe_decontam(spark, sf_dir):
                                   text_col="text")
 
 
+def q_pipe_decontam_fuzzy(spark, sf_dir):
+    """FUZZY decontamination (MinHash-LSH against the benchmark
+    slice): corpus docs band-colliding with a benchmark doc, with the
+    16-slot signature-agreement Jaccard estimate — catches the
+    paraphrased leakage the exact n-gram pass misses.  Benchmark
+    buckets/signatures broadcast; corpus signed once."""
+    from katta_spark.ops import decontam
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return decontam.minhash_decontaminate(d, bench, text_col="text",
+                                          threshold=0.5)
+
+
 def q_pipe_dsir(spark, sf_dir):
     """DSIR importance resampling: top-50 docs by Gumbel-perturbed
     hashed-n-gram log importance weight toward the lang='de' slice as
@@ -2897,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_length_batches": q_pipe_length_batches,
         "pipe_mixture_order": q_pipe_mixture_order,
         "pipe_decontam": q_pipe_decontam,
+        "pipe_decontam_fuzzy": q_pipe_decontam_fuzzy,
         "pipe_dsir": q_pipe_dsir,
         "pipe_pack": q_pipe_pack,
         "pipe_pack_text": q_pipe_pack_text,
@@ -3346,6 +3361,8 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "pipe_length_batches": OO.length_batches_sql(batch_size=8),
         "pipe_mixture_order": OO.mixture_order_sql(_MIX_WEIGHTS),
         "pipe_decontam": OO.decontam_sql(n=5, threshold=0.5),
+        "pipe_decontam_fuzzy": OO.minhash_decontam_sql(
+            "doc_id % 37 = 0", threshold=0.5),
         "pipe_dsir": OO.dsir_select_sql(k=50, target_where="lang = 'de'"),
         "pipe_pack": OO.pack_greedy_sql(budget=2000, group_col="source",
                                         size_expr="n_chars"),

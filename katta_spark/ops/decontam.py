@@ -71,3 +71,73 @@ def ngram_overlap(
             (frac >= F.lit(threshold)).alias("contaminated"),
         )
     )
+
+
+def minhash_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """FUZZY decontamination: ``(doc_id, bench_id, n_bands,
+    jaccard_est, contaminated)`` for every corpus doc whose MinHash
+    signature collides with a benchmark doc in >=1 LSH band —
+    catches paraphrased / partially-edited benchmark leakage the
+    exact n-gram pass (:func:`ngram_overlap`) misses, the companion
+    check LLM training pipelines run alongside it.  ``jaccard_est``
+    is the signature-agreement estimate (fraction of the
+    ``num_hashes`` MinHash slots that agree — with 16 hashes every
+    value is an exact multiple of 1/16, so the threshold compare is
+    bit-deterministic and SQL-mirrorable).  Self-pairs
+    (doc_id == bench_id, when the benchmark is carved from the
+    corpus) are excluded.
+
+    Scale shape (100 TB corpus vs a benchmark of ~10^4-10^6 docs):
+    the benchmark's banded buckets AND signatures are tiny —
+    both BROADCAST; the corpus is shingled and signed ONCE (the same
+    docs x bands shuffle as minhash_lsh_pairs, never docs^2), and the
+    candidate id set (bounded by benchmark size x bucket collisions,
+    not corpus size) broadcasts back into the corpus signature side
+    so no corpus-wide shuffle follows the band join."""
+    from katta_spark.ops.dedup import band_buckets, minhash_signatures
+
+    bench_text_col = bench_text_col or text_col
+    cb = band_buckets(corpus, num_hashes, bands, n, text_col)
+    bb = band_buckets(bench, num_hashes, bands, n, bench_text_col)
+    cand = (
+        cb.join(
+            F.broadcast(bb.withColumnRenamed("doc_id", "bench_id")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    sig_c = minhash_signatures(corpus, num_hashes, n, text_col).join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id",
+        "left_semi",
+    )
+    sig_b = (
+        minhash_signatures(bench, num_hashes, n, bench_text_col)
+        .withColumnRenamed("doc_id", "bench_id")
+        .withColumnRenamed("minhash", "mh_b")
+    )
+    agree = (
+        cand.join(sig_c, "doc_id")
+        .join(F.broadcast(sig_b), ["bench_id", "h_idx"])
+        .groupBy("doc_id", "bench_id", "n_bands")
+        .agg(
+            F.avg(
+                (F.col("minhash") == F.col("mh_b")).cast("double")
+            ).alias("est")
+        )
+    )
+    return agree.select(
+        "doc_id", "bench_id", "n_bands",
+        F.round("est", 6).alias("jaccard_est"),
+        (F.col("est") >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -86,6 +86,50 @@ FROM banded a JOIN banded b
 GROUP BY doc_a, doc_b"""
 
 
+def minhash_decontam_sql(bench_pred: str, num_hashes: int = 16,
+                         bands: int = 4, n: int = 3,
+                         threshold: float = 0.5) -> str:
+    """Oracle for ops.decontam.minhash_decontaminate with the
+    benchmark carved from ``documents`` by ``bench_pred`` (a SQL
+    predicate over the doc row, e.g. ``doc_id % 37 = 0``)."""
+    rpb = num_hashes // bands
+    fam = ", ".join(f"({i}, {2 * i + 1}, {i * i + 1})"
+                    for i in range(num_hashes))
+    return f"""{_shingle_ctes(n)},
+fam(h_idx, a, b) AS (VALUES {fam}),
+shx AS (SELECT doc_id, {_H32.format(x='shingle')} AS x FROM sh),
+mh AS (
+  SELECT doc_id, h_idx, min((a * x + b) % {MERSENNE_P}) AS minhash
+  FROM shx CROSS JOIN fam GROUP BY doc_id, h_idx
+),
+banded AS (
+  SELECT doc_id, CAST(h_idx // {rpb} AS INT) AS band,
+         md5(array_to_string(list_sort(array_agg(concat(h_idx, ':', minhash))), ',')) AS bucket
+  FROM mh GROUP BY doc_id, band
+),
+bench_ids AS (SELECT doc_id FROM {DOCS} WHERE {bench_pred}),
+cand AS (
+  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_bands
+  FROM banded c
+  JOIN banded b ON c.band = b.band AND c.bucket = b.bucket
+  WHERE b.doc_id IN (SELECT doc_id FROM bench_ids)
+    AND c.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+agree AS (
+  SELECT cand.doc_id, cand.bench_id, cand.n_bands,
+         avg(CASE WHEN mc.minhash = mb.minhash THEN 1.0 ELSE 0.0 END)
+           AS est
+  FROM cand
+  JOIN mh mc ON mc.doc_id = cand.doc_id
+  JOIN mh mb ON mb.doc_id = cand.bench_id AND mb.h_idx = mc.h_idx
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, bench_id, n_bands, round(est, 6) AS jaccard_est,
+       est >= {threshold!r} AS contaminated
+FROM agree"""
+
+
 _H32_HI = "CAST(concat('0x', substr(md5({x}), 9, 8)) AS BIGINT)"
 
 

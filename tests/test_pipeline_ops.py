@@ -517,3 +517,37 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
          .select("doc_id", hash_bucket(F.col("doc_id"),
                                        "split").alias("b")).collect()}
     assert len({v < 3000 for v in b.values()}) >= 1
+
+
+def test_minhash_decontam_flags_near_duplicate_of_bench(spark):
+    """A corpus doc that is a light edit of a benchmark doc must band-
+    collide and score a high signature-agreement Jaccard; an unrelated
+    doc must not appear at all.  Exact duplicates estimate 1.0."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "band plays on and the crowd cheers loudly tonight")
+    near = base.replace("cheers loudly", "cheers very loudly")
+    corpus = spark.createDataFrame(
+        [(1, base),            # exact copy of bench doc 100
+         (2, near),            # near-duplicate (one inserted word)
+         (3, "completely unrelated text about spark shuffles and "
+             "parquet row groups going wide")],
+        "doc_id long, content string",
+    )
+    bench = spark.createDataFrame([(100, base)],
+                                  "doc_id long, content string")
+    rep = decontam.minhash_decontaminate(
+        corpus, bench, text_col="content", threshold=0.5
+    ).toPandas().set_index("doc_id")
+    assert 1 in rep.index and rep.loc[1, "jaccard_est"] == 1.0
+    assert bool(rep.loc[1, "contaminated"])
+    assert 2 in rep.index and rep.loc[2, "jaccard_est"] >= 0.5
+    assert 3 not in rep.index
+
+
+def test_minhash_decontam_excludes_self_pairs(spark, corpus):
+    """When the benchmark is carved from the corpus, a doc never
+    reports a collision with ITSELF (doc_id == bench_id)."""
+    bench = corpus.filter(F.col("doc_id") % 37 == 0)
+    rep = decontam.minhash_decontaminate(corpus, bench,
+                                         text_col="content")
+    assert rep.filter(F.col("doc_id") == F.col("bench_id")).count() == 0
