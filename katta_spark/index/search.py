@@ -3301,7 +3301,17 @@ class PhysicalIndex:
         selected IN-PLAN from the stored token array joined to the
         term catalog (no driver collect); they then score the corpus
         as an OR group via the catalog broadcast join, source doc
-        excluded."""
+        excluded.  A tombstoned source returns empty — recommending
+        from a deleted doc would resurrect it (the same rule
+        get_docs enforces for realtime get)."""
+        if self.tombstones is not None and (
+            self.tombstones.filter(
+                F.col("doc_id") == int(doc_id)
+            ).first() is not None
+        ):
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
         src = (
             self.docs.filter(F.col("doc_id") == doc_id)
             .select(F.explode("toks").alias("term"))
@@ -3352,18 +3362,26 @@ class PhysicalIndex:
         lows = sorted({t.lower() for t in terms})
         text = F.col(text_col)
         # first match position (1-based): min over per-term locate,
-        # ignoring misses (locate = 0); docs with no match snippet
-        # from the start of the text
-        locs = [
-            F.nullif(F.locate(t, F.lower(text)), F.lit(0)) for t in lows
-        ]
-        first = F.coalesce(
-            F.least(*locs) if len(locs) > 1 else locs[0], F.lit(1)
-        )
+        # ignoring misses (locate = 0); docs with no match — and an
+        # empty term list — snippet from the start of the text with
+        # no markers (an empty alternation would match everywhere)
+        if lows:
+            locs = [
+                F.nullif(F.locate(t, F.lower(text)), F.lit(0))
+                for t in lows
+            ]
+            first = F.coalesce(
+                F.least(*locs) if len(locs) > 1 else locs[0], F.lit(1)
+            )
+        else:
+            first = F.lit(1)
         start = F.greatest(first - F.lit(max(width // 3, 0)), F.lit(1))
         snippet = F.substring(text, start, width)
-        pat = "(?i)(" + "|".join(_re.escape(t) for t in lows) + ")"
-        wrapped = F.regexp_replace(snippet, pat, f"{pre}$1{post}")
+        if lows:
+            pat = "(?i)(" + "|".join(_re.escape(t) for t in lows) + ")"
+            wrapped = F.regexp_replace(snippet, pat, f"{pre}$1{post}")
+        else:
+            wrapped = snippet
         doc_side = self.docs.select("doc_id", text.alias(text_col))
         return F.broadcast(hits).join(doc_side, "doc_id").select(
             *hits.columns, wrapped.alias("snippet")

@@ -697,7 +697,9 @@ class LocalSearcher:
 
     def _date_hist(self, qterms: list[str], field: str, unit: str,
                    mode: str) -> dict:
-        freq = _DATE_FREQ[unit.upper().lstrip("+0123456789")]
+        from katta_spark.ops.timeseries import gap_unit
+
+        freq = _DATE_FREQ[gap_unit(unit)]
         ids = self._matched_ids(qterms, mode)
         tbl = self._docs.to_table(columns=["doc_id", field]).to_pandas()
         hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
@@ -902,11 +904,32 @@ class LocalSearcher:
         """(foreground df histogram over the STORED token arrays,
         n_fg) — the per-shard unit of a significant_terms scatter
         (disjoint doc sets sum exactly).  Distinct-per-doc, same as
-        the Spark tier's array_distinct explode."""
+        the Spark tier's array_distinct explode.  The whole kernel is
+        Arrow C++: the matched rows' token lists flatten with parent
+        indices, (term, doc) dedupes and counts in two hash
+        group-bys — never a pandas explode of object lists (measured
+        ~10x on a hot-term foreground at 1M docs)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         ids = self._matched_ids(qterms, mode)
-        toks = self._doc_values(ids, ["toks"])["toks"]
-        ex = toks.explode().dropna().reset_index().drop_duplicates()
-        return ex["toks"].value_counts(), int(ids.size)
+        if not ids.size:
+            return pd.Series(dtype="int64"), 0
+        toks = self._docs.to_table(
+            columns=["toks"],
+            filter=pa_ds.field("doc_id").isin(pa.array(ids)),
+        )["toks"].combine_chunks()
+        pairs = pa.table({
+            "p": pc.list_parent_indices(toks),
+            "term": pc.list_flatten(toks),
+        })
+        counts = (
+            pairs.group_by(["term", "p"]).aggregate([])
+            .group_by("term").aggregate([("p", "count")])
+        )
+        pdf = counts.to_pandas()
+        return (pd.Series(pdf["p_count"].to_numpy(dtype="int64"),
+                          index=pdf["term"]), int(ids.size))
 
     def significant_terms(self, qterms: list[str], m_terms: int = 10,
                           mode: str = "or",
@@ -929,7 +952,13 @@ class LocalSearcher:
         MoreLikeThis surface at node latency: representative terms =
         the source doc's top ``m_terms`` stored tokens by tf·idf (tie
         term asc), then a BM25 OR query over them, source excluded.
-        Mirrors PhysicalIndex.more_like_this (tested)."""
+        Mirrors PhysicalIndex.more_like_this (tested); a tombstoned
+        source returns [] — never recommend from a deleted doc (the
+        delete-semantics rule get_docs documents)."""
+        if self._tomb is not None and bool(
+            np.isin(int(doc_id), self._tomb)
+        ):
+            return []
         row = self._docs.to_table(
             columns=["doc_id", "toks"],
             filter=pa_ds.field("doc_id") == int(doc_id),
@@ -1236,9 +1265,12 @@ def _highlight_frame(fetch_fn, hits: list[tuple[int, float]],
     import re as _re
 
     lows = sorted({t.lower() for t in terms})
+    # no terms -> plain leading snippets, no markers (the pattern
+    # "()" would otherwise match the empty string at every position
+    # and interleave pre/post between every character)
     pat = _re.compile(
         "(" + "|".join(_re.escape(t) for t in lows) + ")", _re.I
-    )
+    ) if lows else None
     docs = fetch_fn([d for d, _ in hits], [text_col])
     texts = dict(zip(docs["doc_id"], docs[text_col]))
     rows = []
@@ -1250,7 +1282,8 @@ def _highlight_frame(fetch_fn, hits: list[tuple[int, float]],
         first = min(founds) if founds else 1
         start = max(first - max(width // 3, 0), 1)
         snippet = text[start - 1:start - 1 + width]
-        rows.append((d, s, pat.sub(rf"{pre}\1{post}", snippet)))
+        rows.append((d, s, pat.sub(rf"{pre}\1{post}", snippet)
+                     if pat else snippet))
     return pd.DataFrame(rows, columns=["doc_id", "score", "snippet"])
 
 
@@ -1710,6 +1743,31 @@ def _shard_grouping_task(payload: tuple) -> pd.DataFrame:
     out = out.copy()
     out["doc_id"] = out["doc_id"] + off
     return out
+
+
+def _shard_spell_task(payload: tuple) -> pd.DataFrame:
+    """Per-shard FULL spell candidate set — pure-Python levenshtein
+    over the shard's whole term catalog, i.e. exactly the CPU-bound
+    work the GIL serializes under threads, so it runs in the
+    process pool."""
+    d, _off, p = payload
+    return _shard_handle(d)._spell_candidates(p["word"], p["max_edits"])
+
+
+def _shard_stats_task(payload: tuple) -> tuple:
+    """Per-shard (n, min, max, sum) stats partial — pandas/numpy
+    CPU, process pool."""
+    d, _off, p = payload
+    return _shard_handle(d)._stats_partial(p["terms"], p["field"],
+                                           p["mode"])
+
+
+def _shard_pivot_task(payload: tuple) -> pd.DataFrame:
+    """Per-shard FULL (field1, field2) histogram — pandas CPU,
+    process pool."""
+    d, _off, p = payload
+    return _shard_handle(d)._pivot_pairs(p["terms"], p["field1"],
+                                         p["field2"], p["mode"])
 
 
 def _shard_sigterms_task(payload: tuple) -> tuple[list, int]:
@@ -2176,19 +2234,14 @@ class ShardedSearcher:
         the bounded set is what makes the scatter cheap), dfs summed
         per term over disjoint doc sets, one global (dist asc, df
         desc, term asc) cut — identical to the union index's
-        spellcheck (tested)."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        def one(s: LocalSearcher) -> pd.DataFrame:
-            return s._spell_candidates(word, max_edits)
-
-        if len(self.shards) == 1:
-            cands = [one(self.shards[0])]
-        else:
-            with ThreadPoolExecutor(
-                max_workers=min(len(self.shards), 32)
-            ) as ex:
-                cands = list(ex.map(one, self.shards))
+        spellcheck (tested).  The per-shard candidate scan is
+        pure-Python levenshtein over the whole catalog — CPU the GIL
+        would serialize — so it scatters on the PROCESS pool."""
+        cands = self._scatter(
+            _shard_spell_task,
+            [(s.index_dir, off, {"word": word, "max_edits": max_edits})
+             for s, off in zip(self.shards, self.offsets)],
+        )
         cat = pd.concat(cands)
         merged = cat.groupby(["term", "dist"], as_index=False)["df"].sum()
         rows = sorted(
@@ -2214,18 +2267,14 @@ class ShardedSearcher:
         sum) partials merged exactly (associative over disjoint doc
         sets), mean derived after the merge — equals the union
         index's stats (tested).  Membership is idf-free, so the
-        scatter is one round."""
-        from concurrent.futures import ThreadPoolExecutor
-
+        scatter is one round, on the process pool."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
-
-        def one(s: LocalSearcher) -> tuple:
-            return s._stats_partial(terms, field, mode)
-
-        with ThreadPoolExecutor(
-            max_workers=min(len(self.shards), 32)
-        ) as ex:
-            return _stats_finalize(list(ex.map(one, self.shards)))
+        return _stats_finalize(self._scatter(
+            _shard_stats_task,
+            [(s.index_dir, off,
+              {"terms": terms, "field": field, "mode": mode})
+             for s, off in zip(self.shards, self.offsets)],
+        ))
 
     def pivot_facet(self, qterms: list[str], field1: str,
                     field2: str, n1: int = 5, n2: int = 3,
@@ -2234,18 +2283,16 @@ class ShardedSearcher:
         FULL (field1, field2) histogram (bounded by value-pair
         cardinality, not corpus size), counts summed over disjoint
         doc sets, ONE global rank — no Solr-style refinement
-        round-trip needed, same argument as the value-facet merge."""
-        from concurrent.futures import ThreadPoolExecutor
-
+        round-trip needed, same argument as the value-facet merge;
+        the per-shard pandas work runs on the process pool."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
-
-        def one(s: LocalSearcher) -> pd.DataFrame:
-            return s._pivot_pairs(terms, field1, field2, mode)
-
-        with ThreadPoolExecutor(
-            max_workers=min(len(self.shards), 32)
-        ) as ex:
-            cat = pd.concat(list(ex.map(one, self.shards)))
+        cat = pd.concat(self._scatter(
+            _shard_pivot_task,
+            [(s.index_dir, off,
+              {"terms": terms, "field1": field1, "field2": field2,
+               "mode": mode})
+             for s, off in zip(self.shards, self.offsets)],
+        ))
         merged = cat.groupby([field1, field2],
                              dropna=False)["cnt"].sum().reset_index()
         return _pivot_rank(merged, field1, field2, n1, n2)
@@ -2342,9 +2389,12 @@ class ShardedSearcher:
         did = int(doc_id)
         si = bisect.bisect_right(self.offsets, did) - 1
         s = self.shards[si]
+        local = did - self.offsets[si]
+        if s._tomb is not None and bool(np.isin(local, s._tomb)):
+            return []
         row = s._docs.to_table(
             columns=["doc_id", "toks"],
-            filter=pa_ds.field("doc_id") == did - self.offsets[si],
+            filter=pa_ds.field("doc_id") == local,
         ).to_pandas()
         if row.empty:
             return []

@@ -304,12 +304,17 @@ def kmeans_parallel_seed(
     cand: list[list[float]] = [[float(x) for x in first[0][vec_col]]]
     seen = {first[0][id_col]}
     for r in range(max(0, rounds)):
+        # persist: phi and the coin-flip filter both consume the
+        # min-d2 pass — without the cache each round runs the full
+        # corpus distance kernel TWICE (measured; at warehouse scale
+        # that doubles seeding cost)
         scored = embeddings.select(
             F.col(id_col), F.col(vec_col),
             _min_d2_kernel(cand)(F.col(vec_col)).alias("_d2"),
-        )
+        ).persist()
         phi = scored.agg(F.sum("_d2").alias("s")).first()["s"]
         if not phi or phi <= 0.0:
+            scored.unpersist()
             break  # every point sits on a center already
         u = (
             F.conv(
@@ -335,6 +340,7 @@ def kmeans_parallel_seed(
             .select(id_col, vec_col)
             .collect()  # expected ~l rows per round (independent coins)
         )
+        scored.unpersist()
         for row in picked:
             if row[id_col] not in seen:
                 seen.add(row[id_col])

@@ -82,6 +82,7 @@ def minhash_decontaminate(
     threshold: float = 0.5,
     text_col: str = "text",
     bench_text_col: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """FUZZY decontamination: ``(doc_id, bench_id, n_bands,
     jaccard_est, contaminated)`` for every corpus doc whose MinHash
@@ -92,9 +93,14 @@ def minhash_decontaminate(
     is the signature-agreement estimate (fraction of the
     ``num_hashes`` MinHash slots that agree — with 16 hashes every
     value is an exact multiple of 1/16, so the threshold compare is
-    bit-deterministic and SQL-mirrorable).  Self-pairs
-    (doc_id == bench_id, when the benchmark is carved from the
-    corpus) are excluded.
+    bit-deterministic and SQL-mirrorable).
+
+    ``exclude_self`` (default True) drops doc_id == bench_id pairs —
+    correct ONLY when the benchmark is carved from the corpus and
+    shares its id space (every bench doc would otherwise trivially
+    flag itself).  Pass ``exclude_self=False`` for an INDEPENDENT
+    benchmark table: there an id collision is coincidence, and
+    dropping the pair would silently hide a genuine verbatim leak.
 
     Scale shape (100 TB corpus vs a benchmark of ~10^4-10^6 docs):
     the benchmark's banded buckets AND signatures are tiny —
@@ -108,14 +114,14 @@ def minhash_decontaminate(
     bench_text_col = bench_text_col or text_col
     cb = band_buckets(corpus, num_hashes, bands, n, text_col)
     bb = band_buckets(bench, num_hashes, bands, n, bench_text_col)
-    cand = (
-        cb.join(
-            F.broadcast(bb.withColumnRenamed("doc_id", "bench_id")),
-            ["band", "bucket"],
-        )
-        .filter(F.col("doc_id") != F.col("bench_id"))
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+    cand = cb.join(
+        F.broadcast(bb.withColumnRenamed("doc_id", "bench_id")),
+        ["band", "bucket"],
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("doc_id") != F.col("bench_id"))
+    cand = cand.groupBy("doc_id", "bench_id").agg(
+        F.count(F.lit(1)).alias("n_bands")
     )
     sig_c = minhash_signatures(corpus, num_hashes, n, text_col).join(
         F.broadcast(cand.select("doc_id").distinct()), "doc_id",

@@ -23,6 +23,25 @@ DATE_UNITS = {
 }
 
 
+def gap_unit(spec: str) -> str:
+    """Normalize a date-gap spec (``DAY``, ``+1DAY``, ``+1DAYS``) to
+    its calendar unit key.  A MULTI-unit gap (``+2DAY``) raises
+    instead of silently flooring to one unit — 1-day buckets for a
+    2-day request is a wrong answer with no error signal; plural
+    forms (Solr accepts ``+1DAYS``) are accepted."""
+    import re
+
+    m = re.fullmatch(r"\+?(\d*)\s*([A-Z]+?)S?", spec.strip().upper())
+    if not m or m.group(2) not in DATE_UNITS:
+        raise ValueError(f"unsupported date gap {spec!r}")
+    if m.group(1) not in ("", "1"):
+        raise ValueError(
+            f"multi-unit date gap {spec!r} unsupported — use a "
+            "coarser unit or the numeric range facet"
+        )
+    return m.group(2)
+
+
 def parse_date_math(expr: str) -> list[tuple]:
     """Solr DateMathParser grammar (the subset Katta's Solr queries
     use): leading ``NOW``, then any sequence of ``/UNIT`` (floor) and
@@ -87,7 +106,7 @@ def date_range_facet(df: DataFrame, ts_col: str, unit: str,
                      min_count: int = 1) -> DataFrame:
     """(bucket_start timestamp, cnt) histogram at a calendar unit —
     Katta's date facetByRange, one hash aggregation."""
-    trunc = DATE_UNITS[unit.upper().lstrip("+0123456789")]
+    trunc = DATE_UNITS[gap_unit(unit)]
     return (
         df.groupBy(F.date_trunc(trunc, F.col(ts_col)).alias("bucket_start"))
         .agg(F.count(F.lit(1)).alias("cnt"))

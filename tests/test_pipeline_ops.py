@@ -551,3 +551,20 @@ def test_minhash_decontam_excludes_self_pairs(spark, corpus):
     rep = decontam.minhash_decontaminate(corpus, bench,
                                          text_col="content")
     assert rep.filter(F.col("doc_id") == F.col("bench_id")).count() == 0
+
+
+def test_minhash_decontam_independent_bench_keeps_id_collisions(spark):
+    """With an INDEPENDENT benchmark (exclude_self=False), a corpus
+    doc that happens to share its id with the benchmark doc it leaks
+    still reports the pair — dropping it would hide a verbatim
+    leak."""
+    text = ("the quick brown fox jumps over the lazy dog while the "
+            "band plays on and the crowd cheers loudly tonight")
+    corpus = spark.createDataFrame([(5, text)],
+                                   "doc_id long, content string")
+    bench = spark.createDataFrame([(5, text)],
+                                  "doc_id long, content string")
+    rep = decontam.minhash_decontaminate(
+        corpus, bench, text_col="content", exclude_self=False
+    ).collect()
+    assert len(rep) == 1 and rep[0]["jaccard_est"] == 1.0

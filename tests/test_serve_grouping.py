@@ -94,3 +94,51 @@ def test_serve_collapse_null_group_single_bucket(spark, tmp_path):
     assert got == want
     # exactly one NULL head can appear
     assert int(out["lang"].isna().sum()) <= 1
+
+
+def test_mlt_tombstoned_source_returns_empty(spark, corpus, tmp_path):
+    """MoreLikeThis from a DELETED doc returns empty at every tier —
+    recommending from a tombstoned source would resurrect it (the
+    delete rule get_docs enforces for realtime get)."""
+    from katta_spark.index import PhysicalIndex, build_index
+    from katta_spark.index.delete import delete_docs
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus.limit(300), d, n_groups=1, block_range=64)
+    idx = PhysicalIndex(spark, d)
+    src = int(idx.matched_docs(["import"]).limit(1).first()["doc_id"])
+    assert idx.more_like_this(src, k=5).count() > 0  # live: answers
+    delete_docs(spark, d, [src])
+    idx = PhysicalIndex(spark, d)
+    assert idx.more_like_this(src, k=5).count() == 0
+    ls = LocalSearcher(d)
+    assert ls.more_like_this(src, k=5) == []
+
+
+def test_highlight_empty_terms_plain_snippet(pindex, index_dir):
+    """An empty term list yields plain leading snippets with NO
+    markers at both tiers (the degenerate regex '()' must never
+    interleave pre/post between characters)."""
+    ls = LocalSearcher(index_dir)
+    hits = ls.topk(["import"], k=3)
+    out = ls.highlight(hits, [], width=40)
+    assert all("<em>" not in s for s in out["snippet"])
+    assert all(len(s) <= 40 for s in out["snippet"])
+    sp = pindex.highlight(
+        pindex.topk(["import"], k=3), [], width=40
+    ).collect()
+    assert all("<em>" not in r["snippet"] for r in sp)
+
+
+def test_date_gap_spec_multi_unit_refuses(index_dir):
+    """'+1DAY'/'+1DAYS'/'DAY' are the same unit; a MULTI-unit gap
+    ('+2DAY') raises instead of silently returning 1-unit buckets."""
+    import pytest
+
+    from katta_spark.ops.timeseries import gap_unit
+
+    assert gap_unit("DAY") == gap_unit("+1DAY") == gap_unit("+1DAYS")
+    with pytest.raises(ValueError):
+        gap_unit("+2DAY")
+    with pytest.raises(ValueError):
+        gap_unit("FORTNIGHT")

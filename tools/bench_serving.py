@@ -105,10 +105,14 @@ def main() -> None:
             ["lang", "dl"], 10),
         "range_facet": lambda s: s.range_facet(
             ["import"], "dl", 0.0, 400.0, 50.0),
-        "collapse": lambda s: s.collapse_topk(["import", "return"],
-                                              "lang", k=10),
-        "group_topk": lambda s: s.group_topk(["import"], "lang",
-                                             k_per_group=3),
+        # doc_id dropped for parity: the sharded tier namespaces ids
+        # by block-aligned offsets (same caveat as sorted_top10);
+        # rank-identity INCLUDING ids is covered by the block-aligned
+        # union oracle in tests/test_multi_index.py
+        "collapse": lambda s: s.collapse_topk(
+            ["import", "return"], "lang", k=10).drop(columns=["doc_id"]),
+        "group_topk": lambda s: s.group_topk(
+            ["import"], "lang", k_per_group=3).drop(columns=["doc_id"]),
         "sig_terms_and": lambda s: s.significant_terms(
             ["scan", "merge"], mode="and", m_terms=10),
         "mlt": lambda s: s.more_like_this(7, m_terms=5, k=10),
