@@ -552,9 +552,10 @@ class LocalSearcher:
     def fetch(self, doc_ids: list[int],
               fields: list[str]) -> pd.DataFrame:
         """Stored-field lookup for a hit list (the doc-fetch RPC) —
-        one row-group-pruned read of the docs parquet."""
+        one row-group-pruned read of the docs parquet.  ``doc_id``
+        always rides along (deduped if requested)."""
         tbl = self._docs.to_table(
-            columns=["doc_id"] + list(fields),
+            columns=["doc_id"] + [f for f in fields if f != "doc_id"],
             filter=pa_ds.field("doc_id").isin([int(d) for d in doc_ids]),
         )
         out = tbl.to_pandas()
@@ -2417,6 +2418,31 @@ class ShardedSearcher:
         ids, scores = ids[keep], scores[keep]
         order = np.lexsort((ids, -scores))[:k]
         return [(int(ids[i]), float(scores[i])) for i in order]
+
+    def search(self, qterms: list[str], k: int = 10, mode: str = "or",
+               fields: list[str] | None = None) -> dict:
+        """One-call scatter surface: hits + numFound + maxScore +
+        qTime — the full client RPC (Client.java fan-out +
+        QueryResponse.java:27-192 envelope): per-shard WAND top-k
+        with the df exchange, numFound from the bitset count sum
+        (disjoint doc sets), stored fields via the shard-routed
+        fetch.  Mirrors LocalSearcher.search (tested)."""
+        import time
+
+        t0 = time.monotonic()
+        hits = self.topk(qterms, k=k, mode=mode)
+        n = self.count(qterms, mode=mode)
+        if fields and hits:
+            detail = self.fetch([d for d, _ in hits], fields)
+            detail["score"] = [s for _, s in hits]
+        else:
+            detail = pd.DataFrame(hits, columns=["doc_id", "score"])
+        return {
+            "hits": detail,
+            "num_found": int(n),
+            "max_score": float(hits[0][1]) if hits else None,
+            "qtime_ms": int((time.monotonic() - t0) * 1000),
+        }
 
     def fetch(self, doc_ids: list[int],
               fields: list[str]) -> pd.DataFrame:

@@ -536,3 +536,29 @@ def test_sharded_grouping_surfaces_match_union(spark, split_dirs):
 def b_doc_on_second_shard(sh):
     """A doc id owned by the second shard (offset + small local id)."""
     return sh.offsets[1] + 3
+
+
+def test_sharded_search_envelope_matches_union(spark, split_dirs):
+    """ShardedSearcher.search — the full client RPC envelope — must
+    equal the union node's: same hits (ids aligned by the fixture's
+    block-aligned namespacing), same numFound, same maxScore."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        for terms, mode in [(["import", "return"], "or"),
+                            (["scan", "merge"], "and")]:
+            a = sh.search(terms, k=8, mode=mode,
+                          fields=["doc_id", "lang"])
+            b = un.search(terms, k=8, mode=mode,
+                          fields=["doc_id", "lang"])
+            assert a["num_found"] == b["num_found"], (terms, mode)
+            assert round(a["max_score"], 9) == round(b["max_score"], 9)
+            assert a["hits"]["doc_id"].tolist() == \
+                b["hits"]["doc_id"].tolist()
+            assert a["hits"]["lang"].tolist() == \
+                b["hits"]["lang"].tolist()
+    finally:
+        sh.close()
