@@ -1771,16 +1771,19 @@ def _shard_pivot_task(payload: tuple) -> pd.DataFrame:
                                          p["field2"], p["mode"])
 
 
-def _shard_sigterms_task(payload: tuple) -> tuple[list, int]:
+def _shard_sigterms_task(payload: tuple) -> tuple[pd.DataFrame, int]:
     """Per-shard significant_terms foreground: the full distinct-per-
     doc term histogram over the match set + n_fg — disjoint doc sets,
-    so the client-side sums are exact.  Background dfs come from a
-    second (threaded, pyarrow-only) merged-catalog read over the
-    union foreground vocabulary."""
+    so the client-side sums are exact.  The histogram travels back as
+    a DataFrame (one pickle of two columns) and the client merges
+    with a groupby-sum — never a per-item Python loop over a
+    100K-term vocabulary.  Background dfs come from a second
+    (threaded, pyarrow-only) merged-catalog read over the union
+    foreground vocabulary."""
     d, _off, p = payload
     s = _shard_handle(d)
     vc, n_fg = s._sigterms_fg(p["terms"], p["mode"])
-    return list(vc.items()), n_fg
+    return vc.rename_axis("term").reset_index(name="df_fg"), n_fg
 
 
 def _parse_stripped(s: "LocalSearcher", q, fq):
@@ -2358,21 +2361,17 @@ class ShardedSearcher:
         foreground vocabulary via the merged catalog (threaded
         pyarrow reads).  One global rank — no per-shard shortlist
         truncation, so no ES-style approximation error."""
-        from collections import Counter
-
         terms = sorted(set(strip_stops(self.stats, qterms)))
         res = self._scatter(
             _shard_sigterms_task,
             [(s.index_dir, off, {"terms": terms, "mode": mode})
              for s, off in zip(self.shards, self.offsets)],
         )
-        total: Counter = Counter()
-        n_fg = 0
-        for items, n in res:
-            n_fg += n
-            for t, c in items:
-                total[t] += int(c)
-        vc = pd.Series(dict(total), dtype="int64")
+        n_fg = sum(n for _, n in res)
+        vc = (
+            pd.concat([f for f, _ in res], ignore_index=True)
+            .groupby("term")["df_fg"].sum()
+        )
         return _sigterms_rank(vc, n_fg, terms, self._merged_cat,
                               float(self.stats["n_docs"]), m_terms,
                               min_df)
