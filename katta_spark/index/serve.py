@@ -828,6 +828,16 @@ class LocalSearcher:
         handle, the merged-catalog override under a scatter."""
         if not terms:
             return pd.DataFrame(columns=["term", "df"])
+        if len(terms) > 4096 and not self._commits:
+            # big-vocab path (significant_terms foregrounds): the
+            # full two-column catalog read + a pandas hash filter
+            # beats an isin scan filter with 10^5 values
+            t = self._terms.to_table(columns=["term", "df"]).to_pandas()
+            cat = t[t["term"].isin(set(terms))]
+            if self._df_override is not None and len(cat):
+                ov = cat["term"].map(self._df_override)
+                cat["df"] = ov.fillna(cat["df"]).astype("int64")
+            return cat
         pred = pa_ds.field("term").isin(terms)
         if self._commits:
             pdf = self._postings.to_table(
@@ -900,7 +910,8 @@ class LocalSearcher:
         return out[[group_field, "doc_id", "score",
                     "rank"]].reset_index(drop=True)
 
-    def _sigterms_fg(self, qterms: list[str], mode: str = "or"
+    def _sigterms_fg(self, qterms: list[str], mode: str = "or",
+                     max_fg: int | None = None
                      ) -> tuple[pd.Series, int]:
         """(foreground df histogram over the STORED token arrays,
         n_fg) — the per-shard unit of a significant_terms scatter
@@ -909,11 +920,24 @@ class LocalSearcher:
         Arrow C++: the matched rows' token lists flatten with parent
         indices, (term, doc) dedupes and counts in two hash
         group-bys — never a pandas explode of object lists (measured
-        ~10x on a hot-term foreground at 1M docs)."""
+        ~10x on a hot-term foreground at 1M docs).
+
+        ``max_fg`` bounds the foreground the way ES's sampler
+        aggregation does: a deterministic hash-uniform subset of the
+        matched docs (splitmix-style integer hash, no RNG state), so
+        cost is O(max_fg), the estimate is unbiased, and repeated
+        calls see the same sample."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
         ids = self._matched_ids(qterms, mode)
+        if max_fg is not None and ids.size > int(max_fg):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xC2B2AE3D27D4EB4F)
+            h ^= h >> np.uint64(29)
+            ids = np.sort(ids[np.argpartition(h, int(max_fg))
+                              [: int(max_fg)]])
         if not ids.size:
             return pd.Series(dtype="int64"), 0
         toks = self._docs.to_table(
@@ -933,16 +957,19 @@ class LocalSearcher:
                           index=pdf["term"]), int(ids.size))
 
     def significant_terms(self, qterms: list[str], m_terms: int = 10,
-                          mode: str = "or",
-                          min_df: int = 2) -> pd.DataFrame:
+                          mode: str = "or", min_df: int = 2,
+                          max_fg: int | None = None) -> pd.DataFrame:
         """(term, df_fg, df_bg, lift) — the ES significant_terms
         aggregation at node latency: content terms overrepresented in
         the matching docs vs the whole index, ranked by
         lift = (df_fg/n_fg)/(df_bg/n_docs), ties df_fg desc / term
         asc, query terms excluded.  Mirrors
-        PhysicalIndex.significant_terms (tested)."""
+        PhysicalIndex.significant_terms (tested).  ``max_fg`` caps
+        the foreground with a deterministic hash-uniform sample (the
+        ES sampler-agg analogue) — cost becomes O(max_fg) instead of
+        O(match count); df_fg/lift are then unbiased estimates."""
         qset = sorted(set(strip_stops(self.stats, qterms)))
-        vc, n_fg = self._sigterms_fg(qterms, mode)
+        vc, n_fg = self._sigterms_fg(qterms, mode, max_fg=max_fg)
         return _sigterms_rank(vc, n_fg, qset, self._df_for,
                               float(self.stats["n_docs"]), m_terms,
                               min_df)
@@ -1782,7 +1809,8 @@ def _shard_sigterms_task(payload: tuple) -> tuple[pd.DataFrame, int]:
     foreground vocabulary."""
     d, _off, p = payload
     s = _shard_handle(d)
-    vc, n_fg = s._sigterms_fg(p["terms"], p["mode"])
+    vc, n_fg = s._sigterms_fg(p["terms"], p["mode"],
+                              max_fg=p.get("max_fg"))
     return vc.rename_axis("term").reset_index(name="df_fg"), n_fg
 
 
@@ -1955,23 +1983,36 @@ class ShardedSearcher:
     def _merged_cat(self, terms: list[str]) -> pd.DataFrame:
         """The getDocFreqs() exchange: per-shard catalog reads for
         the query terms (pure pyarrow scans — these DO parallelize
-        under threads), df summed corpus-wide."""
-        pred = pa_ds.field("term").isin(terms)
+        under threads), df summed corpus-wide.  Past a few thousand
+        terms (a significant_terms foreground vocabulary, not a
+        query) the isin scan filter costs more than the data: read
+        the full two-column catalog and hash-filter in pandas
+        instead — measured the difference at 4M docs where the
+        big-vocab exchange dominated the scatter."""
+        big = len(terms) > 4096
+        if big:
+            tset = set(terms)
+
+            def one(s: "LocalSearcher") -> pd.DataFrame:
+                t = s._terms.to_table(
+                    columns=["term", "df"]).to_pandas()
+                return t[t["term"].isin(tset)]
+        else:
+            pred = pa_ds.field("term").isin(terms)
+
+            def one(s: "LocalSearcher") -> pd.DataFrame:
+                return s._terms.to_table(
+                    columns=["term", "df"], filter=pred).to_pandas()
+
         if len(self.shards) == 1:
-            cats = [self.shards[0]._terms.to_table(
-                columns=["term", "df"], filter=pred).to_pandas()]
+            cats = [one(self.shards[0])]
         else:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(
                 max_workers=min(len(self.shards), 32)
             ) as ex:
-                cats = list(ex.map(
-                    lambda s: s._terms.to_table(
-                        columns=["term", "df"], filter=pred
-                    ).to_pandas(),
-                    self.shards,
-                ))
+                cats = list(ex.map(one, self.shards))
         return pd.concat(cats).groupby("term", as_index=False)["df"].sum()
 
     def _payloads(self, terms: list[str], cat: pd.DataFrame,
@@ -2353,18 +2394,21 @@ class ShardedSearcher:
                     "rank"]].reset_index(drop=True)
 
     def significant_terms(self, qterms: list[str], m_terms: int = 10,
-                          mode: str = "or",
-                          min_df: int = 2) -> pd.DataFrame:
+                          mode: str = "or", min_df: int = 2,
+                          max_fg: int | None = None) -> pd.DataFrame:
         """Scatter-gather significant_terms, EXACT in two rounds:
         (1) per-shard foreground histograms + n_fg summed over
         disjoint doc sets; (2) background dfs for the union
         foreground vocabulary via the merged catalog (threaded
         pyarrow reads).  One global rank — no per-shard shortlist
-        truncation, so no ES-style approximation error."""
+        truncation, so no ES-style approximation error.  ``max_fg``
+        caps EACH shard's foreground with the deterministic sampler
+        (so the total sample is <= shards * max_fg)."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
         res = self._scatter(
             _shard_sigterms_task,
-            [(s.index_dir, off, {"terms": terms, "mode": mode})
+            [(s.index_dir, off,
+              {"terms": terms, "mode": mode, "max_fg": max_fg})
              for s, off in zip(self.shards, self.offsets)],
         )
         n_fg = sum(n for _, n in res)

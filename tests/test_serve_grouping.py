@@ -142,3 +142,20 @@ def test_date_gap_spec_multi_unit_refuses(index_dir):
         gap_unit("+2DAY")
     with pytest.raises(ValueError):
         gap_unit("FORTNIGHT")
+
+
+def test_sigterms_sampler_bounded_and_deterministic(index_dir):
+    """max_fg caps the foreground with a deterministic hash-uniform
+    sample: repeated calls agree exactly, n_fg is capped, and the
+    sampled top terms stay plausible (subset of vocabulary, lift
+    ordering intact)."""
+    ls = LocalSearcher(index_dir)
+    _, n_full = ls._sigterms_fg(["import"], "or")
+    vc1, n1 = ls._sigterms_fg(["import"], "or", max_fg=50)
+    vc2, n2 = ls._sigterms_fg(["import"], "or", max_fg=50)
+    assert n1 == n2 == 50 < n_full
+    pd.testing.assert_series_equal(vc1.sort_index(), vc2.sort_index())
+    out = ls.significant_terms(["import"], m_terms=5, max_fg=50)
+    assert len(out) <= 5
+    assert (out["lift"].to_numpy()[:-1]
+            >= out["lift"].to_numpy()[1:]).all()
