@@ -507,6 +507,36 @@ def q_serve_pivot_facet(spark, sf_dir):
     )
 
 
+def q_serve_facet_index(spark, sf_dir):
+    """Scatter facet with facet.sort=index — full per-shard
+    histograms make every facet option exact at the merge; same
+    oracle as ft_facet_index."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.facet(["table"], "source", n=10, sort="index")
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(v), int(c)) for v, c in rows],
+        "source string, cnt long",
+    )
+
+
+def q_serve_facet_prefix(spark, sf_dir):
+    """Scatter facet with facet.prefix + facet.mincount — same
+    oracle as ft_facet_prefix."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.facet(["table"], "source", n=20, prefix="src1",
+                        mincount=2)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(v), int(c)) for v, c in rows],
+        "source string, cnt long",
+    )
+
+
 def q_serve_collapse(spark, sf_dir):
     """Scatter-gather field collapse (Solr {!collapse}): per-shard
     FULL per-value head maps on the corpus-wide score scale (df
@@ -2780,6 +2810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_highlight": q_serve_highlight,
         "ft_serve_stats": q_serve_stats,
         "ft_serve_pivot_facet": q_serve_pivot_facet,
+        "ft_serve_facet_index": q_serve_facet_index,
+        "ft_serve_facet_prefix": q_serve_facet_prefix,
         "ft_serve_collapse": q_serve_collapse,
         "ft_serve_group": q_serve_group,
         "ft_serve_sig_terms": q_serve_sig_terms,
@@ -3081,6 +3113,16 @@ SELECT source, count(*) AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY source ORDER BY source ASC LIMIT 10""",
         "ft_facet_prefix": f"""{ctes}{O.matched_sql(["table"])}
+SELECT source, count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+WHERE d.source LIKE 'src1%'
+GROUP BY source HAVING count(*) >= 2
+ORDER BY cnt DESC, source ASC LIMIT 20""",
+        "ft_serve_facet_index": f"""{ctes}{O.matched_sql(["table"])}
+SELECT source, count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY source ORDER BY source ASC LIMIT 10""",
+        "ft_serve_facet_prefix": f"""{ctes}{O.matched_sql(["table"])}
 SELECT source, count(*) AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 WHERE d.source LIKE 'src1%'

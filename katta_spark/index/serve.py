@@ -565,21 +565,26 @@ class LocalSearcher:
         )
 
     def facet(self, qterms: list[str], field: str, n: int = 10,
-              mode: str = "or") -> list[tuple[object, int]]:
-        """Value facet over the match set (Solr facet.field default
-        sort: count desc, value asc; NULLs excluded) — node-local:
-        matched ids from the pruned postings read, one column-pruned
-        docs read, a value_counts.  Mirrors PhysicalIndex.facet
+              mode: str = "or", missing: bool = False,
+              sort: str = "count", prefix: str | None = None,
+              mincount: int = 0) -> list[tuple[object, int]]:
+        """Value facet over the match set with full Solr facet.field
+        options — ``missing`` (NULL bucket, nulls-last), ``sort``
+        ("count" = cnt desc value asc, "index" = value asc),
+        ``prefix`` (bucket filter; the NULL bucket never survives a
+        prefix), ``mincount`` — node-local: matched ids from the
+        pruned postings read, one column-pruned docs read, a
+        value_counts.  Mirrors PhysicalIndex.facet option-for-option
         (tested)."""
         ids = self._matched_ids(qterms, mode)
         tbl = self._docs.to_table(
             columns=["doc_id", field]
         ).to_pandas()
         hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-        vals = tbl[field][hit].dropna()
-        cnt = vals.value_counts()
-        rows = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:n]
-        return [(v, int(c)) for v, c in rows]
+        cnt = tbl[field][hit].value_counts(dropna=False)
+        items = [(None if pd.isna(v) else v, int(c))
+                 for v, c in cnt.items()]
+        return _facet_rank(items, n, missing, sort, prefix, mincount)
 
     def _matched_ids(self, qterms: list[str], mode: str = "or") -> np.ndarray:
         """Live matching doc_ids (sorted) — the non-scoring match set
@@ -930,6 +935,24 @@ class LocalSearcher:
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        pdf = self._sigterms_fg_tbl(qterms, mode, max_fg)
+        tbl, n = pdf
+        out = tbl.to_pandas()
+        return (pd.Series(out["df_fg"].to_numpy(dtype="int64"),
+                          index=out["term"]), n)
+
+    def _sigterms_fg_tbl(self, qterms: list[str], mode: str = "or",
+                         max_fg: int | None = None,
+                         shard_min_df: int = 1):
+        """Arrow-table form of :meth:`_sigterms_fg` — (pa.Table
+        (term, df_fg), n_fg).  The sharded scatter ships THIS across
+        the process boundary: a pyarrow Table pickles via Arrow IPC
+        buffers (columnar, no per-string cost), where a pandas
+        object-dtype frame pickles string by string — measured as the
+        dominant cost of the 8-shard scatter at 1M docs."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         ids = self._matched_ids(qterms, mode)
         if max_fg is not None and ids.size > int(max_fg):
             h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -939,7 +962,8 @@ class LocalSearcher:
             ids = np.sort(ids[np.argpartition(h, int(max_fg))
                               [: int(max_fg)]])
         if not ids.size:
-            return pd.Series(dtype="int64"), 0
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df_fg": pa.array([], pa.int64())}), 0
         toks = self._docs.to_table(
             columns=["toks"],
             filter=pa_ds.field("doc_id").isin(pa.array(ids)),
@@ -952,9 +976,22 @@ class LocalSearcher:
             pairs.group_by(["term", "p"]).aggregate([])
             .group_by("term").aggregate([("p", "count")])
         )
-        pdf = counts.to_pandas()
-        return (pd.Series(pdf["p_count"].to_numpy(dtype="int64"),
-                          index=pdf["term"]), int(ids.size))
+        out = counts.rename_columns(["term", "df_fg"]).cast(
+            pa.schema([("term", pa.string()), ("df_fg", pa.int64())])
+        )
+        if shard_min_df > 1:
+            # ES shard_min_doc_count semantics: prune this node's
+            # candidate list before the exchange.  APPROXIMATE when
+            # shard_min_df > 1 and min_df <= shards * (shard_min_df-1):
+            # a term below the bar on every shard vanishes, and a
+            # surviving term loses sub-bar contributions from other
+            # shards.  The win: on a code corpus the singleton tail
+            # (per-doc unique identifiers) IS the bulk of the
+            # vocabulary, so shard_min_df=2 collapses the exchange.
+            out = out.filter(
+                pc.greater_equal(out["df_fg"], pa.scalar(shard_min_df))
+            )
+        return out, int(ids.size)
 
     def significant_terms(self, qterms: list[str], m_terms: int = 10,
                           mode: str = "or", min_df: int = 2,
@@ -1240,6 +1277,33 @@ def _pivot_rank(pairs: pd.DataFrame, field1: str, field2: str,
             out.append((pv, int(ptot), cv, int(c)))
     out.sort(key=lambda r: (-r[1], str(r[0]), -r[3], str(r[2])))
     return out
+
+
+def _facet_rank(items: list[tuple], n: int, missing: bool, sort: str,
+                prefix: str | None, mincount: int) -> list[tuple]:
+    """Apply the Solr facet.field options to a merged (value, count)
+    histogram (value None = the NULL bucket) exactly like
+    PhysicalIndex.facet: prefix drops the NULL bucket and filters
+    values (Spark's startswith), missing=False drops NULLs, mincount
+    cuts buckets, sort "count" = (cnt desc, value asc, nulls last) /
+    "index" = (value asc, nulls last), limit n.  Shared by both node
+    tiers."""
+    rows = []
+    for v, c in items:
+        if v is None:
+            if missing and prefix is None:
+                rows.append((None, int(c)))
+        elif prefix is None or str(v).startswith(prefix):
+            rows.append((v, int(c)))
+    if mincount > 0:
+        rows = [(v, c) for v, c in rows if c >= int(mincount)]
+    if sort == "index":
+        key = (lambda x: (x[0] is None,
+                          "" if x[0] is None else x[0]))
+    else:
+        key = (lambda x: (-x[1], x[0] is None,
+                          "" if x[0] is None else x[0]))
+    return sorted(rows, key=key)[:n]
 
 
 def _sigterms_rank(vc: pd.Series, n_fg: int, qset: list[str],
@@ -1705,8 +1769,9 @@ def _shard_facet_task(payload: tuple) -> list[tuple[object, int]]:
     ids = np.sort(ids)
     tbl = s._docs.to_table(columns=["doc_id", p["field"]]).to_pandas()
     hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-    vals = tbl[p["field"]][hit].dropna()
-    return [(v, int(c)) for v, c in vals.value_counts().items()]
+    cnt = tbl[p["field"]][hit].value_counts(dropna=False)
+    return [(None if pd.isna(v) else v, int(c))
+            for v, c in cnt.items()]
 
 
 def _shard_count_task(payload: tuple) -> int:
@@ -1809,9 +1874,9 @@ def _shard_sigterms_task(payload: tuple) -> tuple[pd.DataFrame, int]:
     foreground vocabulary."""
     d, _off, p = payload
     s = _shard_handle(d)
-    vc, n_fg = s._sigterms_fg(p["terms"], p["mode"],
-                              max_fg=p.get("max_fg"))
-    return vc.rename_axis("term").reset_index(name="df_fg"), n_fg
+    return s._sigterms_fg_tbl(p["terms"], p["mode"],
+                              max_fg=p.get("max_fg"),
+                              shard_min_df=p.get("shard_min_df", 1))
 
 
 def _parse_stripped(s: "LocalSearcher", q, fq):
@@ -1991,12 +2056,16 @@ class ShardedSearcher:
         big-vocab exchange dominated the scatter."""
         big = len(terms) > 4096
         if big:
-            tset = set(terms)
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-            def one(s: "LocalSearcher") -> pd.DataFrame:
-                t = s._terms.to_table(
-                    columns=["term", "df"]).to_pandas()
-                return t[t["term"].isin(tset)]
+            vset = pa.array(sorted(set(terms)))
+
+            def one(s: "LocalSearcher"):
+                t = s._terms.to_table(columns=["term", "df"])
+                return t.filter(
+                    pc.is_in(t["term"], value_set=vset)
+                ).to_pandas()
         else:
             pred = pa_ds.field("term").isin(terms)
 
@@ -2124,7 +2193,9 @@ class ShardedSearcher:
         ))
 
     def facet(self, qterms: list[str], field: str, n: int = 10,
-              mode: str = "or") -> list[tuple[object, int]]:
+              mode: str = "or", missing: bool = False,
+              sort: str = "count", prefix: str | None = None,
+              mincount: int = 0) -> list[tuple[object, int]]:
         """Scatter-gather value facet: per-shard FULL value counts
         merged by summation (shards own disjoint doc sets), then one
         global top-n cut — EXACT by construction.  The reference
@@ -2132,7 +2203,9 @@ class ShardedSearcher:
         truncation undercounting values that are mid-ranked
         everywhere, which Solr patches with a refinement round-trip)
         cannot occur because shards return their whole bounded value
-        histogram, not a truncated page."""
+        histogram, not a truncated page.  Solr facet options
+        (missing/sort/prefix/mincount) apply at the merge — exact,
+        since the full histograms are present."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
         cat = self._merged_cat(terms)
         counts = self._scatter(
@@ -2143,8 +2216,8 @@ class ShardedSearcher:
         for c in counts:
             for v, k in c:
                 total[v] = total.get(v, 0) + k
-        rows = sorted(total.items(), key=lambda x: (-x[1], x[0]))[:n]
-        return [(v, int(c)) for v, c in rows]
+        return _facet_rank(list(total.items()), n, missing, sort,
+                           prefix, mincount)
 
     def sorted_query(self, qterms: list[str],
                      sort_cols: list[tuple[str, str]],
@@ -2395,7 +2468,8 @@ class ShardedSearcher:
 
     def significant_terms(self, qterms: list[str], m_terms: int = 10,
                           mode: str = "or", min_df: int = 2,
-                          max_fg: int | None = None) -> pd.DataFrame:
+                          max_fg: int | None = None,
+                          shard_min_df: int = 1) -> pd.DataFrame:
         """Scatter-gather significant_terms, EXACT in two rounds:
         (1) per-shard foreground histograms + n_fg summed over
         disjoint doc sets; (2) background dfs for the union
@@ -2403,19 +2477,32 @@ class ShardedSearcher:
         pyarrow reads).  One global rank — no per-shard shortlist
         truncation, so no ES-style approximation error.  ``max_fg``
         caps EACH shard's foreground with the deterministic sampler
-        (so the total sample is <= shards * max_fg)."""
+        (so the total sample is <= shards * max_fg).
+
+        ``shard_min_df`` is ES's shard_min_doc_count: each shard
+        prunes candidates below it BEFORE the exchange.  1 (default)
+        keeps the scatter exact; 2 trades the long singleton tail —
+        on code corpora the bulk of the vocabulary (per-doc unique
+        identifiers), hence the bulk of the exchange cost — for the
+        documented ES approximation."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
         res = self._scatter(
             _shard_sigterms_task,
             [(s.index_dir, off,
-              {"terms": terms, "mode": mode, "max_fg": max_fg})
+              {"terms": terms, "mode": mode, "max_fg": max_fg,
+               "shard_min_df": int(shard_min_df)})
              for s, off in zip(self.shards, self.offsets)],
         )
+        import pyarrow as pa
+
         n_fg = sum(n for _, n in res)
-        vc = (
-            pd.concat([f for f, _ in res], ignore_index=True)
-            .groupby("term")["df_fg"].sum()
+        merged = (
+            pa.concat_tables([t for t, _ in res])
+            .group_by("term").aggregate([("df_fg", "sum")])
+            .to_pandas()
         )
+        vc = pd.Series(merged["df_fg_sum"].to_numpy(dtype="int64"),
+                       index=merged["term"])
         return _sigterms_rank(vc, n_fg, terms, self._merged_cat,
                               float(self.stats["n_docs"]), m_terms,
                               min_df)

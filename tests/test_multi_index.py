@@ -562,3 +562,50 @@ def test_sharded_search_envelope_matches_union(spark, split_dirs):
                 b["hits"]["lang"].tolist()
     finally:
         sh.close()
+
+
+def test_sharded_facet_options_match_union(spark, split_dirs):
+    """Scatter facet with the Solr options equals the union node's —
+    full per-shard histograms make every option exact at the merge."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        for kw in [dict(), dict(sort="index"), dict(prefix="p"),
+                   dict(mincount=5), dict(missing=True)]:
+            assert sh.facet(["import"], "lang", n=10, **kw) == \
+                un.facet(["import"], "lang", n=10, **kw), kw
+    finally:
+        sh.close()
+
+
+def test_sharded_sigterms_shard_min_df_prunes_but_keeps_top(spark,
+                                                            split_dirs):
+    """shard_min_df=1 is exact (equals the union node); =2 prunes the
+    per-shard singleton tail — the surviving top terms must be a
+    subset of the exact top ranked in the same order for terms whose
+    counts were not clipped."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        exact = sh.significant_terms(["table"], m_terms=8)
+        assert exact.values.tolist() == \
+            un.significant_terms(["table"], m_terms=8).values.tolist()
+        pruned = sh.significant_terms(["table"], m_terms=8,
+                                      shard_min_df=2)
+        assert set(pruned["term"]) <= set(
+            sh.significant_terms(["table"], m_terms=50)["term"]
+        )
+        # every pruned-mode df_fg <= its exact df_fg (clipping only
+        # removes contributions, never adds)
+        ex = dict(zip(exact["term"], exact["df_fg"]))
+        for t, c in zip(pruned["term"], pruned["df_fg"]):
+            if t in ex:
+                assert c <= ex[t]
+    finally:
+        sh.close()

@@ -159,3 +159,32 @@ def test_sigterms_sampler_bounded_and_deterministic(index_dir):
     assert len(out) <= 5
     assert (out["lift"].to_numpy()[:-1]
             >= out["lift"].to_numpy()[1:]).all()
+
+
+def test_serve_facet_options_match_spark(spark, tmp_path):
+    """facet.field options (missing / sort=index / prefix /
+    mincount) are option-for-option identical to the Spark tier at
+    the node tier, including the NULL bucket and nulls-last rule."""
+    import pyspark.sql.functions as F
+
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index import PhysicalIndex, build_index
+
+    d = str(tmp_path / "idx")
+    docs = with_ingest_columns(synthetic_corpus(spark, 400)).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    build_index(spark, docs, d, n_groups=1, block_range=64)
+    idx = PhysicalIndex(spark, d)
+    ls = LocalSearcher(d)
+    for kw in [dict(), dict(missing=True), dict(sort="index"),
+               dict(sort="index", missing=True), dict(prefix="p"),
+               dict(mincount=20), dict(missing=True, mincount=20)]:
+        want = [(r["lang"], r["cnt"])
+                for r in idx.facet(["import"], "lang", n=10,
+                                   **kw).collect()]
+        got = ls.facet(["import"], "lang", n=10, **kw)
+        assert got == want, kw

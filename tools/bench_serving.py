@@ -115,6 +115,13 @@ def main() -> None:
             ["import"], "lang", k_per_group=3).drop(columns=["doc_id"]),
         "sig_terms_and": lambda s: s.significant_terms(
             ["scan", "merge"], mode="and", m_terms=10),
+        # ES shard_min_doc_count pruning: kills the singleton-tail
+        # exchange (the bulk of a code corpus's vocabulary); only
+        # meaningful sharded — the local handle ignores the kwarg
+        "sig_terms_pruned": lambda s: s.significant_terms(
+            ["scan", "merge"], mode="and", m_terms=10,
+            **({"shard_min_df": 2}
+               if hasattr(s, "shards") else {})),
         "mlt": lambda s: s.more_like_this(7, m_terms=5, k=10),
     }
     out = {
@@ -123,13 +130,18 @@ def main() -> None:
         "build_shards_s": round(t_shards, 1),
         "local_ms": {}, "sharded_ms": {}, "parity": {},
     }
+    NO_PARITY = {"sig_terms_pruned"}  # ES shard_min_doc_count mode:
+    # approximate by design, only applied on the sharded side
     for name, q in qset.items():
         a, b = q(ls), q(sh)
-        if hasattr(a, "values"):
-            same = a.values.tolist() == b.values.tolist()
+        if name in NO_PARITY:
+            out["parity"][name] = "approx-by-design"
+        elif hasattr(a, "values"):
+            out["parity"][name] = bool(
+                a.values.tolist() == b.values.tolist()
+            )
         else:
-            same = a == b
-        out["parity"][name] = bool(same)
+            out["parity"][name] = bool(a == b)
         out["local_ms"][name] = med5(lambda q=q: q(ls))
         out["sharded_ms"][name] = med5(lambda q=q: q(sh))
     sh.close()
