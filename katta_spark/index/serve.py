@@ -1704,6 +1704,22 @@ class _LocalEval:
 _SHARD_CACHE: dict[str, "LocalSearcher"] = {}
 
 
+def _worker_cap_threads(n_workers: int) -> None:
+    """Pool initializer: divide the machine's cores among the forked
+    shard workers.  Each worker's Arrow compute kernels (the
+    significant_terms group-bys, dataset filters) otherwise spawn the
+    FULL default thread pool — n_workers x n_cores threads thrashing
+    one machine (the process-pool analogue of the GIL convoy the
+    scatter replaced)."""
+    import os
+
+    import pyarrow as pa
+
+    share = max(2, (os.cpu_count() or 8) // max(1, n_workers))
+    pa.set_cpu_count(share)
+    pa.set_io_thread_count(share)
+
+
 def _shard_handle(d: str) -> "LocalSearcher":
     s = _SHARD_CACHE.get(d)
     if s is None:
@@ -2039,9 +2055,12 @@ class ShardedSearcher:
             import os
             from concurrent.futures import ProcessPoolExecutor
 
+            n_workers = min(len(self.shards), os.cpu_count() or 8)
             self._pool = ProcessPoolExecutor(
-                max_workers=min(len(self.shards), os.cpu_count() or 8),
+                max_workers=n_workers,
                 mp_context=mp.get_context("fork"),
+                initializer=_worker_cap_threads,
+                initargs=(n_workers,),
             )
         return list(self._pool.map(task_fn, payloads))
 
