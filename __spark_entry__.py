@@ -507,6 +507,24 @@ def q_serve_pivot_facet(spark, sf_dir):
     )
 
 
+def q_serve_envelope(spark, sf_dir):
+    """Sharded search envelope (QueryResponse parity), flattened for
+    the oracle: each hit row carries numFound and maxScore — hits
+    from the WAND scatter, numFound from the bitset count sum."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        env = sh.search(["dup", "key"], k=8)
+    finally:
+        sh.close()
+    h = env["hits"]
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6), int(env["num_found"]),
+          round(float(env["max_score"]), 6))
+         for d, s in zip(h["doc_id"], h["score"])],
+        "doc_id long, score double, num_found long, max_score double",
+    )
+
+
 def q_serve_facet_index(spark, sf_dir):
     """Scatter facet with facet.sort=index — full per-shard
     histograms make every facet option exact at the merge; same
@@ -2810,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_highlight": q_serve_highlight,
         "ft_serve_stats": q_serve_stats,
         "ft_serve_pivot_facet": q_serve_pivot_facet,
+        "ft_serve_envelope": q_serve_envelope,
         "ft_serve_facet_index": q_serve_facet_index,
         "ft_serve_facet_prefix": q_serve_facet_prefix,
         "ft_serve_collapse": q_serve_collapse,
@@ -3118,6 +3137,11 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 WHERE d.source LIKE 'src1%'
 GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
+        "ft_serve_envelope": f"""{ctes}{O._scored_ctes(["dup", "key"], 8)}
+SELECT t.doc_id, round(t.score, 6) AS score,
+       (SELECT count(*) FROM scored) AS num_found,
+       (SELECT round(max(score), 6) FROM scored) AS max_score
+FROM top t""",
         "ft_serve_facet_index": f"""{ctes}{O.matched_sql(["table"])}
 SELECT source, count(*) AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id
