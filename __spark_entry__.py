@@ -507,6 +507,32 @@ def q_serve_pivot_facet(spark, sf_dir):
     )
 
 
+def q_serve_interval_facet(spark, sf_dir):
+    """Scatter facet.interval — per-shard counts summed over disjoint
+    doc sets; same oracle as ft_interval_facet."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.interval_facet(["data"], "n_chars", _INTERVALS)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(v), int(c)) for v, c in rows], "label string, cnt long"
+    )
+
+
+def q_serve_facet_query(spark, sf_dir):
+    """Solr facet.query across shards — each label a bitset count
+    sum; same oracle as ft_facet_query."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.facet_queries(_MULTI_Q)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(v), int(c)) for v, c in rows], "facet_q string, cnt long"
+    )
+
+
 def q_serve_envelope(spark, sf_dir):
     """Sharded search envelope (QueryResponse parity), flattened for
     the oracle: each hit row carries numFound and maxScore — hits
@@ -2829,6 +2855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_stats": q_serve_stats,
         "ft_serve_pivot_facet": q_serve_pivot_facet,
         "ft_serve_envelope": q_serve_envelope,
+        "ft_serve_interval_facet": q_serve_interval_facet,
+        "ft_serve_facet_query": q_serve_facet_query,
         "ft_serve_facet_index": q_serve_facet_index,
         "ft_serve_facet_prefix": q_serve_facet_prefix,
         "ft_serve_collapse": q_serve_collapse,
@@ -3137,6 +3165,10 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 WHERE d.source LIKE 'src1%'
 GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
+        "ft_serve_interval_facet": O.interval_facet_sql(
+            ["data"], "n_chars", _INTERVALS
+        ),
+        "ft_serve_facet_query": O.facet_queries_sql(_MULTI_Q),
         "ft_serve_envelope": f"""{ctes}{O._scored_ctes(["dup", "key"], 8)}
 SELECT t.doc_id, round(t.score, 6) AS score,
        (SELECT count(*) FROM scored) AS num_found,

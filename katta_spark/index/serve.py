@@ -714,6 +714,31 @@ class LocalSearcher:
         return {b.to_pydatetime(): int(c)
                 for b, c in buckets.value_counts().items()}
 
+    def interval_facet(self, qterms: list[str], field: str,
+                       intervals: list[tuple],
+                       mode: str = "or") -> list[tuple[str, int]]:
+        """Solr facet.interval at node latency: arbitrary — possibly
+        overlapping — intervals over a numeric field, a matching doc
+        counted in EVERY containing interval.  One matched-values
+        read, one numpy comparison per interval; rows label-asc.
+        Mirrors PhysicalIndex.interval_facet (tested)."""
+        vals = self._matched_values(qterms, field, mode)
+        out = []
+        for label, lo, hi, lo_incl, hi_incl in intervals:
+            c = (vals >= lo) if lo_incl else (vals > lo)
+            c &= (vals <= hi) if hi_incl else (vals < hi)
+            out.append((str(label), int(np.count_nonzero(c))))
+        return sorted(out)
+
+    def facet_queries(self, queries_map: dict[str, list[str]],
+                      mode: str = "or") -> list[tuple[str, int]]:
+        """Solr facet.query at node latency: hit counts of arbitrary
+        sub-queries, zero rows kept, label-asc — each count rides the
+        bitset fast path.  Mirrors PhysicalIndex.facet_queries
+        (tested)."""
+        return [(label, self.count(terms, mode))
+                for label, terms in sorted(queries_map.items())]
+
     def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
         """[(term, df)] — autocomplete at node latency: the n
         highest-df content terms with the prefix, from one
@@ -1879,6 +1904,14 @@ def _shard_pivot_task(payload: tuple) -> pd.DataFrame:
                                          p["field2"], p["mode"])
 
 
+def _shard_interval_task(payload: tuple) -> list[tuple[str, int]]:
+    """Per-shard facet.interval counts — numpy CPU, process pool."""
+    d, _off, p = payload
+    return _shard_handle(d).interval_facet(
+        p["terms"], p["field"], p["intervals"], p["mode"]
+    )
+
+
 def _shard_sigterms_task(payload: tuple) -> tuple[pd.DataFrame, int]:
     """Per-shard significant_terms foreground: the full distinct-per-
     doc term histogram over the match set + n_fg — disjoint doc sets,
@@ -2330,6 +2363,34 @@ class ShardedSearcher:
                 total[b] = total.get(b, 0) + c
         return [(b, int(c)) for b, c in sorted(total.items())
                 if c >= int(min_count)]
+
+    def interval_facet(self, qterms: list[str], field: str,
+                       intervals: list[tuple],
+                       mode: str = "or") -> list[tuple[str, int]]:
+        """Scatter-gather facet.interval, EXACT: per-shard interval
+        counts summed over disjoint doc sets (membership is idf-free,
+        one round on the process pool)."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        rows = self._scatter(
+            _shard_interval_task,
+            [(s.index_dir, off,
+              {"terms": terms, "field": field,
+               "intervals": list(intervals), "mode": mode})
+             for s, off in zip(self.shards, self.offsets)],
+        )
+        total: dict = {}
+        for part in rows:
+            for label, c in part:
+                total[label] = total.get(label, 0) + c
+        return sorted(total.items())
+
+    def facet_queries(self, queries_map: dict[str, list[str]],
+                      mode: str = "or") -> list[tuple[str, int]]:
+        """Solr facet.query across shards: each label's count is the
+        bitset count sum (disjoint doc sets) — zero rows kept,
+        label-asc."""
+        return [(label, self.count(terms, mode))
+                for label, terms in sorted(queries_map.items())]
 
     def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
         """Scatter-gather autocomplete: per-shard prefix slices of

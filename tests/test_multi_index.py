@@ -609,3 +609,27 @@ def test_sharded_sigterms_shard_min_df_prunes_but_keeps_top(spark,
                 assert c <= ex[t]
     finally:
         sh.close()
+
+
+def test_sharded_interval_and_facet_query_match_union(spark, split_dirs):
+    """facet.interval (overlapping intervals, doc counted in every
+    containing one) and facet.query (zero rows kept) match the union
+    node across shards."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    ivals = [("small", 0, 120, True, False),
+             ("mid", 100, 300, True, False),
+             ("all", 0, 10**6, True, True)]
+    qmap = {"qa": ["import"], "qb": ["scan", "merge"],
+            "qzero": ["nosuchterm"]}
+    try:
+        assert sh.interval_facet(["import"], "dl", ivals) == \
+            un.interval_facet(["import"], "dl", ivals)
+        got = sh.facet_queries(qmap)
+        assert got == un.facet_queries(qmap)
+        assert ("qzero", 0) in got
+    finally:
+        sh.close()

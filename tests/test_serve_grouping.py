@@ -188,3 +188,20 @@ def test_serve_facet_options_match_spark(spark, tmp_path):
                                    **kw).collect()]
         got = ls.facet(["import"], "lang", n=10, **kw)
         assert got == want, kw
+
+
+def test_serve_interval_facet_and_facet_queries_match_spark(pindex,
+                                                            index_dir):
+    ls = LocalSearcher(index_dir)
+    ivals = [("small", 0, 120, True, False),
+             ("mid", 100, 300, True, False),
+             ("large", 250, 10**6, True, True)]
+    want = [(r["label"], r["cnt"])
+            for r in pindex.interval_facet(["data"], "dl",
+                                           ivals).collect()]
+    assert ls.interval_facet(["data"], "dl", ivals) == want
+    qmap = {"qa": ["table"], "qb": ["dup", "key"],
+            "qzero": ["nosuchterm"]}
+    want = [(r["facet_q"], r["cnt"])
+            for r in pindex.facet_queries(qmap).collect()]
+    assert ls.facet_queries(qmap) == want
