@@ -722,13 +722,12 @@ class LocalSearcher:
         counted in EVERY containing interval.  One matched-values
         read, one numpy comparison per interval; rows label-asc.
         Mirrors PhysicalIndex.interval_facet (tested)."""
-        vals = self._matched_values(qterms, field, mode)
-        out = []
-        for label, lo, hi, lo_incl, hi_incl in intervals:
-            c = (vals >= lo) if lo_incl else (vals > lo)
-            c &= (vals <= hi) if hi_incl else (vals < hi)
-            out.append((str(label), int(np.count_nonzero(c))))
-        return sorted(out)
+        counts = _interval_counts(
+            self._matched_values(qterms, field, mode), intervals
+        )
+        return sorted(
+            (str(iv[0]), c) for iv, c in zip(intervals, counts)
+        )
 
     def facet_queries(self, queries_map: dict[str, list[str]],
                       mode: str = "or") -> list[tuple[str, int]]:
@@ -863,7 +862,7 @@ class LocalSearcher:
             # full two-column catalog read + a pandas hash filter
             # beats an isin scan filter with 10^5 values
             t = self._terms.to_table(columns=["term", "df"]).to_pandas()
-            cat = t[t["term"].isin(set(terms))]
+            cat = t[t["term"].isin(set(terms))].copy()
             if self._df_override is not None and len(cat):
                 ov = cat["term"].map(self._df_override)
                 cat["df"] = ov.fillna(cat["df"]).astype("int64")
@@ -957,11 +956,7 @@ class LocalSearcher:
         matched docs (splitmix-style integer hash, no RNG state), so
         cost is O(max_fg), the estimate is unbiased, and repeated
         calls see the same sample."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        pdf = self._sigterms_fg_tbl(qterms, mode, max_fg)
-        tbl, n = pdf
+        tbl, n = self._sigterms_fg_tbl(qterms, mode, max_fg)
         out = tbl.to_pandas()
         return (pd.Series(out["df_fg"].to_numpy(dtype="int64"),
                           index=out["term"]), n)
@@ -1001,7 +996,9 @@ class LocalSearcher:
             pairs.group_by(["term", "p"]).aggregate([])
             .group_by("term").aggregate([("p", "count")])
         )
-        out = counts.rename_columns(["term", "df_fg"]).cast(
+        out = counts.select(["term", "p_count"]).rename_columns(
+            ["term", "df_fg"]
+        ).cast(
             pa.schema([("term", pa.string()), ("df_fg", pa.int64())])
         )
         if shard_min_df > 1:
@@ -1904,23 +1901,57 @@ def _shard_pivot_task(payload: tuple) -> pd.DataFrame:
                                          p["field2"], p["mode"])
 
 
-def _shard_interval_task(payload: tuple) -> list[tuple[str, int]]:
-    """Per-shard facet.interval counts — numpy CPU, process pool."""
+def _interval_counts(vals: np.ndarray,
+                     intervals: list[tuple]) -> list[int]:
+    """Counts per interval IN INTERVAL ORDER (not label-sorted) — the
+    positional unit both tiers share, so the scatter merge can sum
+    element-wise and duplicate labels stay distinct rows."""
+    out = []
+    for _label, lo, hi, lo_incl, hi_incl in intervals:
+        c = (vals >= lo) if lo_incl else (vals > lo)
+        c &= (vals <= hi) if hi_incl else (vals < hi)
+        out.append(int(np.count_nonzero(c)))
+    return out
+
+
+def _shard_interval_task(payload: tuple) -> list[int]:
+    """Per-shard facet.interval counts, interval order — numpy CPU,
+    process pool."""
     d, _off, p = payload
-    return _shard_handle(d).interval_facet(
-        p["terms"], p["field"], p["intervals"], p["mode"]
+    s = _shard_handle(d)
+    return _interval_counts(
+        s._matched_values(p["terms"], p["field"], p["mode"]),
+        p["intervals"],
     )
 
 
-def _shard_sigterms_task(payload: tuple) -> tuple[pd.DataFrame, int]:
-    """Per-shard significant_terms foreground: the full distinct-per-
-    doc term histogram over the match set + n_fg — disjoint doc sets,
-    so the client-side sums are exact.  The histogram travels back as
-    a DataFrame (one pickle of two columns) and the client merges
-    with a groupby-sum — never a per-item Python loop over a
-    100K-term vocabulary.  Background dfs come from a second
-    (threaded, pyarrow-only) merged-catalog read over the union
-    foreground vocabulary."""
+def _shard_search_task(payload: tuple):
+    """Per-shard search-envelope unit: the shard's top-k page AND its
+    bitset match count in ONE scatter round (LocalSearcher.search
+    derives numFound from the same pass for the same reason)."""
+    ids, sc = _shard_topk_task(payload)
+    d, _off, p = payload
+    n = _shard_handle(d).count_raw(p["terms"], p["mode"])
+    return ids, sc, n
+
+
+def _shard_facet_queries_task(payload: tuple) -> list[tuple[str, int]]:
+    """Per-shard facet.query counts for ALL labels in ONE scatter
+    round (each label rides the bitset count path)."""
+    d, _off, p = payload
+    s = _shard_handle(d)
+    return [(label, s.count(terms, p["mode"]))
+            for label, terms in p["qmap"]]
+
+
+def _shard_sigterms_task(payload: tuple):
+    """Per-shard significant_terms foreground: (pa.Table (term,
+    df_fg), n_fg) — disjoint doc sets, so the client-side sums are
+    exact.  The histogram travels back as a pyarrow Table (pickled
+    via Arrow IPC buffers — columnar, no per-string cost) and the
+    client merges with an Arrow group-by.  Background dfs come from
+    a second (threaded, pyarrow-only) merged-catalog read over the
+    union foreground vocabulary."""
     d, _off, p = payload
     s = _shard_handle(d)
     return s._sigterms_fg_tbl(p["terms"], p["mode"],
@@ -2378,19 +2409,32 @@ class ShardedSearcher:
                "intervals": list(intervals), "mode": mode})
              for s, off in zip(self.shards, self.offsets)],
         )
-        total: dict = {}
-        for part in rows:
-            for label, c in part:
-                total[label] = total.get(label, 0) + c
-        return sorted(total.items())
+        sums = [sum(part[i] for part in rows)
+                for i in range(len(intervals))]
+        return sorted(
+            (str(iv[0]), c) for iv, c in zip(intervals, sums)
+        )
 
     def facet_queries(self, queries_map: dict[str, list[str]],
                       mode: str = "or") -> list[tuple[str, int]]:
-        """Solr facet.query across shards: each label's count is the
-        bitset count sum (disjoint doc sets) — zero rows kept,
-        label-asc."""
-        return [(label, self.count(terms, mode))
-                for label, terms in sorted(queries_map.items())]
+        """Solr facet.query across shards: ALL labels in ONE scatter
+        round (a per-label self.count would pay one pool round-trip
+        per label); per-shard bitset counts sum over disjoint doc
+        sets — zero rows kept, label-asc."""
+        qmap = [
+            (label, sorted(set(strip_stops(self.stats, terms))))
+            for label, terms in sorted(queries_map.items())
+        ]
+        rows = self._scatter(
+            _shard_facet_queries_task,
+            [(s.index_dir, off, {"qmap": qmap, "mode": mode})
+             for s, off in zip(self.shards, self.offsets)],
+        )
+        total: dict = {label: 0 for label, _ in qmap}
+        for part in rows:
+            for label, c in part:
+                total[label] += c
+        return sorted(total.items())
 
     def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
         """Scatter-gather autocomplete: per-shard prefix slices of
@@ -2640,9 +2684,24 @@ class ShardedSearcher:
         import time
 
         t0 = time.monotonic()
-        hits = self.topk(qterms, k=k, mode=mode)
-        n = self.count(qterms, mode=mode)
-        if fields and hits:
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        cat = self._merged_cat(terms)
+        parts = self._scatter(
+            _shard_search_task,
+            self._payloads(terms, cat, {
+                # k or 1: a k=0 envelope still reports maxScore (the
+                # LocalSearcher rule — its max is over the match set)
+                "k": max(k, 1), "mode": mode, "min_match": None,
+            }),
+        )
+        ids = np.concatenate([x[0] for x in parts])
+        scores = np.concatenate([x[1] for x in parts])
+        n = sum(int(x[2]) for x in parts)
+        order = np.lexsort((ids, -scores))
+        max_score = float(scores[order[0]]) if order.size else None
+        order = order[:k]
+        hits = [(int(ids[i]), float(scores[i])) for i in order]
+        if fields:
             detail = self.fetch([d for d, _ in hits], fields)
             detail["score"] = [s for _, s in hits]
         else:
@@ -2650,7 +2709,7 @@ class ShardedSearcher:
         return {
             "hits": detail,
             "num_found": int(n),
-            "max_score": float(hits[0][1]) if hits else None,
+            "max_score": max_score,
             "qtime_ms": int((time.monotonic() - t0) * 1000),
         }
 
@@ -2658,6 +2717,10 @@ class ShardedSearcher:
               fields: list[str]) -> pd.DataFrame:
         """Stored-field lookup routing each namespaced id back to its
         owning shard (Client.getDetails scatter)."""
+        if not doc_ids:
+            # typed empty frame with the requested columns (the
+            # envelope's fields=... path on a no-hit query)
+            return self.shards[0].fetch([], fields)
         bounds = self.offsets + [self.offsets[-1] + (1 << 62)]
         per_shard: dict[int, list[int]] = {}
         for d in doc_ids:

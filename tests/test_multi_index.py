@@ -633,3 +633,30 @@ def test_sharded_interval_and_facet_query_match_union(spark, split_dirs):
         assert ("qzero", 0) in got
     finally:
         sh.close()
+
+
+def test_sharded_envelope_edge_cases_match_union(spark, split_dirs):
+    """No-hit query with fields keeps the field columns; k=0 still
+    reports maxScore; duplicate-label intervals stay distinct rows —
+    all identical across tiers."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        a = sh.search(["nosuchterm"], k=5, fields=["doc_id", "lang"])
+        b = un.search(["nosuchterm"], k=5, fields=["doc_id", "lang"])
+        assert list(a["hits"].columns) == list(b["hits"].columns)
+        assert a["num_found"] == b["num_found"] == 0
+        assert a["max_score"] is None and b["max_score"] is None
+        a0 = sh.search(["import"], k=0)
+        b0 = un.search(["import"], k=0)
+        assert len(a0["hits"]) == len(b0["hits"]) == 0
+        assert round(a0["max_score"], 9) == round(b0["max_score"], 9)
+        ivals = [("x", 0, 50, True, True), ("x", 40, 90, True, True)]
+        assert sh.interval_facet(["import"], "dl", ivals) == \
+            un.interval_facet(["import"], "dl", ivals)
+        assert len(sh.interval_facet(["import"], "dl", ivals)) == 2
+    finally:
+        sh.close()
