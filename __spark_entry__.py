@@ -507,6 +507,38 @@ def q_serve_pivot_facet(spark, sf_dir):
     )
 
 
+def q_serve_rare_terms(spark, sf_dir):
+    """ES rare_terms across shards — full per-shard histograms make
+    the long tail exact (a shard-locally-rare but globally-common
+    value can never slip under max_count); same oracle as
+    ft_rare_terms."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.rare_terms(["scan"], "source", max_count=18, n=10)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(v), int(c)) for v, c in rows], "source string, cnt long"
+    )
+
+
+def q_serve_facet_stats(spark, sf_dir):
+    """Scatter stats.facet — per-shard per-value (n,min,max,sum)
+    partials merged exactly; same oracle as ft_facet_stats."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.facet_stats(["table"], "lang", "n_chars")
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(r.lang), int(r.n), float(r.min_v), float(r.max_v),
+          round(float(r.sum_v), 6), round(float(r.mean_v), 6))
+         for r in out.itertuples(index=False)],
+        "lang string, n long, min_v double, max_v double, "
+        "sum_v double, mean_v double",
+    )
+
+
 def q_serve_interval_facet(spark, sf_dir):
     """Scatter facet.interval — per-shard counts summed over disjoint
     doc sets; same oracle as ft_interval_facet."""
@@ -2856,6 +2888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_pivot_facet": q_serve_pivot_facet,
         "ft_serve_envelope": q_serve_envelope,
         "ft_serve_interval_facet": q_serve_interval_facet,
+        "ft_serve_rare_terms": q_serve_rare_terms,
+        "ft_serve_facet_stats": q_serve_facet_stats,
         "ft_serve_facet_query": q_serve_facet_query,
         "ft_serve_facet_index": q_serve_facet_index,
         "ft_serve_facet_prefix": q_serve_facet_prefix,
@@ -3165,6 +3199,14 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 WHERE d.source LIKE 'src1%'
 GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
+        "ft_serve_rare_terms": f"""{ctes}{O.matched_sql(["scan"])}
+SELECT source, count(*) AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+WHERE d.source IS NOT NULL
+GROUP BY source HAVING count(*) <= 18
+ORDER BY cnt ASC, source ASC LIMIT 10""",
+        "ft_serve_facet_stats": O.facet_stats_sql(["table"], "lang",
+                                                  "n_chars"),
         "ft_serve_interval_facet": O.interval_facet_sql(
             ["data"], "n_chars", _INTERVALS
         ),

@@ -714,6 +714,55 @@ class LocalSearcher:
         return {b.to_pydatetime(): int(c)
                 for b, c in buckets.value_counts().items()}
 
+    def rare_terms(self, qterms: list[str], field: str,
+                   max_count: int = 1, n: int = 10,
+                   mode: str = "or") -> list[tuple[object, int]]:
+        """ES rare_terms at node latency: the LONG TAIL of a field —
+        buckets with cnt <= max_count among the matches, (cnt asc,
+        value asc), NULLs excluded.  Exact (no CuckooFilter sketch
+        needed node-side).  Mirrors PhysicalIndex.rare_terms
+        (tested)."""
+        ids = self._matched_ids(qterms, mode)
+        tbl = self._docs.to_table(
+            columns=["doc_id", field]
+        ).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        cnt = tbl[field][hit].dropna().value_counts()
+        rows = [(v, int(c)) for v, c in cnt.items()
+                if c <= int(max_count)]
+        return sorted(rows, key=lambda x: (x[1], x[0]))[:n]
+
+    def facet_stats(self, qterms: list[str], facet_field: str,
+                    stat_field: str, mode: str = "or") -> pd.DataFrame:
+        """Solr stats.facet at node latency: the field_stats summary
+        per value of ``facet_field`` — one matched read, one pandas
+        groupby.  Columns (facet_field, n, min_v, max_v, sum_v,
+        mean_v), facet-value asc (nulls first, Spark's asc rule).
+        Mirrors PhysicalIndex.facet_stats (tested)."""
+        parts = self._facet_stats_partials(qterms, facet_field,
+                                           stat_field, mode)
+        return _facet_stats_finalize(parts, facet_field)
+
+    def _facet_stats_partials(self, qterms: list[str],
+                              facet_field: str, stat_field: str,
+                              mode: str) -> pd.DataFrame:
+        """Per-facet-value (n, min, max, sum) partials — UNROUNDED
+        (associative over disjoint doc sets; a scatter merges them
+        exactly, then rounds once)."""
+        ids = self._matched_ids(qterms, mode)
+        tbl = self._docs.to_table(
+            columns=["doc_id", facet_field, stat_field]
+        ).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        sub = tbl[hit]
+        v = pd.to_numeric(sub[stat_field], errors="coerce")
+        return (
+            sub.assign(_v=v.astype(float))
+            .groupby(facet_field, dropna=False)["_v"]
+            .agg(n="count", min_v="min", max_v="max", sum_v="sum")
+            .reset_index()
+        )
+
     def interval_facet(self, qterms: list[str], field: str,
                        intervals: list[tuple],
                        mode: str = "or") -> list[tuple[str, int]]:
@@ -1299,6 +1348,29 @@ def _pivot_rank(pairs: pd.DataFrame, field1: str, field2: str,
             out.append((pv, int(ptot), cv, int(c)))
     out.sort(key=lambda r: (-r[1], str(r[0]), -r[3], str(r[2])))
     return out
+
+
+def _facet_stats_finalize(parts: pd.DataFrame,
+                          facet_field: str) -> pd.DataFrame:
+    """Merge per-facet-value (n, min, max, sum) partials (one or many
+    shards' worth concatenated) into the stats.facet rows exactly
+    like PhysicalIndex.facet_stats: every component associative, mean
+    derived after the merge, sums/means rounded 6dp, facet-value asc
+    nulls first."""
+    g = parts.groupby(facet_field, dropna=False)
+    out = g.agg(
+        n=("n", "sum"), min_v=("min_v", "min"),
+        max_v=("max_v", "max"), sum_v=("sum_v", "sum"),
+    ).reset_index()
+    out["mean_v"] = (out["sum_v"] / out["n"]).round(6)
+    out["sum_v"] = out["sum_v"].round(6)
+    # an all-NULL stat group: Spark reports NULL sum/avg where pandas
+    # sums an empty group to 0.0 — normalize to the Spark rule
+    zero = out["n"] == 0
+    out.loc[zero, ["min_v", "max_v", "sum_v", "mean_v"]] = np.nan
+    return out.sort_values(
+        facet_field, na_position="first", kind="mergesort"
+    ).reset_index(drop=True)
 
 
 def _facet_rank(items: list[tuple], n: int, missing: bool, sort: str,
@@ -1925,6 +1997,14 @@ def _shard_interval_task(payload: tuple) -> list[int]:
     )
 
 
+def _shard_facet_stats_task(payload: tuple) -> pd.DataFrame:
+    """Per-shard stats.facet partials — pandas CPU, process pool."""
+    d, _off, p = payload
+    return _shard_handle(d)._facet_stats_partials(
+        p["terms"], p["facet_field"], p["stat_field"], p["mode"]
+    )
+
+
 def _shard_search_task(payload: tuple):
     """Per-shard search-envelope unit: the shard's top-k page AND its
     bitset match count in ONE scatter round (LocalSearcher.search
@@ -2413,6 +2493,46 @@ class ShardedSearcher:
                 for i in range(len(intervals))]
         return sorted(
             (str(iv[0]), c) for iv, c in zip(intervals, sums)
+        )
+
+    def rare_terms(self, qterms: list[str], field: str,
+                   max_count: int = 1, n: int = 10,
+                   mode: str = "or") -> list[tuple[object, int]]:
+        """ES rare_terms across shards, EXACT: full per-shard value
+        histograms summed over disjoint doc sets (the same scatter
+        unit as the value facet — a value locally rare on every shard
+        but globally common can never slip under max_count), then one
+        global filter + (cnt asc, value asc) cut."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        cat = self._merged_cat(terms)
+        counts = self._scatter(
+            _shard_facet_task,
+            self._payloads(terms, cat, {"mode": mode, "field": field}),
+        )
+        total: dict = {}
+        for part in counts:
+            for v, c in part:
+                if v is not None:
+                    total[v] = total.get(v, 0) + c
+        rows = [(v, c) for v, c in total.items()
+                if c <= int(max_count)]
+        return sorted(rows, key=lambda x: (x[1], x[0]))[:n]
+
+    def facet_stats(self, qterms: list[str], facet_field: str,
+                    stat_field: str, mode: str = "or") -> pd.DataFrame:
+        """Scatter-gather stats.facet, EXACT: per-shard per-value
+        (n, min, max, sum) partials — associative over disjoint doc
+        sets — merged and rounded once."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        parts = self._scatter(
+            _shard_facet_stats_task,
+            [(s.index_dir, off,
+              {"terms": terms, "facet_field": facet_field,
+               "stat_field": stat_field, "mode": mode})
+             for s, off in zip(self.shards, self.offsets)],
+        )
+        return _facet_stats_finalize(
+            pd.concat(parts, ignore_index=True), facet_field
         )
 
     def facet_queries(self, queries_map: dict[str, list[str]],

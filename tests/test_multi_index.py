@@ -3,6 +3,7 @@ rank identity of open_many vs one index built over the union corpus
 with the same namespaced ids; schema introspection; per-field
 analyzer registry."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -658,5 +659,25 @@ def test_sharded_envelope_edge_cases_match_union(spark, split_dirs):
         assert sh.interval_facet(["import"], "dl", ivals) == \
             un.interval_facet(["import"], "dl", ivals)
         assert len(sh.interval_facet(["import"], "dl", ivals)) == 2
+    finally:
+        sh.close()
+
+
+def test_sharded_rare_terms_and_facet_stats_match_union(spark,
+                                                        split_dirs):
+    """rare_terms (a shard-locally-rare but globally-common value can
+    never slip under max_count — full histograms) and stats.facet
+    (associative partials) equal the union node across shards."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        assert sh.rare_terms(["scan"], "path", max_count=2, n=10) \
+            == un.rare_terms(["scan"], "path", max_count=2, n=10)
+        a = sh.facet_stats(["table"], "lang", "dl")
+        b = un.facet_stats(["table"], "lang", "dl")
+        pd.testing.assert_frame_equal(a, b)
     finally:
         sh.close()

@@ -205,3 +205,22 @@ def test_serve_interval_facet_and_facet_queries_match_spark(pindex,
     want = [(r["facet_q"], r["cnt"])
             for r in pindex.facet_queries(qmap).collect()]
     assert ls.facet_queries(qmap) == want
+
+
+def test_serve_rare_terms_and_facet_stats_match_spark(pindex,
+                                                      index_dir):
+    ls = LocalSearcher(index_dir)
+    want = [(r["path"], r["cnt"])
+            for r in pindex.rare_terms(["scan"], "path",
+                                       max_count=2, n=10).collect()]
+    assert ls.rare_terms(["scan"], "path", max_count=2,
+                         n=10) == want
+    sp = pindex.facet_stats(["table"], "lang", "dl").collect()
+    want = [(r["lang"], r["n"], r["min_v"], r["max_v"],
+             round(r["sum_v"], 6), round(r["mean_v"], 6))
+            for r in sp]
+    out = ls.facet_stats(["table"], "lang", "dl")
+    got = [(r.lang, int(r.n), float(r.min_v), float(r.max_v),
+            round(float(r.sum_v), 6), round(float(r.mean_v), 6))
+           for r in out.itertuples(index=False)]
+    assert got == want
