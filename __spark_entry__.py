@@ -507,6 +507,53 @@ def q_serve_pivot_facet(spark, sf_dir):
     )
 
 
+def q_serve_term_vectors(spark, sf_dir):
+    """Sharded TermVectorComponent — tf from each id's owning shard,
+    df/tfidf from the merged catalog; same oracle as
+    ft_term_vectors."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.term_vectors([3, 7, 11])
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(int(r.doc_id), str(r.term), int(r.tf), int(r.df),
+          round(float(r.tfidf), 6))
+         for r in out.itertuples(index=False)],
+        "doc_id long, term string, tf long, df long, tfidf double",
+    )
+
+
+def q_serve_adjacency(spark, sf_dir):
+    """Sharded adjacency_matrix — per-shard bitset matrices summed
+    over disjoint doc sets; same oracle as ft_adjacency."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.adjacency_matrix(_MULTI_Q)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(a), str(b), int(c)) for a, b, c in rows],
+        "key1 string, key2 string, cnt long",
+    )
+
+
+def q_serve_diversified(spark, sf_dir):
+    """Sharded diversified_sampler — group_topk scatter + one global
+    cut; same oracle as ft_diversified."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.diversified_sampler(["table"], "lang", max_per_key=2,
+                                     shard_size=20)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(int(r.doc_id), round(float(r.score), 6), str(r.lang),
+          int(r.rank_in_key)) for r in out.itertuples(index=False)],
+        "doc_id long, score double, lang string, rank_in_key int",
+    )
+
+
 def q_serve_rare_terms(spark, sf_dir):
     """ES rare_terms across shards — full per-shard histograms make
     the long tail exact (a shard-locally-rare but globally-common
@@ -2889,6 +2936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_envelope": q_serve_envelope,
         "ft_serve_interval_facet": q_serve_interval_facet,
         "ft_serve_rare_terms": q_serve_rare_terms,
+        "ft_serve_term_vectors": q_serve_term_vectors,
+        "ft_serve_adjacency": q_serve_adjacency,
+        "ft_serve_diversified": q_serve_diversified,
         "ft_serve_facet_stats": q_serve_facet_stats,
         "ft_serve_facet_query": q_serve_facet_query,
         "ft_serve_facet_index": q_serve_facet_index,
@@ -3199,6 +3249,10 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 WHERE d.source LIKE 'src1%'
 GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
+        "ft_serve_term_vectors": O.term_vectors_sql([3, 7, 11]),
+        "ft_serve_adjacency": O.adjacency_matrix_sql(_MULTI_Q),
+        "ft_serve_diversified": O.diversified_sampler_sql(
+            ["table"], "lang", max_per_key=2, shard_size=20),
         "ft_serve_rare_terms": f"""{ctes}{O.matched_sql(["scan"])}
 SELECT source, count(*) AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id

@@ -714,6 +714,72 @@ class LocalSearcher:
         return {b.to_pydatetime(): int(c)
                 for b, c in buckets.value_counts().items()}
 
+    def _term_tf(self, doc_ids: list[int]) -> pd.DataFrame:
+        """(doc_id, term, tf) from the STORED token arrays of the
+        given docs — the shard-local unit of term_vectors (df/tfidf
+        need corpus-wide stats, so they attach AFTER any scatter)."""
+        rows = self._docs.to_table(
+            columns=["doc_id", "toks"],
+            filter=pa_ds.field("doc_id").isin(
+                [int(d) for d in doc_ids]
+            ),
+        ).to_pandas()
+        recs = []
+        for did, toks in zip(rows["doc_id"], rows["toks"]):
+            for t, c in pd.Series(list(toks)).value_counts().items():
+                recs.append((int(did), t, int(c)))
+        return pd.DataFrame(recs, columns=["doc_id", "term", "tf"])
+
+    def term_vectors(self, doc_ids: list[int]) -> pd.DataFrame:
+        """(doc_id, term, tf, df, tfidf) — the Lucene/Solr
+        TermVectorComponent surface at node latency: tf from the
+        stored token arrays, df from the catalog, rows (doc_id, term)
+        asc.  Mirrors PhysicalIndex.term_vectors (tested)."""
+        tf = self._term_tf(doc_ids)
+        return _term_vectors_attach(
+            tf, self._df_for(sorted(tf["term"].unique())),
+            float(self.stats["n_docs"]),
+        )
+
+    def adjacency_matrix(self, queries_map: dict[str, list[str]],
+                         mode: str = "or") -> list[tuple]:
+        """ES adjacency_matrix at node latency: (key1, key2, cnt) for
+        every named filter and every pairwise intersection, empty
+        intersections omitted, (key1, key2) asc.  Each filter's match
+        set rides the bitset membership path; intersections are
+        sorted-array intersects.  Mirrors
+        PhysicalIndex.adjacency_matrix (tested)."""
+        items = [(label, self._matched_ids(terms, mode))
+                 for label, terms in sorted(queries_map.items())]
+        out = []
+        for i, (k1, s1) in enumerate(items):
+            for k2, s2 in items[i:]:
+                c = (int(s1.size) if k1 == k2 else
+                     int(np.intersect1d(s1, s2,
+                                        assume_unique=True).size))
+                if c:
+                    out.append((k1, k2, c))
+        return out
+
+    def diversified_sampler(self, qterms: list[str], key_field: str,
+                            max_per_key: int = 1,
+                            shard_size: int = 100,
+                            mode: str = "or") -> pd.DataFrame:
+        """ES diversified_sampler at node latency: the best-scoring
+        sample of at most ``shard_size`` hits with at most
+        ``max_per_key`` docs per value of ``key_field`` — same
+        deterministic definition as the Spark tier (per-key rank by
+        (score desc, doc_id asc), then the global cut by the same
+        order).  Columns (doc_id, score, key_field, rank_in_key)."""
+        ranked = self.group_topk(qterms, key_field,
+                                 k_per_group=max_per_key, mode=mode)
+        out = ranked.rename(columns={"rank": "rank_in_key"})
+        out = out.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(int(shard_size))
+        return out[["doc_id", "score", key_field,
+                    "rank_in_key"]].reset_index(drop=True)
+
     def rare_terms(self, qterms: list[str], field: str,
                    max_count: int = 1, n: int = 10,
                    mode: str = "or") -> list[tuple[object, int]]:
@@ -1348,6 +1414,20 @@ def _pivot_rank(pairs: pd.DataFrame, field1: str, field2: str,
             out.append((pv, int(ptot), cv, int(c)))
     out.sort(key=lambda r: (-r[1], str(r[0]), -r[3], str(r[2])))
     return out
+
+
+def _term_vectors_attach(tf: pd.DataFrame, cat: pd.DataFrame,
+                         n_docs: float) -> pd.DataFrame:
+    """Join (doc_id, term, tf) rows with (term, df) and attach the
+    Lucene BM25 idf-weighted tfidf — identical formula to the Spark
+    tier; rows (doc_id, term) asc."""
+    out = tf.merge(cat, on="term")
+    df = out["df"].to_numpy(dtype=np.float64)
+    out["tfidf"] = out["tf"].to_numpy(dtype=np.float64) * np.log(
+        1.0 + (n_docs - df + 0.5) / (df + 0.5)
+    )
+    return out.sort_values(["doc_id", "term"],
+                           kind="mergesort").reset_index(drop=True)
 
 
 def _facet_stats_finalize(parts: pd.DataFrame,
@@ -1997,6 +2077,24 @@ def _shard_interval_task(payload: tuple) -> list[int]:
     )
 
 
+def _shard_adjacency_task(payload: tuple) -> list[tuple]:
+    """Per-shard adjacency matrix (labels pre-stripped) — bitset
+    match sets + sorted intersects, process pool.  Zero pairs are
+    kept here (another shard may fill them); the client omits
+    all-empty pairs after summation."""
+    d, _off, p = payload
+    s = _shard_handle(d)
+    items = [(label, s._matched_ids(terms, p["mode"]))
+             for label, terms in p["qmap"]]
+    out = []
+    for i, (k1, s1) in enumerate(items):
+        for k2, s2 in items[i:]:
+            c = (int(s1.size) if k1 == k2 else
+                 int(np.intersect1d(s1, s2, assume_unique=True).size))
+            out.append((k1, k2, c))
+    return out
+
+
 def _shard_facet_stats_task(payload: tuple) -> pd.DataFrame:
     """Per-shard stats.facet partials — pandas CPU, process pool."""
     d, _off, p = payload
@@ -2494,6 +2592,67 @@ class ShardedSearcher:
         return sorted(
             (str(iv[0]), c) for iv, c in zip(intervals, sums)
         )
+
+    def term_vectors(self, doc_ids: list[int]) -> pd.DataFrame:
+        """TermVectorComponent across shards: tf from each id's
+        OWNING shard (namespaced routing), df/tfidf attached from the
+        merged corpus-wide catalog."""
+        import bisect
+
+        per_shard: dict[int, list[int]] = {}
+        for d in doc_ids:
+            i = bisect.bisect_right(self.offsets, int(d)) - 1
+            per_shard.setdefault(i, []).append(int(d))
+        frames = []
+        for i, ids in per_shard.items():
+            f = self.shards[i]._term_tf(
+                [d - self.offsets[i] for d in ids]
+            )
+            f["doc_id"] = f["doc_id"] + self.offsets[i]
+            frames.append(f)
+        tf = pd.concat(frames, ignore_index=True) if frames else             pd.DataFrame(columns=["doc_id", "term", "tf"])
+        cat = self._merged_cat(sorted(tf["term"].unique()))
+        return _term_vectors_attach(tf, cat,
+                                    float(self.stats["n_docs"]))
+
+    def adjacency_matrix(self, queries_map: dict[str, list[str]],
+                         mode: str = "or") -> list[tuple]:
+        """ES adjacency_matrix across shards, EXACT: per-shard
+        matrices (bitset match sets, one scatter round) summed over
+        disjoint doc sets; a pair empty on one shard but matched on
+        another survives, all-empty pairs are omitted."""
+        qmap = [
+            (label, sorted(set(strip_stops(self.stats, terms))))
+            for label, terms in sorted(queries_map.items())
+        ]
+        rows = self._scatter(
+            _shard_adjacency_task,
+            [(s.index_dir, off, {"qmap": qmap, "mode": mode})
+             for s, off in zip(self.shards, self.offsets)],
+        )
+        total: dict = {}
+        for part in rows:
+            for k1, k2, c in part:
+                total[(k1, k2)] = total.get((k1, k2), 0) + c
+        return [(k1, k2, c)
+                for (k1, k2), c in sorted(total.items()) if c]
+
+    def diversified_sampler(self, qterms: list[str], key_field: str,
+                            max_per_key: int = 1,
+                            shard_size: int = 100,
+                            mode: str = "or") -> pd.DataFrame:
+        """ES diversified_sampler across shards: the per-key rank
+        merge is the group_topk scatter (a key's global top
+        max_per_key is a top-k of the union of per-shard per-key
+        top-ks), then one global (score desc, doc_id asc) cut."""
+        ranked = self.group_topk(qterms, key_field,
+                                 k_per_group=max_per_key, mode=mode)
+        out = ranked.rename(columns={"rank": "rank_in_key"})
+        out = out.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(int(shard_size))
+        return out[["doc_id", "score", key_field,
+                    "rank_in_key"]].reset_index(drop=True)
 
     def rare_terms(self, qterms: list[str], field: str,
                    max_count: int = 1, n: int = 10,

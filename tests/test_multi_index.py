@@ -681,3 +681,29 @@ def test_sharded_rare_terms_and_facet_stats_match_union(spark,
         pd.testing.assert_frame_equal(a, b)
     finally:
         sh.close()
+
+
+def test_sharded_tv_adjacency_sampler_match_union(spark, split_dirs):
+    """term_vectors (routed tf + merged-catalog df), adjacency_matrix
+    (bitset sets summed over disjoint docs), and diversified_sampler
+    (group_topk merge + global cut) equal the union node."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        ids = [3, int(sh.offsets[1]) + 5]
+        pd.testing.assert_frame_equal(sh.term_vectors(ids),
+                                      un.term_vectors(ids))
+        qmap = {"qa": ["import"], "qb": ["scan", "merge"],
+                "qz": ["nosuchterm"]}
+        assert sh.adjacency_matrix(qmap) == un.adjacency_matrix(qmap)
+        a = sh.diversified_sampler(["import"], "lang", max_per_key=2,
+                                   shard_size=6)
+        b = un.diversified_sampler(["import"], "lang", max_per_key=2,
+                                   shard_size=6)
+        assert a.round({"score": 9}).values.tolist() == \
+            b.round({"score": 9}).values.tolist()
+    finally:
+        sh.close()

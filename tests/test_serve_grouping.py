@@ -224,3 +224,40 @@ def test_serve_rare_terms_and_facet_stats_match_spark(pindex,
             round(float(r.sum_v), 6), round(float(r.mean_v), 6))
            for r in out.itertuples(index=False)]
     assert got == want
+
+
+def test_serve_term_vectors_adjacency_sampler_match_spark(pindex,
+                                                          index_dir):
+    ls = LocalSearcher(index_dir)
+    want = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["df"],
+         round(r["tfidf"], 9))
+        for r in pindex.term_vectors([3, 11]).collect()
+    )
+    out = ls.term_vectors([3, 11])
+    got = sorted(
+        (int(r.doc_id), r.term, int(r.tf), int(r.df),
+         round(float(r.tfidf), 9))
+        for r in out.itertuples(index=False)
+    )
+    assert got == want
+    qmap = {"qa": ["table"], "qb": ["dup", "key"],
+            "qc": ["spark", "vector"]}
+    want = [(r["key1"], r["key2"], r["cnt"])
+            for r in pindex.adjacency_matrix(qmap).collect()]
+    assert ls.adjacency_matrix(qmap) == want
+    want = sorted(
+        (r["doc_id"], round(r["score"], 9), r["lang"],
+         r["rank_in_key"])
+        for r in pindex.diversified_sampler(
+            ["import", "table"], "lang", max_per_key=2,
+            shard_size=6).collect()
+    )
+    out = ls.diversified_sampler(["import", "table"], "lang",
+                                 max_per_key=2, shard_size=6)
+    got = sorted(
+        (int(r.doc_id), round(float(r.score), 9), r.lang,
+         int(r.rank_in_key))
+        for r in out.itertuples(index=False)
+    )
+    assert got == want
