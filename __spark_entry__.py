@@ -507,6 +507,50 @@ def q_serve_pivot_facet(spark, sf_dir):
     )
 
 
+def q_serve_group_score(spark, sf_dir):
+    """Sharded group-score ranking — per-shard associative partials
+    over globally-scored hits; same oracle as ft_group_score."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.group_score_topk(["table"], "lang",
+                                  score_mode="sum", k=5)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(r.lang), int(r.n_hits), round(float(r.score), 6))
+         for r in out.itertuples(index=False)],
+        "lang string, n_hits long, score double",
+    )
+
+
+def q_serve_ngroups(spark, sf_dir):
+    """Sharded group.ngroups — per-shard distinct value sets union
+    exactly; same oracle as ft_ngroups."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        n_groups, n_hits = sh.ngroups(["table"], "source")
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(int(n_groups), int(n_hits))], "n_groups long, n_hits long"
+    )
+
+
+def q_serve_expand(spark, sf_dir):
+    """Sharded ExpandComponent — one group_topk scatter ranked to
+    n_expand+1; same oracle as ft_expand."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.expand_topk(["table"], "source", k=5, n_expand=2)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(r.source), int(r.doc_id), round(float(r.score), 6),
+          int(r.exp_rank)) for r in out.itertuples(index=False)],
+        "source string, doc_id long, score double, exp_rank int",
+    )
+
+
 def q_serve_term_vectors(spark, sf_dir):
     """Sharded TermVectorComponent — tf from each id's owning shard,
     df/tfidf from the merged catalog; same oracle as
@@ -2937,6 +2981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_interval_facet": q_serve_interval_facet,
         "ft_serve_rare_terms": q_serve_rare_terms,
         "ft_serve_term_vectors": q_serve_term_vectors,
+        "ft_serve_group_score": q_serve_group_score,
+        "ft_serve_ngroups": q_serve_ngroups,
+        "ft_serve_expand": q_serve_expand,
         "ft_serve_adjacency": q_serve_adjacency,
         "ft_serve_diversified": q_serve_diversified,
         "ft_serve_facet_stats": q_serve_facet_stats,
@@ -3250,6 +3297,14 @@ WHERE d.source LIKE 'src1%'
 GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
         "ft_serve_term_vectors": O.term_vectors_sql([3, 7, 11]),
+        "ft_serve_group_score": O.group_score_sql(
+            ["table"], "lang", score_mode="sum", k=5),
+        "ft_serve_ngroups": f"""{ctes}{O.matched_sql(["table"])}
+SELECT CAST(count(DISTINCT d.source) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id""",
+        "ft_serve_expand": O.expand_sql(["table"], "source", k=5,
+                                        n_expand=2),
         "ft_serve_adjacency": O.adjacency_matrix_sql(_MULTI_Q),
         "ft_serve_diversified": O.diversified_sampler_sql(
             ["table"], "lang", max_per_key=2, shard_size=20),

@@ -714,6 +714,41 @@ class LocalSearcher:
         return {b.to_pydatetime(): int(c)
                 for b, c in buckets.value_counts().items()}
 
+    def group_score_topk(self, qterms: list[str], group_field: str,
+                         score_mode: str = "sum", k: int = 10,
+                         mode: str = "or") -> pd.DataFrame:
+        """has_child/ToParentBlockJoin score_mode group ranking at
+        node latency — mirrors PhysicalIndex.group_score_topk
+        (tested)."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        return _gscore_finalize(
+            _gscore_partials(self, terms, group_field, mode),
+            group_field, score_mode, k,
+        )
+
+    def ngroups(self, qterms: list[str], group_field: str,
+                mode: str = "or") -> tuple[int, int]:
+        """(n_groups, n_hits) — Solr group.ngroups at node latency
+        (distinct non-NULL group values among the matches, Spark's
+        countDistinct rule).  Mirrors PhysicalIndex.ngroups
+        (tested)."""
+        ids = self._matched_ids(qterms, mode)
+        vals = self._doc_values(ids, [group_field])[group_field]
+        return int(vals.dropna().nunique()), int(ids.size)
+
+    def expand_topk(self, qterms: list[str], collapse_field: str,
+                    k: int = 10, n_expand: int = 2,
+                    mode: str = "or") -> pd.DataFrame:
+        """Solr ExpandComponent at node latency: the next
+        ``n_expand`` hidden members of each group whose head made the
+        collapsed top-k.  Mirrors PhysicalIndex.expand_topk
+        (tested)."""
+        return _expand_from_ranked(
+            self.group_topk(qterms, collapse_field,
+                            k_per_group=n_expand + 1, mode=mode),
+            collapse_field, k, n_expand,
+        )
+
     def _term_tf(self, doc_ids: list[int]) -> pd.DataFrame:
         """(doc_id, term, tf) from the STORED token arrays of the
         given docs — the shard-local unit of term_vectors (df/tfidf
@@ -1416,6 +1451,74 @@ def _pivot_rank(pairs: pd.DataFrame, field1: str, field2: str,
     return out
 
 
+def _gscore_partials(handle: "LocalSearcher", terms: list[str],
+                     field: str, mode: str) -> pd.DataFrame:
+    """Per-group (n, sum, min, max) over per-hit scores rounded 6dp
+    BEFORE aggregation (the Spark tier's rule, so accumulation order
+    can never flip ranks) — associative partials a scatter merges
+    exactly."""
+    ids, scores = handle._scored_filtered(terms, mode)
+    vals = handle._doc_values(np.sort(ids), [field])
+    df = pd.DataFrame(
+        {"doc_id": ids, "score": np.round(scores, 6)}
+    ).merge(vals, on="doc_id")
+    g = df.groupby(field, dropna=False)["score"]
+    return pd.DataFrame({
+        field: g.size().index, "n": g.size().to_numpy(),
+        "sum_v": g.sum().to_numpy(), "min_v": g.min().to_numpy(),
+        "max_v": g.max().to_numpy(),
+    })
+
+
+def _gscore_finalize(parts: pd.DataFrame, field: str,
+                     score_mode: str, k: int) -> pd.DataFrame:
+    """Merge group-score partials and rank: (field, n_hits, score),
+    (score desc, value asc) top-k — identical to
+    PhysicalIndex.group_score_topk."""
+    if score_mode not in ("sum", "max", "min", "avg"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    g = parts.groupby(field, dropna=False).agg(
+        n=("n", "sum"), sum_v=("sum_v", "sum"),
+        min_v=("min_v", "min"), max_v=("max_v", "max"),
+    ).reset_index()
+    score = {
+        "sum": g["sum_v"], "max": g["max_v"], "min": g["min_v"],
+        "avg": g["sum_v"] / g["n"],
+    }[score_mode].round(6)
+    out = pd.DataFrame({
+        field: g[field], "n_hits": g["n"].astype("int64"),
+        "score": score,
+    })
+    out = out.sort_values(["score", field],
+                          ascending=[False, True],
+                          na_position="first",
+                          kind="mergesort").head(int(k))
+    return out.reset_index(drop=True)
+
+
+def _expand_from_ranked(ranked: pd.DataFrame, field: str, k: int,
+                        n_expand: int) -> pd.DataFrame:
+    """Solr ExpandComponent rows from a group_topk frame ranked to
+    n_expand+1 per group: heads (rank 1, global score order, top-k)
+    pick the groups; ranks 2..n+1 become the expand rows,
+    (field, exp_rank) asc — the same single ranked pass the Spark
+    tier reuses for collapse + expand."""
+    heads = (
+        ranked[ranked["rank"] == 1]
+        .sort_values(["score", "doc_id"], ascending=[False, True],
+                     kind="mergesort")
+        .head(int(k))[field]
+    )
+    out = ranked[
+        ranked[field].isin(set(heads.dropna()))
+        & (ranked["rank"] >= 2)
+    ].copy()
+    out["exp_rank"] = (out["rank"] - 1).astype("int32")
+    out = out[[field, "doc_id", "score", "exp_rank"]]
+    return out.sort_values([field, "exp_rank"],
+                           kind="mergesort").reset_index(drop=True)
+
+
 def _term_vectors_attach(tf: pd.DataFrame, cat: pd.DataFrame,
                          n_docs: float) -> pd.DataFrame:
     """Join (doc_id, term, tf) rows with (term, df) and attach the
@@ -2077,6 +2180,24 @@ def _shard_interval_task(payload: tuple) -> list[int]:
     )
 
 
+def _shard_gscore_task(payload: tuple) -> pd.DataFrame:
+    """Per-shard group-score partials on the corpus-wide score scale
+    (a _global_view overlay carries the merged-catalog dfs)."""
+    d, _off, p = payload
+    s = _shard_handle(d)
+    v = s._global_view(p["n_docs"], p["avgdl"], dict(p["cat"]))
+    return _gscore_partials(v, p["terms"], p["field"], p["mode"])
+
+
+def _shard_ngroups_task(payload: tuple) -> tuple[list, int]:
+    """Per-shard (distinct non-NULL group values, n_hits)."""
+    d, _off, p = payload
+    s = _shard_handle(d)
+    ids = s._matched_ids(p["terms"], p["mode"])
+    vals = s._doc_values(ids, [p["field"]])[p["field"]]
+    return sorted(vals.dropna().unique().tolist()), int(ids.size)
+
+
 def _shard_adjacency_task(payload: tuple) -> list[tuple]:
     """Per-shard adjacency matrix (labels pre-stripped) — bitset
     match sets + sorted intersects, process pool.  Zero pairs are
@@ -2591,6 +2712,57 @@ class ShardedSearcher:
                 for i in range(len(intervals))]
         return sorted(
             (str(iv[0]), c) for iv, c in zip(intervals, sums)
+        )
+
+    def group_score_topk(self, qterms: list[str], group_field: str,
+                         score_mode: str = "sum", k: int = 10,
+                         mode: str = "or") -> pd.DataFrame:
+        """Scatter-gather group-score ranking, EXACT: per-shard
+        per-group (n, sum, min, max) partials over GLOBALLY-scored
+        hits (df exchange) — all four associative over disjoint doc
+        sets — merged and ranked once."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        cat = self._merged_cat(terms)
+        parts = self._scatter(
+            _shard_gscore_task,
+            self._payloads(terms, cat, {
+                "field": group_field, "mode": mode,
+            }),
+        )
+        return _gscore_finalize(
+            pd.concat(parts, ignore_index=True), group_field,
+            score_mode, k,
+        )
+
+    def ngroups(self, qterms: list[str], group_field: str,
+                mode: str = "or") -> tuple[int, int]:
+        """group.ngroups across shards: per-shard distinct value SETS
+        (bounded by value cardinality) union exactly; hit counts sum
+        over disjoint doc sets."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        rows = self._scatter(
+            _shard_ngroups_task,
+            [(s.index_dir, off,
+              {"terms": terms, "field": group_field, "mode": mode})
+             for s, off in zip(self.shards, self.offsets)],
+        )
+        vals: set = set()
+        n_hits = 0
+        for vset, n in rows:
+            vals.update(vset)
+            n_hits += n
+        return len(vals), n_hits
+
+    def expand_topk(self, qterms: list[str], collapse_field: str,
+                    k: int = 10, n_expand: int = 2,
+                    mode: str = "or") -> pd.DataFrame:
+        """Solr ExpandComponent across shards: one group_topk scatter
+        ranked to n_expand+1 per group (exact by the per-group
+        union argument), heads + expand rows cut client-side."""
+        return _expand_from_ranked(
+            self.group_topk(qterms, collapse_field,
+                            k_per_group=n_expand + 1, mode=mode),
+            collapse_field, k, n_expand,
         )
 
     def term_vectors(self, doc_ids: list[int]) -> pd.DataFrame:

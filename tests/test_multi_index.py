@@ -707,3 +707,31 @@ def test_sharded_tv_adjacency_sampler_match_union(spark, split_dirs):
             b.round({"score": 9}).values.tolist()
     finally:
         sh.close()
+
+
+def test_sharded_gscore_ngroups_expand_match_union(spark, split_dirs):
+    """Group-score partials (globally-scored, associative), ngroups
+    set union, and the expand scatter all equal the union node."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        for sm in ("sum", "avg", "max", "min"):
+            a = sh.group_score_topk(["import", "table"], "lang",
+                                    score_mode=sm, k=6)
+            b = un.group_score_topk(["import", "table"], "lang",
+                                    score_mode=sm, k=6)
+            assert a.round({"score": 6}).values.tolist() == \
+                b.round({"score": 6}).values.tolist(), sm
+        assert sh.ngroups(["import"], "lang") == \
+            un.ngroups(["import"], "lang")
+        a = sh.expand_topk(["import", "table"], "lang", k=4,
+                           n_expand=2)
+        b = un.expand_topk(["import", "table"], "lang", k=4,
+                           n_expand=2)
+        assert a.round({"score": 9}).values.tolist() == \
+            b.round({"score": 9}).values.tolist()
+    finally:
+        sh.close()

@@ -261,3 +261,31 @@ def test_serve_term_vectors_adjacency_sampler_match_spark(pindex,
         for r in out.itertuples(index=False)
     )
     assert got == want
+
+
+def test_serve_gscore_ngroups_expand_match_spark(pindex, index_dir):
+    ls = LocalSearcher(index_dir)
+    for sm in ("sum", "avg", "max", "min"):
+        want = [(r["lang"], r["n_hits"], round(r["score"], 6))
+                for r in pindex.group_score_topk(
+                    ["import", "table"], "lang", score_mode=sm,
+                    k=6).collect()]
+        out = ls.group_score_topk(["import", "table"], "lang",
+                                  score_mode=sm, k=6)
+        got = [(r.lang, int(r.n_hits), round(float(r.score), 6))
+               for r in out.itertuples(index=False)]
+        assert got == want, sm
+    row = pindex.ngroups(["import"], "lang").first()
+    assert ls.ngroups(["import"], "lang") == \
+        (row["n_groups"], row["n_hits"])
+    want = sorted(
+        (r["lang"], r["doc_id"], round(r["score"], 9), r["exp_rank"])
+        for r in pindex.expand_topk(["import", "table"], "lang",
+                                    k=4, n_expand=2).collect()
+    )
+    out = ls.expand_topk(["import", "table"], "lang", k=4, n_expand=2)
+    got = sorted(
+        (r.lang, int(r.doc_id), round(float(r.score), 9),
+         int(r.exp_rank)) for r in out.itertuples(index=False)
+    )
+    assert got == want
