@@ -507,6 +507,47 @@ def q_serve_pivot_facet(spark, sf_dir):
     )
 
 
+def q_serve_suggest_regex(spark, sf_dir):
+    """terms.regex across shards — full candidate sets, exact df
+    sums; same oracle as ft_suggest_regex."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.suggest_regex("(s|b).*", n=10)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(t), int(d)) for t, d in rows], "term string, df long"
+    )
+
+
+def q_serve_suggest_infix(spark, sf_dir):
+    """AnalyzingInfixSuggester across shards; same oracle as
+    ft_suggest_infix."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        rows = sh.suggest_infix("a", n=10)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(t), int(d)) for t, d in rows], "term string, df long"
+    )
+
+
+def q_serve_facet_by_metric(spark, sf_dir):
+    """Scatter facet-by-metric — per-shard (cnt, sum) partials merged
+    then rounded once; same oracle as ft_facet_by_metric."""
+    sh = _sharded(spark, sf_dir)
+    try:
+        out = sh.facet_by_metric(["table"], "lang", "n_chars", n=5)
+    finally:
+        sh.close()
+    return spark.createDataFrame(
+        [(str(r.lang), int(r.cnt), round(float(r.metric_avg), 6))
+         for r in out.itertuples(index=False)],
+        "lang string, cnt long, metric_avg double",
+    )
+
+
 def q_serve_group_score(spark, sf_dir):
     """Sharded group-score ranking — per-shard associative partials
     over globally-scored hits; same oracle as ft_group_score."""
@@ -2982,6 +3023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_rare_terms": q_serve_rare_terms,
         "ft_serve_term_vectors": q_serve_term_vectors,
         "ft_serve_group_score": q_serve_group_score,
+        "ft_serve_suggest_regex": q_serve_suggest_regex,
+        "ft_serve_suggest_infix": q_serve_suggest_infix,
+        "ft_serve_facet_by_metric": q_serve_facet_by_metric,
         "ft_serve_ngroups": q_serve_ngroups,
         "ft_serve_expand": q_serve_expand,
         "ft_serve_adjacency": q_serve_adjacency,
@@ -3297,6 +3341,13 @@ WHERE d.source LIKE 'src1%'
 GROUP BY source HAVING count(*) >= 2
 ORDER BY cnt DESC, source ASC LIMIT 20""",
         "ft_serve_term_vectors": O.term_vectors_sql([3, 7, 11]),
+        "ft_serve_suggest_regex": f"""{O.index_ctes()}
+SELECT term, df FROM dfv
+WHERE regexp_full_match(term, '(s|b).*') AND NOT contains(term, ':')
+ORDER BY df DESC, term ASC LIMIT 10""",
+        "ft_serve_suggest_infix": O.suggest_infix_sql("a", n=10),
+        "ft_serve_facet_by_metric": O.facet_by_metric_sql(
+            ["table"], "lang", "n_chars", n=5),
         "ft_serve_group_score": O.group_score_sql(
             ["table"], "lang", score_mode="sum", k=5),
         "ft_serve_ngroups": f"""{ctes}{O.matched_sql(["table"])}

@@ -1211,6 +1211,77 @@ class LocalSearcher:
         order = np.lexsort((ids, -scores))[:k]
         return [(int(ids[i]), float(scores[i])) for i in order]
 
+    def _suggest_candidates(self, kind: str,
+                            arg: str) -> pd.DataFrame:
+        """FULL (term, df) candidate set for a regex / infix
+        suggester — uncut, so a scatter's cross-shard df sums are
+        exact (the spellcheck rule).  Regex is whole-term anchored
+        (Lucene TermsComponent terms.regex); infix is substring
+        containment (AnalyzingInfixSuggester)."""
+        cat = self._catalog()
+        if ":" not in arg:
+            cat = cat[~cat["term"].str.contains(":", regex=False)]
+        if kind == "regex":
+            import re
+
+            rx = re.compile(f"(?:{arg.lower()})")
+            keep = np.fromiter(
+                (bool(rx.fullmatch(t)) for t in cat["term"]),
+                dtype=bool, count=len(cat),
+            )
+            sub = cat[keep]
+        else:
+            sub = cat[cat["term"].str.contains(arg.lower(),
+                                               regex=False)]
+        return sub[["term", "df"]]
+
+    def suggest_regex(self, pattern: str,
+                      n: int = 10) -> list[tuple[str, int]]:
+        """Solr TermsComponent terms.regex at node latency — mirrors
+        PhysicalIndex.suggest_regex (tested)."""
+        return _suggest_rank(self._suggest_candidates("regex",
+                                                      pattern), n)
+
+    def suggest_infix(self, fragment: str,
+                      n: int = 10) -> list[tuple[str, int]]:
+        """Lucene AnalyzingInfixSuggester at node latency — mirrors
+        PhysicalIndex.suggest_infix (tested)."""
+        return _suggest_rank(self._suggest_candidates("infix",
+                                                      fragment), n)
+
+    def _fmetric_partials(self, qterms: list[str], facet_field: str,
+                          metric_field: str,
+                          mode: str) -> pd.DataFrame:
+        """Per-facet-value (cnt, unrounded metric sum) partials —
+        associative over disjoint doc sets."""
+        ids = self._matched_ids(qterms, mode)
+        tbl = self._docs.to_table(
+            columns=["doc_id", facet_field, metric_field]
+        ).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids,
+                      assume_unique=True)
+        sub = tbl[hit]
+        v = pd.to_numeric(sub[metric_field], errors="coerce")
+        g = sub.assign(_v=v.astype(float)).groupby(facet_field,
+                                                   dropna=False)
+        return pd.DataFrame({
+            facet_field: g.size().index,
+            "cnt": g.size().to_numpy(),
+            "sum_v": g["_v"].sum().to_numpy(),
+        })
+
+    def facet_by_metric(self, qterms: list[str], facet_field: str,
+                        metric_field: str, n: int = 5,
+                        mode: str = "or") -> pd.DataFrame:
+        """ES terms agg ordered by a sub-aggregation (avg of a
+        stored numeric field) at node latency — mirrors
+        PhysicalIndex.facet_by_metric (tested)."""
+        return _fmetric_finalize(
+            self._fmetric_partials(qterms, facet_field, metric_field,
+                                   mode),
+            facet_field, n,
+        )
+
     def _spell_candidates(self, word: str,
                           max_edits: int) -> pd.DataFrame:
         """ALL content terms within ``max_edits`` of ``word`` —
@@ -1449,6 +1520,32 @@ def _pivot_rank(pairs: pd.DataFrame, field1: str, field2: str,
             out.append((pv, int(ptot), cv, int(c)))
     out.sort(key=lambda r: (-r[1], str(r[0]), -r[3], str(r[2])))
     return out
+
+
+def _suggest_rank(cand: pd.DataFrame, n: int) -> list[tuple]:
+    """(df desc, term asc) top-n cut of a suggester candidate set —
+    shared by both node tiers."""
+    rows = sorted(zip(cand["term"], cand["df"]),
+                  key=lambda x: (-int(x[1]), x[0]))[:n]
+    return [(str(t), int(d)) for t, d in rows]
+
+
+def _fmetric_finalize(parts: pd.DataFrame, facet_field: str,
+                      n: int) -> pd.DataFrame:
+    """Merge facet-by-metric partials and rank exactly like
+    PhysicalIndex.facet_by_metric: the merged sum rounds to 6dp
+    BEFORE the division (engine agreement), buckets by
+    (metric_avg desc, value asc)."""
+    g = parts.groupby(facet_field, dropna=False).agg(
+        cnt=("cnt", "sum"), sum_v=("sum_v", "sum")
+    ).reset_index()
+    g["metric_avg"] = (g["sum_v"].round(6) / g["cnt"]).round(6)
+    out = g[[facet_field, "cnt", "metric_avg"]].sort_values(
+        ["metric_avg", facet_field], ascending=[False, True],
+        na_position="first", kind="mergesort",
+    ).head(int(n))
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.reset_index(drop=True)
 
 
 def _gscore_partials(handle: "LocalSearcher", terms: list[str],
@@ -2177,6 +2274,22 @@ def _shard_interval_task(payload: tuple) -> list[int]:
     return _interval_counts(
         s._matched_values(p["terms"], p["field"], p["mode"]),
         p["intervals"],
+    )
+
+
+def _shard_suggest_task(payload: tuple) -> pd.DataFrame:
+    """Per-shard FULL regex/infix suggester candidates — Python
+    regex CPU over the catalog, process pool."""
+    d, _off, p = payload
+    return _shard_handle(d)._suggest_candidates(p["kind"], p["arg"])
+
+
+def _shard_fmetric_task(payload: tuple) -> pd.DataFrame:
+    """Per-shard facet-by-metric partials — pandas CPU, process
+    pool."""
+    d, _off, p = payload
+    return _shard_handle(d)._fmetric_partials(
+        p["terms"], p["facet_field"], p["metric_field"], p["mode"]
     )
 
 
@@ -2919,6 +3032,51 @@ class ShardedSearcher:
             key=lambda x: (-int(x[1]), x[0]),
         )[:n]
         return [(str(t), int(d)) for t, d in rows]
+
+    def suggest_regex(self, pattern: str,
+                      n: int = 10) -> list[tuple[str, int]]:
+        """terms.regex across shards: FULL per-shard candidate sets
+        (regex CPU on the process pool), dfs summed per term over
+        disjoint doc sets, one global cut."""
+        cands = self._scatter(
+            _shard_suggest_task,
+            [(s.index_dir, off, {"kind": "regex", "arg": pattern})
+             for s, off in zip(self.shards, self.offsets)],
+        )
+        merged = pd.concat(cands).groupby(
+            "term", as_index=False)["df"].sum()
+        return _suggest_rank(merged, n)
+
+    def suggest_infix(self, fragment: str,
+                      n: int = 10) -> list[tuple[str, int]]:
+        """AnalyzingInfixSuggester across shards — same exact merge
+        as suggest_regex."""
+        cands = self._scatter(
+            _shard_suggest_task,
+            [(s.index_dir, off, {"kind": "infix", "arg": fragment})
+             for s, off in zip(self.shards, self.offsets)],
+        )
+        merged = pd.concat(cands).groupby(
+            "term", as_index=False)["df"].sum()
+        return _suggest_rank(merged, n)
+
+    def facet_by_metric(self, qterms: list[str], facet_field: str,
+                        metric_field: str, n: int = 5,
+                        mode: str = "or") -> pd.DataFrame:
+        """Scatter-gather facet-by-metric, EXACT: per-shard (cnt,
+        unrounded sum) partials merged, rounded once, ranked once
+        (membership is idf-free — one round)."""
+        terms = sorted(set(strip_stops(self.stats, qterms)))
+        parts = self._scatter(
+            _shard_fmetric_task,
+            [(s.index_dir, off,
+              {"terms": terms, "facet_field": facet_field,
+               "metric_field": metric_field, "mode": mode})
+             for s, off in zip(self.shards, self.offsets)],
+        )
+        return _fmetric_finalize(
+            pd.concat(parts, ignore_index=True), facet_field, n
+        )
 
     def spellcheck(self, word: str, max_edits: int = 2,
                    n: int = 5) -> list[tuple[str, int, int]]:

@@ -735,3 +735,22 @@ def test_sharded_gscore_ngroups_expand_match_union(spark, split_dirs):
             b.round({"score": 9}).values.tolist()
     finally:
         sh.close()
+
+
+def test_sharded_suggesters_and_fmetric_match_union(spark, split_dirs):
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        assert sh.suggest_regex("(s|b).*", n=10) == \
+            un.suggest_regex("(s|b).*", n=10)
+        assert sh.suggest_infix("ar", n=10) == \
+            un.suggest_infix("ar", n=10)
+        a = sh.facet_by_metric(["table"], "lang", "dl", n=5)
+        b = un.facet_by_metric(["table"], "lang", "dl", n=5)
+        assert a.round({"metric_avg": 6}).values.tolist() == \
+            b.round({"metric_avg": 6}).values.tolist()
+    finally:
+        sh.close()

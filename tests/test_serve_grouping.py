@@ -289,3 +289,20 @@ def test_serve_gscore_ngroups_expand_match_spark(pindex, index_dir):
          int(r.exp_rank)) for r in out.itertuples(index=False)
     )
     assert got == want
+
+
+def test_serve_suggesters_and_fmetric_match_spark(pindex, index_dir):
+    ls = LocalSearcher(index_dir)
+    want = [(r["term"], r["df"])
+            for r in pindex.suggest_regex("(s|b).*", n=10).collect()]
+    assert ls.suggest_regex("(s|b).*", n=10) == want
+    want = [(r["term"], r["df"])
+            for r in pindex.suggest_infix("ar", n=10).collect()]
+    assert ls.suggest_infix("ar", n=10) == want
+    want = [(r["lang"], r["cnt"], round(r["metric_avg"], 6))
+            for r in pindex.facet_by_metric(["table"], "lang", "dl",
+                                            n=5).collect()]
+    out = ls.facet_by_metric(["table"], "lang", "dl", n=5)
+    got = [(r.lang, int(r.cnt), round(float(r.metric_avg), 6))
+           for r in out.itertuples(index=False)]
+    assert got == want
