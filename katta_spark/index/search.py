@@ -2284,7 +2284,9 @@ class PhysicalIndex:
         """(term, df) — Solr TermsComponent ``terms.regex``: content
         terms FULLY matching the regex (Lucene whole-term anchoring),
         ranked by df.  One catalog scan."""
-        anchored = f"^(?:{pattern.lower()})$"
+        # (?i) instead of pattern.lower(): lowercasing would invert
+        # shorthand classes (\S -> \s), silently negating them.
+        anchored = f"(?i)^(?:{pattern})$"
         cond = F.col("term").rlike(anchored)
         if ":" not in pattern:
             cond = cond & ~F.col("term").contains(":")

@@ -1224,7 +1224,11 @@ class LocalSearcher:
         if kind == "regex":
             import re
 
-            rx = re.compile(f"(?:{arg.lower()})")
+            # Compile the ORIGINAL pattern case-insensitively:
+            # lowercasing the pattern would invert shorthand classes
+            # (\S -> \s, \D -> \d); Lucene TermsComponent never
+            # rewrites terms.regex.
+            rx = re.compile(f"(?:{arg})", re.IGNORECASE)
             keep = np.fromiter(
                 (bool(rx.fullmatch(t)) for t in cat["term"]),
                 dtype=bool, count=len(cat),
@@ -1264,10 +1268,14 @@ class LocalSearcher:
         v = pd.to_numeric(sub[metric_field], errors="coerce")
         g = sub.assign(_v=v.astype(float)).groupby(facet_field,
                                                    dropna=False)
+        # n_v (non-null metric count) travels with the partial so an
+        # all-NULL bucket merges to NULL, not 0.0 — Spark's F.sum
+        # returns NULL over all-null input; pandas sum returns 0.0.
         return pd.DataFrame({
             facet_field: g.size().index,
             "cnt": g.size().to_numpy(),
             "sum_v": g["_v"].sum().to_numpy(),
+            "n_v": g["_v"].count().to_numpy(),
         })
 
     def facet_by_metric(self, qterms: list[str], facet_field: str,
@@ -1537,12 +1545,16 @@ def _fmetric_finalize(parts: pd.DataFrame, facet_field: str,
     BEFORE the division (engine agreement), buckets by
     (metric_avg desc, value asc)."""
     g = parts.groupby(facet_field, dropna=False).agg(
-        cnt=("cnt", "sum"), sum_v=("sum_v", "sum")
+        cnt=("cnt", "sum"), sum_v=("sum_v", "sum"),
+        n_v=("n_v", "sum"),
     ).reset_index()
     g["metric_avg"] = (g["sum_v"].round(6) / g["cnt"]).round(6)
+    # A bucket with zero non-null metric values gets NULL (Spark's
+    # F.sum over all-null), ranked LAST (desc_nulls_last parity).
+    g.loc[g["n_v"] == 0, "metric_avg"] = np.nan
     out = g[[facet_field, "cnt", "metric_avg"]].sort_values(
         ["metric_avg", facet_field], ascending=[False, True],
-        na_position="first", kind="mergesort",
+        na_position="last", kind="mergesort",
     ).head(int(n))
     out["cnt"] = out["cnt"].astype("int64")
     return out.reset_index(drop=True)

@@ -306,3 +306,43 @@ def test_serve_suggesters_and_fmetric_match_spark(pindex, index_dir):
     got = [(r.lang, int(r.cnt), round(float(r.metric_avg), 6))
            for r in out.itertuples(index=False)]
     assert got == want
+
+
+def test_suggest_regex_preserves_shorthand_classes(pindex, index_dir):
+    r"""Regression (round-4 ADVICE): lowercasing the pattern turned
+    \S into \s (and \D into \d, \W into \w), silently inverting the
+    class — suggest_regex(r'\S+') matched nothing.  Both tiers must
+    compile the ORIGINAL pattern case-insensitively instead."""
+    ls = LocalSearcher(index_dir)
+    got = ls.suggest_regex(r"\S+", n=10)
+    assert got, r"\S+ must match every (non-field) term"
+    want = [(r["term"], r["df"])
+            for r in pindex.suggest_regex(r"\S+", n=10).collect()]
+    assert got == want
+    # Uppercase literals still match the lowercased catalog
+    # (case-insensitive compile, Solr terms.regex FLAG_INSENSITIVE).
+    assert ls.suggest_regex("(S|B).*", n=10) == \
+        ls.suggest_regex("(s|b).*", n=10)
+    # \d must keep meaning "digit": no term is all-digits in the
+    # synthetic corpus vocabulary unless it really is.
+    only_digits = ls.suggest_regex(r"\d+", n=50)
+    assert all(t.isdigit() for t, _ in only_digits)
+
+
+def test_fmetric_all_null_bucket_ranks_last():
+    """Regression (round-4 ADVICE): a facet bucket whose metric
+    values are all NULL must merge to metric_avg NULL and rank LAST
+    (Spark desc_nulls_last), not 0.0 ranked among real averages."""
+    import pandas as pd
+    from katta_spark.index.serve import _fmetric_finalize
+
+    parts = pd.DataFrame({
+        "lang": ["en", "en", "de", "fr"],
+        "cnt": [2, 1, 3, 2],
+        "sum_v": [4.0, 2.0, 0.0, -6.0],
+        "n_v": [2, 1, 0, 2],   # 'de' bucket: all metric values NULL
+    })
+    out = _fmetric_finalize(parts, "lang", n=3)
+    # en avg = 6/3 = 2.0, fr avg = -3.0, de = NULL -> last
+    assert list(out["lang"]) == ["en", "fr", "de"]
+    assert out["metric_avg"].isna().tolist() == [False, False, True]
