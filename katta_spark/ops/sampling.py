@@ -407,6 +407,94 @@ def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
     )
 
 
+def _dist_rank(df: DataFrame, sort_cols: list[str], rank_col: str,
+               group_col: str | None = None,
+               num_parts: int | None = None) -> DataFrame:
+    """1-based dense row_number over the TOTAL order ``sort_cols``
+    (globally, or within each ``group_col`` value) WITHOUT a
+    single-partition window — the distributed zipWithIndex shape:
+
+    1. ``repartitionByRange(sort_cols)`` + ``sortWithinPartitions``
+       — partition ids ordered the same as the sort key, each
+       partition ~|df|/P rows (range boundaries from Spark's sample).
+    2. one tiny aggregate: rows per (partition[, group]) — P (or
+       P x n_groups) rows collected to the driver.
+    3. cumulative offsets per group broadcast back; a narrow
+       ``mapInPandas`` adds offset + partition-local running index.
+
+    The result is a pure function of the sort key (``sort_cols``
+    must be a total order — include a unique id last), so it is
+    identical at ANY parallelism / partition-boundary placement —
+    the determinism contract mixture_order exists for.  Nothing in
+    the plan sorts more than one partition's worth of rows; the
+    sorted intermediate is persisted so the count pass and the rank
+    pass share one range shuffle (a few slim columns per row).
+
+    ``group_col`` values must be non-null (ranks restart per
+    contiguous group run; the caller filters nulls)."""
+    import numpy as np
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    p = int(num_parts or spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.repartitionByRange(p, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    gcols = [group_col] if group_col else []
+    per_g: dict[object, list[tuple[int, int]]] = {}
+    for r in d.groupBy("_pid", *gcols).count().collect():
+        g = r[group_col] if group_col else None
+        per_g.setdefault(g, []).append((int(r["_pid"]), int(r["count"])))
+    offsets: dict[tuple[int, object], int] = {}
+    for g, lst in per_g.items():
+        lst.sort()
+        acc = 0
+        for pid, c in lst:
+            offsets[(pid, g)] = acc
+            acc += c
+    boff = spark.sparkContext.broadcast(offsets)
+    gname = group_col
+    # fresh StructType — .add() would mutate d's cached schema
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(d.schema.fields) + [T.StructField(rank_col, T.LongType())]
+    )
+
+    def add_rank(batches):
+        nxt = None          # next 1-based rank to assign
+        cur_g = None        # current group run (grouped mode)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            if gname is None:
+                if nxt is None:
+                    nxt = boff.value.get((pid, None), 0) + 1
+                ranks = np.arange(nxt, nxt + n, dtype="int64")
+                nxt += n
+            else:
+                gv = pdf[gname].to_numpy()
+                cuts = np.flatnonzero(gv[1:] != gv[:-1]) + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [n]))
+                ranks = np.empty(n, dtype="int64")
+                for s, e in zip(starts, ends):
+                    g = gv[s]
+                    if nxt is None or g != cur_g:
+                        cur_g = g
+                        nxt = boff.value.get((pid, g), 0) + 1
+                    ranks[s:e] = np.arange(nxt, nxt + (e - s))
+                    nxt += e - s
+            yield pdf.assign(**{rank_col: ranks})
+
+    return d.mapInPandas(add_rank, schema=out_schema).drop("_pid")
+
+
 def mixture_order(docs: DataFrame, weights: dict[str, float],
                   group_col: str = "source",
                   id_col: str = "doc_id") -> DataFrame:
@@ -419,13 +507,15 @@ def mixture_order(docs: DataFrame, weights: dict[str, float],
     training run replays identically from any checkpoint.  Sources
     missing from ``weights`` are dropped (weight 0).
 
-    Scale shape: one window per source for the within-source shuffle
-    rank (keyed by the md5 hash device — deterministic, seedless),
-    pure column arithmetic for the interleave key, one global sort
-    that Spark range-partitions; ``pos`` is a dense global
-    row_number over that order."""
-    from pyspark.sql import Window
-
+    Scale shape (round 4): NO single-partition window anywhere —
+    both ranks go through :func:`_dist_rank` (range-partitioned
+    sort + broadcast cumulative offsets + partition-local running
+    index).  The old plan put the whole corpus through one
+    ``Window.partitionBy()`` (global) and one partition PER SOURCE
+    (a handful of huge partitions at 100 TB); now nothing sorts
+    more than one range-partition's worth of rows, and the output
+    is bit-identical at any parallelism (tested at 2 vs 17
+    partitions)."""
     wmap = F.create_map(*[
         F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))
     ])
@@ -438,11 +528,11 @@ def mixture_order(docs: DataFrame, weights: dict[str, float],
     shuffled = slim.withColumn(
         "_h", hash_bucket(F.col("doc_id"), salt="mix")
     )
-    iw = Window.partitionBy("grp").orderBy("_h", "doc_id")
-    keyed = shuffled.withColumn(
-        "_key", F.row_number().over(iw).cast("double") / F.col("_w")
-    )
-    gw = Window.partitionBy().orderBy("_key", "grp", "doc_id")
-    return keyed.withColumn(
-        "pos", F.row_number().over(gw).cast("long")
+    keyed = _dist_rank(
+        shuffled, ["grp", "_h", "doc_id"], "_r", group_col="grp"
+    ).withColumn(
+        "_key", F.col("_r").cast("double") / F.col("_w")
+    ).select("doc_id", "grp", "_key")
+    return _dist_rank(
+        keyed, ["_key", "grp", "doc_id"], "pos"
     ).select("doc_id", "grp", "pos")

@@ -365,3 +365,43 @@ def test_mixture_order_weight_proportions(spark):
     # weight-0 / missing source drops
     out_b = mixture_order(df, {"b": 1.0}).collect()
     assert {r["grp"] for r in out_b} == {"b"} and len(out_b) == 200
+
+
+def test_mixture_order_no_single_partition_window(spark):
+    """Round-4 scale fix: mixture_order must contain NO WindowExec at
+    all — the old plan put the whole corpus through one
+    Window.partitionBy() (single-partition global sort) and one
+    partition per source.  Both ranks now go through _dist_rank
+    (range-partitioned sort + broadcast offsets)."""
+    from katta_spark.ops.sampling import mixture_order
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    out = mixture_order(df, {"a": 1.0, "b": 2.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_mixture_order_parallelism_invariant(spark):
+    """The determinism contract the op exists for: identical output
+    at any partition count (2 vs 17 shuffle partitions — different
+    range boundaries, same ranks)."""
+    from katta_spark.ops.sampling import mixture_order
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(300)],
+        ["doc_id", "source"],
+    )
+    w = {"a": 2.0, "b": 1.0, "c": 0.5}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        o17 = sorted(map(tuple, mixture_order(df, w).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        o2 = sorted(map(tuple, mixture_order(df, w).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert o17 == o2 and len(o17) == 300
