@@ -700,7 +700,9 @@ def q_serve_facet_query(spark, sf_dir):
 def q_serve_envelope(spark, sf_dir):
     """Sharded search envelope (QueryResponse parity), flattened for
     the oracle: each hit row carries numFound and maxScore — hits
-    from the WAND scatter, numFound from the bitset count sum."""
+    from the WAND scatter, numFound from the bitset count sum — plus
+    the round-4 completeness fields (ClientResult.isComplete /
+    getMissingShards parity): shards_total, n_shards_failed."""
     sh = _sharded(spark, sf_dir)
     try:
         env = sh.search(["dup", "key"], k=8)
@@ -709,9 +711,11 @@ def q_serve_envelope(spark, sf_dir):
     h = env["hits"]
     return spark.createDataFrame(
         [(int(d), round(float(s), 6), int(env["num_found"]),
-          round(float(env["max_score"]), 6))
+          round(float(env["max_score"]), 6),
+          int(env["shards_total"]), len(env["shards_failed"]))
          for d, s in zip(h["doc_id"], h["score"])],
-        "doc_id long, score double, num_found long, max_score double",
+        "doc_id long, score double, num_found long, max_score double,"
+        " shards_total long, n_shards_failed long",
     )
 
 
@@ -3374,7 +3378,9 @@ ORDER BY cnt ASC, source ASC LIMIT 10""",
         "ft_serve_envelope": f"""{ctes}{O._scored_ctes(["dup", "key"], 8)}
 SELECT t.doc_id, round(t.score, 6) AS score,
        (SELECT count(*) FROM scored) AS num_found,
-       (SELECT round(max(score), 6) FROM scored) AS max_score
+       (SELECT round(max(score), 6) FROM scored) AS max_score,
+       CAST(2 AS BIGINT) AS shards_total,
+       CAST(0 AS BIGINT) AS n_shards_failed
 FROM top t""",
         "ft_serve_facet_index": f"""{ctes}{O.matched_sql(["table"])}
 SELECT source, count(*) AS cnt

@@ -227,8 +227,34 @@ def _np_cols(blocks: pd.DataFrame):
     )
 
 
+class QueryTimeout(RuntimeError):
+    """A node-local query exceeded its deadline — the Lucene
+    TimeLimitingCollector contract the reference wraps every shard
+    search in (LuceneServer.java:1555-1564): the collector aborts
+    between doc collections rather than running to completion.
+    Here the numpy kernels check the deadline between posting-block
+    decodes (the same granularity: work already decoded is
+    abandoned, no partial ranking is returned — a shard result is
+    exact or absent)."""
+
+
+#: check the clock only every N block decodes — a monotonic read is
+#: ~40 ns but the decode loop is hot; N=32 bounds overshoot to a few
+#: hundred microseconds of block work
+_DEADLINE_STRIDE = 32
+
+
+def _check_deadline(deadline: float | None, i: int) -> None:
+    if deadline is not None and (i % _DEADLINE_STRIDE) == 0:
+        import time
+
+        if time.monotonic() > deadline:
+            raise QueryTimeout("query deadline exceeded in kernel")
+
+
 def _exhaustive_scan(blocks: pd.DataFrame, n_docs: float, avgdl: float,
-                     k1: float, b: float, block_range: int
+                     k1: float, b: float, block_range: int,
+                     deadline: float | None = None
                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(doc_id, score, nt) over every posting row — numpy-native
     mirror of make_exhaustive_kernel.  Score accumulation order is
@@ -244,6 +270,7 @@ def _exhaustive_scan(blocks: pd.DataFrame, n_docs: float, avgdl: float,
                 np.empty(0, np.int64))
     all_ids, all_scores = [], []
     for i in range(len(bids)):
+        _check_deadline(deadline, i)
         ids, tf, dl = codec.decode_block(
             gaps[i], tfs[i], dls[i], int(bids[i]), block_range
         )
@@ -261,7 +288,8 @@ def _exhaustive_scan(blocks: pd.DataFrame, n_docs: float, avgdl: float,
 
 def _wand_scan(blocks: pd.DataFrame, n_docs: float, avgdl: float,
                k1: float, b: float, block_range: int, k: int,
-               n_terms: int, mode: str, min_match: int | None = None
+               n_terms: int, mode: str, min_match: int | None = None,
+               deadline: float | None = None
                ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND top-k — numpy-native mirror of
     make_wand_kernel: per-row upper bounds are computed VECTORIZED
@@ -288,7 +316,8 @@ def _wand_scan(blocks: pd.DataFrame, n_docs: float, avgdl: float,
     ends = np.concatenate((bounds, [len(bids)]))
     top: tuple[np.ndarray, np.ndarray] | None = None
     threshold = -np.inf
-    for s, e in zip(starts, ends):
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        _check_deadline(deadline, gi)
         if required > 1 and len(set(terms[s:e])) < required:
             continue
         if float(ub_v[s:e].sum()) < threshold:
@@ -337,6 +366,35 @@ class LocalSearcher:
     # reference's getDocFreqs() exchange (LuceneServer.java:76-82)
     _df_override: dict[str, int] | None = None
     _cache_host: "LocalSearcher | None" = None
+    #: active kernel deadline (monotonic seconds) — set by _budget()
+    #: for the duration of one timed query; every scoring path funnels
+    #: through _scored / _wand_scan, which check it between block
+    #: decodes (TimeLimitingCollector parity)
+    _deadline: float | None = None
+
+    def _budget(self, timeout_ms: float | None):
+        """Context manager arming the kernel deadline at 75% of the
+        client budget — the reference's fraction
+        (LuceneServer.java:435-437: the collector gets 75% of the
+        client timeout so the node can still serialize a reply
+        inside it; client budget LuceneClient.java:182)."""
+        import contextlib
+        import time
+
+        @contextlib.contextmanager
+        def cm():
+            if timeout_ms is None:
+                yield
+                return
+            self._deadline = (
+                time.monotonic() + 0.75 * float(timeout_ms) / 1000.0
+            )
+            try:
+                yield
+            finally:
+                self._deadline = None
+
+        return cm()
 
     def __init__(self, index_dir: str,
                  commits: list[str] | None = None):
@@ -486,34 +544,38 @@ class LocalSearcher:
         ids, scores, nt = _exhaustive_scan(
             self._blocks(terms), float(self.stats["n_docs"]),
             self.stats["avgdl"], self.stats["k1"], self.stats["b"],
-            self.stats["block_range"],
+            self.stats["block_range"], deadline=self._deadline,
         )
         return self._mask_tomb(ids, scores, nt)
 
     # ------------------------------------------------------------ queries
 
     def topk(self, qterms: list[str], k: int = 10, mode: str = "or",
-             min_match: int | None = None,
-             offset: int = 0) -> list[tuple[int, float]]:
+             min_match: int | None = None, offset: int = 0,
+             timeout_ms: float | None = None
+             ) -> list[tuple[int, float]]:
         """BM25 top-k [(doc_id, score)], tie-break score desc /
         doc_id asc, sliced [offset, offset+k) — block-max WAND unless
         tombstones force the exhaustive path (same rule as
-        PhysicalIndex.topk)."""
-        terms = sorted(set(strip_stops(self.stats, qterms)))
-        if self._tomb is None:
-            ids, scores = _wand_scan(
-                self._blocks(terms), float(self.stats["n_docs"]),
-                self.stats["avgdl"], self.stats["k1"], self.stats["b"],
-                self.stats["block_range"], offset + k, len(terms), mode,
-                min_match=min_match,
-            )
-        else:
-            ids, scores, nt = self._scored(terms)
-            req = (len(terms) if mode == "and"
-                   else max(1, int(min_match or 1)))
-            if req > 1:
-                keep = nt >= req
-                ids, scores = ids[keep], scores[keep]
+        PhysicalIndex.topk).  ``timeout_ms`` arms the kernel deadline
+        (raises :class:`QueryTimeout` past 75% of the budget)."""
+        with self._budget(timeout_ms):
+            terms = sorted(set(strip_stops(self.stats, qterms)))
+            if self._tomb is None:
+                ids, scores = _wand_scan(
+                    self._blocks(terms), float(self.stats["n_docs"]),
+                    self.stats["avgdl"], self.stats["k1"],
+                    self.stats["b"], self.stats["block_range"],
+                    offset + k, len(terms), mode,
+                    min_match=min_match, deadline=self._deadline,
+                )
+            else:
+                ids, scores, nt = self._scored(terms)
+                req = (len(terms) if mode == "and"
+                       else max(1, int(min_match or 1)))
+                if req > 1:
+                    keep = nt >= req
+                    ids, scores = ids[keep], scores[keep]
         order = np.lexsort((ids, -scores))[offset:offset + k]
         return [(int(ids[i]), float(scores[i])) for i in order]
 
@@ -1438,7 +1500,8 @@ class LocalSearcher:
 
     def query(self, q: str, k: int = 10, offset: int = 0,
               fq: list[str] | None = None,
-              synonyms: dict[str, list[str]] | None = None
+              synonyms: dict[str, list[str]] | None = None,
+              timeout_ms: float | None = None
               ) -> list[tuple[int, float]]:
         """Full Lucene-syntax query string answered node-locally —
         the reference's actual front door (`LuceneServer.search` over
@@ -1449,12 +1512,14 @@ class LocalSearcher:
         from katta_spark.fulltext.qparse import combine_q_fq
 
         node = combine_q_fq(q, fq)
-        ids, scores = _LocalEval(self, synonyms).eval_query(node)
+        with self._budget(timeout_ms):
+            ids, scores = _LocalEval(self, synonyms).eval_query(node)
         order = np.lexsort((ids, -scores))[offset:offset + k]
         return [(int(ids[i]), float(scores[i])) for i in order]
 
     def search(self, qterms: list[str], k: int = 10, mode: str = "or",
-               fields: list[str] | None = None) -> dict:
+               fields: list[str] | None = None,
+               timeout_ms: float | None = None) -> dict:
         """One-call serving surface: hits + numFound + maxScore +
         qTime (QueryResponse.java:27-192 parity), optionally joined
         with stored fields."""
@@ -1462,7 +1527,8 @@ class LocalSearcher:
 
         t0 = time.monotonic()
         terms = sorted(set(strip_stops(self.stats, qterms)))
-        ids, scores, nt = self._scored(terms)
+        with self._budget(timeout_ms):
+            ids, scores, nt = self._scored(terms)
         if mode == "and" and len(terms) > 1:
             keep = nt == len(terms)
             ids, scores = ids[keep], scores[keep]
@@ -2473,9 +2539,23 @@ class ShardedSearcher:
     machines behind any RPC fan-out — this class is the per-node
     compute each of them runs plus the client-side merge."""
 
-    def __init__(self, dirs: list[str]):
+    def __init__(self, dirs: list[str], timeout_ms: float | None = None,
+                 complete: bool = True):
+        """``timeout_ms``: default scatter budget per query — a shard
+        that hasn't answered inside it is treated as failed (the
+        client-side budget, LuceneClient.java:182).  ``complete``:
+        True (default) raises on any failed shard (exact-results
+        contract); False returns the merge of the shards that DID
+        answer and records the rest in ``self.shards_failed`` — the
+        reference's partial-result policy
+        (ClientResultReceiver.java:147-166, Solr shards.tolerant)."""
         if not dirs:
             raise ValueError("no shard directories")
+        self.timeout_ms = timeout_ms
+        self.complete = bool(complete)
+        #: shard dirs that failed/timed out in the LAST scatter —
+        #: reset per query; feeds the search() envelope
+        self.shards_failed: list[str] = []
         self.shards = [LocalSearcher(d) for d in dirs]
         base = self.shards[0].stats
         br = base["block_range"]
@@ -2527,22 +2607,12 @@ class ShardedSearcher:
         except Exception:
             pass
 
-    def _scatter(self, task_fn, payloads: list) -> list:
-        """Fan a per-shard task out to a PROCESS pool — the honest
-        one-node-per-shard model (a Katta node is its own JVM): the
-        per-shard work is small-array numpy/pandas that the GIL
-        serializes under threads (measured 15x CONVOY slowdown with a
-        thread pool), so real parallelism needs real processes.  The
-        forked workers cache a LocalSearcher per shard dir across
-        queries; results (top-k arrays / counts) are tiny, so IPC
-        cost is microseconds.  Single shard runs inline."""
-        if len(payloads) == 1:
-            return [task_fn(payloads[0])]
-        if getattr(self, "_pool", None) is None:
-            import multiprocessing as mp
-            import os
-            from concurrent.futures import ProcessPoolExecutor
+    def _ensure_pool(self):
+        import multiprocessing as mp
+        import os
+        from concurrent.futures import ProcessPoolExecutor
 
+        if getattr(self, "_pool", None) is None:
             n_workers = min(len(self.shards), os.cpu_count() or 8)
             self._pool = ProcessPoolExecutor(
                 max_workers=n_workers,
@@ -2550,7 +2620,94 @@ class ShardedSearcher:
                 initializer=_worker_cap_threads,
                 initargs=(n_workers,),
             )
-        return list(self._pool.map(task_fn, payloads))
+        return self._pool
+
+    def _scatter(self, task_fn, payloads: list,
+                 timeout_ms: float | None = None) -> list:
+        """Fan a per-shard task out to a PROCESS pool — the honest
+        one-node-per-shard model (a Katta node is its own JVM): the
+        per-shard work is small-array numpy/pandas that the GIL
+        serializes under threads (measured 15x CONVOY slowdown with a
+        thread pool), so real parallelism needs real processes.  The
+        forked workers cache a LocalSearcher per shard dir across
+        queries; results (top-k arrays / counts) are tiny, so IPC
+        cost is microseconds.  Single shard runs inline (no budget).
+
+        Failure policy (NodeInteraction.java:141-205 +
+        ClientResultReceiver.java:147-166): a DEAD worker (broken
+        pool) gets its shard tasks re-dispatched ONCE to a fresh
+        pool; a shard that then still fails — or that misses the
+        ``timeout_ms`` budget (no retry: a timed-out shard would
+        just time out again inside the same budget) — is dropped
+        from the merge.  ``complete=True`` raises instead; the
+        surviving shards' results are exact either way (a shard
+        result is whole or absent)."""
+        import time
+        from concurrent.futures import TimeoutError as FutTimeout
+        from concurrent.futures.process import BrokenProcessPool
+
+        budget = self.timeout_ms if timeout_ms is None else timeout_ms
+        self.shards_failed = []
+        if len(payloads) == 1 and budget is None:
+            return [task_fn(payloads[0])]
+        deadline = (None if budget is None
+                    else time.monotonic() + float(budget) / 1000.0)
+        results: dict[int, object] = {}
+        pending = list(range(len(payloads)))
+        first_exc: BaseException | None = None
+        for attempt in (0, 1):
+            pool = self._ensure_pool()
+            try:
+                futs = {i: pool.submit(task_fn, payloads[i])
+                        for i in pending}
+            except BrokenProcessPool:
+                self.close()
+                if attempt:
+                    break
+                continue
+            timed_out, broken = [], []
+            for i, fut in futs.items():
+                left = (None if deadline is None
+                        else max(0.0, deadline - time.monotonic()))
+                try:
+                    results[i] = fut.result(timeout=left)
+                except FutTimeout:
+                    fut.cancel()
+                    timed_out.append(i)
+                except BrokenProcessPool:
+                    broken.append(i)
+                except Exception as e:
+                    # task raised (e.g. QueryTimeout in a kernel):
+                    # treat as a failed shard, retryable once
+                    if first_exc is None:
+                        first_exc = e
+                    broken.append(i)
+            if broken:
+                # dead fork-pool: restart it, re-dispatch ONCE
+                self.close()
+            pending = broken if attempt == 0 else []
+            if attempt == 1:
+                timed_out += broken
+            if timed_out:
+                self._mark_failed(timed_out)
+            if not pending:
+                break
+        if pending:
+            self._mark_failed(pending)
+        if self.shards_failed and self.complete:
+            if first_exc is not None and not isinstance(
+                    first_exc, BrokenProcessPool):
+                raise first_exc
+            raise TimeoutError(
+                f"shards failed within budget: {self.shards_failed}"
+            )
+        return [results[i] for i in sorted(results)]
+
+    def _mark_failed(self, idxs: list[int]) -> None:
+        for i in idxs:
+            d = self.shards[i % len(self.shards)].index_dir
+            if d not in self.shards_failed:
+                self.shards_failed.append(d)
 
     def _merged_cat(self, terms: list[str]) -> pd.DataFrame:
         """The getDocFreqs() exchange: per-shard catalog reads for
@@ -2610,8 +2767,8 @@ class ShardedSearcher:
         ]
 
     def topk(self, qterms: list[str], k: int = 10, mode: str = "or",
-             min_match: int | None = None,
-             offset: int = 0) -> list[tuple[int, float]]:
+             min_match: int | None = None, offset: int = 0,
+             timeout_ms: float | None = None) -> list[tuple[int, float]]:
         """Global BM25 top-k across all shards — PARALLEL per-shard
         WAND heaps (each shard keeps its own threshold, its own
         process) merged client-side by (score desc, doc_id asc) (the
@@ -2624,7 +2781,10 @@ class ShardedSearcher:
             self._payloads(terms, cat, {
                 "k": offset + k, "mode": mode, "min_match": min_match,
             }),
+            timeout_ms=timeout_ms,
         )
+        if not pairs:
+            return []
         ids = np.concatenate([p[0] for p in pairs])
         scores = np.concatenate([p[1] for p in pairs])
         order = np.lexsort((ids, -scores))[offset:offset + k]
@@ -2686,7 +2846,8 @@ class ShardedSearcher:
         order = np.lexsort((ids, -scores))[offset:offset + k]
         return [(int(ids[i]), float(scores[i])) for i in order]
 
-    def count(self, qterms: list[str], mode: str = "or") -> int:
+    def count(self, qterms: list[str], mode: str = "or",
+              timeout_ms: float | None = None) -> int:
         """totalHits — parallel per-shard counts SUMMED (shards own
         disjoint doc sets, so the sum is exact — the reference's
         scatter-gather count, its one published latency number).  No
@@ -2697,6 +2858,7 @@ class ShardedSearcher:
             _shard_count_task,
             [(s.index_dir, {"terms": terms, "mode": mode})
              for s in self.shards],
+            timeout_ms=timeout_ms,
         ))
 
     def facet(self, qterms: list[str], field: str, n: int = 10,
@@ -3295,13 +3457,20 @@ class ShardedSearcher:
         return [(int(ids[i]), float(scores[i])) for i in order]
 
     def search(self, qterms: list[str], k: int = 10, mode: str = "or",
-               fields: list[str] | None = None) -> dict:
+               fields: list[str] | None = None,
+               timeout_ms: float | None = None) -> dict:
         """One-call scatter surface: hits + numFound + maxScore +
         qTime — the full client RPC (Client.java fan-out +
         QueryResponse.java:27-192 envelope): per-shard WAND top-k
         with the df exchange, numFound from the bitset count sum
         (disjoint doc sets), stored fields via the shard-routed
-        fetch.  Mirrors LocalSearcher.search (tested)."""
+        fetch.  Mirrors LocalSearcher.search (tested).
+
+        Completeness fields (ClientResult.isComplete /
+        getMissingShards parity): ``shards_total``, ``shards_failed``
+        (dir list — empty when every shard answered), ``complete``.
+        With ``complete=False`` on the handle, a timed-out/dead shard
+        drops out of the merge instead of raising."""
         import time
 
         t0 = time.monotonic()
@@ -3314,9 +3483,14 @@ class ShardedSearcher:
                 # LocalSearcher rule — its max is over the match set)
                 "k": max(k, 1), "mode": mode, "min_match": None,
             }),
+            timeout_ms=timeout_ms,
         )
-        ids = np.concatenate([x[0] for x in parts])
-        scores = np.concatenate([x[1] for x in parts])
+        if parts:
+            ids = np.concatenate([x[0] for x in parts])
+            scores = np.concatenate([x[1] for x in parts])
+        else:
+            ids = np.empty(0, np.int64)
+            scores = np.empty(0, np.float64)
         n = sum(int(x[2]) for x in parts)
         order = np.lexsort((ids, -scores))
         max_score = float(scores[order[0]]) if order.size else None
@@ -3332,6 +3506,9 @@ class ShardedSearcher:
             "num_found": int(n),
             "max_score": max_score,
             "qtime_ms": int((time.monotonic() - t0) * 1000),
+            "shards_total": len(self.shards),
+            "shards_failed": list(self.shards_failed),
+            "complete": not self.shards_failed,
         }
 
     def fetch(self, doc_ids: list[int],

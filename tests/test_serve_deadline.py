@@ -1,0 +1,191 @@
+"""Query deadlines, scatter retry, and partial results — the round-4
+operational-hardening surfaces.
+
+Reference contract: LuceneServer wraps every shard search in a
+TimeLimitingCollector at 75% of the client budget
+(LuceneServer.java:1555-1564, fraction :435-437; client budget
+LuceneClient.java:182); NodeInteraction re-dispatches a failed
+shard's work to another node (NodeInteraction.java:141-205); the
+client returns partial results with the missing-shard set when the
+budget expires (ClientResultReceiver.java:147-166,
+ClientResult.isComplete / getMissingShards)."""
+
+import os
+import signal
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+from katta_spark.index import build_index
+from katta_spark.index.serve import (
+    LocalSearcher,
+    QueryTimeout,
+    ShardedSearcher,
+    _shard_count_task,
+    _shard_search_task,
+)
+
+BR = 256
+
+
+@pytest.fixture(scope="module")
+def two_shards(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("deadline")
+    full = with_ingest_columns(synthetic_corpus(spark, 600))
+    a = full.filter(F.col("doc_id") < 256)
+    b = full.filter(F.col("doc_id") >= 256).withColumn(
+        "doc_id", F.col("doc_id") - 256
+    )
+    da, db = str(root / "shard_a"), str(root / "shard_b")
+    build_index(spark, a, da, n_groups=2, block_range=BR)
+    build_index(spark, b, db, n_groups=2, block_range=BR)
+    return da, db
+
+
+# ---------------------------------------------------------------- kernel
+
+def test_kernel_deadline_raises(two_shards):
+    da, _ = two_shards
+    ls = LocalSearcher(da)
+    # an already-expired budget aborts in the first kernel check
+    with pytest.raises(QueryTimeout):
+        ls.topk(["import"], k=5, timeout_ms=0)
+    with pytest.raises(QueryTimeout):
+        ls.search(["import"], k=5, timeout_ms=0)
+    with pytest.raises(QueryTimeout):
+        ls.query("import OR table", k=5, timeout_ms=0)
+    # deadline is cleared afterwards: the same handle answers
+    # untimed queries and generous budgets identically
+    want = ls.topk(["import"], k=5)
+    assert ls.topk(["import"], k=5, timeout_ms=60_000) == want
+    assert ls._deadline is None
+
+
+# --------------------------------------------------------------- scatter
+
+def _slow_count_task(payload):
+    d = payload[0]
+    if "shard_b" in d:
+        time.sleep(3.0)
+    return _shard_count_task(payload)
+
+
+def _slow_search_task(payload):
+    d = payload[0]
+    if "shard_b" in d:
+        time.sleep(3.0)
+    return _shard_search_task(payload)
+
+
+def test_scatter_timeout_partial_count(two_shards):
+    da, db = two_shards
+    sh = ShardedSearcher([da, db], timeout_ms=700, complete=False)
+    try:
+        exact_a = LocalSearcher(da).count(["import"])
+        t0 = time.monotonic()
+        got = sum(sh._scatter(
+            _slow_count_task,
+            [(s.index_dir, {"terms": ["import"], "mode": "or"})
+             for s in sh.shards],
+        ))
+        took = time.monotonic() - t0
+        # returned within ~the budget, not after the slow shard
+        assert took < 2.5
+        assert got == exact_a
+        assert sh.shards_failed == [db]
+    finally:
+        sh.close()
+
+
+def test_scatter_timeout_complete_raises(two_shards):
+    da, db = two_shards
+    sh = ShardedSearcher([da, db], timeout_ms=500, complete=True)
+    try:
+        with pytest.raises(TimeoutError, match="shard"):
+            sh._scatter(
+                _slow_count_task,
+                [(s.index_dir, {"terms": ["import"], "mode": "or"})
+                 for s in sh.shards],
+            )
+    finally:
+        sh.close()
+
+
+def test_search_envelope_reports_missing_shards(two_shards, monkeypatch):
+    import katta_spark.index.serve as serve_mod
+
+    da, db = two_shards
+    sh = ShardedSearcher([da, db], complete=False)
+    try:
+        # full run first: completeness fields on the happy path
+        env = sh.search(["import"], k=5)
+        assert env["shards_total"] == 2
+        assert env["shards_failed"] == [] and env["complete"] is True
+        n_full = env["num_found"]
+        # per-query budget; shard_b's task hangs past it
+        monkeypatch.setattr(serve_mod, "_shard_search_task",
+                            _slow_search_task)
+        env = sh.search(["import"], k=5, timeout_ms=700)
+        assert env["complete"] is False
+        assert env["shards_failed"] == [db]
+        assert env["shards_total"] == 2
+        assert 0 < env["num_found"] < n_full
+        assert len(env["hits"]) > 0
+    finally:
+        sh.close()
+
+
+def test_untimed_scatter_unchanged(two_shards):
+    """No budget, no failures: scatter results identical to the
+    per-shard truth (the pre-round-4 exact contract)."""
+    da, db = two_shards
+    sh = ShardedSearcher([da, db])
+    try:
+        assert sh.count(["import"]) == (
+            LocalSearcher(da).count(["import"])
+            + LocalSearcher(db).count(["import"])
+        )
+        env = sh.search(["import"], k=3)
+        assert env["complete"] is True and env["shards_failed"] == []
+    finally:
+        sh.close()
+
+
+# ----------------------------------------------------------------- retry
+
+_KILL_SENTINEL = "/tmp/katta_kill_once_sentinel"
+
+
+def _kill_once_count_task(payload):
+    d = payload[0]
+    if "shard_b" in d and not os.path.exists(_KILL_SENTINEL):
+        with open(_KILL_SENTINEL, "w") as f:
+            f.write("1")
+        os.kill(os.getpid(), signal.SIGKILL)
+    return _shard_count_task(payload)
+
+
+def test_scatter_retries_dead_worker_once(two_shards):
+    """A SIGKILLed pool worker (BrokenProcessPool) gets the shard's
+    task re-dispatched once to a fresh pool — exact results, no
+    partial, complete=True never trips."""
+    da, db = two_shards
+    if os.path.exists(_KILL_SENTINEL):
+        os.unlink(_KILL_SENTINEL)
+    sh = ShardedSearcher([da, db], complete=True)
+    try:
+        got = sum(sh._scatter(
+            _kill_once_count_task,
+            [(s.index_dir, {"terms": ["import"], "mode": "or"})
+             for s in sh.shards],
+        ))
+        want = (LocalSearcher(da).count(["import"])
+                + LocalSearcher(db).count(["import"]))
+        assert got == want
+        assert sh.shards_failed == []
+    finally:
+        sh.close()
+        if os.path.exists(_KILL_SENTINEL):
+            os.unlink(_KILL_SENTINEL)
