@@ -351,6 +351,42 @@ def _wand_scan(blocks: pd.DataFrame, n_docs: float, avgdl: float,
     return top
 
 
+class _ResultCache:
+    """In-memory LRU query-result cache — the node side of Solr's
+    queryResultCache (the reference's embedded per-shard Solr cores
+    serve repeated queries from it and flush on a new searcher,
+    LuceneServer.java:327-332 node caches).  Values are the tiny
+    final results (top-k lists / counts), never posting data, so a
+    full cache is a few MB.  Invalidation is structural: refresh()
+    re-runs __init__, which builds a fresh empty cache (the
+    new-searcher flush)."""
+
+    _MISS = object()
+
+    def __init__(self, maxsize: int = 256):
+        from collections import OrderedDict
+
+        self._d: "OrderedDict" = OrderedDict()
+        self.maxsize = int(maxsize)
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        v = self._d.get(key, self._MISS)
+        if v is self._MISS:
+            self.misses += 1
+        else:
+            self.hits += 1
+            self._d.move_to_end(key)
+        return v
+
+    def put(self, key, val) -> None:
+        self._d[key] = val
+        self._d.move_to_end(key)
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+
+
 class LocalSearcher:
     """Node-local query handle over one built index directory.
 
@@ -397,9 +433,16 @@ class LocalSearcher:
         return cm()
 
     def __init__(self, index_dir: str,
-                 commits: list[str] | None = None):
+                 commits: list[str] | None = None,
+                 qcache_size: int = 256):
         root = Path(index_dir)
         self.index_dir = index_dir
+        # fresh (empty) result cache per searcher generation — the
+        # queryResultCache new-searcher flush; qcache_size=0 disables
+        self._qcache_size = int(qcache_size)
+        self._qcache = (
+            _ResultCache(self._qcache_size) if qcache_size else None
+        )
         self.stats = json.loads((root / "stats.json").read_text())
         self._postings = pa_ds.dataset(
             str(root / "postings"), partitioning="hive"
@@ -464,8 +507,23 @@ class LocalSearcher:
         is rewritten in place, so catalog-dependent queries may fail
         until refresh (the same staleness rule as the Spark tier).
         A commit-pinned handle re-pins to the SAME commits."""
-        self.__init__(self.index_dir, self._commits)
+        self.__init__(self.index_dir, self._commits,
+                      qcache_size=self._qcache_size)
         return self
+
+    def _cached(self, key: tuple, compute):
+        """Serve ``key`` from the result cache, else compute + fill.
+        Overlays (_global_view) bypass entirely: their results depend
+        on the per-query df exchange, not just this index's state."""
+        c = self._qcache
+        if (c is None or self._df_override is not None
+                or self._cache_host is not None):
+            return compute()
+        v = c.get(key)
+        if v is _ResultCache._MISS:
+            v = compute()
+            c.put(key, v)
+        return v
 
     def _global_view(self, n_docs: float, avgdl: float,
                      df_map: dict[str, int]) -> "LocalSearcher":
@@ -558,31 +616,41 @@ class LocalSearcher:
         doc_id asc, sliced [offset, offset+k) — block-max WAND unless
         tombstones force the exhaustive path (same rule as
         PhysicalIndex.topk).  ``timeout_ms`` arms the kernel deadline
-        (raises :class:`QueryTimeout` past 75% of the budget)."""
-        with self._budget(timeout_ms):
-            terms = sorted(set(strip_stops(self.stats, qterms)))
-            if self._tomb is None:
-                ids, scores = _wand_scan(
-                    self._blocks(terms), float(self.stats["n_docs"]),
-                    self.stats["avgdl"], self.stats["k1"],
-                    self.stats["b"], self.stats["block_range"],
-                    offset + k, len(terms), mode,
-                    min_match=min_match, deadline=self._deadline,
-                )
-            else:
-                ids, scores, nt = self._scored(terms)
-                req = (len(terms) if mode == "and"
-                       else max(1, int(min_match or 1)))
-                if req > 1:
-                    keep = nt >= req
-                    ids, scores = ids[keep], scores[keep]
-        order = np.lexsort((ids, -scores))[offset:offset + k]
-        return [(int(ids[i]), float(scores[i])) for i in order]
+        (raises :class:`QueryTimeout` past 75% of the budget).
+        Repeated queries hit the result cache (a timed-out query
+        caches nothing — only completed results enter)."""
+        def compute():
+            with self._budget(timeout_ms):
+                terms = sorted(set(strip_stops(self.stats, qterms)))
+                if self._tomb is None:
+                    ids, scores = _wand_scan(
+                        self._blocks(terms), float(self.stats["n_docs"]),
+                        self.stats["avgdl"], self.stats["k1"],
+                        self.stats["b"], self.stats["block_range"],
+                        offset + k, len(terms), mode,
+                        min_match=min_match, deadline=self._deadline,
+                    )
+                else:
+                    ids, scores, nt = self._scored(terms)
+                    req = (len(terms) if mode == "and"
+                           else max(1, int(min_match or 1)))
+                    if req > 1:
+                        keep = nt >= req
+                        ids, scores = ids[keep], scores[keep]
+            order = np.lexsort((ids, -scores))[offset:offset + k]
+            return [(int(ids[i]), float(scores[i])) for i in order]
+
+        key = ("topk", tuple(qterms), int(k), mode, min_match,
+               int(offset))
+        return list(self._cached(key, compute))
 
     def count(self, qterms: list[str], mode: str = "or") -> int:
-        """totalHits — number of live matching docs."""
-        return self.count_raw(
-            sorted(set(strip_stops(self.stats, qterms))), mode
+        """totalHits — number of live matching docs (result-cached)."""
+        return self._cached(
+            ("count", tuple(qterms), mode),
+            lambda: self.count_raw(
+                sorted(set(strip_stops(self.stats, qterms))), mode
+            ),
         )
 
     def count_raw(self, terms: list[str], mode: str = "or") -> int:
@@ -1511,11 +1579,17 @@ class LocalSearcher:
         (rank-identity tested across the full syntax battery)."""
         from katta_spark.fulltext.qparse import combine_q_fq
 
-        node = combine_q_fq(q, fq)
-        with self._budget(timeout_ms):
-            ids, scores = _LocalEval(self, synonyms).eval_query(node)
-        order = np.lexsort((ids, -scores))[offset:offset + k]
-        return [(int(ids[i]), float(scores[i])) for i in order]
+        def compute():
+            node = combine_q_fq(q, fq)
+            with self._budget(timeout_ms):
+                ids, scores = _LocalEval(self, synonyms).eval_query(node)
+            order = np.lexsort((ids, -scores))[offset:offset + k]
+            return [(int(ids[i]), float(scores[i])) for i in order]
+
+        key = ("query", q, int(k), int(offset), tuple(fq or ()),
+               json.dumps(synonyms, sort_keys=True) if synonyms
+               else None)
+        return list(self._cached(key, compute))
 
     def search(self, qterms: list[str], k: int = 10, mode: str = "or",
                fields: list[str] | None = None,

@@ -462,3 +462,78 @@ def test_serve_pivot_facet_matches_spark(pindex, lsearch):
                                         n1=4, n2=2).collect()]
     got = lsearch.pivot_facet(["import"], "lang", "repo", n1=4, n2=2)
     assert got == want
+
+
+def test_query_result_cache_hits_and_invalidates(spark, tmp_path):
+    """Round-4: Solr queryResultCache parity at the node tier — a
+    repeated hot query is served from the in-memory result cache
+    (hit counter moves, result identical); refresh() after a new
+    commit flushes it (new-searcher invalidation) and the re-computed
+    result sees the new docs."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index import build_index
+
+    d = str(tmp_path / "qc_idx")
+    full = with_ingest_columns(synthetic_corpus(spark, 400))
+    build_index(spark, full.filter(F.col("doc_id") < 300), d,
+                n_groups=2, block_range=64)
+    srv = LocalSearcher(d)
+    first = srv.topk(["import", "table"], k=8)
+    assert srv._qcache.misses == 1 and srv._qcache.hits == 0
+    again = srv.topk(["import", "table"], k=8)
+    assert again == first
+    assert srv._qcache.hits == 1
+    # count and Lucene-string query cache too, under distinct keys
+    c1 = srv.count(["import"])
+    assert srv.count(["import"]) == c1
+    q1 = srv.query("import AND table", k=5)
+    assert srv.query("import AND table", k=5) == q1
+    assert srv._qcache.hits == 3
+    # a cached result is defensively copied — mutating the returned
+    # list must not poison the cache
+    again.append(("poison", 0.0))
+    assert srv.topk(["import", "table"], k=8) == first
+
+    # new commit -> refresh() -> fresh empty cache, new state served
+    build_index(spark,
+                full.filter(F.col("doc_id") >= 300)
+                .drop("doc_id", "content_sha256"),
+                d, n_groups=2, block_range=64, commit="c2")
+    srv.refresh()
+    assert srv._qcache.hits == 0 and srv._qcache.misses == 0
+    assert srv.count(["import"]) > c1
+
+    # qcache_size=0 disables cleanly
+    off = LocalSearcher(d, qcache_size=0)
+    assert off._qcache is None
+    assert off.topk(["import"], k=3) == srv.topk(["import"], k=3)
+
+
+def test_query_cache_lru_bound_and_overlay_bypass(spark, tmp_path):
+    """The cache is bounded LRU; _global_view overlays (per-query df
+    exchange) never read or fill it."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.corpus import synthetic_corpus, with_ingest_columns
+    from katta_spark.index import build_index
+
+    d = str(tmp_path / "qc2_idx")
+    full = with_ingest_columns(synthetic_corpus(spark, 120))
+    build_index(spark, full, d, n_groups=1, block_range=64)
+    srv = LocalSearcher(d, qcache_size=2)
+    srv.count(["import"])
+    srv.count(["table"])
+    srv.count(["scan"])          # evicts ["import"]
+    assert len(srv._qcache._d) == 2
+    srv.count(["import"])        # miss again after eviction
+    assert srv._qcache.hits == 0 and srv._qcache.misses == 4
+
+    view = srv._global_view(
+        float(srv.stats["n_docs"]), srv.stats["avgdl"], {}
+    )
+    before = (srv._qcache.hits, srv._qcache.misses, len(srv._qcache._d))
+    view.topk(["import"], k=3)
+    assert (srv._qcache.hits, srv._qcache.misses,
+            len(srv._qcache._d)) == before
