@@ -23,9 +23,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: hard ceiling on a fusion shortlist — the fuse windows are
+#: single-partition BY DESIGN (they run over top-k lists, never the
+#: corpus); feeding an unbounded DataFrame would silently become a
+#: one-partition sort of everything.  Past this, fail loudly.
+FUSE_MAX_LIST_ROWS = 100_000
+
+
+def _require_shortlist(df: DataFrame, id_col: str, op: str,
+                       cap: int) -> None:
+    """Loud guard: raise if a fusion input exceeds ``cap`` rows.
+    The probe is ``limit(cap + 1).count()`` so the check itself
+    never scans more than cap+1 rows of an unbounded input."""
+    n = df.select(id_col).limit(int(cap) + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{op} fuses bounded top-k shortlists only, but got an "
+            f"input with more than {cap} rows — cut it with "
+            f".limit()/topk before fusing (the per-list rank/min-max "
+            f"window is single-partition on purpose and would "
+            f"otherwise sort the whole input on one core)"
+        )
+
 
 def rrf_fuse(lists: list[tuple[DataFrame, str]], id_col: str = "doc_id",
-             k_const: int = 60, n: int = 10) -> DataFrame:
+             k_const: int = 60, n: int = 10,
+             max_list_rows: int = FUSE_MAX_LIST_ROWS) -> DataFrame:
     """ES 8 hybrid-search reciprocal rank fusion: fuse N ranked
     shortlists (e.g. a BM25 top-k and a vector-kNN top-k) into one
     ranking with ``score = sum_i 1 / (k_const + rank_i)``, where
@@ -40,9 +63,11 @@ def rrf_fuse(lists: list[tuple[DataFrame, str]], id_col: str = "doc_id",
     agg, so cost is O(sum of shortlist sizes) regardless of corpus
     size.  Returns (id, rrf_score, n_lists), rrf_score desc / id asc
     (rounded score drives the ordering so near-ulp sum differences
-    cannot flip ranks across engines)."""
+    cannot flip ranks across engines).  Inputs larger than
+    ``max_list_rows`` raise (see :func:`_require_shortlist`)."""
     parts = []
     for df, score_col in lists:
+        _require_shortlist(df, id_col, "rrf_fuse", max_list_rows)
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
         parts.append(
             df.select(F.col(id_col), F.row_number().over(w).alias("_rk"))
@@ -135,7 +160,8 @@ def rank_eval(results: DataFrame, judgments: DataFrame, k: int = 10,
 
 
 def linear_fuse(lists: list[tuple[DataFrame, str, float]],
-                id_col: str = "doc_id", n: int = 10) -> DataFrame:
+                id_col: str = "doc_id", n: int = 10,
+                max_list_rows: int = FUSE_MAX_LIST_ROWS) -> DataFrame:
     """ES 8 ``linear`` retriever: fuse N shortlists by WEIGHTED
     MIN-MAX-NORMALIZED scores — ``score = sum_i w_i * (s_i - min_i)
     / (max_i - min_i)`` over each list's own score range (a
@@ -148,9 +174,11 @@ def linear_fuse(lists: list[tuple[DataFrame, str, float]],
     the corpus), the fuse is one tiny hash agg — O(sum of shortlist
     sizes).  Normalized contributions are rounded to 6dp BEFORE the
     weighted sum so near-ulp differences cannot flip ranks across
-    engines.  Returns (id, lin_score, n_lists)."""
+    engines.  Returns (id, lin_score, n_lists).  Inputs larger than
+    ``max_list_rows`` raise (see :func:`_require_shortlist`)."""
     parts = []
     for df, score_col, weight in lists:
+        _require_shortlist(df, id_col, "linear_fuse", max_list_rows)
         w = Window.partitionBy()
         s = F.col(score_col).cast("double")
         rng = F.max(s).over(w) - F.min(s).over(w)

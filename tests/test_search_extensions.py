@@ -1081,3 +1081,28 @@ def test_distance_feature_null_field_keeps_bm25(spark, tmp_path):
     assert len(null_doc) == 1
     full_boost = [d for d, f in feats.items() if f == 5.0]
     assert len(full_boost) == 1
+
+
+def test_fuse_guards_reject_unbounded_inputs(spark):
+    """Round-4 guard: the fusion windows are single-partition by
+    design (shortlists only); an oversized input must fail loudly
+    instead of silently one-partition-sorting it — and the probe
+    itself must not scan the whole input (limit-pushdown)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from katta_spark.ops.search_eval import linear_fuse, rrf_fuse
+
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), F.rand(7).alias("score")
+    )
+    ok = big.limit(20)
+    with pytest.raises(ValueError, match="bounded top-k"):
+        rrf_fuse([(ok, "score"), (big, "score")], max_list_rows=1000)
+    with pytest.raises(ValueError, match="bounded top-k"):
+        linear_fuse([(big, "score", 1.0)], max_list_rows=1000)
+    # bounded inputs still fuse fine under the same cap
+    assert rrf_fuse([(ok, "score"), (ok, "score")],
+                    max_list_rows=1000, n=5).count() == 5
+    assert linear_fuse([(ok, "score", 0.5), (ok, "score", 0.5)],
+                       max_list_rows=1000, n=5).count() == 5
