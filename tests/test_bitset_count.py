@@ -407,3 +407,54 @@ def test_serve_stored_surfaces_identical_without_bitsets(spark, corpus,
     )
     assert (a.range_facet(q, "dl", 0.0, 200.0, 20.0)
             == b.range_facet(q, "dl", 0.0, 200.0, 20.0))
+
+
+def test_serve_pinned_snapshot_takes_bitset_path(spark, corpus,
+                                                 tmp_path, monkeypatch):
+    """Round-4 PIT x bitset audit: a commit-pinned handle must KEEP
+    the id_bits membership fast path (count and _matched_ids), not
+    fall back to the exhaustive decode — PIT queries stay RPC-class
+    after many commits.  Asserted by counting codec calls, with
+    parity against the exhaustive path on the same pinned handle."""
+    from katta_spark.index import build_index
+    from katta_spark.index.serve import LocalSearcher
+
+    d = str(tmp_path / "pit_idx")
+    build_index(spark, corpus.limit(200), d, n_groups=1,
+                block_range=64, commit="c0")
+    build_index(spark,
+                corpus.limit(400).subtract(corpus.limit(200)), d,
+                n_groups=1, block_range=64, commit="c1")
+    build_index(spark,
+                corpus.limit(600).subtract(corpus.limit(400)), d,
+                n_groups=1, block_range=64, commit="c2")
+
+    calls = {"count": 0, "matched": 0}
+    real_count, real_matched = codec.bit_count_frame, codec.bit_matched_frame
+
+    def spy_count(*a, **kw):
+        calls["count"] += 1
+        return real_count(*a, **kw)
+
+    def spy_matched(*a, **kw):
+        calls["matched"] += 1
+        return real_matched(*a, **kw)
+
+    monkeypatch.setattr(codec, "bit_count_frame", spy_count)
+    monkeypatch.setattr(codec, "bit_matched_frame", spy_matched)
+
+    pinned = LocalSearcher(d, commits=["c0", "c1"], qcache_size=0)
+    got = pinned.count(["import", "return"], "or")
+    assert calls["count"] == 1, "pinned count skipped the bitset path"
+    mids = pinned._matched_ids(["import", "return"], "or")
+    assert calls["matched"] == 1, "pinned _matched_ids skipped bitsets"
+
+    # parity: bitset answers == exhaustive decode on the SAME handle
+    ids, _, _ = pinned._scored(sorted({"import", "return"}))
+    assert got == int(ids.size)
+    assert np.array_equal(mids, np.sort(ids))
+
+    # and the pinned universe really is smaller than the full one
+    full = LocalSearcher(d, qcache_size=0)
+    assert full.count(["import", "return"], "or") > got
+    assert calls["count"] == 2  # full handle used the bitset path too
