@@ -75,3 +75,20 @@ def test_admin_remove_requires_yes(idx, tmp_path):
     assert rc == 1 and not out["ok"] and victim.exists()
     rc, out = run_cli("remove", str(victim), "--yes")
     assert rc == 0 and out["ok"] and not victim.exists()
+
+
+def test_admin_html_status_page(idx, tmp_path):
+    """katta-ui substitution: one command renders a static HTML
+    status page listing every index with status/health/groups/docs/
+    commits plus per-index check + error sections."""
+    out_file = tmp_path / "status.html"
+    rc, out = run_cli("html", str(idx.parent), "--out", str(out_file))
+    assert rc == 0 and out["ok"]
+    page = out_file.read_text()
+    assert page.lstrip().startswith("<!doctype html")
+    assert str(idx) in page              # index listed
+    assert "DEPLOYED" in page            # Katta status column
+    assert ">OK<" in page                # health column from check
+    assert "no problems" in page         # per-index check section
+    assert "no deploy errors" in page    # per-index errors section
+    assert "800" in page.replace(",", "")  # doc count rendered

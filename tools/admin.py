@@ -176,6 +176,72 @@ def cmd_remove(index: str, yes: bool) -> dict:
     return {"ok": True, "removed": str(p)}
 
 
+def _esc(s: object) -> str:
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def cmd_html(root: str, out_path: str | None = None) -> dict:
+    """Static HTML status page — the katta-ui substitution (the
+    reference bundles a Jetty webapp whose index view lists every
+    deployed index with status/#shards/#docs and per-index detail;
+    katta-ui/.../Booster.java boots it against ZooKeeper state).
+    Here cluster state IS the directory tree, so the page is a pure
+    render of cmd_list + per-index cmd_check/cmd_errors: no server,
+    no deps — one self-contained file to drop behind any static
+    host."""
+    listing = cmd_list(root)
+    rows, details = [], []
+    for s in listing["indexes"]:
+        chk = cmd_check(s["index"])
+        err = cmd_errors(s["index"])
+        health = "OK" if chk["ok"] else "UNHEALTHY"
+        rows.append(
+            "<tr><td><a href='#i{n}'>{name}</a></td><td>{st}</td>"
+            "<td class='{hc}'>{h}</td><td>{g}</td><td>{d:,}</td>"
+            "<td>{t:,}</td><td>{c}</td><td>{mb:.1f}</td></tr>".format(
+                n=len(rows), name=_esc(s["index"]), st=_esc(s["status"]),
+                hc="ok" if chk["ok"] else "bad", h=health,
+                g=s["groups"], d=s["n_docs"], t=s["tombstones"],
+                c=_esc(", ".join(map(str, s["commits"])) or "-"),
+                mb=s["bytes"] / 1e6,
+            )
+        )
+        problems = "".join(
+            f"<li>{_esc(p)}</li>" for p in chk.get("problems", [])
+        ) or "<li class='ok'>no problems</li>"
+        errs = "".join(
+            f"<li>{_esc(json.dumps(e, default=str))}</li>"
+            for e in err["errors"]
+        ) or "<li class='ok'>no deploy errors</li>"
+        details.append(
+            f"<h2 id='i{len(details)}'>{_esc(s['index'])}</h2>"
+            f"<p>positions={s['positions']} id_bits={s['id_bits']} "
+            f"postings={s['n_postings']:,}</p>"
+            f"<h3>check</h3><ul>{problems}</ul>"
+            f"<h3>errors</h3><ul>{errs}</ul>"
+        )
+    html = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>katta_spark indexes</title><style>"
+        "body{font-family:sans-serif;margin:2em;color:#222}"
+        "table{border-collapse:collapse}td,th{border:1px solid #999;"
+        "padding:4px 10px;text-align:left}th{background:#eee}"
+        ".ok{color:#0a0}.bad{color:#c00;font-weight:bold}"
+        "</style></head><body>"
+        f"<h1>Indexes under {_esc(root)} ({listing['n']})</h1>"
+        "<table><tr><th>index</th><th>status</th><th>health</th>"
+        "<th>groups</th><th>docs</th><th>tombstones</th>"
+        "<th>commits</th><th>MB</th></tr>"
+        + "".join(rows) + "</table>" + "".join(details)
+        + "</body></html>"
+    )
+    if out_path:
+        Path(out_path).write_text(html)
+    return {"ok": True, "n": listing["n"],
+            "out": out_path, "html": None if out_path else html}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -185,6 +251,9 @@ def main() -> int:
     s = sub.add_parser("remove")
     s.add_argument("path")
     s.add_argument("--yes", action="store_true")
+    s = sub.add_parser("html")
+    s.add_argument("path")
+    s.add_argument("--out", default=None)
     a = ap.parse_args()
     fn = {
         "list": lambda: cmd_list(a.path),
@@ -192,9 +261,13 @@ def main() -> int:
         "check": lambda: cmd_check(a.path),
         "errors": lambda: cmd_errors(a.path),
         "remove": lambda: cmd_remove(a.path, a.yes),
+        "html": lambda: cmd_html(a.path, a.out),
     }[a.cmd]
     out = fn()
-    print(json.dumps(out, indent=1, default=str))
+    if a.cmd == "html" and a.out:
+        print(json.dumps({"ok": True, "out": a.out}, indent=1))
+    else:
+        print(json.dumps(out, indent=1, default=str))
     return 0 if out.get("ok", True) else 1
 
 
