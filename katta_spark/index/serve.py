@@ -2763,11 +2763,11 @@ class ShardedSearcher:
             if attempt == 1:
                 timed_out += broken
             if timed_out:
-                self._mark_failed(timed_out)
+                self._mark_failed(timed_out, payloads)
             if not pending:
                 break
         if pending:
-            self._mark_failed(pending)
+            self._mark_failed(pending, payloads)
         if self.shards_failed and self.complete:
             if first_exc is not None and not isinstance(
                     first_exc, BrokenProcessPool):
@@ -2777,9 +2777,15 @@ class ShardedSearcher:
             )
         return [results[i] for i in sorted(results)]
 
-    def _mark_failed(self, idxs: list[int]) -> None:
+    def _mark_failed(self, idxs: list[int], payloads: list) -> None:
+        # every scatter payload leads with its shard's index_dir, so
+        # the payload itself names the failed shard (payload lists
+        # are not always 1:1 with self.shards — e.g. the evaluation
+        # round of query() excludes shards that missed the df
+        # exchange)
         for i in idxs:
-            d = self.shards[i % len(self.shards)].index_dir
+            p = payloads[i]
+            d = p[0] if isinstance(p, tuple) else str(p)
             if d not in self.shards_failed:
                 self.shards_failed.append(d)
 
@@ -2866,7 +2872,8 @@ class ShardedSearcher:
 
     def query(self, q: str, k: int = 10, offset: int = 0,
               fq: list[str] | None = None,
-              synonyms: dict[str, list[str]] | None = None
+              synonyms: dict[str, list[str]] | None = None,
+              timeout_ms: float | None = None
               ) -> list[tuple[int, float]]:
         """Full Lucene-syntax q+fq scattered across ALL shards — the
         reference's primary search RPC (Client.java:562-649 scatter;
@@ -2884,13 +2891,36 @@ class ShardedSearcher:
         Rank-identical to LocalSearcher.query on the union-built
         index and PhysicalIndex.query on the open_many handle
         (tested).  Per-query work is O(query-term posting blocks) per
-        shard, in parallel — never corpus-size."""
+        shard, in parallel — never corpus-size.
+
+        ``timeout_ms`` (or the handle default) spans BOTH scatter
+        rounds — one client budget, like the reference's single RPC
+        deadline — but the df exchange is capped at HALF of it, so a
+        shard that hangs in round 1 can never starve the evaluation
+        round (the same shape as the reference's 75% collector
+        fraction: an earlier phase must leave the later one time to
+        answer).  Under ``complete=False``, a shard that missed the
+        df exchange is excluded from the evaluation round too: its
+        dfs are absent from the merged catalog, so letting it score
+        round 2 would rank with inconsistent idf."""
+        import time
+
+        budget = self.timeout_ms if timeout_ms is None else timeout_ms
+        t_end = (None if budget is None
+                 else time.monotonic() + float(budget) / 1000.0)
+
+        def left():
+            return (None if t_end is None
+                    else max(0.0, (t_end - time.monotonic()) * 1000.0))
+
         p1 = {"q": q, "fq": fq, "synonyms": synonyms}
         payloads = [(s.index_dir, off, p1)
                     for s, off in zip(self.shards, self.offsets)]
         df_map: dict[str, int] = {}
         pinned: dict[tuple, set[str]] = {}
-        for rows, exp in self._scatter(_shard_collect_task, payloads):
+        r1_budget = None if budget is None else float(budget) / 2.0
+        for rows, exp in self._scatter(_shard_collect_task, payloads,
+                                       timeout_ms=r1_budget):
             # dedupe within the shard first: a term can be BOTH a
             # plain query term and an expansion match (query
             # `import im*`) — its local df must count exactly once
@@ -2910,11 +2940,19 @@ class ShardedSearcher:
             "avgdl": self.stats["avgdl"],
             "need": offset + k,
         }
+        failed1 = list(self.shards_failed)
+        alive = [(s, off) for s, off in zip(self.shards, self.offsets)
+                 if s.index_dir not in failed1]
         pairs = self._scatter(
             _shard_query_task,
-            [(s.index_dir, off, p2)
-             for s, off in zip(self.shards, self.offsets)],
+            [(s.index_dir, off, p2) for s, off in alive],
+            timeout_ms=left(),
         )
+        for d in failed1:
+            if d not in self.shards_failed:
+                self.shards_failed.append(d)
+        if not pairs:
+            return []
         ids = np.concatenate([p[0] for p in pairs])
         scores = np.concatenate([p[1] for p in pairs])
         order = np.lexsort((ids, -scores))[offset:offset + k]

@@ -189,3 +189,41 @@ def test_scatter_retries_dead_worker_once(two_shards):
         sh.close()
         if os.path.exists(_KILL_SENTINEL):
             os.unlink(_KILL_SENTINEL)
+
+
+def _slow_collect_task(payload):
+    from katta_spark.index.serve import _shard_collect_task
+
+    if "shard_b" in payload[0]:
+        time.sleep(3.0)
+    return _shard_collect_task(payload)
+
+
+def test_sharded_query_budget_spans_both_rounds(two_shards, monkeypatch):
+    """The two-round Lucene-string scatter shares ONE client budget;
+    a shard that misses the df exchange is excluded from evaluation
+    too (consistent idf), and under complete=False the answer is the
+    surviving shard's exact ranking."""
+    import katta_spark.index.serve as serve_mod
+
+    da, db = two_shards
+    sh = ShardedSearcher([da, db], complete=False)
+    try:
+        want_full = sh.query("(import OR table) AND scan", k=5)
+        assert sh.shards_failed == []
+        monkeypatch.setattr(serve_mod, "_shard_collect_task",
+                            _slow_collect_task)
+        t0 = time.monotonic()
+        got = sh.query("(import OR table) AND scan", k=5,
+                       timeout_ms=700)
+        assert time.monotonic() - t0 < 2.5
+        assert sh.shards_failed == [db]
+        # shard_a occupies offset 0, so its namespaced ids equal its
+        # local ids: the partial answer is shard_a's exact ranking
+        # under shard_a-local idf
+        only_a = LocalSearcher(da, qcache_size=0)
+        want = only_a.query("(import OR table) AND scan", k=5)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert got != want_full or len(want_full) == len(want)
+    finally:
+        sh.close()

@@ -86,7 +86,11 @@ def main() -> None:
     t_shards = time.monotonic() - t0
     spark.stop()
 
-    ls = LocalSearcher(f"{shm}/union")
+    # qcache_size=0: cold-path latency each repeat (the round-3
+    # regime — round 4 added a queryResultCache that would otherwise
+    # serve med5's repeats from memory); warm-cache rows are
+    # measured separately below.
+    ls = LocalSearcher(f"{shm}/union", qcache_size=0)
     sh = ShardedSearcher(shard_dirs)
 
     qset = {
@@ -128,6 +132,8 @@ def main() -> None:
         "n_docs": n, "shards": args.shards, "reps": args.reps,
         "build_union_s": round(t_union, 1),
         "build_shards_s": round(t_shards, 1),
+        # one doc == one source file: the build-throughput headline
+        "build_files_per_sec": round(n / t_union, 1),
         "local_ms": {}, "sharded_ms": {}, "parity": {},
     }
     NO_PARITY = {"sig_terms_pruned"}  # ES shard_min_doc_count mode:
@@ -144,6 +150,16 @@ def main() -> None:
             out["parity"][name] = bool(a == b)
         out["local_ms"][name] = med5(lambda q=q: q(ls))
         out["sharded_ms"][name] = med5(lambda q=q: q(sh))
+    # r4 queryResultCache hot path: one cold fill, repeats served
+    # from the node's in-memory LRU (flushed on refresh())
+    warm = LocalSearcher(f"{shm}/union")
+    warm.count(["import", "return"])
+    warm.query("(scan OR merge) AND import", k=10)
+    out["local_warm_ms"] = {
+        "count_or": med5(lambda: warm.count(["import", "return"])),
+        "lucene_nested": med5(
+            lambda: warm.query("(scan OR merge) AND import", k=10)),
+    }
     sh.close()
     shutil.rmtree(shm, ignore_errors=True)
     print("SERVING " + json.dumps(out))
