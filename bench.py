@@ -292,6 +292,16 @@ def main() -> None:
         lambda: text.unigram_logprob(docs, text_col="text").count(),
         repeats=1,
     )
+    # r4: distributed-rank mixture order (the round-3 verdict's one
+    # scale-killer, now range-partitioned — no single-partition sort)
+    from katta_spark.ops import sampling as SAMPL
+
+    queries["op_mixture_order"] = timed(
+        lambda: SAMPL.mixture_order(
+            docs, {f"src{i}": 1.0 + (i % 3) for i in range(20)}
+        ).count(),
+        repeats=1,
+    )
     from katta_spark.ops import timeseries as TSOPS
 
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
