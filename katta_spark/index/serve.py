@@ -1243,7 +1243,8 @@ class LocalSearcher:
 
     def _sigterms_fg_tbl(self, qterms: list[str], mode: str = "or",
                          max_fg: int | None = None,
-                         shard_min_df: int = 1):
+                         shard_min_df: int = 1,
+                         shard_size: int | None = None):
         """Arrow-table form of :meth:`_sigterms_fg` — (pa.Table
         (term, df_fg), n_fg).  The sharded scatter ships THIS across
         the process boundary: a pyarrow Table pickles via Arrow IPC
@@ -1293,6 +1294,32 @@ class LocalSearcher:
             out = out.filter(
                 pc.greater_equal(out["df_fg"], pa.scalar(shard_min_df))
             )
+        if shard_size is not None and out.num_rows > int(shard_size):
+            # ES shard_size semantics: each shard sends only its top
+            # candidates by SHARD-LOCAL significance (same lift
+            # formula over this shard's own bg dfs / n_docs — the
+            # stats a Lucene shard has for free), coordinator merges.
+            # APPROXIMATE: a term outside some shard's shortlist
+            # loses that shard's df_fg contribution — exactly the ES
+            # trade; at 10M docs the exact exchange itself (not the
+            # tail filter) dominates, and this is the knob that
+            # collapses it.  The cut is deterministic (lift desc,
+            # df_fg desc, term asc — the ranker's own tie-break).
+            cand = out.to_pandas()
+            n_local = int(ids.size)
+            bg = self._df_for(sorted(cand["term"].tolist()))
+            cand = cand.merge(bg.rename(columns={"df": "df_bg"}),
+                              on="term")
+            raw = ((cand["df_fg"] / float(max(n_local, 1)))
+                   / (cand["df_bg"] / float(self.stats["n_docs"])))
+            cand = cand.assign(_raw=raw).sort_values(
+                ["_raw", "df_fg", "term"],
+                ascending=[False, False, True], kind="mergesort",
+            ).head(int(shard_size))
+            out = pa.table({
+                "term": pa.array(cand["term"], pa.string()),
+                "df_fg": pa.array(cand["df_fg"], pa.int64()),
+            })
         return out, int(ids.size)
 
     def significant_terms(self, qterms: list[str], m_terms: int = 10,
@@ -2520,7 +2547,8 @@ def _shard_sigterms_task(payload: tuple):
     s = _shard_handle(d)
     return s._sigterms_fg_tbl(p["terms"], p["mode"],
                               max_fg=p.get("max_fg"),
-                              shard_min_df=p.get("shard_min_df", 1))
+                              shard_min_df=p.get("shard_min_df", 1),
+                              shard_size=p.get("shard_size"))
 
 
 def _parse_stripped(s: "LocalSearcher", q, fq):
@@ -3488,7 +3516,8 @@ class ShardedSearcher:
     def significant_terms(self, qterms: list[str], m_terms: int = 10,
                           mode: str = "or", min_df: int = 2,
                           max_fg: int | None = None,
-                          shard_min_df: int = 1) -> pd.DataFrame:
+                          shard_min_df: int = 1,
+                          shard_size: int | None = None) -> pd.DataFrame:
         """Scatter-gather significant_terms, EXACT in two rounds:
         (1) per-shard foreground histograms + n_fg summed over
         disjoint doc sets; (2) background dfs for the union
@@ -3503,13 +3532,29 @@ class ShardedSearcher:
         keeps the scatter exact; 2 trades the long singleton tail —
         on code corpora the bulk of the vocabulary (per-doc unique
         identifiers), hence the bulk of the exchange cost — for the
-        documented ES approximation."""
+        documented ES approximation.
+
+        ``shard_size`` is ES's shard_size: each shard ships only its
+        top candidates by SHARD-LOCAL significance; the coordinator
+        merges and re-ranks the union exactly.  Approximate (a term
+        outside a shard's shortlist loses that shard's df_fg), but
+        the knob that collapses the exchange at 10M+ docs where the
+        candidate volume itself — not the tail filter — dominates.
+        Setting it raises the local floor to ``min_df`` (unless
+        ``shard_min_df`` is set higher): lift ranks a shard's
+        singleton tail FIRST (df_bg=1 terms have the maximal ratio),
+        so an unfloored shortlist would be all sub-``min_df`` noise
+        the coordinator then discards — ES documents the same
+        shard_min_doc_count guidance for exactly this reason."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
+        local_floor = (max(int(shard_min_df), int(min_df))
+                       if shard_size is not None else int(shard_min_df))
         res = self._scatter(
             _shard_sigterms_task,
             [(s.index_dir, off,
               {"terms": terms, "mode": mode, "max_fg": max_fg,
-               "shard_min_df": int(shard_min_df)})
+               "shard_min_df": local_floor,
+               "shard_size": shard_size})
              for s, off in zip(self.shards, self.offsets)],
         )
         import pyarrow as pa

@@ -754,3 +754,37 @@ def test_sharded_suggesters_and_fmetric_match_union(spark, split_dirs):
             b.round({"metric_avg": 6}).values.tolist()
     finally:
         sh.close()
+
+
+def test_sharded_significant_terms_shard_size(spark, split_dirs):
+    """ES shard_size semantics (round 4): each shard ships only its
+    top candidates by shard-local significance.  A generous
+    shard_size reproduces the exact ranking; a tight one still
+    surfaces the strong signals (its results are a subset of a wide
+    exact run, df_fg never inflated) and is deterministic."""
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    _, da, db, du = split_dirs
+    sh = ShardedSearcher([da, db])
+    un = LocalSearcher(du)
+    try:
+        exact = sh.significant_terms(["parse"], m_terms=8)
+        # shard_size >= each shard's candidate count => exact
+        wide = sh.significant_terms(["parse"], m_terms=8,
+                                    shard_size=10**6)
+        assert wide.values.tolist() == exact.values.tolist()
+        assert exact.values.tolist() == \
+            un.significant_terms(["parse"], m_terms=8).values.tolist()
+        tight = sh.significant_terms(["parse"], m_terms=8,
+                                     shard_size=25)
+        assert len(tight) > 0
+        wide50 = sh.significant_terms(["parse"], m_terms=200)
+        assert set(tight["term"]) <= set(wide50["term"])
+        ex = dict(zip(wide50["term"], wide50["df_fg"]))
+        for t, c in zip(tight["term"], tight["df_fg"]):
+            assert c <= ex[t]  # shortlist misses only remove df_fg
+        again = sh.significant_terms(["parse"], m_terms=8,
+                                     shard_size=25)
+        assert again.values.tolist() == tight.values.tolist()
+    finally:
+        sh.close()
