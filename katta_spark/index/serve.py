@@ -2700,7 +2700,8 @@ class ShardedSearcher:
         self.close()
         for d in dirs:
             _SHARD_CACHE.pop(d, None)
-        self.__init__(dirs)
+        self.__init__(dirs, timeout_ms=self.timeout_ms,
+                      complete=self.complete)
         return self
 
     def __del__(self):  # pragma: no cover - GC timing

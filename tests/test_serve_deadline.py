@@ -227,3 +227,17 @@ def test_sharded_query_budget_spans_both_rounds(two_shards, monkeypatch):
         assert got != want_full or len(want_full) == len(want)
     finally:
         sh.close()
+
+
+def test_sharded_refresh_preserves_policy(two_shards):
+    """refresh() re-opens shards but must keep the handle's budget
+    and partial-result policy."""
+    da, db = two_shards
+    sh = ShardedSearcher([da, db], timeout_ms=1234, complete=False)
+    try:
+        sh.count(["import"])
+        sh.refresh()
+        assert sh.timeout_ms == 1234 and sh.complete is False
+        assert sh.count(["import"]) > 0
+    finally:
+        sh.close()
