@@ -22,8 +22,14 @@ Prints one JSON line with sequential QPS, batched QPS, and the
 amortization speedup.  Deterministic workload (query i = mix[i % 8]),
 no random state.
 
+``--tier serve`` replays the same mix against the SERVING tier
+instead (LocalSearcher + an 8-shard ShardedSearcher) — the shape the
+reference's load tool actually hits (node RPCs, not MapReduce jobs):
+sequential node QPS cold (query cache off), node QPS warm (the Solr
+queryResultCache hot path), and scatter QPS across shards.
+
 Usage: python tools/loadtest.py [--docs 100000] [--cpus 32]
-       [--queries 96] [--batch 16] [--reps 2]
+       [--queries 96] [--batch 16] [--reps 2] [--tier spark|serve]
 """
 
 from __future__ import annotations
@@ -68,7 +74,12 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2,
                     help="body_reps (doc size) for the corpus")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--tier", choices=["spark", "serve"],
+                    default="spark")
+    ap.add_argument("--shards", type=int, default=8)
     args = ap.parse_args()
+    if args.tier == "serve":
+        return serve_tier(args)
 
     shm = tempfile.mkdtemp(
         prefix="katta_loadtest_",
@@ -125,6 +136,82 @@ def main() -> None:
             "batch_wall_s": round(bat_s, 2),
         }))
         spark.stop()
+    finally:
+        shutil.rmtree(shm, ignore_errors=True)
+
+
+def serve_tier(args) -> None:
+    """Node-tier replay of the same mix: sequential QPS on one
+    LocalSearcher cold (qcache off) and warm (the queryResultCache
+    hot path — the reference nodes cache the same way), plus scatter
+    QPS across ``--shards`` shard indexes."""
+    import pyspark.sql.functions as F
+
+    from katta_spark.corpus import with_ingest_columns
+    from katta_spark.index.serve import LocalSearcher, ShardedSearcher
+
+    shm = tempfile.mkdtemp(
+        prefix="katta_loadtest_srv_",
+        dir="/dev/shm" if Path("/dev/shm").is_dir() else None,
+    )
+    try:
+        spark = get_spark(
+            app_name="katta_loadtest_srv", master=f"local[{args.cpus}]",
+            shuffle_partitions=args.cpus,
+            extra_conf={"spark.local.dir": f"{shm}/local"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        full = with_ingest_columns(
+            synthetic_corpus(spark, args.docs, body_reps=args.reps)
+        )
+        build_index(spark, full, f"{shm}/union", n_groups=1,
+                    block_range=1024)
+        per = args.docs // args.shards
+        dirs = []
+        for s in range(args.shards):
+            lo = s * per
+            hi = args.docs if s == args.shards - 1 else (s + 1) * per
+            part = full.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).withColumn("doc_id", F.col("doc_id") - lo)
+            d = f"{shm}/shard{s}"
+            build_index(spark, part, d, n_groups=1, block_range=1024)
+            dirs.append(d)
+        spark.stop()
+
+        n = args.queries
+
+        def replay(fn):
+            t0 = time.monotonic()
+            for i in range(n):
+                q, m = MIX[i % len(MIX)]
+                fn(q, m)
+            return time.monotonic() - t0
+
+        cold = LocalSearcher(f"{shm}/union", qcache_size=0)
+        for q, m in MIX:
+            cold.topk(q, k=args.k, mode=m)  # warm files/JIT, no cache
+        cold_s = replay(lambda q, m: cold.topk(q, k=args.k, mode=m))
+
+        warm = LocalSearcher(f"{shm}/union")
+        for q, m in MIX:
+            warm.topk(q, k=args.k, mode=m)  # fill the result cache
+        warm_s = replay(lambda q, m: warm.topk(q, k=args.k, mode=m))
+
+        sh = ShardedSearcher(dirs)
+        for q, m in MIX:
+            sh.topk(q, k=args.k, mode=m)
+        scat_s = replay(lambda q, m: sh.topk(q, k=args.k, mode=m))
+        sh.close()
+
+        print(json.dumps({
+            "metric": "serving-tier load test (node QPS cold/warm + scatter)",
+            "docs": args.docs, "shards": args.shards, "n_queries": n,
+            "node_cold_qps": round(n / cold_s, 1),
+            "node_warm_qps": round(n / warm_s, 1),
+            "scatter_qps": round(n / scat_s, 1),
+            "cache_speedup": round(cold_s / warm_s, 1),
+        }))
     finally:
         shutil.rmtree(shm, ignore_errors=True)
 
