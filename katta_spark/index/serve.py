@@ -511,6 +511,26 @@ class LocalSearcher:
                       qcache_size=self._qcache_size)
         return self
 
+    def node_metrics(self) -> dict:
+        """Per-node operational counters — the reference nodes report
+        query throughput and cache stats to a metrics registry
+        (Katta's node metrics + Solr cache MBeans).  Pure in-memory
+        reads, no I/O."""
+        c = self._qcache
+        total = (c.hits + c.misses) if c else 0
+        return {
+            "index_dir": self.index_dir,
+            "n_docs": int(self.stats["n_docs"]),
+            "commits": list(self.stats.get("commits") or []),
+            "pinned_commits": list(self._commits or []),
+            "tombstones": int(self._tomb.size) if self._tomb is not None
+            else 0,
+            "qcache_hits": c.hits if c else 0,
+            "qcache_misses": c.misses if c else 0,
+            "qcache_hit_rate": round(c.hits / total, 4) if total else 0.0,
+            "qcache_entries": len(c._d) if c else 0,
+        }
+
     def _cached(self, key: tuple, compute):
         """Serve ``key`` from the result cache, else compute + fill.
         Overlays (_global_view) bypass entirely: their results depend
@@ -2658,6 +2678,10 @@ class ShardedSearcher:
         #: shard dirs that failed/timed out in the LAST scatter —
         #: reset per query; feeds the search() envelope
         self.shards_failed: list[str] = []
+        # lifetime scatter counters (metrics())
+        self._n_scatters = 0
+        self._n_retries = 0
+        self._n_failures = 0
         self.shards = [LocalSearcher(d) for d in dirs]
         base = self.shards[0].stats
         br = base["block_range"]
@@ -2751,6 +2775,7 @@ class ShardedSearcher:
 
         budget = self.timeout_ms if timeout_ms is None else timeout_ms
         self.shards_failed = []
+        self._n_scatters += 1
         if len(payloads) == 1 and budget is None:
             return [task_fn(payloads[0])]
         deadline = (None if budget is None
@@ -2788,6 +2813,8 @@ class ShardedSearcher:
             if broken:
                 # dead fork-pool: restart it, re-dispatch ONCE
                 self.close()
+                if attempt == 0:
+                    self._n_retries += len(broken)
             pending = broken if attempt == 0 else []
             if attempt == 1:
                 timed_out += broken
@@ -2806,6 +2833,18 @@ class ShardedSearcher:
             )
         return [results[i] for i in sorted(results)]
 
+    def metrics(self) -> dict:
+        """Scatter-client counters + per-shard node metrics — the
+        client-side view of the reference's node metrics registry."""
+        return {
+            "shards_total": len(self.shards),
+            "n_scatters": self._n_scatters,
+            "n_retries": self._n_retries,
+            "n_shard_failures": self._n_failures,
+            "last_shards_failed": list(self.shards_failed),
+            "per_shard": [s.node_metrics() for s in self.shards],
+        }
+
     def _mark_failed(self, idxs: list[int], payloads: list) -> None:
         # every scatter payload leads with its shard's index_dir, so
         # the payload itself names the failed shard (payload lists
@@ -2817,6 +2856,7 @@ class ShardedSearcher:
             d = p[0] if isinstance(p, tuple) else str(p)
             if d not in self.shards_failed:
                 self.shards_failed.append(d)
+                self._n_failures += 1
 
     def _merged_cat(self, terms: list[str]) -> pd.DataFrame:
         """The getDocFreqs() exchange: per-shard catalog reads for

@@ -241,3 +241,33 @@ def test_sharded_refresh_preserves_policy(two_shards):
         assert sh.count(["import"]) > 0
     finally:
         sh.close()
+
+
+def test_metrics_surfaces(two_shards):
+    """node_metrics / metrics counters: cache stats move, scatter
+    counters count, failures recorded — the client-side view of the
+    reference's node metrics registry."""
+    da, db = two_shards
+    ls = LocalSearcher(da)
+    ls.topk(["import"], k=3)
+    ls.topk(["import"], k=3)
+    m = ls.node_metrics()
+    assert m["qcache_hits"] == 1 and m["qcache_misses"] == 1
+    assert m["qcache_hit_rate"] == 0.5 and m["qcache_entries"] == 1
+    assert m["n_docs"] > 0 and m["tombstones"] == 0
+
+    sh = ShardedSearcher([da, db], timeout_ms=700, complete=False)
+    try:
+        sh.count(["import"])
+        sh._scatter(
+            _slow_count_task,
+            [(s.index_dir, {"terms": ["import"], "mode": "or"})
+             for s in sh.shards],
+        )
+        sm = sh.metrics()
+        assert sm["n_scatters"] == 2
+        assert sm["n_shard_failures"] == 1
+        assert sm["last_shards_failed"] == [db]
+        assert len(sm["per_shard"]) == 2
+    finally:
+        sh.close()
