@@ -2284,9 +2284,11 @@ class PhysicalIndex:
         """(term, df) — Solr TermsComponent ``terms.regex``: content
         terms FULLY matching the regex (Lucene whole-term anchoring),
         ranked by df.  One catalog scan."""
-        # (?i) instead of pattern.lower(): lowercasing would invert
-        # shorthand classes (\S -> \s), silently negating them.
-        anchored = f"(?i)^(?:{pattern})$"
+        # (?iu) instead of pattern.lower(): lowercasing would invert
+        # shorthand classes (\S -> \s), silently negating them; the
+        # u flag makes Java's case folding Unicode-aware to match
+        # the node tier's re.IGNORECASE (default-Unicode in Python).
+        anchored = f"(?iu)^(?:{pattern})$"
         cond = F.col("term").rlike(anchored)
         if ":" not in pattern:
             cond = cond & ~F.col("term").contains(":")

@@ -243,13 +243,36 @@ class QueryTimeout(RuntimeError):
 #: hundred microseconds of block work
 _DEADLINE_STRIDE = 32
 
+#: process-wide kernel deadline for a scatter WORKER — armed by
+#: _deadline_task around a budgeted shard task so a runaway scan
+#: aborts inside the worker (freeing it for the shard's next query)
+#: even though the task functions don't thread a deadline through
+_WORKER_DEADLINE: float | None = None
+
 
 def _check_deadline(deadline: float | None, i: int) -> None:
+    if deadline is None:
+        deadline = _WORKER_DEADLINE
     if deadline is not None and (i % _DEADLINE_STRIDE) == 0:
         import time
 
         if time.monotonic() > deadline:
             raise QueryTimeout("query deadline exceeded in kernel")
+
+
+def _deadline_task(args: tuple):
+    """Run a shard task with the worker-side kernel deadline armed at
+    75% of the client budget remaining at dispatch (the reference's
+    collector fraction) — see _scatter's failure policy."""
+    import time
+
+    fn, payload, budget_ms = args
+    global _WORKER_DEADLINE
+    _WORKER_DEADLINE = time.monotonic() + 0.75 * float(budget_ms) / 1000.0
+    try:
+        return fn(payload)
+    finally:
+        _WORKER_DEADLINE = None
 
 
 def _exhaustive_scan(blocks: pd.DataFrame, n_docs: float, avgdl: float,
@@ -2721,11 +2744,14 @@ class ShardedSearcher:
         parent's inline-path cache entries are dropped too (forked
         children inherit the parent's module globals)."""
         dirs = [s.index_dir for s in self.shards]
+        keep = (self._n_scatters, self._n_retries, self._n_failures)
         self.close()
         for d in dirs:
             _SHARD_CACHE.pop(d, None)
         self.__init__(dirs, timeout_ms=self.timeout_ms,
                       complete=self.complete)
+        # lifetime counters survive the reopen (metrics contract)
+        self._n_scatters, self._n_retries, self._n_failures = keep
         return self
 
     def __del__(self):  # pragma: no cover - GC timing
@@ -2761,14 +2787,28 @@ class ShardedSearcher:
         cost is microseconds.  Single shard runs inline (no budget).
 
         Failure policy (NodeInteraction.java:141-205 +
-        ClientResultReceiver.java:147-166): a DEAD worker (broken
-        pool) gets its shard tasks re-dispatched ONCE to a fresh
-        pool; a shard that then still fails — or that misses the
-        ``timeout_ms`` budget (no retry: a timed-out shard would
-        just time out again inside the same budget) — is dropped
-        from the merge.  ``complete=True`` raises instead; the
-        surviving shards' results are exact either way (a shard
-        result is whole or absent)."""
+        ClientResultReceiver.java:147-166), by failure class:
+
+        - DEAD worker (BrokenProcessPool, e.g. OOM-kill): the pool is
+          rebuilt and that shard's task re-dispatched ONCE; twice-dead
+          drops from the merge (or raises under ``complete=True``).
+        - TIMEOUT: dropped, never retried (it would just time out
+          again inside the same budget).  When a budget is set the
+          worker also arms the KERNEL deadline (75% of the remaining
+          budget), so a runaway scan aborts in the worker and frees
+          it — without this a wedged worker would queue the shard's
+          next queries behind it and cascade timeouts onto healthy
+          requests (with-budget test covers the return path; the
+          worker-side abort mirrors LuceneServer's collector).
+        - TASK EXCEPTION (bad query, unknown field, in-kernel
+          QueryTimeout): deterministic — never retried, never tears
+          the healthy pool down; raised immediately under
+          ``complete=True``, dropped under ``complete=False``.
+
+        Even under ``complete=False``, ZERO surviving shards raises
+        (Solr shards.tolerant does the same): there is no meaningful
+        partial result, and returning [] would push confusing
+        empty-concat errors into every merge surface."""
         import time
         from concurrent.futures import TimeoutError as FutTimeout
         from concurrent.futures.process import BrokenProcessPool
@@ -2785,15 +2825,22 @@ class ShardedSearcher:
         first_exc: BaseException | None = None
         for attempt in (0, 1):
             pool = self._ensure_pool()
+            left_ms = (None if deadline is None else
+                       max(0.0, (deadline - time.monotonic()) * 1000.0))
             try:
-                futs = {i: pool.submit(task_fn, payloads[i])
+                if left_ms is None:
+                    futs = {i: pool.submit(task_fn, payloads[i])
+                            for i in pending}
+                else:
+                    futs = {i: pool.submit(
+                        _deadline_task, (task_fn, payloads[i], left_ms))
                         for i in pending}
             except BrokenProcessPool:
                 self.close()
                 if attempt:
                     break
                 continue
-            timed_out, broken = [], []
+            timed_out, broken, errored = [], [], []
             for i, fut in futs.items():
                 left = (None if deadline is None
                         else max(0.0, deadline - time.monotonic()))
@@ -2805,11 +2852,14 @@ class ShardedSearcher:
                 except BrokenProcessPool:
                     broken.append(i)
                 except Exception as e:
-                    # task raised (e.g. QueryTimeout in a kernel):
-                    # treat as a failed shard, retryable once
+                    # deterministic task failure: no retry, pool is
+                    # healthy — do NOT tear it down (the workers'
+                    # warm shard-handle caches survive)
                     if first_exc is None:
                         first_exc = e
-                    broken.append(i)
+                    errored.append(i)
+            if errored and self.complete:
+                raise first_exc
             if broken:
                 # dead fork-pool: restart it, re-dispatch ONCE
                 self.close()
@@ -2818,8 +2868,7 @@ class ShardedSearcher:
             pending = broken if attempt == 0 else []
             if attempt == 1:
                 timed_out += broken
-            if timed_out:
-                self._mark_failed(timed_out, payloads)
+            self._mark_failed(timed_out + errored, payloads)
             if not pending:
                 break
         if pending:
@@ -2831,11 +2880,21 @@ class ShardedSearcher:
             raise TimeoutError(
                 f"shards failed within budget: {self.shards_failed}"
             )
+        if payloads and not results:
+            raise TimeoutError(
+                f"all shards failed within budget: {self.shards_failed}"
+            )
         return [results[i] for i in sorted(results)]
 
     def metrics(self) -> dict:
         """Scatter-client counters + per-shard node metrics — the
-        client-side view of the reference's node metrics registry."""
+        client-side view of the reference's node metrics registry.
+        Lifetime counters survive refresh().  ``per_shard`` reads
+        THIS process's shard handles (the inline / single-shard
+        path); scattered queries run in forked workers whose own
+        result caches are per-worker-process and not aggregated
+        here — worker cache behavior is measured by the loadtest's
+        serve tier, not this snapshot."""
         return {
             "shards_total": len(self.shards),
             "n_scatters": self._n_scatters,
@@ -3033,7 +3092,12 @@ class ShardedSearcher:
         disjoint doc sets, so the sum is exact — the reference's
         scatter-gather count, its one published latency number).  No
         df exchange: membership is idf-free, so the scatter is ONE
-        round of per-shard bitset counts."""
+        round of per-shard bitset counts.
+
+        Under ``complete=False`` a timed-out shard drops out and the
+        sum covers the SURVIVORS only — check ``self.shards_failed``
+        (or use search(k=0) for the envelope with completeness
+        fields) before trusting a partial count."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
         return sum(self._scatter(
             _shard_count_task,

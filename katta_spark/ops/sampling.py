@@ -492,7 +492,12 @@ def _dist_rank(df: DataFrame, sort_cols: list[str], rank_col: str,
                     nxt += e - s
             yield pdf.assign(**{rank_col: ranks})
 
-    return d.mapInPandas(add_rank, schema=out_schema).drop("_pid")
+    out = d.mapInPandas(add_rank, schema=out_schema).drop("_pid")
+    # the persisted intermediate rides along so callers chaining two
+    # ranks (mixture_order) can release the earlier stage's cache
+    # once the later stage has materialized its own
+    out._katta_cache = d
+    return out
 
 
 def mixture_order(docs: DataFrame, weights: dict[str, float],
@@ -528,11 +533,19 @@ def mixture_order(docs: DataFrame, weights: dict[str, float],
     shuffled = slim.withColumn(
         "_h", hash_bucket(F.col("doc_id"), salt="mix")
     )
-    keyed = _dist_rank(
-        shuffled, ["grp", "_h", "doc_id"], "_r", group_col="grp"
-    ).withColumn(
+    r1 = _dist_rank(shuffled, ["grp", "_h", "doc_id"], "_r",
+                    group_col="grp")
+    keyed = r1.withColumn(
         "_key", F.col("_r").cast("double") / F.col("_w")
     ).select("doc_id", "grp", "_key")
-    return _dist_rank(
-        keyed, ["_key", "grp", "doc_id"], "pos"
-    ).select("doc_id", "grp", "pos")
+    r2 = _dist_rank(keyed, ["_key", "grp", "doc_id"], "pos")
+    # stage 2's own persisted intermediate is materialized (its count
+    # pass ran inside _dist_rank), so stage 1's cache is no longer on
+    # the serving path — release it.  A later eviction of stage 2's
+    # cache recomputes from source through the same partitioner
+    # instance (range bounds are fixed at plan time), so results
+    # cannot drift.  NOTE: mixture_order is EAGER (two tiny count
+    # jobs run at construction) and the returned frame holds ONE
+    # cached slim projection (~30 B/row) for reuse.
+    r1._katta_cache.unpersist()
+    return r2.select("doc_id", "grp", "pos")

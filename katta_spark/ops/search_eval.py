@@ -30,20 +30,14 @@ from pyspark.sql import functions as F
 FUSE_MAX_LIST_ROWS = 100_000
 
 
-def _require_shortlist(df: DataFrame, id_col: str, op: str,
-                       cap: int) -> None:
-    """Loud guard: raise if a fusion input exceeds ``cap`` rows.
-    The probe is ``limit(cap + 1).count()`` so the check itself
-    never scans more than cap+1 rows of an unbounded input."""
-    n = df.select(id_col).limit(int(cap) + 1).count()
-    if n > cap:
-        raise ValueError(
-            f"{op} fuses bounded top-k shortlists only, but got an "
-            f"input with more than {cap} rows — cut it with "
-            f".limit()/topk before fusing (the per-list rank/min-max "
-            f"window is single-partition on purpose and would "
-            f"otherwise sort the whole input on one core)"
-        )
+def _guard_msg(op: str, cap: int) -> str:
+    return (
+        f"{op} fuses bounded top-k shortlists only, but got an "
+        f"input with more than {cap} rows - cut it with "
+        f".limit()/topk before fusing (the per-list rank/min-max "
+        f"window is single-partition on purpose and would "
+        f"otherwise sort the whole input on one core)"
+    )
 
 
 def rrf_fuse(lists: list[tuple[DataFrame, str]], id_col: str = "doc_id",
@@ -64,13 +58,24 @@ def rrf_fuse(lists: list[tuple[DataFrame, str]], id_col: str = "doc_id",
     size.  Returns (id, rrf_score, n_lists), rrf_score desc / id asc
     (rounded score drives the ordering so near-ulp sum differences
     cannot flip ranks across engines).  Inputs larger than
-    ``max_list_rows`` raise (see :func:`_require_shortlist`)."""
+    ``max_list_rows`` raise AT EXECUTION — the guard is an in-plan
+    ``limit(cap+1)`` + ``assert_true(rank <= cap)``, so it bounds the
+    single-partition window structurally and costs ZERO extra jobs
+    (a pre-count probe would re-run each shortlist's whole upstream
+    lineage once per fuse)."""
+    cap = int(max_list_rows)
     parts = []
     for df, score_col in lists:
-        _require_shortlist(df, id_col, "rrf_fuse", max_list_rows)
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        rk = F.row_number().over(w)
+        # guard folded INTO the load-bearing rank column (a dropped
+        # assert column would be pruned by Catalyst and never run)
+        guarded = F.when(rk <= F.lit(cap), rk).otherwise(
+            F.raise_error(_guard_msg("rrf_fuse", cap)).cast("int")
+        )
         parts.append(
-            df.select(F.col(id_col), F.row_number().over(w).alias("_rk"))
+            df.limit(cap + 1)
+            .select(F.col(id_col), guarded.alias("_rk"))
         )
     u = parts[0]
     for p in parts[1:]:
@@ -175,21 +180,29 @@ def linear_fuse(lists: list[tuple[DataFrame, str, float]],
     sizes).  Normalized contributions are rounded to 6dp BEFORE the
     weighted sum so near-ulp differences cannot flip ranks across
     engines.  Returns (id, lin_score, n_lists).  Inputs larger than
-    ``max_list_rows`` raise (see :func:`_require_shortlist`)."""
+    ``max_list_rows`` raise AT EXECUTION (same zero-extra-job guard
+    as :func:`rrf_fuse`: in-plan limit + assert on the window
+    count)."""
+    cap = int(max_list_rows)
     parts = []
     for df, score_col, weight in lists:
-        _require_shortlist(df, id_col, "linear_fuse", max_list_rows)
         w = Window.partitionBy()
         s = F.col(score_col).cast("double")
         rng = F.max(s).over(w) - F.min(s).over(w)
         norm = F.when(rng > 0, (s - F.min(s).over(w)) / rng).otherwise(
             F.lit(1.0)
         )
+        contrib = F.lit(float(weight)) * F.round(norm, 6)
+        # guard folded INTO the load-bearing contribution column
+        # (see rrf_fuse: a dropped assert column would be pruned)
+        guarded = F.when(
+            F.count(F.lit(1)).over(w) <= F.lit(cap), contrib
+        ).otherwise(
+            F.raise_error(_guard_msg("linear_fuse", cap)).cast("double")
+        )
         parts.append(
-            df.select(
-                F.col(id_col),
-                (F.lit(float(weight)) * F.round(norm, 6)).alias("_c"),
-            )
+            df.limit(cap + 1).select(F.col(id_col),
+                                     guarded.alias("_c"))
         )
     u = parts[0]
     for p in parts[1:]:

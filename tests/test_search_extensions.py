@@ -1086,8 +1086,10 @@ def test_distance_feature_null_field_keeps_bm25(spark, tmp_path):
 def test_fuse_guards_reject_unbounded_inputs(spark):
     """Round-4 guard: the fusion windows are single-partition by
     design (shortlists only); an oversized input must fail loudly
-    instead of silently one-partition-sorting it — and the probe
-    itself must not scan the whole input (limit-pushdown)."""
+    instead of silently one-partition-sorting it.  The guard is
+    IN-PLAN (limit(cap+1) + assert_true) so it costs zero extra jobs
+    and structurally bounds the window input; the error surfaces at
+    execution."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -1097,10 +1099,11 @@ def test_fuse_guards_reject_unbounded_inputs(spark):
         F.col("id").alias("doc_id"), F.rand(7).alias("score")
     )
     ok = big.limit(20)
-    with pytest.raises(ValueError, match="bounded top-k"):
-        rrf_fuse([(ok, "score"), (big, "score")], max_list_rows=1000)
-    with pytest.raises(ValueError, match="bounded top-k"):
-        linear_fuse([(big, "score", 1.0)], max_list_rows=1000)
+    with pytest.raises(Exception, match="bounded top-k"):
+        rrf_fuse([(ok, "score"), (big, "score")],
+                 max_list_rows=1000).collect()
+    with pytest.raises(Exception, match="bounded top-k"):
+        linear_fuse([(big, "score", 1.0)], max_list_rows=1000).collect()
     # bounded inputs still fuse fine under the same cap
     assert rrf_fuse([(ok, "score"), (ok, "score")],
                     max_list_rows=1000, n=5).count() == 5

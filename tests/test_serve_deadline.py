@@ -271,3 +271,66 @@ def test_metrics_surfaces(two_shards):
         assert len(sm["per_shard"]) == 2
     finally:
         sh.close()
+
+
+def test_all_shards_failed_raises_even_tolerant(two_shards, monkeypatch):
+    """Zero surviving shards has no meaningful partial result: even
+    complete=False raises a clear TimeoutError (Solr shards.tolerant
+    behaves the same) instead of pushing an empty list into every
+    merge surface's concat."""
+    da, db = two_shards
+    sh = ShardedSearcher([da, db], complete=False)
+    try:
+        with pytest.raises(TimeoutError, match="all shards"):
+            sh._scatter(
+                _sleep_both_task,
+                [(s.index_dir, {"terms": ["import"], "mode": "or"})
+                 for s in sh.shards],
+                timeout_ms=400,
+            )
+        assert sorted(sh.shards_failed) == sorted([da, db])
+    finally:
+        sh.close()
+
+
+def _sleep_both_task(payload):
+    time.sleep(3.0)
+    return _shard_count_task(payload)
+
+
+def _boom_task(payload):
+    if "shard_b" in payload[0]:
+        raise ValueError("no such field: bogus")
+    return _shard_count_task(payload)
+
+
+def test_task_exception_keeps_pool_and_raises_original(two_shards):
+    """A deterministic task error must NOT tear down the healthy
+    pool (the workers' warm shard caches survive) and must surface
+    the ORIGINAL exception under complete=True; under complete=False
+    the shard is dropped without a retry."""
+    da, db = two_shards
+    sh = ShardedSearcher([da, db], complete=True)
+    try:
+        sh.count(["import"])  # build the pool
+        pool_before = sh._pool
+        with pytest.raises(ValueError, match="bogus"):
+            sh._scatter(
+                _boom_task,
+                [(s.index_dir, {"terms": ["import"], "mode": "or"})
+                 for s in sh.shards],
+            )
+        assert sh._pool is pool_before, "healthy pool was torn down"
+        # pool still serves queries
+        assert sh.count(["import"]) > 0
+
+        sh.complete = False
+        got = sh._scatter(
+            _boom_task,
+            [(s.index_dir, {"terms": ["import"], "mode": "or"})
+             for s in sh.shards],
+        )
+        assert len(got) == 1 and sh.shards_failed == [db]
+        assert sh._pool is pool_before
+    finally:
+        sh.close()
