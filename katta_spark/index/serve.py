@@ -1600,12 +1600,33 @@ class LocalSearcher:
         if not self.stats.get("positions"):
             raise ValueError("phrase serving needs positional postings")
         terms = sorted(set(words))
-        pred = pa_ds.field("term").isin(terms)
+        tpred = pa_ds.field("term").isin(terms)
+        # bitset pre-filter (round 4): a phrase needs ALL words in
+        # the SAME doc, so only blocks where the words' doc-bitsets
+        # intersect can produce a match — restrict the (expensive)
+        # positional read + decode to those blocks.  _matched_ids
+        # takes the id_bits fast path and already applies tombstones;
+        # on rare co-occurrence this skips almost every block.
+        cand = self._matched_ids(terms, "and")
+        if not cand.size:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        br = int(self.stats["block_range"])
+        blocks_ok = np.unique(cand // br)
+        # only pay the isin when it actually prunes: on a HOT
+        # co-occurring pair nearly every block is a candidate and a
+        # thousands-entry isin costs more than the rows it skips
+        # (measured +16% on `parse request`; -34% on `order fast`)
+        n_blocks = -(-int(self.stats["n_docs"]) // br)
+        pred = tpred
+        if blocks_ok.size < 0.3 * n_blocks:
+            pred = tpred & pa_ds.field("block_id").isin(
+                [int(b) for b in blocks_ok]
+            )
         pdf = self._postings.to_table(
             columns=_POS_COLS, filter=pred
         ).to_pandas()
         cat = self._terms.to_table(
-            columns=["term", "df"], filter=pred
+            columns=["term", "df"], filter=tpred
         ).to_pandas()
         if self._df_override is not None and len(cat):
             ov = cat["term"].map(self._df_override)
