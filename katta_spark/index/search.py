@@ -1031,7 +1031,8 @@ class PhysicalIndex:
         return strip_stops(self.stats, qterms)
 
     def _qblocks(self, qterms: list[str] | Column,
-                 positions: bool = False) -> DataFrame:
+                 positions: bool = False,
+                 block_filter: DataFrame | None = None) -> DataFrame:
         """Posting blocks of the query terms, shuffled once on
         block_id (doc-range co-partitioning) and ordered for the
         streaming group iterator.  Column-pruned before the exchange
@@ -1060,6 +1061,12 @@ class PhysicalIndex:
         # exchange as part of the SAME job — no driver collect)
         cat = self.terms.filter(cond).select("term", "df")
         blocks = blocks.join(F.broadcast(cat), "term")
+        if block_filter is not None:
+            # caller-supplied candidate-block cut (phrase AND
+            # pruning) — applied BEFORE the repartition so the
+            # kernel's within-partition (block_id, term) order
+            # contract is untouched
+            blocks = blocks.join(block_filter, "block_id", "left_semi")
         # repartition WITHOUT an explicit count: AQE coalesces the
         # exchange to the actual shuffle bytes (a needle query's few
         # blocks run as a couple of tasks, ~25% off the job floor)
@@ -1900,12 +1907,54 @@ class PhysicalIndex:
             self.stats["k1"], self.stats["b"], self.stats["block_range"],
             slop=slop, ordered=ordered,
         )
-        out = self._qblocks(sorted(set(phrase)), positions=True).mapInPandas(
-            kern, SCORED_SCHEMA
-        ).select("doc_id", "score")
+        terms = sorted(set(phrase))
+        out = self._qblocks(
+            terms, positions=True,
+            block_filter=self._phrase_block_filter(terms),
+        ).mapInPandas(kern, SCORED_SCHEMA).select("doc_id", "score")
         if self.tombstones is not None:
             out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
         return out
+
+    def _phrase_block_filter(self, terms: list[str]) -> DataFrame | None:
+        """Candidate-block cut for positional phrases (round 4): a
+        phrase needs ALL its words in the same doc, hence the same
+        doc-range block — so blocks missing any word can be dropped
+        BEFORE their position columns are read/decoded.  The cut is
+        one 2-column (term, block_id) scan + a map-side-combined
+        count-distinct, semi-joined into the position-carrying scan.
+
+        Gated on selectivity WITHOUT a Spark job: a tiny pyarrow read
+        of the query words' dfs decides — if the rarest word appears
+        in < 30% of blocks the cut prunes (candidate blocks <= its
+        df); a hot pair would keep ~every block and only pay the
+        extra agg.  Multi-dir handles (open_many) skip the gate read
+        and the cut (their terms parquet spans several dirs)."""
+        if len(terms) < 2:
+            return None
+        try:
+            import pyarrow.dataset as pa_ds
+
+            cat = pa_ds.dataset(
+                str(Path(self.index_dir) / "terms")
+            ).to_table(
+                columns=["term", "df"],
+                filter=pa_ds.field("term").isin(terms),
+            ).to_pandas()
+        except Exception:
+            return None
+        br = int(self.stats["block_range"])
+        n_blocks = max(1, -(-int(self.stats["n_docs"]) // br))
+        if not len(cat) or float(cat["df"].min()) >= 0.3 * n_blocks:
+            return None
+        return (
+            self.postings.filter(F.col("term").isin(terms))
+            .select("term", "block_id")
+            .groupBy("block_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == F.lit(len(terms)))
+            .select("block_id")
+        )
 
     def _phrase_scored_reanalysis(self, phrase: list[str]) -> DataFrame:
         """Fallback phrase verification against stored token arrays.

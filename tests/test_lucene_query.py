@@ -743,3 +743,43 @@ def test_fused_bool_respects_tombstones(spark, tmp_path):
     after = {r["doc_id"] for r in
              idx.query("(scan OR merge) AND import", k=20).collect()}
     assert not (set(before[:2]) & after)
+
+
+def test_phrase_block_filter_prunes_and_preserves_results(pindex, monkeypatch):
+    """Round-4 phrase pruning: the candidate-block semi-join engages
+    for rare word pairs (df gate), never for single terms, and its
+    results are identical to the unpruned path."""
+    import pandas as pd
+
+    from katta_spark.index.search import PhysicalIndex
+
+    assert pindex._phrase_block_filter(["nebula0"]) is None  # 1 term
+    # hot pair: dfs cover >30% of blocks -> gate refuses, no cut
+    assert pindex._phrase_block_filter(["import", "return"]) is None
+    # needle pair (df=1 each): the cut engages
+    bf = pindex._phrase_block_filter(["nebula0", "nebula1"])
+    assert bf is not None, "df=1 pair should engage the block cut"
+
+    def rows(df):
+        return sorted(
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in df.collect()
+        )
+
+    # parity on a REAL phrase from the corpus so both paths produce
+    # hits (kernel behavior, not just empty-set agreement)
+    pruned_hits = rows(pindex._phrase_scored_positional(
+        ["order", "fast"]))
+    pruned_rare = rows(pindex._phrase_scored_positional(
+        ["nebula0", "nebula1"]))
+    monkeypatch.setattr(PhysicalIndex, "_phrase_block_filter",
+                        lambda self, terms: None)
+    assert rows(pindex._phrase_scored_positional(
+        ["order", "fast"])) == pruned_hits
+    assert rows(pindex._phrase_scored_positional(
+        ["nebula0", "nebula1"])) == pruned_rare
+    # the pruned plan really contains the candidate semi-join
+    plan = pindex._qblocks(
+        ["nebula0", "nebula1"], positions=True, block_filter=bf
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
