@@ -750,11 +750,8 @@ class LocalSearcher:
         value_counts.  Mirrors PhysicalIndex.facet option-for-option
         (tested)."""
         ids = self._matched_ids(qterms, mode)
-        tbl = self._docs.to_table(
-            columns=["doc_id", field]
-        ).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-        cnt = tbl[field][hit].value_counts(dropna=False)
+        tbl = self._docs_subset(ids, [field])
+        cnt = tbl[field].value_counts(dropna=False)
         items = [(None if pd.isna(v) else v, int(c))
                  for v, c in cnt.items()]
         return _facet_rank(items, n, missing, sort, prefix, mincount)
@@ -788,6 +785,35 @@ class LocalSearcher:
             ids = ids[nt == len(terms)]
         return np.sort(ids)
 
+    def _docs_subset(self, ids: np.ndarray,
+                     cols: list[str]) -> pd.DataFrame:
+        """Stored columns of the given (unique) match-set doc_ids —
+        the one docs read every stored-field surface (facet / sort /
+        stats / pivot / range / grouping) starts from.
+
+        Selectivity switch (round 4): a SMALL match set pushes
+        ``doc_id isin(...)`` into the parquet scan — matched ids are
+        block-clustered by construction, so row-group statistics
+        prune the untouched ranges and a rare-term facet at 10M docs
+        reads a few row groups instead of the whole column.  A big
+        match set full-scans the pruned columns and filters
+        vectorized (an isin filter with millions of values costs
+        more than the read).  Same rows either way (file order)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        need = ["doc_id"] + [c for c in cols if c != "doc_id"]
+        n_docs = max(1, int(self.stats["n_docs"]))
+        if ids.size < max(65_536, int(0.1 * n_docs)):
+            import pyarrow as pa
+
+            return self._docs.to_table(
+                columns=need,
+                filter=pa_ds.field("doc_id").isin(pa.array(ids)),
+            ).to_pandas()
+        tbl = self._docs.to_table(columns=need).to_pandas()
+        hit = np.isin(tbl["doc_id"].to_numpy(), ids,
+                      assume_unique=True)
+        return tbl[hit]
+
     def sorted_query(self, qterms: list[str],
                      sort_cols: list[tuple[str, str]],
                      fields: list[str], limit: int, offset: int = 0,
@@ -804,9 +830,8 @@ class LocalSearcher:
             {c for c, _ in sort_cols}
             | {f for f in fields if f != "doc_id"}
         )
-        tbl = self._docs.to_table(columns=need).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-        out = _field_sort(tbl[hit], sort_cols)
+        tbl = self._docs_subset(ids, need)
+        out = _field_sort(tbl, sort_cols)
         return out.iloc[offset:offset + limit][list(fields)].reset_index(
             drop=True
         )
@@ -843,9 +868,8 @@ class LocalSearcher:
     def _matched_values(self, qterms: list[str], field: str,
                         mode: str) -> np.ndarray:
         ids = self._matched_ids(qterms, mode)
-        tbl = self._docs.to_table(columns=["doc_id", field]).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-        return pd.to_numeric(tbl[field][hit], errors="coerce").dropna() \
+        tbl = self._docs_subset(ids, [field])
+        return pd.to_numeric(tbl[field], errors="coerce").dropna() \
             .to_numpy(dtype=np.float64)
 
     def range_facet_other(self, qterms: list[str], field: str,
@@ -880,9 +904,8 @@ class LocalSearcher:
 
         freq = _DATE_FREQ[gap_unit(unit)]
         ids = self._matched_ids(qterms, mode)
-        tbl = self._docs.to_table(columns=["doc_id", field]).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-        ts = pd.to_datetime(tbl[field][hit]).dropna()
+        tbl = self._docs_subset(ids, [field])
+        ts = pd.to_datetime(tbl[field]).dropna()
         buckets = ts.dt.to_period(freq).dt.start_time
         return {b.to_pydatetime(): int(c)
                 for b, c in buckets.value_counts().items()}
@@ -997,11 +1020,8 @@ class LocalSearcher:
         needed node-side).  Mirrors PhysicalIndex.rare_terms
         (tested)."""
         ids = self._matched_ids(qterms, mode)
-        tbl = self._docs.to_table(
-            columns=["doc_id", field]
-        ).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-        cnt = tbl[field][hit].dropna().value_counts()
+        tbl = self._docs_subset(ids, [field])
+        cnt = tbl[field].dropna().value_counts()
         rows = [(v, int(c)) for v, c in cnt.items()
                 if c <= int(max_count)]
         return sorted(rows, key=lambda x: (x[1], x[0]))[:n]
@@ -1024,11 +1044,8 @@ class LocalSearcher:
         (associative over disjoint doc sets; a scatter merges them
         exactly, then rounds once)."""
         ids = self._matched_ids(qterms, mode)
-        tbl = self._docs.to_table(
-            columns=["doc_id", facet_field, stat_field]
-        ).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-        sub = tbl[hit]
+        tbl = self._docs_subset(ids, [facet_field, stat_field])
+        sub = tbl
         v = pd.to_numeric(sub[stat_field], errors="coerce")
         return (
             sub.assign(_v=v.astype(float))
@@ -1107,9 +1124,8 @@ class LocalSearcher:
         partial a StatsComponent scatter merges exactly (all four
         are associative; mean is derived after the merge)."""
         ids = self._matched_ids(qterms, mode)
-        tbl = self._docs.to_table(columns=["doc_id", field]).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-        v = pd.to_numeric(tbl.loc[hit, field],
+        tbl = self._docs_subset(ids, [field])
+        v = pd.to_numeric(tbl[field],
                           errors="coerce").astype(float).dropna()
         if not len(v):
             return 0, None, None, None
@@ -1130,12 +1146,9 @@ class LocalSearcher:
         """FULL (field1, field2) match-count histogram — bounded by
         value-pair cardinality, the unit a pivot scatter sums."""
         ids = self._matched_ids(qterms, mode)
-        tbl = self._docs.to_table(
-            columns=["doc_id", field1, field2]
-        ).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
+        tbl = self._docs_subset(ids, [field1, field2])
         return (
-            tbl.loc[hit, [field1, field2]]
+            tbl[[field1, field2]]
             .groupby([field1, field2], dropna=False)
             .size().reset_index(name="cnt")
         )
@@ -1156,9 +1169,7 @@ class LocalSearcher:
         """Stored columns of the given (sorted, unique) doc_ids —
         one column-pruned docs read shared by the grouping/MLT
         surfaces."""
-        tbl = self._docs.to_table(columns=["doc_id"] + fields).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-        return tbl[hit]
+        return self._docs_subset(ids, fields)
 
     def _scored_filtered(self, qterms: list[str], mode: str = "or"
                          ) -> tuple[np.ndarray, np.ndarray]:
@@ -1459,12 +1470,8 @@ class LocalSearcher:
         """Per-facet-value (cnt, unrounded metric sum) partials —
         associative over disjoint doc sets."""
         ids = self._matched_ids(qterms, mode)
-        tbl = self._docs.to_table(
-            columns=["doc_id", facet_field, metric_field]
-        ).to_pandas()
-        hit = np.isin(tbl["doc_id"].to_numpy(), ids,
-                      assume_unique=True)
-        sub = tbl[hit]
+        tbl = self._docs_subset(ids, [facet_field, metric_field])
+        sub = tbl
         v = pd.to_numeric(sub[metric_field], errors="coerce")
         g = sub.assign(_v=v.astype(float)).groupby(facet_field,
                                                    dropna=False)
@@ -2400,9 +2407,8 @@ def _shard_facet_task(payload: tuple) -> list[tuple[object, int]]:
     if p["mode"] == "and" and len(p["terms"]) > 1:
         ids = ids[nt == len(p["terms"])]
     ids = np.sort(ids)
-    tbl = s._docs.to_table(columns=["doc_id", p["field"]]).to_pandas()
-    hit = np.isin(tbl["doc_id"].to_numpy(), ids, assume_unique=True)
-    cnt = tbl[p["field"]][hit].value_counts(dropna=False)
+    tbl = s._docs_subset(ids, [p["field"]])
+    cnt = tbl[p["field"]].value_counts(dropna=False)
     return [(None if pd.isna(v) else v, int(c))
             for v, c in cnt.items()]
 
