@@ -1945,7 +1945,13 @@ class PhysicalIndex:
             return None
         br = int(self.stats["block_range"])
         n_blocks = max(1, -(-int(self.stats["n_docs"]) // br))
-        if not len(cat) or float(cat["df"].min()) >= 0.3 * n_blocks:
+        # the raw terms parquet carries one row per (term, commit) on
+        # multi-commit indexes — sum df per term first, else the gate
+        # reads a single commit's df, underestimates, and engages the
+        # cut on hot pairs it was meant to skip (perf-only: results
+        # stay correct via the pinned self.postings semi-join)
+        per_term = cat.groupby("term")["df"].sum()
+        if not len(per_term) or float(per_term.min()) >= 0.3 * n_blocks:
             return None
         return (
             self.postings.filter(F.col("term").isin(terms))

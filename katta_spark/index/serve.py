@@ -227,7 +227,7 @@ def _np_cols(blocks: pd.DataFrame):
     )
 
 
-class QueryTimeout(RuntimeError):
+class QueryTimeout(TimeoutError):
     """A node-local query exceeded its deadline — the Lucene
     TimeLimitingCollector contract the reference wraps every shard
     search in (LuceneServer.java:1555-1564): the collector aborts
@@ -235,7 +235,10 @@ class QueryTimeout(RuntimeError):
     Here the numpy kernels check the deadline between posting-block
     decodes (the same granularity: work already decoded is
     abandoned, no partial ranking is returned — a shard result is
-    exact or absent)."""
+    exact or absent).  Subclasses :class:`TimeoutError` so a budgeted
+    query under ``complete=True`` raises ONE exception type whether
+    the worker kernel aborts first (QueryTimeout) or the parent's
+    budget race wins (TimeoutError) — callers catch TimeoutError."""
 
 
 #: check the clock only every N block decodes — a monotonic read is
@@ -2885,6 +2888,11 @@ class ShardedSearcher:
                     if first_exc is None:
                         first_exc = e
                     errored.append(i)
+            # mark BEFORE any complete=True raise so shards_failed,
+            # _n_failures and metrics() stay consistent across all
+            # failure classes (broken shards are only marked once
+            # their single retry is also exhausted)
+            self._mark_failed(timed_out + errored, payloads)
             if errored and self.complete:
                 raise first_exc
             if broken:
@@ -2894,8 +2902,7 @@ class ShardedSearcher:
                     self._n_retries += len(broken)
             pending = broken if attempt == 0 else []
             if attempt == 1:
-                timed_out += broken
-            self._mark_failed(timed_out + errored, payloads)
+                self._mark_failed(broken, payloads)
             if not pending:
                 break
         if pending:

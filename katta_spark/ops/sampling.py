@@ -520,7 +520,12 @@ def mixture_order(docs: DataFrame, weights: dict[str, float],
     (a handful of huge partitions at 100 TB); now nothing sorts
     more than one range-partition's worth of rows, and the output
     is bit-identical at any parallelism (tested at 2 vs 17
-    partitions)."""
+    partitions).
+
+    The returned frame carries ONE cached slim projection (~30 B/row)
+    for cheap reuse; release it with ``result.katta_cache.unpersist()``
+    once the order is materialized (long-lived drivers calling this
+    repeatedly should always release)."""
     wmap = F.create_map(*[
         F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))
     ])
@@ -548,4 +553,12 @@ def mixture_order(docs: DataFrame, weights: dict[str, float],
     # jobs run at construction) and the returned frame holds ONE
     # cached slim projection (~30 B/row) for reuse.
     r1._katta_cache.unpersist()
-    return r2.select("doc_id", "grp", "pos")
+    out = r2.select("doc_id", "grp", "pos")
+    # PUBLIC release handle (documented): long-lived drivers calling
+    # mixture_order repeatedly should unpersist() this once they have
+    # materialized/written the order, or the ~30 B/row MEMORY_AND_DISK
+    # caches accumulate for the session.  Re-reading the frame after
+    # release recomputes through the same fixed range partitioner, so
+    # results cannot drift.
+    out.katta_cache = r2._katta_cache
+    return out

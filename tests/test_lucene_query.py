@@ -783,3 +783,36 @@ def test_phrase_block_filter_prunes_and_preserves_results(pindex, monkeypatch):
         ["nebula0", "nebula1"], positions=True, block_filter=bf
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_phrase_block_filter_sums_df_across_commits(spark, tmp_path):
+    """The selectivity gate reads the raw terms parquet, which holds
+    one row per (term, commit) on multi-commit indexes — the gate must
+    SUM df per term before comparing, else a hot pair split across
+    commits underestimates and engages the cut it was meant to skip
+    (perf heuristic only; results stay correct either way)."""
+    d = str(tmp_path / "mcidx")
+
+    def commit_df(tag):
+        rows = [
+            ("r", f"{tag}{i}.py", tag, "py",
+             "zeta0 zeta1 pad" if i == 0 else "pad filler text")
+            for i in range(300)
+        ]
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, "
+                  "lang string, content string")
+
+    build_index(spark, commit_df("c0"), d, n_groups=2,
+                block_range=128, commit="c0")
+    build_index(spark, commit_df("c1"), d, n_groups=2,
+                block_range=128, commit="c1")
+    idx = PhysicalIndex(spark, d)
+    # 600 docs / block_range 128 -> 5 blocks; threshold 0.3*5 = 1.5.
+    # Per-commit df = 1 (< 1.5, buggy gate engages); summed df = 2
+    # (>= 1.5, gate correctly refuses the extra agg for this pair).
+    assert idx._phrase_block_filter(["zeta0", "zeta1"]) is None
+    # phrase results on the multi-commit index are exact regardless
+    got = {int(r["doc_id"]) for r in
+           idx._phrase_scored_positional(["zeta0", "zeta1"]).collect()}
+    assert len(got) == 2

@@ -385,6 +385,25 @@ def test_mixture_order_no_single_partition_window(spark):
     assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
 
 
+def test_mixture_order_cache_release_handle(spark):
+    """The returned frame exposes its ONE session cache as a public
+    release handle (``katta_cache``): long-lived drivers unpersist it
+    after materializing the order, and re-reading the frame still
+    returns the identical order (fixed range partitioner)."""
+    from katta_spark.ops.sampling import mixture_order
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    out = mixture_order(df, {"a": 1.0, "b": 1.0})
+    before = sorted(map(tuple, out.collect()))
+    assert out.katta_cache.storageLevel.useMemory
+    out.katta_cache.unpersist()
+    assert not out.katta_cache.storageLevel.useMemory
+    assert sorted(map(tuple, out.collect())) == before
+
+
 def test_mixture_order_parallelism_invariant(spark):
     """The determinism contract the op exists for: identical output
     at any partition count (2 vs 17 shuffle partitions — different

@@ -46,11 +46,18 @@ def two_shards(spark, tmp_path_factory):
 
 # ---------------------------------------------------------------- kernel
 
+def test_querytimeout_is_timeouterror():
+    """ONE timeout exception surface: whether the worker kernel
+    aborts first (QueryTimeout) or the parent's budget race wins
+    (TimeoutError), a caller catching TimeoutError sees both."""
+    assert issubclass(QueryTimeout, TimeoutError)
+
+
 def test_kernel_deadline_raises(two_shards):
     da, _ = two_shards
     ls = LocalSearcher(da)
     # an already-expired budget aborts in the first kernel check
-    with pytest.raises(QueryTimeout):
+    with pytest.raises(TimeoutError):
         ls.topk(["import"], k=5, timeout_ms=0)
     with pytest.raises(QueryTimeout):
         ls.search(["import"], k=5, timeout_ms=0)
@@ -320,6 +327,10 @@ def test_task_exception_keeps_pool_and_raises_original(two_shards):
                 [(s.index_dir, {"terms": ["import"], "mode": "or"})
                  for s in sh.shards],
             )
+        # the failing shard is marked even on the complete=True
+        # task-exception raise path, consistent with timeout/broken
+        assert sh.shards_failed == [db]
+        assert sh.metrics()["n_shard_failures"] == 1
         assert sh._pool is pool_before, "healthy pool was torn down"
         # pool still serves queries
         assert sh.count(["import"]) > 0
