@@ -929,6 +929,40 @@ def q_serve_lucene_sharded(spark, sf_dir):
     )
 
 
+def q_serve_replica(spark, sf_dir):
+    """Replica-aware scatter failover (round 5): shard B's PRIMARY
+    copy is destroyed mid-session; the scatter re-dispatches its task
+    to the byte-identical replica dir before declaring the shard
+    failed (NodeInteraction.java:141-205 re-selects a different
+    replica node; ShuffleNodeSelectionPolicy.java:25-40 drops the
+    dead copy from rotation).  Results must be rank-identical to the
+    healthy ft_serve_lucene_sharded query — same oracle SQL."""
+    import shutil
+    import tempfile
+
+    from katta_spark.index.serve import ShardedSearcher
+
+    da, db = shard_dirs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="katta_replica_")
+    pb, rb = f"{tmp}/primary_b", f"{tmp}/replica_b"
+    shutil.copytree(db, pb)
+    shutil.copytree(db, rb)
+    sh = ShardedSearcher([da, pb], replicas={pb: [rb]})
+    try:
+        shutil.rmtree(pb)  # lose the primary copy mid-session
+        hits = sh.query("(dup OR key) AND table", k=10)
+        m = sh.metrics()
+        assert sh.shards_failed == [], sh.shards_failed
+        assert m["n_replica_failovers"] >= 1, m
+    finally:
+        sh.close()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits],
+        "doc_id long, score double",
+    )
+
+
 def q_serve_phrase_sharded(spark, sf_dir):
     """Cross-shard POSITIONAL phrase (the quoted-string front door
     scattered): each shard verifies positions locally, scores with
@@ -3015,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serve_count": q_serve_count,
         "ft_serve_lucene": q_serve_lucene,
         "ft_serve_lucene_sharded": q_serve_lucene_sharded,
+        "ft_serve_replica": q_serve_replica,
         "ft_serve_phrase_sharded": q_serve_phrase_sharded,
         "ft_serve_sorted": q_serve_sorted,
         "ft_serve_range_facet": q_serve_range_facet,
@@ -3308,6 +3343,15 @@ SELECT count(*) AS n_hits FROM matched""",
         "ft_serve_count": f"""{ctes}{O.matched_sql(["dup", "key"])}
 SELECT count(*) AS n_hits FROM matched""",
         "ft_serve_lucene_sharded": O.lucene_topk_sql(
+            [("dup", 1.0), ("key", 1.0), ("table", 1.0)],
+            must_doc_sql=[
+                O.term_docs_sql(["table"]),
+                O.term_docs_sql(["dup", "key"]),
+            ],
+        ),
+        # replica failover must be invisible in the results: the
+        # oracle is the HEALTHY sharded query's SQL unchanged
+        "ft_serve_replica": O.lucene_topk_sql(
             [("dup", 1.0), ("key", 1.0), ("table", 1.0)],
             must_doc_sql=[
                 O.term_docs_sql(["table"]),

@@ -263,6 +263,34 @@ def _check_deadline(deadline: float | None, i: int) -> None:
             raise QueryTimeout("query deadline exceeded in kernel")
 
 
+def _payload_dir(p) -> str:
+    """Every scatter payload leads with its shard's index dir."""
+    return p[0] if isinstance(p, tuple) else str(p)
+
+
+def _swap_payload_dir(p, d: str):
+    """Re-target a scatter payload at a replica dir (replicas hold
+    byte-identical shard content, so the rest of the payload —
+    offsets, merged catalog, query — carries over unchanged)."""
+    return (d,) + tuple(p[1:]) if isinstance(p, tuple) else d
+
+
+def _is_infra_failure(exc: BaseException) -> bool:
+    """True for failures that mean THIS COPY of the shard is
+    unreachable/unreadable (missing dir, I/O error, corrupt parquet)
+    rather than the query being bad — only these are eligible for
+    replica re-dispatch, mirroring NodeInteraction.java:141-205
+    (shard-access errors retry on another node; deterministic query
+    errors never do).  TimeoutError (hence QueryTimeout) is excluded:
+    OSError is its base in Python 3 but timeouts have their own
+    budget-aware failover rule in _scatter."""
+    import pyarrow as pa
+
+    if isinstance(exc, TimeoutError):
+        return False
+    return isinstance(exc, (OSError, pa.ArrowException))
+
+
 def _deadline_task(args: tuple):
     """Run a shard task with the worker-side kernel deadline armed at
     75% of the client budget remaining at dispatch (the reference's
@@ -2715,7 +2743,8 @@ class ShardedSearcher:
     compute each of them runs plus the client-side merge."""
 
     def __init__(self, dirs: list[str], timeout_ms: float | None = None,
-                 complete: bool = True):
+                 complete: bool = True,
+                 replicas: dict[str, list[str]] | None = None):
         """``timeout_ms``: default scatter budget per query — a shard
         that hasn't answered inside it is treated as failed (the
         client-side budget, LuceneClient.java:182).  ``complete``:
@@ -2723,11 +2752,30 @@ class ShardedSearcher:
         contract); False returns the merge of the shards that DID
         answer and records the rest in ``self.shards_failed`` — the
         reference's partial-result policy
-        (ClientResultReceiver.java:147-166, Solr shards.tolerant)."""
+        (ClientResultReceiver.java:147-166, Solr shards.tolerant).
+
+        ``replicas``: optional ``{shard_dir: [alternate_dirs]}`` —
+        byte-identical copies of a shard's index (the reference's
+        replication level, IndexMetaData + distribution
+        DefaultDistributionPolicy.java:69-147).  A shard task that
+        dies, hits an unreadable/corrupt copy, or times out with
+        budget remaining is re-dispatched to the next replica before
+        the shard is declared failed (NodeInteraction.java:141-205);
+        a replica that answers is PROMOTED — subsequent queries go to
+        it directly and the dead copy leaves the rotation
+        (ShuffleNodeSelectionPolicy.java:25-40 removes failed
+        nodes).  ``shards_failed`` lists a shard only when every
+        replica is exhausted."""
+        import threading
+
         if not dirs:
             raise ValueError("no shard directories")
         self.timeout_ms = timeout_ms
         self.complete = bool(complete)
+        self.replicas: dict[str, list[str]] = {
+            str(k): [str(x) for x in v]
+            for k, v in (replicas or {}).items()
+        }
         #: shard dirs that failed/timed out in the LAST scatter —
         #: reset per query; feeds the search() envelope
         self.shards_failed: list[str] = []
@@ -2735,7 +2783,12 @@ class ShardedSearcher:
         self._n_scatters = 0
         self._n_retries = 0
         self._n_failures = 0
-        self.shards = [LocalSearcher(d) for d in dirs]
+        self._n_failovers = 0
+        self._fo_lock = threading.Lock()
+        # opening a shard is itself replica-aware: a copy whose files
+        # are gone/corrupt at open time fails over like a scatter-time
+        # failure would (refresh() re-enters here after a copy dies)
+        self.shards = [self._open_with_failover(d) for d in dirs]
         base = self.shards[0].stats
         br = base["block_range"]
         for s in self.shards[1:]:
@@ -2774,14 +2827,21 @@ class ShardedSearcher:
         parent's inline-path cache entries are dropped too (forked
         children inherit the parent's module globals)."""
         dirs = [s.index_dir for s in self.shards]
-        keep = (self._n_scatters, self._n_retries, self._n_failures)
+        keep = (self._n_scatters, self._n_retries, self._n_failures,
+                self._n_failovers)
         self.close()
         for d in dirs:
             _SHARD_CACHE.pop(d, None)
+        # replicas key by CURRENT serving dir, so promotions survive
         self.__init__(dirs, timeout_ms=self.timeout_ms,
-                      complete=self.complete)
-        # lifetime counters survive the reopen (metrics contract)
-        self._n_scatters, self._n_retries, self._n_failures = keep
+                      complete=self.complete, replicas=self.replicas)
+        # lifetime counters survive the reopen (metrics contract);
+        # ADD the kept values — the reopen itself may have failed
+        # over a dead copy and counted it
+        self._n_scatters += keep[0]
+        self._n_retries += keep[1]
+        self._n_failures += keep[2]
+        self._n_failovers += keep[3]
         return self
 
     def __del__(self):  # pragma: no cover - GC timing
@@ -2835,6 +2895,16 @@ class ShardedSearcher:
           the healthy pool down; raised immediately under
           ``complete=True``, dropped under ``complete=False``.
 
+        REPLICA FAILOVER (NodeInteraction.java:141-205): when the
+        handle carries replica dirs for a shard, a DEAD-worker retry
+        that dies again, an infra task failure (unreadable/corrupt
+        copy — :func:`_is_infra_failure`), or a TIMEOUT with budget
+        remaining re-dispatches the shard's task to the next replica
+        instead of failing it; the shard joins ``shards_failed`` only
+        when every replica is exhausted.  A replica that answers is
+        promoted for subsequent queries (failed copies leave the
+        rotation, ShuffleNodeSelectionPolicy.java:25-40).
+
         Even under ``complete=False``, ZERO surviving shards raises
         (Solr shards.tolerant does the same): there is no meaningful
         partial result, and returning [] would push confusing
@@ -2846,31 +2916,49 @@ class ShardedSearcher:
         budget = self.timeout_ms if timeout_ms is None else timeout_ms
         self.shards_failed = []
         self._n_scatters += 1
+        cur = list(payloads)
+        reps = {i: list(self.replicas.get(_payload_dir(p), []))
+                for i, p in enumerate(payloads)}
         if len(payloads) == 1 and budget is None:
-            return [task_fn(payloads[0])]
+            # inline fast path — still replica-aware
+            while True:
+                try:
+                    out = [task_fn(cur[0])]
+                except Exception as e:
+                    if _is_infra_failure(e) and reps[0]:
+                        self._n_failovers += 1
+                        cur[0] = _swap_payload_dir(cur[0],
+                                                   reps[0].pop(0))
+                        continue
+                    raise
+                self._promote_successes(payloads, cur, reps, {0: None})
+                return out
         deadline = (None if budget is None
                     else time.monotonic() + float(budget) / 1000.0)
         results: dict[int, object] = {}
         pending = list(range(len(payloads)))
         first_exc: BaseException | None = None
-        for attempt in (0, 1):
+        pool_dead_once: set[int] = set()
+        max_rounds = 2 + max((len(r) for r in reps.values()), default=0)
+        for rnd in range(max_rounds):
             pool = self._ensure_pool()
             left_ms = (None if deadline is None else
                        max(0.0, (deadline - time.monotonic()) * 1000.0))
             try:
                 if left_ms is None:
-                    futs = {i: pool.submit(task_fn, payloads[i])
+                    futs = {i: pool.submit(task_fn, cur[i])
                             for i in pending}
                 else:
                     futs = {i: pool.submit(
-                        _deadline_task, (task_fn, payloads[i], left_ms))
+                        _deadline_task, (task_fn, cur[i], left_ms))
                         for i in pending}
             except BrokenProcessPool:
                 self.close()
-                if attempt:
+                if rnd == max_rounds - 1:
                     break
                 continue
-            timed_out, broken, errored = [], [], []
+            timed_out, broken, err_det = [], [], []
+            err_infra: dict[int, BaseException] = {}
             for i, fut in futs.items():
                 left = (None if deadline is None
                         else max(0.0, deadline - time.monotonic()))
@@ -2882,31 +2970,67 @@ class ShardedSearcher:
                 except BrokenProcessPool:
                     broken.append(i)
                 except Exception as e:
-                    # deterministic task failure: no retry, pool is
-                    # healthy — do NOT tear it down (the workers'
-                    # warm shard-handle caches survive)
+                    if _is_infra_failure(e):
+                        err_infra[i] = e
+                    else:
+                        # deterministic task failure: no retry, pool
+                        # is healthy — do NOT tear it down (the
+                        # workers' warm shard-handle caches survive)
+                        if first_exc is None:
+                            first_exc = e
+                        err_det.append(i)
+            nxt: list[int] = []
+            failed_now = list(err_det)
+            for i in timed_out:
+                lf = (None if deadline is None
+                      else deadline - time.monotonic())
+                # a replica attempt needs real budget left to be
+                # worth dispatching
+                if reps[i] and (lf is None or lf > 0.05):
+                    self._n_failovers += 1
+                    cur[i] = _swap_payload_dir(cur[i], reps[i].pop(0))
+                    nxt.append(i)
+                else:
+                    failed_now.append(i)
+            for i, e in err_infra.items():
+                if reps[i]:
+                    self._n_failovers += 1
+                    cur[i] = _swap_payload_dir(cur[i], reps[i].pop(0))
+                    nxt.append(i)
+                else:
                     if first_exc is None:
                         first_exc = e
-                    errored.append(i)
+                    failed_now.append(i)
+            for i in broken:
+                if i not in pool_dead_once:
+                    # dead fork-pool: restart it, re-dispatch ONCE to
+                    # the same copy
+                    pool_dead_once.add(i)
+                    self._n_retries += 1
+                    nxt.append(i)
+                elif reps[i]:
+                    # twice-dead on this copy: next replica (which
+                    # gets its own single dead-worker retry)
+                    self._n_failovers += 1
+                    cur[i] = _swap_payload_dir(cur[i], reps[i].pop(0))
+                    pool_dead_once.discard(i)
+                    nxt.append(i)
+                else:
+                    failed_now.append(i)
+            if broken:
+                self.close()
             # mark BEFORE any complete=True raise so shards_failed,
             # _n_failures and metrics() stay consistent across all
-            # failure classes (broken shards are only marked once
-            # their single retry is also exhausted)
-            self._mark_failed(timed_out + errored, payloads)
-            if errored and self.complete:
+            # failure classes
+            self._mark_failed(failed_now, payloads)
+            if err_det and self.complete:
                 raise first_exc
-            if broken:
-                # dead fork-pool: restart it, re-dispatch ONCE
-                self.close()
-                if attempt == 0:
-                    self._n_retries += len(broken)
-            pending = broken if attempt == 0 else []
-            if attempt == 1:
-                self._mark_failed(broken, payloads)
+            pending = nxt
             if not pending:
                 break
         if pending:
             self._mark_failed(pending, payloads)
+        self._promote_successes(payloads, cur, reps, results)
         if self.shards_failed and self.complete:
             if first_exc is not None and not isinstance(
                     first_exc, BrokenProcessPool):
@@ -2933,6 +3057,7 @@ class ShardedSearcher:
             "shards_total": len(self.shards),
             "n_scatters": self._n_scatters,
             "n_retries": self._n_retries,
+            "n_replica_failovers": self._n_failovers,
             "n_shard_failures": self._n_failures,
             "last_shards_failed": list(self.shards_failed),
             "per_shard": [s.node_metrics() for s in self.shards],
@@ -2950,6 +3075,70 @@ class ShardedSearcher:
             if d not in self.shards_failed:
                 self.shards_failed.append(d)
                 self._n_failures += 1
+
+    def _promote_successes(self, payloads: list, cur: list,
+                           reps: dict, results: dict) -> None:
+        """After a scatter, promote every replica that ANSWERED for a
+        payload whose original copy failed: subsequent queries go to
+        the surviving copy directly and the dead copy leaves the
+        rotation (the reference's node-selection policy removes
+        failed nodes, ShuffleNodeSelectionPolicy.java:25-40)."""
+        for i in results:
+            od, nd = _payload_dir(payloads[i]), _payload_dir(cur[i])
+            if nd != od:
+                self._promote(od, nd, reps[i])
+
+    def _open_with_failover(self, d: str) -> "LocalSearcher":
+        """Open a shard dir, walking its replica rotation when the
+        copy is unreadable (infra failures only — see
+        :func:`_is_infra_failure`)."""
+        while True:
+            try:
+                return LocalSearcher(d)
+            except Exception as e:
+                alts = self.replicas.get(d, [])
+                if not _is_infra_failure(e) or not alts:
+                    raise
+                self._n_failovers += 1
+                nd = alts[0]
+                self.replicas.pop(d, None)
+                self.replicas[nd] = [x for x in alts[1:] if x != nd]
+                d = nd
+
+    def _promote(self, old_dir: str, new_dir: str,
+                 remaining: list[str]) -> None:
+        """Point the shard that served from ``old_dir`` at
+        ``new_dir``; ``remaining`` is the replica rotation left for
+        it (copies already tried-and-failed this query are out)."""
+        with self._fo_lock:
+            self.replicas.pop(old_dir, None)
+            self.replicas[new_dir] = [
+                d for d in remaining if d != new_dir
+            ]
+            for j, s in enumerate(self.shards):
+                if s.index_dir == old_dir:
+                    # identical content => identical span/stats; the
+                    # precomputed offsets stay valid
+                    self.shards[j] = LocalSearcher(new_dir)
+                    break
+
+    def _robust_read(self, j: int, fn):
+        """Parent-side (inline, non-scatter) shard read with replica
+        failover: surfaces like the df exchange, suggest, and fetch
+        read shard files from the client process; an unreadable copy
+        fails over to — and promotes — the next replica, matching
+        the scatter path's policy."""
+        while True:
+            s = self.shards[j]
+            try:
+                return fn(s)
+            except Exception as e:
+                with self._fo_lock:
+                    alts = list(self.replicas.get(s.index_dir, []))
+                if not _is_infra_failure(e) or not alts:
+                    raise
+                self._n_failovers += 1
+                self._promote(s.index_dir, alts[0], alts[1:])
 
     def _merged_cat(self, terms: list[str]) -> pd.DataFrame:
         """The getDocFreqs() exchange: per-shard catalog reads for
@@ -2980,14 +3169,17 @@ class ShardedSearcher:
                     columns=["term", "df"], filter=pred).to_pandas()
 
         if len(self.shards) == 1:
-            cats = [one(self.shards[0])]
+            cats = [self._robust_read(0, one)]
         else:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(
                 max_workers=min(len(self.shards), 32)
             ) as ex:
-                cats = list(ex.map(one, self.shards))
+                cats = list(ex.map(
+                    lambda j: self._robust_read(j, one),
+                    range(len(self.shards)),
+                ))
         return pd.concat(cats).groupby("term", as_index=False)["df"].sum()
 
     def _payloads(self, terms: list[str], cat: pd.DataFrame,
@@ -3469,12 +3661,15 @@ class ShardedSearcher:
             ).to_pandas()
 
         if len(self.shards) == 1:
-            cats = [one(self.shards[0])]
+            cats = [self._robust_read(0, one)]
         else:
             with ThreadPoolExecutor(
                 max_workers=min(len(self.shards), 32)
             ) as ex:
-                cats = list(ex.map(one, self.shards))
+                cats = list(ex.map(
+                    lambda j: self._robust_read(j, one),
+                    range(len(self.shards)),
+                ))
         cat = pd.concat(cats)
         keep = cat["term"].str.startswith(p)
         if ":" not in p:
@@ -3824,7 +4019,8 @@ class ShardedSearcher:
         frames = []
         for i, ids in per_shard.items():
             local = [d - self.offsets[i] for d in ids]
-            f = self.shards[i].fetch(local, fields)
+            f = self._robust_read(
+                i, lambda s, loc=local: s.fetch(loc, fields))
             f["doc_id"] = f["doc_id"] + self.offsets[i]
             frames.append(f)
         out = pd.concat(frames, ignore_index=True)
