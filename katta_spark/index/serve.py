@@ -486,6 +486,31 @@ class LocalSearcher:
 
         return cm()
 
+    def _checked_table(self, ds, columns=None, filter=None):
+        """Stored-field / postings / catalog scan with deadline
+        checks BETWEEN record batches — TimeLimitingCollector parity
+        for the NON-kernel surfaces (round 5; the reference bounds
+        every collector including facet/group calls,
+        LuceneServer.java:1555-1564).  The round-4 deadline only
+        covered the scoring kernels, so a budgeted significant_terms
+        or a huge stored-field read could wedge a scatter worker
+        until the scan ended; this aborts it in-worker at the same
+        75%-of-budget deadline.  With no deadline armed (the common
+        case) it is ONE to_table call — zero overhead."""
+        if self._deadline is None and _WORKER_DEADLINE is None:
+            return ds.to_table(columns=columns, filter=filter)
+        import pyarrow as pa
+
+        scanner = ds.scanner(columns=columns, filter=filter,
+                             batch_size=16384)
+        batches = []
+        for b in scanner.to_batches():
+            _check_deadline(self._deadline, 0)
+            batches.append(b)
+        return pa.Table.from_batches(
+            batches, schema=scanner.projected_schema
+        )
+
     def __init__(self, index_dir: str,
                  commits: list[str] | None = None,
                  qcache_size: int = 256):
@@ -737,7 +762,8 @@ class LocalSearcher:
         if not terms:
             return 0
         if "id_bits" in set(self._postings.schema.names):
-            pdf = self._postings.to_table(
+            pdf = self._checked_table(
+                self._postings,
                 columns=["term", "block_id", "id_bits"],
                 filter=pa_ds.field("term").isin(terms),
             ).to_pandas()
@@ -771,7 +797,8 @@ class LocalSearcher:
     def facet(self, qterms: list[str], field: str, n: int = 10,
               mode: str = "or", missing: bool = False,
               sort: str = "count", prefix: str | None = None,
-              mincount: int = 0) -> list[tuple[object, int]]:
+              mincount: int = 0,
+              timeout_ms: float | None = None) -> list[tuple[object, int]]:
         """Value facet over the match set with full Solr facet.field
         options — ``missing`` (NULL bucket, nulls-last), ``sort``
         ("count" = cnt desc value asc, "index" = value asc),
@@ -779,9 +806,12 @@ class LocalSearcher:
         prefix), ``mincount`` — node-local: matched ids from the
         pruned postings read, one column-pruned docs read, a
         value_counts.  Mirrors PhysicalIndex.facet option-for-option
-        (tested)."""
-        ids = self._matched_ids(qterms, mode)
-        tbl = self._docs_subset(ids, [field])
+        (tested).  ``timeout_ms`` arms the 75% deadline over the
+        postings AND stored-field scans (round-5 non-kernel deadline
+        coverage)."""
+        with self._budget(timeout_ms):
+            ids = self._matched_ids(qterms, mode)
+            tbl = self._docs_subset(ids, [field])
         cnt = tbl[field].value_counts(dropna=False)
         items = [(None if pd.isna(v) else v, int(c))
                  for v, c in cnt.items()]
@@ -800,7 +830,8 @@ class LocalSearcher:
         if not terms:
             return np.empty(0, dtype=np.int64)
         if "id_bits" in set(self._postings.schema.names):
-            pdf = self._postings.to_table(
+            pdf = self._checked_table(
+                self._postings,
                 columns=["term", "block_id", "id_bits"],
                 filter=pa_ds.field("term").isin(terms),
             ).to_pandas()
@@ -836,11 +867,12 @@ class LocalSearcher:
         if ids.size < max(65_536, int(0.1 * n_docs)):
             import pyarrow as pa
 
-            return self._docs.to_table(
+            return self._checked_table(
+                self._docs,
                 columns=need,
                 filter=pa_ds.field("doc_id").isin(pa.array(ids)),
             ).to_pandas()
-        tbl = self._docs.to_table(columns=need).to_pandas()
+        tbl = self._checked_table(self._docs, columns=need).to_pandas()
         hit = np.isin(tbl["doc_id"].to_numpy(), ids,
                       assume_unique=True)
         return tbl[hit]
@@ -848,7 +880,8 @@ class LocalSearcher:
     def sorted_query(self, qterms: list[str],
                      sort_cols: list[tuple[str, str]],
                      fields: list[str], limit: int, offset: int = 0,
-                     mode: str = "or") -> pd.DataFrame:
+                     mode: str = "or",
+                     timeout_ms: float | None = None) -> pd.DataFrame:
         """Field-sorted top-k at node latency — the reference's
         TopFieldCollector node RPC (LuceneServer.java:1629-1636; sort
         construction :931-961): match set from the pruned postings
@@ -856,12 +889,13 @@ class LocalSearcher:
         a stable multi-key sort.  Mirrors PhysicalIndex.sorted_query
         exactly, including Spark's null rule (asc -> nulls FIRST,
         desc -> nulls LAST) and the doc_id-asc tie-break (tested)."""
-        ids = self._matched_ids(qterms, mode)
-        need = ["doc_id"] + sorted(
-            {c for c, _ in sort_cols}
-            | {f for f in fields if f != "doc_id"}
-        )
-        tbl = self._docs_subset(ids, need)
+        with self._budget(timeout_ms):
+            ids = self._matched_ids(qterms, mode)
+            need = ["doc_id"] + sorted(
+                {c for c, _ in sort_cols}
+                | {f for f in fields if f != "doc_id"}
+            )
+            tbl = self._docs_subset(ids, need)
         out = _field_sort(tbl, sort_cols)
         return out.iloc[offset:offset + limit][list(fields)].reset_index(
             drop=True
@@ -869,14 +903,16 @@ class LocalSearcher:
 
     def range_facet(self, qterms: list[str], field: str, start: float,
                     end: float, gap: float, min_count: int = 1,
-                    mode: str = "or") -> list[tuple[float, int]]:
+                    mode: str = "or",
+                    timeout_ms: float | None = None) -> list[tuple[float, int]]:
         """Numeric facetByRange at node latency (the reference's
         FacetRangeCall node RPC, LuceneServer.java:1197-1258 /
         :2022-2065): gap buckets over [start, end) among the matches.
         Mirrors PhysicalIndex.range_facet — same bucket_start values
         (start + floor((v-start)/gap)*gap), same [start, end) bounds,
         min_count applied after counting (tested)."""
-        hist = self._range_hist(qterms, field, start, end, gap, mode)
+        with self._budget(timeout_ms):
+            hist = self._range_hist(qterms, field, start, end, gap, mode)
         rows = [(b, c) for b, c in sorted(hist.items())
                 if c >= int(min_count)]
         return [(float(b), int(c)) for b, c in rows]
@@ -1350,7 +1386,8 @@ class LocalSearcher:
         if not ids.size:
             return pa.table({"term": pa.array([], pa.string()),
                              "df_fg": pa.array([], pa.int64())}), 0
-        toks = self._docs.to_table(
+        toks = self._checked_table(
+            self._docs,
             columns=["toks"],
             filter=pa_ds.field("doc_id").isin(pa.array(ids)),
         )["toks"].combine_chunks()
@@ -1409,7 +1446,8 @@ class LocalSearcher:
 
     def significant_terms(self, qterms: list[str], m_terms: int = 10,
                           mode: str = "or", min_df: int = 2,
-                          max_fg: int | None = None) -> pd.DataFrame:
+                          max_fg: int | None = None,
+                          timeout_ms: float | None = None) -> pd.DataFrame:
         """(term, df_fg, df_bg, lift) — the ES significant_terms
         aggregation at node latency: content terms overrepresented in
         the matching docs vs the whole index, ranked by
@@ -1420,7 +1458,8 @@ class LocalSearcher:
         ES sampler-agg analogue) — cost becomes O(max_fg) instead of
         O(match count); df_fg/lift are then unbiased estimates."""
         qset = sorted(set(strip_stops(self.stats, qterms)))
-        vc, n_fg = self._sigterms_fg(qterms, mode, max_fg=max_fg)
+        with self._budget(timeout_ms):
+            vc, n_fg = self._sigterms_fg(qterms, mode, max_fg=max_fg)
         return _sigterms_rank(vc, n_fg, qset, self._df_for,
                               float(self.stats["n_docs"]), m_terms,
                               min_df)
@@ -1575,7 +1614,9 @@ class LocalSearcher:
         host = self._cache_host or self
         if getattr(host, "_all_ids_cache", None) is None:
             ids = np.unique(
-                host._docs.to_table(columns=["doc_id"])["doc_id"].to_numpy()
+                self._checked_table(
+                    host._docs, columns=["doc_id"]
+                )["doc_id"].to_numpy()
             )
             ids, = host._mask_tomb(ids)
             host._all_ids_cache = ids
@@ -1598,16 +1639,16 @@ class LocalSearcher:
                 # (term, n) column read of the pruned partitions, the
                 # same device _blocks uses per-query, amortized here
                 # across every expansion the pinned handle answers
-                t = host._postings.to_table(
-                    columns=["term", "n"]
+                t = self._checked_table(
+                    host._postings, columns=["term", "n"]
                 ).to_pandas()
                 host._catalog_cache = (
                     t.groupby("term", as_index=False)["n"].sum()
                     .rename(columns={"n": "df"})
                 )
             else:
-                host._catalog_cache = host._terms.to_table(
-                    columns=["term", "df"]
+                host._catalog_cache = self._checked_table(
+                    host._terms, columns=["term", "df"]
                 ).to_pandas()
         return host._catalog_cache
 
@@ -1688,7 +1729,9 @@ class LocalSearcher:
         """doc_ids where ``op(column, value)`` holds — a non-scoring
         stored-column filter (Solr fq): one column-pruned read of the
         docs parquet (the cluster tier's docs scan, node-local)."""
-        cols = self._docs.to_table(columns=["doc_id", field]).to_pandas()
+        cols = self._checked_table(
+            self._docs, columns=["doc_id", field]
+        ).to_pandas()
         col = cols[field]
         keep = op(col, value)
         ids = np.unique(cols["doc_id"].to_numpy()[keep.to_numpy()])

@@ -24,6 +24,7 @@ from katta_spark.index.serve import (
     QueryTimeout,
     ShardedSearcher,
     _shard_count_task,
+    _shard_facet_task,
     _shard_search_task,
 )
 
@@ -68,6 +69,52 @@ def test_kernel_deadline_raises(two_shards):
     want = ls.topk(["import"], k=5)
     assert ls.topk(["import"], k=5, timeout_ms=60_000) == want
     assert ls._deadline is None
+
+
+def test_stored_field_surfaces_abort_on_budget(two_shards):
+    """Round-5 non-kernel deadline coverage: the stored-field
+    surfaces (facet / sorted_query / range facet / significant_terms)
+    check the armed deadline between scan batches — the reference
+    bounds EVERY collector, including facet/group calls
+    (LuceneServer.java:1555-1564), not just scoring."""
+    da, _ = two_shards
+    ls = LocalSearcher(da, qcache_size=0)
+    with pytest.raises(QueryTimeout):
+        ls.facet(["import"], "lang", timeout_ms=0)
+    with pytest.raises(QueryTimeout):
+        ls.sorted_query(["import"], [("path", "asc")],
+                        ["doc_id", "path"], 5, timeout_ms=0)
+    with pytest.raises(QueryTimeout):
+        ls.range_facet(["import"], "dl", 0.0, 1000.0, 100.0,
+                       timeout_ms=0)
+    with pytest.raises(QueryTimeout):
+        ls.significant_terms(["import"], timeout_ms=0)
+    # deadline cleared: untimed calls answer, budgets are generous
+    assert ls.facet(["import"], "lang")
+    assert ls.facet(["import"], "lang", timeout_ms=60_000) == \
+        ls.facet(["import"], "lang")
+    assert ls._deadline is None
+
+
+def test_worker_deadline_covers_stored_surfaces(two_shards, monkeypatch):
+    """The scatter worker's process-wide deadline (armed by
+    _deadline_task at 75% of the budget) aborts stored-field scans
+    in-worker — a timed-out worker running a facet or sig_terms scan
+    frees itself instead of staying wedged through the scan."""
+    import katta_spark.index.serve as serve_mod
+
+    da, _ = two_shards
+    ls = LocalSearcher(da, qcache_size=0)
+    monkeypatch.setattr(serve_mod, "_WORKER_DEADLINE", 0.0)
+    with pytest.raises(QueryTimeout):
+        ls.facet(["import"], "lang")
+    with pytest.raises(QueryTimeout):
+        ls.significant_terms(["import"])
+    with pytest.raises(QueryTimeout):
+        ls.sorted_query(["import"], [("path", "asc")],
+                        ["doc_id", "path"], 5)
+    monkeypatch.setattr(serve_mod, "_WORKER_DEADLINE", None)
+    assert ls.facet(["import"], "lang")
 
 
 # --------------------------------------------------------------- scatter
@@ -309,6 +356,39 @@ def _boom_task(payload):
     if "shard_b" in payload[0]:
         raise ValueError("no such field: bogus")
     return _shard_count_task(payload)
+
+
+def _slow_then_facet_task(payload):
+    from katta_spark.index.serve import _shard_facet_task
+
+    if "shard_b" in payload[0]:
+        time.sleep(0.7)
+    return _shard_facet_task(payload)
+
+
+def test_stored_field_scatter_worker_not_wedged(two_shards):
+    """Cascade test for a STORED-FIELD scatter: the slow worker blows
+    the budget; its armed deadline aborts the facet task's stored
+    read in-worker (QueryTimeout) instead of running the scan to
+    completion, so the SAME pool serves the next scatter with full
+    results — no queue backs up behind a wedged scan."""
+    da, db = two_shards
+    sh = ShardedSearcher([da, db], timeout_ms=300, complete=False)
+    try:
+        cat = sh._merged_cat(["import"])
+        payloads = sh._payloads(["import"], cat,
+                                {"field": "lang", "mode": "or"})
+        t0 = time.monotonic()
+        sh._scatter(_slow_then_facet_task, payloads)
+        assert time.monotonic() - t0 < 2.0
+        assert sh.shards_failed == [db]
+        pool = sh._pool
+        time.sleep(0.8)  # let worker b finish its in-worker abort
+        got = sh._scatter(_shard_facet_task, payloads)
+        assert sh.shards_failed == [] and len(got) == 2
+        assert sh._pool is pool, "pool was torn down"
+    finally:
+        sh.close()
 
 
 def test_task_exception_keeps_pool_and_raises_original(two_shards):
