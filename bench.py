@@ -233,6 +233,42 @@ def main() -> None:
         lambda: lsrv_warm.topk(["table"], k=10))
     queries["serve_warm_lucene"] = timed(
         lambda: lsrv_warm.query("(dup OR key) AND table"))
+    # r5: scatter tier — 2-shard split of the same corpus (block-
+    # aligned boundary so namespaced ids match): cold scatter latency
+    # (process-pool fan-out + df exchange + merge) and the
+    # scatter-tier queryResultCache hot path.  The two shard builds
+    # are their own row (index_build_shards — adds to total wall vs
+    # r4; see BENCH/BASELINE.md); all rows kept OUT of srv_samples.
+    from katta_spark.index.serve import ShardedSearcher
+
+    sh_root = bench_tmpdir("katta_bench_shards_")
+    half = max(1024, (n_docs // 2 // 1024) * 1024)
+    sa_dir, sb_dir = f"{sh_root}/shard_a", f"{sh_root}/shard_b"
+    t0 = time.monotonic()
+    build_index(spark, corpus.filter(F.col("doc_id") < half), sa_dir,
+                n_groups=2, block_range=1024,
+                field_cols=["lang", "source"])
+    build_index(
+        spark,
+        corpus.filter(F.col("doc_id") >= half)
+        .withColumn("doc_id", F.col("doc_id") - half),
+        sb_dir, n_groups=2, block_range=1024,
+        field_cols=["lang", "source"],
+    )
+    queries["index_build_shards"] = round(time.monotonic() - t0, 4)
+    ssrv_cold = ShardedSearcher([sa_dir, sb_dir], scache_size=0)
+    ssrv_cold.topk(["the"], k=3)  # pool + worker handles warm
+    queries["serve_scatter_topk"] = timed(
+        lambda: ssrv_cold.topk(["table"], k=10))
+    queries["serve_scatter_count"] = timed(
+        lambda: ssrv_cold.count(["dup", "key"]))
+    ssrv_cold.close()
+    ssrv_warm = ShardedSearcher([sa_dir, sb_dir])
+    ssrv_warm.topk(["table"], k=10)  # cold fill
+    queries["serve_warm_scatter"] = timed(
+        lambda: ssrv_warm.topk(["table"], k=10))
+    ssrv_warm.close()
+    shutil.rmtree(sh_root, ignore_errors=True)
     srv_samples.sort()
     extra["serve_p50_ms"] = round(
         statistics.median(srv_samples) * 1000, 1

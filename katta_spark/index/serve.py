@@ -2787,7 +2787,8 @@ class ShardedSearcher:
 
     def __init__(self, dirs: list[str], timeout_ms: float | None = None,
                  complete: bool = True,
-                 replicas: dict[str, list[str]] | None = None):
+                 replicas: dict[str, list[str]] | None = None,
+                 scache_size: int = 256):
         """``timeout_ms``: default scatter budget per query — a shard
         that hasn't answered inside it is treated as failed (the
         client-side budget, LuceneClient.java:182).  ``complete``:
@@ -2828,6 +2829,18 @@ class ShardedSearcher:
         self._n_failures = 0
         self._n_failovers = 0
         self._fo_lock = threading.Lock()
+        #: scatter-tier result cache (round 5): repeated identical
+        #: scatters skip fan-out + merge entirely.  Keys include the
+        #: per-shard COMMIT FINGERPRINTS, so a replica promotion or a
+        #: commit-pinned change can never serve a stale hit;
+        #: refresh() rebuilds the handle (fresh empty cache — the
+        #: same new-searcher flush as the node tier).  Staleness rule
+        #: mirrors LocalSearcher: mutations require refresh().
+        #: ``scache_size=0`` disables (benches measure cold scatters).
+        self._scache_size = int(scache_size)
+        self._scache = (
+            _ResultCache(self._scache_size) if scache_size else None
+        )
         # opening a shard is itself replica-aware: a copy whose files
         # are gone/corrupt at open time fails over like a scatter-time
         # failure would (refresh() re-enters here after a copy dies)
@@ -2877,7 +2890,8 @@ class ShardedSearcher:
             _SHARD_CACHE.pop(d, None)
         # replicas key by CURRENT serving dir, so promotions survive
         self.__init__(dirs, timeout_ms=self.timeout_ms,
-                      complete=self.complete, replicas=self.replicas)
+                      complete=self.complete, replicas=self.replicas,
+                      scache_size=self._scache_size)
         # lifetime counters survive the reopen (metrics contract);
         # ADD the kept values — the reopen itself may have failed
         # over a dead copy and counted it
@@ -3102,6 +3116,9 @@ class ShardedSearcher:
             "n_retries": self._n_retries,
             "n_replica_failovers": self._n_failovers,
             "n_shard_failures": self._n_failures,
+            "scache_hits": self._scache.hits if self._scache else 0,
+            "scache_misses": (self._scache.misses
+                              if self._scache else 0),
             "last_shards_failed": list(self.shards_failed),
             "per_shard": [s.node_metrics() for s in self.shards],
         }
@@ -3118,6 +3135,38 @@ class ShardedSearcher:
             if d not in self.shards_failed:
                 self.shards_failed.append(d)
                 self._n_failures += 1
+
+    def _sfingerprint(self) -> tuple:
+        """Per-shard commit fingerprints — the cache-key component
+        that pins a scatter result to the EXACT index state it was
+        computed from: serving dir (changes on replica promotion),
+        commit set, doc count, tombstone count.  Computed from
+        in-memory handle state (no I/O)."""
+        return tuple(
+            (s.index_dir,
+             tuple(s.stats.get("commits") or []),
+             int(s.stats["n_docs"]),
+             0 if s._tomb is None else int(s._tomb.size))
+            for s in self.shards
+        )
+
+    def _scached(self, key: tuple, compute):
+        """Scatter-tier queryResultCache wrapper: a hit skips the
+        whole fan-out + merge (rank-identical by construction — the
+        key pins query AND per-shard state).  PARTIAL results are
+        never cached: a later retry must re-scatter, not replay the
+        degraded answer."""
+        if self._scache is None:
+            return compute()
+        full_key = (self._sfingerprint(), key)
+        hit = self._scache.get(full_key)
+        if hit is not self._scache._MISS:
+            self.shards_failed = []
+            return hit
+        out = compute()
+        if not self.shards_failed:
+            self._scache.put(full_key, out)
+        return out
 
     def _promote_successes(self, payloads: list, cur: list,
                            reps: dict, results: dict) -> None:
@@ -3252,20 +3301,27 @@ class ShardedSearcher:
         reference's scatter + Hit.compareTo merge), corpus-wide idf
         via the merged catalog, namespaced doc ids."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
-        cat = self._merged_cat(terms)
-        pairs = self._scatter(
-            _shard_topk_task,
-            self._payloads(terms, cat, {
-                "k": offset + k, "mode": mode, "min_match": min_match,
-            }),
-            timeout_ms=timeout_ms,
-        )
-        if not pairs:
-            return []
-        ids = np.concatenate([p[0] for p in pairs])
-        scores = np.concatenate([p[1] for p in pairs])
-        order = np.lexsort((ids, -scores))[offset:offset + k]
-        return [(int(ids[i]), float(scores[i])) for i in order]
+
+        def compute():
+            cat = self._merged_cat(terms)
+            pairs = self._scatter(
+                _shard_topk_task,
+                self._payloads(terms, cat, {
+                    "k": offset + k, "mode": mode,
+                    "min_match": min_match,
+                }),
+                timeout_ms=timeout_ms,
+            )
+            if not pairs:
+                return []
+            ids = np.concatenate([p[0] for p in pairs])
+            scores = np.concatenate([p[1] for p in pairs])
+            order = np.lexsort((ids, -scores))[offset:offset + k]
+            return [(int(ids[i]), float(scores[i])) for i in order]
+
+        key = ("topk", tuple(terms), int(k), mode, min_match,
+               int(offset))
+        return list(self._scached(key, compute))
 
     def query(self, q: str, k: int = 10, offset: int = 0,
               fq: list[str] | None = None,
@@ -3302,20 +3358,33 @@ class ShardedSearcher:
         round 2 would rank with inconsistent idf."""
         import time
 
-        budget = self.timeout_ms if timeout_ms is None else timeout_ms
-        t_end = (None if budget is None
-                 else time.monotonic() + float(budget) / 1000.0)
+        def compute():
+            budget = (self.timeout_ms if timeout_ms is None
+                      else timeout_ms)
+            t_end = (None if budget is None
+                     else time.monotonic() + float(budget) / 1000.0)
 
-        def left():
-            return (None if t_end is None
-                    else max(0.0, (t_end - time.monotonic()) * 1000.0))
+            def left():
+                return (None if t_end is None else
+                        max(0.0, (t_end - time.monotonic()) * 1000.0))
 
-        p1 = {"q": q, "fq": fq, "synonyms": synonyms}
-        payloads = [(s.index_dir, off, p1)
-                    for s, off in zip(self.shards, self.offsets)]
-        df_map: dict[str, int] = {}
-        pinned: dict[tuple, set[str]] = {}
-        r1_budget = None if budget is None else float(budget) / 2.0
+            p1 = {"q": q, "fq": fq, "synonyms": synonyms}
+            payloads = [(s.index_dir, off, p1)
+                        for s, off in zip(self.shards, self.offsets)]
+            df_map: dict[str, int] = {}
+            pinned: dict[tuple, set[str]] = {}
+            r1_budget = (None if budget is None
+                         else float(budget) / 2.0)
+            return self._query_rounds(q, k, offset, payloads, df_map,
+                                      pinned, left, r1_budget)
+
+        key = ("query", q, int(k), int(offset), tuple(fq or ()),
+               json.dumps(synonyms, sort_keys=True) if synonyms
+               else None)
+        return list(self._scached(key, compute))
+
+    def _query_rounds(self, q, k, offset, payloads, df_map, pinned,
+                      left, r1_budget):
         for rows, exp in self._scatter(_shard_collect_task, payloads,
                                        timeout_ms=r1_budget):
             # dedupe within the shard first: a term can be BOTH a
@@ -3330,7 +3399,7 @@ class ShardedSearcher:
             for t, d in local.items():
                 df_map[t] = df_map.get(t, 0) + d
         p2 = {
-            **p1,
+            **payloads[0][2],
             "df_map": sorted(df_map.items()),
             "pinned": {key: sorted(v) for key, v in pinned.items()},
             "n_docs": float(self.stats["n_docs"]),
@@ -3368,12 +3437,16 @@ class ShardedSearcher:
         (or use search(k=0) for the envelope with completeness
         fields) before trusting a partial count."""
         terms = sorted(set(strip_stops(self.stats, qterms)))
-        return sum(self._scatter(
-            _shard_count_task,
-            [(s.index_dir, {"terms": terms, "mode": mode})
-             for s in self.shards],
-            timeout_ms=timeout_ms,
-        ))
+
+        def compute():
+            return sum(self._scatter(
+                _shard_count_task,
+                [(s.index_dir, {"terms": terms, "mode": mode})
+                 for s in self.shards],
+                timeout_ms=timeout_ms,
+            ))
+
+        return self._scached(("count", tuple(terms), mode), compute)
 
     def facet(self, qterms: list[str], field: str, n: int = 10,
               mode: str = "or", missing: bool = False,

@@ -261,7 +261,10 @@ def test_sharded_query_budget_spans_both_rounds(two_shards, monkeypatch):
     import katta_spark.index.serve as serve_mod
 
     da, db = two_shards
-    sh = ShardedSearcher([da, db], complete=False)
+    # scache off: the repeated identical query must RE-SCATTER here
+    # (a cache hit would — correctly, but not what this test pins —
+    # serve the full cached result instead of the partial)
+    sh = ShardedSearcher([da, db], complete=False, scache_size=0)
     try:
         want_full = sh.query("(import OR table) AND scan", k=5)
         assert sh.shards_failed == []

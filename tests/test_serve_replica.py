@@ -67,7 +67,7 @@ def test_failover_on_removed_shard_rank_identical(shard_pair):
     answering, rank-identical, through the replica — shards_failed
     stays empty and the failover is counted."""
     da, db, rb = shard_pair
-    sh = ShardedSearcher([da, db], replicas={db: [rb]})
+    sh = ShardedSearcher([da, db], replicas={db: [rb]}, scache_size=0)
     try:
         want_topk = sh.topk(["import", "table"], k=8)
         want_count = sh.count(["import"])
@@ -95,7 +95,7 @@ def test_failover_on_corrupt_posting_file(shard_pair):
     """A corrupt (truncated) parquet in one copy is an infra failure:
     the scatter retries the replica, results stay exact."""
     da, db, rb = shard_pair
-    sh = ShardedSearcher([da, db], replicas={db: [rb]})
+    sh = ShardedSearcher([da, db], replicas={db: [rb]}, scache_size=0)
     try:
         want = sh.topk(["import", "table"], k=8)
         # truncate every postings parquet part in shard_b
@@ -118,7 +118,7 @@ def test_exhausted_replicas_fail(shard_pair):
     — partial merge under complete=False, raise under complete=True."""
     da, db, rb = shard_pair
     sh = ShardedSearcher([da, db], replicas={db: [rb]},
-                         complete=False)
+                         complete=False, scache_size=0)
     try:
         only_a = LocalSearcher(da).count(["import"])
         shutil.rmtree(db)
@@ -138,7 +138,7 @@ def test_inline_single_shard_failover(shard_pair):
     """The single-payload inline path (no pool) is replica-aware
     too."""
     da, db, rb = shard_pair
-    sh = ShardedSearcher([db], replicas={db: [rb]})
+    sh = ShardedSearcher([db], replicas={db: [rb]}, scache_size=0)
     try:
         want = sh.count(["import"])
         shutil.rmtree(db)
@@ -179,7 +179,7 @@ def test_parent_side_reads_failover(shard_pair):
     """suggest/fetch/the df exchange read shard files from the CLIENT
     process — they fail over and promote like the scatter path."""
     da, db, rb = shard_pair
-    sh = ShardedSearcher([da, db], replicas={db: [rb]})
+    sh = ShardedSearcher([da, db], replicas={db: [rb]}, scache_size=0)
     try:
         want_sug = sh.suggest("im", n=5)
         hit = sh.topk(["import"], k=1)[0][0]
@@ -194,7 +194,7 @@ def test_parent_side_reads_failover(shard_pair):
 
 def test_refresh_preserves_replicas_and_promotion(shard_pair):
     da, db, rb = shard_pair
-    sh = ShardedSearcher([da, db], replicas={db: [rb]})
+    sh = ShardedSearcher([da, db], replicas={db: [rb]}, scache_size=0)
     try:
         want = sh.count(["import"])
         shutil.rmtree(db)
