@@ -92,3 +92,33 @@ def test_admin_html_status_page(idx, tmp_path):
     assert "no problems" in page         # per-index check section
     assert "no deploy errors" in page    # per-index errors section
     assert "800" in page.replace(",", "")  # doc count rendered
+    # no --metrics: the serving-metrics section is absent
+    assert "serving metrics" not in page
+
+
+def test_admin_html_renders_serving_metrics(idx, tmp_path):
+    """Round 5: a ShardedSearcher.metrics() snapshot (dumped by the
+    serving process) renders as the operational-counters section —
+    scatters, retries, replica failovers, failures, cache hit rates,
+    per-shard node rows."""
+    from katta_spark.index.serve import ShardedSearcher
+
+    sh = ShardedSearcher([str(idx)])
+    try:
+        sh.count(["import"])
+        sh.count(["import"])  # scache hit
+        snap = sh.metrics()
+    finally:
+        sh.close()
+    mpath = tmp_path / "metrics.json"
+    mpath.write_text(json.dumps(snap))
+    out_file = tmp_path / "status_m.html"
+    rc, out = run_cli("html", str(idx.parent), "--out", str(out_file),
+                      "--metrics", str(mpath))
+    assert rc == 0 and out["ok"]
+    page = out_file.read_text()
+    assert "serving metrics" in page
+    assert "replica failovers" in page
+    assert "scache hit rate" in page and "50%" in page
+    assert "per-shard nodes" in page
+    assert "qcache hit rate" in page

@@ -181,7 +181,60 @@ def _esc(s: object) -> str:
             .replace(">", "&gt;"))
 
 
-def cmd_html(root: str, out_path: str | None = None) -> dict:
+def _metrics_section(metrics_path: str | None) -> str:
+    """Render a serving-metrics snapshot (round 5) — the operational
+    counters the scatter client exposes via ShardedSearcher.metrics()
+    (scatters, dead-worker retries, replica failovers, shard
+    failures, scatter/result-cache hit rates, per-shard node
+    metrics).  A serving process dumps the snapshot with
+    ``json.dump(sh.metrics(), open(path, "w"))``; the page renders it
+    when ``--metrics`` is passed — the katta-ui node-status view's
+    counters, minus the ZooKeeper liveness it can't have offline."""
+    if not metrics_path:
+        return ""
+    try:
+        m = json.loads(Path(metrics_path).read_text())
+    except Exception as e:  # unreadable snapshot: render the problem
+        return (f"<h2>serving metrics</h2><p class='bad'>unreadable "
+                f"snapshot {_esc(metrics_path)}: {_esc(e)}</p>")
+
+    def rate(h, mi):
+        tot = (h or 0) + (mi or 0)
+        return f"{(h or 0) / tot:.0%}" if tot else "-"
+
+    head = (
+        "<h2>serving metrics</h2><table><tr>"
+        "<th>scatters</th><th>retries</th><th>replica failovers</th>"
+        "<th>shard failures</th><th>scache hit rate</th>"
+        "<th>last failed shards</th></tr>"
+        "<tr><td>{sc}</td><td>{rt}</td><td>{fo}</td><td>{fl}</td>"
+        "<td>{hr}</td><td>{lf}</td></tr></table>".format(
+            sc=m.get("n_scatters", 0), rt=m.get("n_retries", 0),
+            fo=m.get("n_replica_failovers", 0),
+            fl=m.get("n_shard_failures", 0),
+            hr=rate(m.get("scache_hits"), m.get("scache_misses")),
+            lf=_esc(", ".join(m.get("last_shards_failed", [])) or "-"),
+        )
+    )
+    per = m.get("per_shard") or []
+    if not per:
+        return head
+    rows = "".join(
+        "<tr><td>{i}</td><td>{d:,}</td><td>{t:,}</td><td>{qr}</td>"
+        "<td>{qe}</td></tr>".format(
+            i=i, d=s.get("n_docs", 0), t=s.get("tombstones", 0),
+            qr=rate(s.get("qcache_hits"), s.get("qcache_misses")),
+            qe=s.get("qcache_entries", 0),
+        )
+        for i, s in enumerate(per)
+    )
+    return (head + "<h3>per-shard nodes</h3><table><tr><th>shard</th>"
+            "<th>docs</th><th>tombstones</th><th>qcache hit rate</th>"
+            "<th>qcache entries</th></tr>" + rows + "</table>")
+
+
+def cmd_html(root: str, out_path: str | None = None,
+             metrics_path: str | None = None) -> dict:
     """Static HTML status page — the katta-ui substitution (the
     reference bundles a Jetty webapp whose index view lists every
     deployed index with status/#shards/#docs and per-index detail;
@@ -189,7 +242,8 @@ def cmd_html(root: str, out_path: str | None = None) -> dict:
     Here cluster state IS the directory tree, so the page is a pure
     render of cmd_list + per-index cmd_check/cmd_errors: no server,
     no deps — one self-contained file to drop behind any static
-    host."""
+    host.  ``metrics_path`` adds the serving-tier counters section
+    from a ShardedSearcher.metrics() snapshot."""
     listing = cmd_list(root)
     rows, details = [], []
     for s in listing["indexes"]:
@@ -233,7 +287,9 @@ def cmd_html(root: str, out_path: str | None = None) -> dict:
         "<table><tr><th>index</th><th>status</th><th>health</th>"
         "<th>groups</th><th>docs</th><th>tombstones</th>"
         "<th>commits</th><th>MB</th></tr>"
-        + "".join(rows) + "</table>" + "".join(details)
+        + "".join(rows) + "</table>"
+        + _metrics_section(metrics_path)
+        + "".join(details)
         + "</body></html>"
     )
     if out_path:
@@ -254,6 +310,9 @@ def main() -> int:
     s = sub.add_parser("html")
     s.add_argument("path")
     s.add_argument("--out", default=None)
+    s.add_argument("--metrics", default=None,
+                   help="ShardedSearcher.metrics() JSON snapshot to "
+                        "render as the serving-metrics section")
     a = ap.parse_args()
     fn = {
         "list": lambda: cmd_list(a.path),
@@ -261,7 +320,8 @@ def main() -> int:
         "check": lambda: cmd_check(a.path),
         "errors": lambda: cmd_errors(a.path),
         "remove": lambda: cmd_remove(a.path, a.yes),
-        "html": lambda: cmd_html(a.path, a.out),
+        "html": lambda: cmd_html(a.path, a.out,
+                                 getattr(a, "metrics", None)),
     }[a.cmd]
     out = fn()
     if a.cmd == "html" and a.out:
