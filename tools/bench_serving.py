@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--build-mode", choices=("concurrent", "sequential"),
+                    default="concurrent",
+                    help="concurrent (round 5, FAIR scheduler pools + "
+                         "thread-submitted builds — one driver fills "
+                         "local[32], the cluster shape) or the old "
+                         "sequential loop")
     args = ap.parse_args()
 
     import os
@@ -62,7 +68,12 @@ def main() -> None:
     shm = tempfile.mkdtemp(prefix="katta_serve_bench_", dir="/dev/shm")
     spark = get_spark(app_name="bench_serving", master="local[32]",
                       shuffle_partitions=32,
-                      extra_conf={"spark.local.dir": f"{shm}/local"})
+                      extra_conf={"spark.local.dir": f"{shm}/local",
+                                  # concurrent shard builds share the
+                                  # executor fairly (one driver fills
+                                  # local[32] the way a cluster's
+                                  # per-shard builders would)
+                                  "spark.scheduler.mode": "FAIR"})
     spark.sparkContext.setLogLevel("ERROR")
 
     n = args.docs
@@ -73,16 +84,35 @@ def main() -> None:
     build_index(spark, full, f"{shm}/union", n_groups=8)
     t_union = time.monotonic() - t0
     per = n // args.shards
-    t0 = time.monotonic()
-    shard_dirs = []
-    for s in range(args.shards):
-        lo, hi = s * per, n if s == args.shards - 1 else (s + 1) * per
+
+    def build_shard(s: int) -> str:
+        lo = s * per
+        hi = n if s == args.shards - 1 else (s + 1) * per
         part = full.filter(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         ).withColumn("doc_id", F.col("doc_id") - lo)
         d = f"{shm}/shard{s}"
-        build_index(spark, part, d, n_groups=1)
-        shard_dirs.append(d)
+        # per-thread FAIR pool: each shard build is its own job
+        # stream; outputs are deterministic (doc ids are given, the
+        # build partitions by term range), so concurrent == sequential
+        # logically — pinned by tests/test_concurrent_build.py
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"shard{s}")
+        try:
+            build_index(spark, part, d, n_groups=1)
+        finally:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", None)
+        return d
+
+    t0 = time.monotonic()
+    if args.build_mode == "concurrent":
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.shards) as ex:
+            shard_dirs = list(ex.map(build_shard, range(args.shards)))
+    else:
+        shard_dirs = [build_shard(s) for s in range(args.shards)]
     t_shards = time.monotonic() - t0
     spark.stop()
 
@@ -130,6 +160,7 @@ def main() -> None:
     }
     out = {
         "n_docs": n, "shards": args.shards, "reps": args.reps,
+        "build_mode": args.build_mode,
         "build_union_s": round(t_union, 1),
         "build_shards_s": round(t_shards, 1),
         # one doc == one source file: the build-throughput headline
