@@ -119,9 +119,23 @@ def main() -> None:
     # qcache_size=0: cold-path latency each repeat (the round-3
     # regime — round 4 added a queryResultCache that would otherwise
     # serve med5's repeats from memory); warm-cache rows are
-    # measured separately below.
+    # measured separately below.  scache_size=0 on the scatter for
+    # the same reason (round 5 added the scatter-tier cache).
     ls = LocalSearcher(f"{shm}/union", qcache_size=0)
-    sh = ShardedSearcher(shard_dirs)
+    sh = ShardedSearcher(shard_dirs, scache_size=0)
+
+    # adversarial-skew probe (round 5): the HOTTEST content term in
+    # the corpus — the worst case for "per-query work is bounded by
+    # posting geometry" (a term in most docs means posting geometry
+    # ~= corpus size; these rows pin what that costs).
+    import pyarrow.dataset as pads
+
+    cat = pads.dataset(f"{shm}/union/terms").to_table(
+        columns=["term", "df"]).to_pandas()
+    cat = cat.groupby("term", as_index=False)["df"].sum()
+    hot = cat.sort_values(["df", "term"],
+                          ascending=[False, True]).iloc[0]
+    hot_term = str(hot["term"])
 
     qset = {
         "or_top10": lambda s: s.topk(["import", "return"], k=10,
@@ -157,6 +171,13 @@ def main() -> None:
             **({"shard_min_df": 2}
                if hasattr(s, "shards") else {})),
         "mlt": lambda s: s.more_like_this(7, m_terms=5, k=10),
+        # skew rows: hot-term count/topk/facet (term picked from the
+        # catalog at run time — reported in out["skew_term"])
+        "hot_count": lambda s: s.count([hot_term]),
+        "hot_topk": lambda s: s.topk([hot_term], k=10),
+        "hot_and_rare": lambda s: s.topk([hot_term, "merge"], k=10,
+                                         mode="and"),
+        "hot_facet": lambda s: s.facet([hot_term], "lang", n=7),
     }
     out = {
         "n_docs": n, "shards": args.shards, "reps": args.reps,
@@ -166,6 +187,8 @@ def main() -> None:
         # one doc == one source file: the build-throughput headline
         "build_files_per_sec": round(n / t_union, 1),
         "local_ms": {}, "sharded_ms": {}, "parity": {},
+        "skew_term": {"term": hot_term,
+                      "df_ratio": round(float(hot["df"]) / n, 3)},
     }
     NO_PARITY = {"sig_terms_pruned"}  # ES shard_min_doc_count mode:
     # approximate by design, only applied on the sharded side
