@@ -523,6 +523,17 @@ def test_sharded_grouping_surfaces_match_union(spark, split_dirs):
         a = sh.significant_terms(["table"], m_terms=8)
         b = un.significant_terms(["table"], m_terms=8)
         assert a.values.tolist() == b.values.tolist()
+        # round 5: the id_bits foreground histogram must equal the
+        # stored-token fallback exactly (the fallback serves
+        # pre-bitset layouts; both are the distinct-per-doc count)
+        import katta_spark.index.serve as serve_mod
+        from unittest import mock
+
+        with mock.patch.object(serve_mod.LocalSearcher,
+                               "_fg_hist_bits",
+                               lambda self, ids: None):
+            fb = un.significant_terms(["table"], m_terms=8)
+        assert fb.values.tolist() == b.values.tolist()
         # an id on shard B exercises the namespaced routing
         src = int(b_doc_on_second_shard(sh))
         got = [(d, round(s, 9)) for d, s in
