@@ -52,6 +52,12 @@ def main() -> None:
                          "thread-submitted builds — one driver fills "
                          "local[32], the cluster shape) or the old "
                          "sequential loop")
+    ap.add_argument("--build-workers", type=int, default=4,
+                    help="concurrent shard builds in flight: each "
+                         "build holds its own shuffle/agg state in "
+                         "the SHARED single-JVM heap (a cluster gives "
+                         "each its own executors) — 8-way at 10M docs "
+                         "OOMs a 24g heap, 4-way fits")
     args = ap.parse_args()
 
     import os
@@ -109,7 +115,9 @@ def main() -> None:
     if args.build_mode == "concurrent":
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=args.shards) as ex:
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(args.build_workers, args.shards))
+        ) as ex:
             shard_dirs = list(ex.map(build_shard, range(args.shards)))
     else:
         shard_dirs = [build_shard(s) for s in range(args.shards)]
