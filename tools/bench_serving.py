@@ -52,6 +52,10 @@ def main() -> None:
                          "thread-submitted builds — one driver fills "
                          "local[32], the cluster shape) or the old "
                          "sequential loop")
+    ap.add_argument("--spark-local", default=None,
+                    help="spark.local.dir override — at 30M docs the "
+                         "shuffle spill must leave /dev/shm (tmpfs "
+                         "shares RAM with the JVM heap)")
     ap.add_argument("--build-workers", type=int, default=4,
                     help="concurrent shard builds in flight: each "
                          "build holds its own shuffle/agg state in "
@@ -74,7 +78,8 @@ def main() -> None:
     shm = tempfile.mkdtemp(prefix="katta_serve_bench_", dir="/dev/shm")
     spark = get_spark(app_name="bench_serving", master="local[32]",
                       shuffle_partitions=32,
-                      extra_conf={"spark.local.dir": f"{shm}/local",
+                      extra_conf={"spark.local.dir":
+                                  args.spark_local or f"{shm}/local",
                                   # concurrent shard builds share the
                                   # executor fairly (one driver fills
                                   # local[32] the way a cluster's
