@@ -52,6 +52,11 @@ def main() -> None:
                          "thread-submitted builds — one driver fills "
                          "local[32], the cluster shape) or the old "
                          "sequential loop")
+    ap.add_argument("--shuffle-partitions", type=int, default=32,
+                    help="spark.sql.shuffle.partitions — raise past "
+                         "the core count at 30M+ docs so per-task "
+                         "agg state fits the heap (the standard "
+                         "partition-sizing lever, same as a cluster)")
     ap.add_argument("--spark-local", default=None,
                     help="spark.local.dir override — at 30M docs the "
                          "shuffle spill must leave /dev/shm (tmpfs "
@@ -77,7 +82,7 @@ def main() -> None:
 
     shm = tempfile.mkdtemp(prefix="katta_serve_bench_", dir="/dev/shm")
     spark = get_spark(app_name="bench_serving", master="local[32]",
-                      shuffle_partitions=32,
+                      shuffle_partitions=args.shuffle_partitions,
                       extra_conf={"spark.local.dir":
                                   args.spark_local or f"{shm}/local",
                                   # concurrent shard builds share the
